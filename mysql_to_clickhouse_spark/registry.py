@@ -1,0 +1,102 @@
+"""The operator/query registry — the SURVEY.md §2 contract, executable.
+
+Every operator the engine claims is registered here as a named query:
+a callable ``(spark, sf_dir) -> DataFrame`` plus (when SQL-expressible)
+the equivalent DuckDB oracle SQL. ``__spark_entry__.py`` exposes exactly
+this registry to the driver's verification harness.
+
+Determinism policy (SURVEY.md §5.4 — applied at registration time, not
+per-round firefighting):
+
+- Double aggregates go through exact decimal sums then cast to double
+  (``functions.numeric``) so Spark and DuckDB produce bit-identical
+  results regardless of partition/accumulation order.
+- ``events.ts`` is ns-precision parquet; any ts value surfaced from it
+  is normalized to epoch microseconds (bigint) on both sides.
+- Every ranking/limit has a total-order tie-break; every collect_list is
+  sort_array'd.
+- Approximate operators (HLL, approx quantiles, LSH) register with
+  ``oracle=None`` → driver records the weaker rows-only check, and the
+  accompanying unit test asserts tolerance instead.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB ANSI SQL, or None → rows-only check
+    tier: str
+    doc: str = ""
+    # local-harness hint: compare floats with tolerance instead of exactly
+    # (driver still gets the oracle; this only relaxes OUR stricter test)
+    approx_floats: bool = False
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+_REGISTRY: dict[str, Query] = {}
+
+_OPERATOR_MODULES = (
+    "scans",
+    "filters",
+    "joins",
+    "aggregates",
+    "windows",
+    "setops",
+    "scalars",
+    "eventtime",
+    "llmops",
+    "udfs",
+)
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    tier: str = "T2",
+    approx_floats: bool = False,
+    tags: tuple[str, ...] = (),
+) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query id {name!r}")
+        _REGISTRY[name] = Query(
+            name=name,
+            fn=fn,
+            oracle=oracle,
+            tier=tier,
+            doc=(fn.__doc__ or "").strip(),
+            approx_floats=approx_floats,
+            tags=tags,
+        )
+        return fn
+
+    return deco
+
+
+def _load_operators() -> None:
+    for mod in _OPERATOR_MODULES:
+        importlib.import_module(f"mysql_to_clickhouse_spark.operators.{mod}")
+
+
+def all_queries() -> dict[str, Query]:
+    _load_operators()
+    return dict(sorted(_REGISTRY.items()))
+
+
+def query_fns() -> dict[str, QueryFn]:
+    return {name: q.fn for name, q in all_queries().items()}
+
+
+def oracle_sqls() -> dict[str, str]:
+    return {name: q.oracle for name, q in all_queries().items() if q.oracle is not None}

@@ -1,0 +1,64 @@
+"""SparkSession builder tuned for the testbed and documented for scale.
+
+Testbed is ``local[N]`` (single JVM); the configs below are chosen so the
+same logical plans survive a 1000-executor / 100 TB deployment:
+
+- AQE on (default in Spark 4): runtime shuffle-partition coalescing,
+  skew-join splitting, SMJ→BHJ upgrades. At 100 TB this is what adapts
+  the static plan to real per-stage sizes.
+- ``spark.sql.shuffle.partitions``: low (32) for the local testbed where
+  default 200 would dominate ms-scale queries; at cluster scale set to
+  ~2–3× total cores and let AQE coalesce down.
+- Arrow enabled for every pandas/Python boundary (UDF and toPandas paths
+  move columnar batches, not pickled rows).
+- Session timezone pinned to UTC so timestamp semantics (date_trunc,
+  window()) agree with the UTC-instant parquet testdata and the DuckDB
+  oracle regardless of machine TZ.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "mysql-to-clickhouse-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the tuned SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default all
+    cores). On a real cluster pass ``master=None`` and submit normally —
+    every config below is master-agnostic.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        # dims (region/nation/customer/supplier/part) all broadcast at any SF
+        # where they remain dimension-sized; 64 MB is a safe cluster default.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", "/tmp/spark-warehouse")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
