@@ -1,17 +1,31 @@
 """§2.D — aggregations (the ClickHouse aggregate surface on Spark).
 
-ClickHouse-analog functions (uniq, argMax, countIf, quantile, topK,
-groupArray) are expressed with built-in JVM-side Spark aggregates —
-no UDFs, fully map-side-combinable, so every query here is a single
-shuffle on its grouping key at any scale.
+ClickHouse-analog functions map to built-in JVM-side Spark aggregates —
+uniq→approx_count_distinct, argMax→max_by, countIf/sumIf→agg over
+CASE WHEN, quantile→percentile/percentile_approx, groupArray→
+collect_list, topK→count+rank. No UDFs: every query here is a single
+shuffle on its grouping key with map-side partial aggregation, so the
+shuffle volume is |groups| × partitions at any scale.
+
+Determinism: double sums/means go through functions.numeric fixed-point
+(bit-identical across engines and partitionings); dispersion stats are
+derived from exact fixed-point moments with an identical IEEE operation
+order on both sides; every ranking has a total-order tie-break.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mysql_to_clickhouse_spark.functions.numeric import dmean, dsum, o_dmean, o_dsum
+from mysql_to_clickhouse_spark.functions.numeric import (
+    dmean,
+    dsum,
+    fixed_point,
+    o_dmean,
+    o_dsum,
+    o_fixed_point,
+)
 from mysql_to_clickhouse_spark.registry import register
 from mysql_to_clickhouse_spark.tables import load
 
@@ -63,4 +77,522 @@ def d1_group_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d2_global_agg — no-group totals
+# ---------------------------------------------------------------------------
+
+_D2_ORACLE = f"""
+SELECT
+  COUNT(*) AS n_rows,
+  {o_dsum('l_extendedprice')} AS total_price,
+  MIN(l_quantity) AS min_qty,
+  MAX(l_quantity) AS max_qty,
+  MIN(l_shipdate) AS first_ship,
+  MAX(l_shipdate) AS last_ship
+FROM lineitem
+"""
+
+
+@register("d2_global_agg", oracle=_D2_ORACLE, tier="T1")
+def d2_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-row global aggregate (no grouping key → one partial per
+    task, one-row final merge; no meaningful shuffle at any scale)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_extendedprice").alias("total_price"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# d3_count_distinct — exact NDV per group (CH count(DISTINCT ...))
+# ---------------------------------------------------------------------------
+
+_D3_ORACLE = """
+SELECT
+  date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+  COUNT(DISTINCT user_id) AS uniq_users,
+  COUNT(*) AS n_events
+FROM events
+GROUP BY day
+ORDER BY day
+"""
+
+
+@register("d3_count_distinct", oracle=_D3_ORACLE)
+def d3_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct count per day (daily active users).
+
+    Scale: count(distinct) expands to a two-phase aggregate
+    (dedup-by-(day,user) then count) — Spark plans this automatically;
+    the first shuffle carries distinct pairs only.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("uniq_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d4_approx_distinct — CH uniq()/HLL (approximate → rows-only check;
+# tolerance asserted in tests/test_aggregates.py)
+# ---------------------------------------------------------------------------
+
+
+@register("d4_approx_distinct", oracle=None)
+def d4_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ NDV per event_type (CH `uniq`).
+
+    At 100 TB this is THE way to count distincts: fixed-size sketches
+    merge associatively, so the shuffle carries one sketch per group per
+    partition instead of every distinct value.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d5_cond_agg — CH countIf / sumIf / avgIf
+# ---------------------------------------------------------------------------
+
+_D5_ORACLE = f"""
+SELECT
+  l_returnflag,
+  COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS cnt_discounted,
+  {o_dsum('CASE WHEN l_discount > 0.05 THEN l_extendedprice END')} AS sum_if_price,
+  {o_dmean('CASE WHEN l_quantity >= 25 THEN l_extendedprice END')} AS avg_if_price,
+  COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("d5_cond_agg", oracle=_D5_ORACLE)
+def d5_cond_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline-filtered aggregates (CH countIf/sumIf/avgIf) via agg over
+    CASE WHEN — one pass, no extra scan per condition."""
+    li = load(spark, sf_dir, "lineitem")
+    discounted = F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))
+    big_qty = F.when(F.col("l_quantity") >= 25, F.col("l_extendedprice"))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(F.col("l_discount") > 0.05, F.lit(1))).alias(
+                "cnt_discounted"
+            ),
+            dsum(discounted).alias("sum_if_price"),
+            dmean(big_qty).alias("avg_if_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d6_argmax — CH argMax/argMin → max_by/min_by
+# ---------------------------------------------------------------------------
+
+# NOTE determinism: max_by ties are arbitrary. Verified on the driver
+# testdata: per-nation max/min c_acctbal is unique at sf0.01, so the
+# result is well-defined; the general tie-safe form is e1_row_number.
+
+_D6_ORACLE = """
+SELECT
+  n_name,
+  max_by(c_name, c_acctbal) AS richest_customer,
+  MAX(c_acctbal) AS top_acctbal,
+  min_by(c_name, c_acctbal) AS poorest_customer
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+@register("d6_argmax", oracle=_D6_ORACLE)
+def d6_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH argMax/argMin: value of one column at the extremum of another,
+    without a self-join (single-pass aggregate, broadcast dim join)."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.max_by("c_name", "c_acctbal").alias("richest_customer"),
+            F.max("c_acctbal").alias("top_acctbal"),
+            F.min_by("c_name", "c_acctbal").alias("poorest_customer"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d7_collect — CH groupArray/groupUniqArray (sorted, string-joined for a
+# deterministic, engine-portable output shape)
+# ---------------------------------------------------------------------------
+
+_D7_ORACLE = """
+SELECT
+  r_name,
+  array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations,
+  COUNT(DISTINCT n_name) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
+@register("d7_collect", oracle=_D7_ORACLE)
+def d7_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group set collection (CH groupUniqArray). collect_set order is
+    nondeterministic → sort_array before surfacing (SURVEY.md §5.4);
+    joined to a string so both engines hash the same canonical value."""
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("n_name")), ",").alias("nations"),
+            F.countDistinct("n_name").alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d8_quantile — CH quantile/quantiles (exact; approx variant is d8b)
+# ---------------------------------------------------------------------------
+
+# l_quantity is integer-valued (verified on testdata) → linear
+# interpolation lands on exact .0/.5 doubles, identical on both engines.
+_D8_ORACLE = """
+SELECT
+  l_returnflag,
+  quantile_cont(l_quantity, 0.5) AS p50_qty,
+  quantile_cont(l_quantity, 0.9) AS p90_qty,
+  COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("d8_quantile", oracle=_D8_ORACLE)
+def d8_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentile per group (CH quantileExact).
+
+    Scale note: exact percentile needs the group's values together
+    (sort-based agg); for 100 TB use d8b_quantile_approx — fixed-size
+    mergeable sketches, no per-group materialization.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", 0.5).alias("p50_qty"),
+            F.percentile("l_quantity", 0.9).alias("p90_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register("d8b_quantile_approx", oracle=None)
+def d8b_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentile (CH quantileTDigest analog): mergeable
+    sketch, the scale path for quantiles. Rows-only check; tolerance
+    asserted in unit tests."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_price"),
+            F.percentile_approx("l_extendedprice", 0.99, 1000).alias("p99_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d9_rollup — hierarchy subtotals
+# ---------------------------------------------------------------------------
+
+_D9_ORACLE = f"""
+SELECT
+  r_name,
+  n_name,
+  CAST(GROUPING(r_name) AS INT) AS g_region,
+  CAST(GROUPING(n_name) AS INT) AS g_nation,
+  COUNT(*) AS n_customers,
+  {o_dsum('c_acctbal')} AS total_acctbal
+FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+ORDER BY g_region, g_nation, r_name NULLS FIRST, n_name NULLS FIRST
+"""
+
+
+@register("d9_rollup", oracle=_D9_ORACLE)
+def d9_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP region→nation→grand-total with grouping() flags.
+
+    Spark plans rollup as Expand (3 rows per input here) + one hash
+    aggregate — a single shuffle; fine at scale since Expand is
+    map-side."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.grouping("r_name").cast("int").alias("g_region"),
+            F.grouping("n_name").cast("int").alias("g_nation"),
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("total_acctbal"),
+        )
+        .select(
+            "r_name", "n_name", "g_region", "g_nation", "n_customers", "total_acctbal"
+        )
+        .orderBy(
+            "g_region",
+            "g_nation",
+            F.col("r_name").asc_nulls_first(),
+            F.col("n_name").asc_nulls_first(),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# d10_cube_sets — CUBE over two independent dimensions
+# ---------------------------------------------------------------------------
+
+_D10_ORACLE = f"""
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+  CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+  COUNT(*) AS n_orders,
+  {o_dsum('o_totalprice')} AS total_price
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+ORDER BY g_status, g_priority, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+@register("d10_cube_sets", oracle=_D10_ORACLE, tier="T3")
+def d10_cube_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE = all grouping-set combinations (CH GROUPING SETS surface)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            "g_status",
+            "g_priority",
+            "n_orders",
+            "total_price",
+        )
+        .orderBy(
+            "g_status",
+            "g_priority",
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# d11_having — post-aggregation filter
+# ---------------------------------------------------------------------------
+
+_D11_ORACLE = f"""
+SELECT
+  o_custkey,
+  COUNT(*) AS n_orders,
+  {o_dsum('o_totalprice')} AS spend
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) > 15
+ORDER BY o_custkey
+"""
+
+
+@register("d11_having", oracle=_D11_ORACLE)
+def d11_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING = filter over aggregate output (frequent buyers)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("spend"),
+        )
+        .filter(F.col("n_orders") > 15)
+        .orderBy("o_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d12_stats_agg — dispersion + correlation from exact moments
+# ---------------------------------------------------------------------------
+
+# Determinism (SURVEY.md §5.4): built-in stddev/corr accumulate doubles in
+# partition order → last-ulp divergence vs DuckDB. Instead both sides
+# compute exact fixed-point moment sums and then the SAME IEEE formula:
+#   var_samp = (sxx - sx*sx/n) / (n-1)
+#   corr     = (sxy - sx*sy/n) / sqrt((sxx - sx*sx/n) * (syy - sy*sy/n))
+# x=l_quantity (≤50), y=l_extendedprice (≤1.1e5): xx ≤ 2.5e3 @scale4,
+# xy ≤ 5.5e6 and yy ≤ 1.3e10 @scale2 → int64-safe past 1e6 rows/group;
+# for larger groups drop the moment scale (documented, not needed here).
+
+_D12_MOMENTS_SQL = f"""
+  COUNT(*) AS n,
+  CAST(SUM({o_fixed_point('l_quantity', 4)}) AS DOUBLE) / 10000.0 AS sx,
+  CAST(SUM({o_fixed_point('l_extendedprice', 4)}) AS DOUBLE) / 10000.0 AS sy,
+  CAST(SUM({o_fixed_point('l_quantity * l_quantity', 4)}) AS DOUBLE) / 10000.0 AS sxx,
+  CAST(SUM({o_fixed_point('l_quantity * l_extendedprice', 2)}) AS DOUBLE) / 100.0 AS sxy,
+  CAST(SUM({o_fixed_point('l_extendedprice * l_extendedprice', 2)}) AS DOUBLE) / 100.0 AS syy
+"""
+
+_D12_ORACLE = f"""
+WITH m AS (
+  SELECT l_returnflag, {_D12_MOMENTS_SQL}
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT
+  l_returnflag,
+  n,
+  sx / n AS mean_qty,
+  (sxx - sx * sx / n) / (n - 1) AS var_qty,
+  sqrt((sxx - sx * sx / n) / (n - 1)) AS std_qty,
+  (sxy - sx * sy / n)
+    / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_qty_price
+FROM m
+ORDER BY l_returnflag
+"""
+
+
+@register("d12_stats_agg", oracle=_D12_ORACLE)
+def d12_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev/variance/correlation per group from exact moment sums
+    (order-independent twin of stddev_samp/var_samp/corr)."""
+    li = load(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(fixed_point(x, 4)).cast("double") / 10000.0).alias("sx"),
+        (F.sum(fixed_point(y, 4)).cast("double") / 10000.0).alias("sy"),
+        (F.sum(fixed_point(x * x, 4)).cast("double") / 10000.0).alias("sxx"),
+        (F.sum(fixed_point(x * y, 2)).cast("double") / 100.0).alias("sxy"),
+        (F.sum(fixed_point(y * y, 2)).cast("double") / 100.0).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    var_qty = (sxx - sx * sx / n) / (n - 1)
+    return m.select(
+        "l_returnflag",
+        "n",
+        (sx / n).alias("mean_qty"),
+        var_qty.alias("var_qty"),
+        F.sqrt(var_qty).alias("std_qty"),
+        (
+            (sxy - sx * sy / n)
+            / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+        ).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# d13_topk_groups — CH topK: k most frequent values per group
+# ---------------------------------------------------------------------------
+
+_D13_ORACLE = """
+WITH counted AS (
+  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, event_type, COUNT(*) AS cnt
+  FROM events
+  GROUP BY day, event_type
+), ranked AS (
+  SELECT day, event_type, cnt,
+         ROW_NUMBER() OVER (
+           PARTITION BY day ORDER BY cnt DESC, event_type
+         ) AS rk
+  FROM counted
+)
+SELECT day, event_type, cnt, rk
+FROM ranked WHERE rk <= 3
+ORDER BY day, rk
+"""
+
+
+@register("d13_topk_groups", oracle=_D13_ORACLE)
+def d13_topk_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per day (CH topK shape): count-aggregate, then
+    rank within day with an explicit tie-break (cnt DESC, event_type).
+
+    Scale: the window runs over the *aggregated* table (days ×
+    event_types), not raw events — the heavy lifting stays in the
+    map-side-combinable count."""
+    ev = load(spark, sf_dir, "events")
+    counted = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("day").orderBy(F.desc("cnt"), F.asc("event_type"))
+    return (
+        counted.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .orderBy("day", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d14_distinct_rows — DISTINCT projection
+# ---------------------------------------------------------------------------
+
+_D14_ORACLE = """
+SELECT DISTINCT l_returnflag, l_linestatus
+FROM lineitem
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("d14_distinct_rows", oracle=_D14_ORACLE, tier="T1")
+def d14_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT = group-by-all-columns; partial dedup runs map-side, so
+    the shuffle carries only unique pairs."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct().orderBy(
+        "l_returnflag", "l_linestatus"
     )

@@ -33,7 +33,26 @@ DIM_TABLES = ("region", "nation", "customer", "supplier", "part")
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        return _load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is ns-precision parquet, which Spark 4 refuses outright
+    (PARQUET_TYPE_ILLEGAL) unless read as a bigint. Read ns-as-long and
+    convert to a µs TimestampType at the scan boundary — truncation for
+    positive epochs, exactly matching the DuckDB oracle's
+    CAST(TIMESTAMP_NS AS TIMESTAMP).
+
+    The conf is session-level and settable at runtime, so this works
+    under the driver's own SparkSession too (verified).
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -9,6 +9,7 @@ we demand exact equality (bitwise for floats) unless the query is marked
 
 from __future__ import annotations
 
+import datetime as _dt
 from dataclasses import dataclass
 
 import numpy as np
@@ -36,6 +37,10 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         s = out[c]
         if pd.api.types.is_datetime64_any_dtype(s):
             out[c] = s.astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(s):
+            out[c] = s.astype("Int64" if s.isna().any() else "int64")
+        elif pd.api.types.is_float_dtype(s) and s.dtype != np.float64:
+            out[c] = s.astype("float64")
         elif s.dtype == object:
             sample = s.dropna()
             if len(sample) and isinstance(
@@ -46,6 +51,9 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
                     if v is not None
                     else None
                 )
+            elif len(sample) and isinstance(sample.iloc[0], _dt.date):
+                # datetime.date objects (Spark DATE) vs datetime64 (DuckDB)
+                out[c] = pd.to_datetime(s).astype("datetime64[us]")
     out = out[sorted(out.columns)]
     if len(out):
         out = out.sort_values(by=list(out.columns), kind="mergesort").reset_index(
