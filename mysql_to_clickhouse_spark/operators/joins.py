@@ -1,1 +1,479 @@
-"""§2 — placeholder, populated in later phases."""
+"""§2.C — joins (inner/outer/semi/anti/multikey/cross/theta/as-of/star).
+
+Strategy notes that survive a 1000-executor scale-up:
+
+- Dimension sides (region/nation/customer/supplier/part) are broadcast
+  explicitly (`F.broadcast`) — no shuffle of the fact table for those.
+- Fact-fact joins (self-joins, multikey) shuffle both sides on the join
+  key once; AQE handles skew splitting at runtime.
+- The theta/band join keeps the tiny side (bucket bounds) broadcast so
+  the nested-loop never materializes a cartesian of two big inputs.
+- The as-of join is a single window pass over a union — one shuffle by
+  key, no per-row subqueries (the pattern that scales; a correlated
+  subquery would not).
+
+NULL policy for verified outputs: outer-join nulls are COALESCE'd to
+typed sentinels on both engines — null→pandas representation differs
+between engines (None vs NaN) and would break value hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mysql_to_clickhouse_spark.functions.numeric import dsum, o_dsum
+from mysql_to_clickhouse_spark.registry import register
+from mysql_to_clickhouse_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# c1_inner_equi — orders ⋈ customer (row-level check)
+# ---------------------------------------------------------------------------
+
+_C1_ORACLE = """
+SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+ORDER BY o_orderkey
+"""
+
+
+@register("c1_inner_equi", oracle=_C1_ORACLE, tier="T1")
+def c1_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join fact→dim, checked row-for-row.
+
+    customer is dimension-sized → broadcast-hash join: zero shuffle of
+    orders at any scale."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("o_orderkey", "o_custkey", "c_name", "c_mktsegment", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# c2_left_outer — customers keep rows with no orders
+# ---------------------------------------------------------------------------
+
+_C2_ORACLE = """
+SELECT
+  c_custkey,
+  COALESCE(o_orderkey, -1) AS o_orderkey,
+  COALESCE(o_totalprice, 0.0) AS o_totalprice
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+ORDER BY c_custkey, o_orderkey
+"""
+
+
+@register("c2_left_outer", oracle=_C2_ORACLE)
+def c2_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join; unmatched customers surface with sentinel keys
+    (see module NULL policy)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.coalesce("o_orderkey", F.lit(-1)).alias("o_orderkey"),
+            F.coalesce("o_totalprice", F.lit(0.0)).alias("o_totalprice"),
+        )
+        .orderBy("c_custkey", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# c3_right_full_outer — both unmatched directions
+# ---------------------------------------------------------------------------
+
+_C3_ORACLE = """
+WITH big_buyers AS (
+  SELECT o_custkey, COUNT(*) AS n_orders
+  FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+), rich AS (
+  SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000
+)
+SELECT
+  COALESCE(b.o_custkey, r.c_custkey) AS custkey,
+  COALESCE(b.n_orders, -1) AS n_orders,
+  COALESCE(r.c_acctbal, -1.0) AS acctbal
+FROM big_buyers b FULL OUTER JOIN rich r ON b.o_custkey = r.c_custkey
+ORDER BY custkey
+"""
+
+
+@register("c3_right_full_outer", oracle=_C3_ORACLE)
+def c3_right_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with unmatched rows on BOTH sides (frequent
+    buyers vs rich customers); right-only direction covered by
+    c3b_right_outer."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    big = (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 15)
+    )
+    rich = cust.filter(F.col("c_acctbal") > 9000).select("c_custkey", "c_acctbal")
+    return (
+        big.join(rich, big.o_custkey == rich.c_custkey, "full")
+        .select(
+            F.coalesce("o_custkey", "c_custkey").alias("custkey"),
+            F.coalesce("n_orders", F.lit(-1)).alias("n_orders"),
+            F.coalesce("c_acctbal", F.lit(-1.0)).alias("acctbal"),
+        )
+        .orderBy("custkey")
+    )
+
+
+_C3B_ORACLE = """
+SELECT
+  c_custkey,
+  COALESCE(o.n_orders, 0) AS n_orders
+FROM (
+  SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+) o RIGHT JOIN customer ON o.o_custkey = c_custkey
+ORDER BY c_custkey
+"""
+
+
+@register("c3b_right_outer", oracle=_C3B_ORACLE)
+def c3b_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (all customers kept, order counts attached)."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    per_cust = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    return (
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey, "right")
+        .select(
+            "c_custkey",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# c4_semi / c5_anti — EXISTS / NOT EXISTS
+# ---------------------------------------------------------------------------
+
+_C4_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+@register("c4_semi", oracle=_C4_ORACLE)
+def c4_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (EXISTS): customers with at least one order.
+    Semi joins ship only the distinct keys of the right side — far
+    cheaper than join+distinct at scale."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+_C5_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+@register("c5_anti", oracle=_C5_ORACLE)
+def c5_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (NOT EXISTS): customers with no orders."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# c6_multikey — composite-key self join
+# ---------------------------------------------------------------------------
+
+_C6_ORACLE = """
+SELECT a.l_orderkey, a.l_partkey,
+       a.l_linenumber AS ln_a, b.l_linenumber AS ln_b
+FROM lineitem a
+JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey
+ AND a.l_partkey = b.l_partkey
+ AND a.l_linenumber < b.l_linenumber
+ORDER BY a.l_orderkey, a.l_partkey, ln_a, ln_b
+"""
+
+
+@register("c6_multikey", oracle=_C6_ORACLE)
+def c6_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column equi join: pairs of lineitems in the same order for
+    the same part. Both sides shuffle once on the composite key
+    (orderkey, partkey); the < predicate is applied post-match."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            [
+                F.col("a.l_orderkey") == F.col("b.l_orderkey"),
+                F.col("a.l_partkey") == F.col("b.l_partkey"),
+                F.col("a.l_linenumber") < F.col("b.l_linenumber"),
+            ],
+        )
+        .select(
+            F.col("a.l_orderkey").alias("l_orderkey"),
+            F.col("a.l_partkey").alias("l_partkey"),
+            F.col("a.l_linenumber").alias("ln_a"),
+            F.col("b.l_linenumber").alias("ln_b"),
+        )
+        .orderBy("l_orderkey", "l_partkey", "ln_a", "ln_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# c7_cross — cartesian product (small inputs only)
+# ---------------------------------------------------------------------------
+
+_C7_ORACLE = """
+SELECT r_name, n_name
+FROM region CROSS JOIN nation
+ORDER BY r_name, n_name
+"""
+
+
+@register("c7_cross", oracle=_C7_ORACLE)
+def c7_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product — only ever between bounded inputs
+    (5 × 25 here); Spark rightly makes you opt in via crossJoin."""
+    region = load(spark, sf_dir, "region").select("r_name")
+    nation = load(spark, sf_dir, "nation").select("n_name")
+    return region.crossJoin(nation).orderBy("r_name", "n_name")
+
+
+# ---------------------------------------------------------------------------
+# c8_theta_range — band join (value BETWEEN lo AND hi)
+# ---------------------------------------------------------------------------
+
+_C8_ORACLE = f"""
+WITH buckets AS (
+  SELECT i AS bucket_id, i * 50.0 AS lo, (i + 1) * 50.0 AS hi
+  FROM range(10) t(i)
+)
+SELECT bucket_id, lo, hi, COUNT(*) AS n_events, {o_dsum('value')} AS sum_value
+FROM events JOIN buckets ON value >= lo AND value < hi
+GROUP BY bucket_id, lo, hi
+ORDER BY bucket_id
+"""
+
+
+@register("c8_theta_range", oracle=_C8_ORACLE)
+def c8_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (band) join: events against derived value buckets.
+
+    The bucket table is tiny → broadcast nested-loop join, so the fact
+    side streams through once, never materializing a cartesian. For
+    big-big band joins, pre-bucket both sides on FLOOR(value/width) and
+    equi-join first (that rewrite is what scales)."""
+    ev = load(spark, sf_dir, "events")
+    buckets = (
+        spark.range(10)
+        .select(
+            F.col("id").alias("bucket_id"),
+            (F.col("id") * 50.0).alias("lo"),
+            ((F.col("id") + 1) * 50.0).alias("hi"),
+        )
+    )
+    return (
+        ev.join(
+            F.broadcast(buckets),
+            (ev.value >= buckets.lo) & (ev.value < buckets.hi),
+        )
+        .groupBy("bucket_id", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .orderBy("bucket_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# c9_asof — as-of join: latest 'view' at-or-before each 'purchase'
+# ---------------------------------------------------------------------------
+
+_C9_ORACLE = """
+WITH tagged AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         event_type, value
+  FROM events WHERE event_type IN ('view', 'purchase')
+), chained AS (
+  SELECT user_id, event_id, ts_us, event_type, value,
+         MAX(CASE WHEN event_type = 'view' THEN ts_us END) OVER (
+           PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS last_view_us
+  FROM tagged
+)
+SELECT event_id, user_id, ts_us, COALESCE(last_view_us, -1) AS last_view_us, value
+FROM chained
+WHERE event_type = 'purchase'
+ORDER BY event_id
+"""
+
+
+@register("c9_asof", oracle=_C9_ORACLE, tier="T3")
+def c9_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via the union+window trick: one pass, one shuffle.
+
+    Instead of a per-row 'latest earlier match' lookup (quadratic or
+    index-dependent), union both streams, order by time within key, and
+    carry the last seen left-side timestamp forward with a running MAX
+    window. This is the scalable formulation: a single shuffle by
+    user_id regardless of data size (DuckDB's native ASOF JOIN would
+    verify the same semantics; we use the identical window form as the
+    oracle)."""
+    ev = load(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("view", "purchase")).select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    chained = tagged.withColumn(
+        "last_view_us",
+        F.max(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(w),
+    )
+    return (
+        chained.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            F.coalesce("last_view_us", F.lit(-1)).alias("last_view_us"),
+            "value",
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# c10_star_multiway — TPC-H Q5 shape: 6-table star join
+# ---------------------------------------------------------------------------
+
+_C10_ORACLE = f"""
+SELECT
+  n_name,
+  {o_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM region
+  JOIN nation ON n_regionkey = r_regionkey
+  JOIN customer ON c_nationkey = n_nationkey
+  JOIN orders ON o_custkey = c_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+@register("c10_star_multiway", oracle=_C10_ORACLE)
+def c10_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier revenue by nation (TPC-H Q5 shape).
+
+    Join order: facts last. region/nation/customer/supplier broadcast;
+    orders⋈lineitem is the only shuffle join (on orderkey). The
+    s_nationkey = c_nationkey 'local' predicate rides on the supplier
+    broadcast join. Date filter pushes into the orders scan."""
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+
+    orders_f = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    dims = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            nation.n_regionkey == F.col("r_regionkey"),
+        )
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    return (
+        li.join(orders_f, li.l_orderkey == orders_f.o_orderkey)
+        .join(F.broadcast(dims), F.col("o_custkey") == dims.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (supp.s_nationkey == dims.c_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# c11_self_join — pairs within a table
+# ---------------------------------------------------------------------------
+
+_C11_ORACLE = """
+SELECT a.label, COUNT(*) AS n_pairs
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+GROUP BY a.label
+ORDER BY a.label
+"""
+
+
+@register("c11_self_join", oracle=_C11_ORACLE)
+def c11_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self join: same-label embedding pairs (a.id < b.id dedup).
+
+    The equi key (label) carries the shuffle; the inequality prunes the
+    pair triangle. At 100 TB this is the blocked/bucketed pattern every
+    near-dup pipeline uses — never a cross join."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    a, b = emb.alias("a"), emb.alias("b")
+    return (
+        a.join(
+            b,
+            [
+                F.col("a.label") == F.col("b.label"),
+                F.col("a.vec_id") < F.col("b.vec_id"),
+            ],
+        )
+        .groupBy(F.col("a.label").alias("label"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("label")
+    )
