@@ -1,1 +1,191 @@
-"""§2 — placeholder, populated in later phases."""
+"""§2.F — sort / limit / set operations.
+
+The driver's value-hash is order-insensitive, so pure ORDER BY would be
+unverifiable; sort queries therefore surface an explicit ``pos`` column
+(row_number over the same total order), making ordering part of the
+hashed values.
+
+Scale note: a global sort range-partitions by sampled split points
+(Spark's SortExec over rangepartitioning) — fine; but top-k should
+NEVER be sort-then-limit at scale: ``orderBy(...).limit(k)`` compiles
+to TakeOrderedAndProject (per-partition heaps + driver merge), which is
+what f2 demonstrates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mysql_to_clickhouse_spark.registry import register
+from mysql_to_clickhouse_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# f1_order_multi — multi-key sort, mixed directions
+# ---------------------------------------------------------------------------
+
+_F1_ORACLE = """
+SELECT CAST(ROW_NUMBER() OVER (
+         ORDER BY c_mktsegment ASC, c_acctbal DESC, c_custkey ASC
+       ) AS BIGINT) AS pos,
+       c_custkey, c_mktsegment, c_acctbal
+FROM customer
+ORDER BY pos
+"""
+
+
+@register("f1_order_multi", oracle=_F1_ORACLE, tier="T1")
+def f1_order_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key mixed-direction sort (segment ASC, balance DESC, PK
+    tie-break), with the resulting position materialized as a column so
+    the order-insensitive hash still verifies ordering."""
+    cust = load(spark, sf_dir, "customer")
+    order = [
+        F.col("c_mktsegment").asc_nulls_last(),
+        F.col("c_acctbal").desc(),
+        F.col("c_custkey").asc(),
+    ]
+    w = Window.orderBy(*order)
+    return (
+        cust.select(
+            F.row_number().over(w).cast("long").alias("pos"),
+            "c_custkey",
+            "c_mktsegment",
+            "c_acctbal",
+        )
+        .orderBy("pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# f2_limit_topk — ORDER BY ... LIMIT k (TakeOrderedAndProject)
+# ---------------------------------------------------------------------------
+
+_F2_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+@register("f2_limit_topk", oracle=_F2_ORACLE, tier="T1")
+def f2_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 orders by price. orderBy+limit compiles to
+    TakeOrderedAndProject: each task keeps a k-heap, the driver merges
+    — no global sort, no full shuffle, at any scale."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# f3_union_all — concatenation, duplicates kept
+# ---------------------------------------------------------------------------
+
+_F3_ORACLE = """
+SELECT 'pending' AS src, o_orderkey, o_totalprice
+FROM orders WHERE o_orderstatus = 'P'
+UNION ALL
+SELECT 'urgent' AS src, o_orderkey, o_totalprice
+FROM orders WHERE o_orderpriority = '1-URGENT'
+ORDER BY src, o_orderkey
+"""
+
+
+@register("f3_union_all", oracle=_F3_ORACLE)
+def f3_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL via unionByName (name-resolved, no silent positional
+    mismatches). Overlapping rows appear twice — by design."""
+    orders = load(spark, sf_dir, "orders")
+    pending = orders.filter(F.col("o_orderstatus") == "P").select(
+        F.lit("pending").alias("src"), "o_orderkey", "o_totalprice"
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.lit("urgent").alias("src"), "o_orderkey", "o_totalprice"
+    )
+    return pending.unionByName(urgent).orderBy("src", "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# f4_union_distinct — concatenation + dedup
+# ---------------------------------------------------------------------------
+
+_F4_ORACLE = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
+UNION
+SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+ORDER BY custkey
+"""
+
+
+@register("f4_union_distinct", oracle=_F4_ORACLE)
+def f4_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct): union + dedup collapses to one hash aggregate
+    over the concatenation — partial dedup runs map-side."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    a = orders.filter(F.col("o_orderstatus") == "P").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = cust.filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return a.union(b).distinct().orderBy("custkey")
+
+
+# ---------------------------------------------------------------------------
+# f5_intersect / f6_except
+# ---------------------------------------------------------------------------
+
+_F5_ORACLE = """
+SELECT DISTINCT o_custkey AS custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+INTERSECT
+SELECT DISTINCT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+ORDER BY custkey
+"""
+
+
+@register("f5_intersect", oracle=_F5_ORACLE)
+def f5_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct): customers who ordered in both 1996 and
+    1997. Spark plans this as a left-semi join after dedup."""
+    orders = load(spark, sf_dir, "orders")
+
+    def year(y: int) -> DataFrame:
+        return orders.filter(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+        ).select(F.col("o_custkey").alias("custkey"))
+
+    return year(1996).intersect(year(1997)).orderBy("custkey")
+
+
+_F6_ORACLE = """
+SELECT DISTINCT o_custkey AS custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+EXCEPT
+SELECT DISTINCT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+ORDER BY custkey
+"""
+
+
+@register("f6_except", oracle=_F6_ORACLE)
+def f6_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): 1996 customers who did NOT order in 1997 —
+    planned as a left-anti join after dedup."""
+    orders = load(spark, sf_dir, "orders")
+
+    def year(y: int) -> DataFrame:
+        return orders.filter(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+        ).select(F.col("o_custkey").alias("custkey"))
+
+    return year(1996).subtract(year(1997)).orderBy("custkey")

@@ -1,1 +1,316 @@
-"""§2 — placeholder, populated in later phases."""
+"""§2.E — window functions (ranking, offsets, running/sliding frames).
+
+Determinism: every window ORDER BY ends in a unique key (PK tie-break),
+and cumulative/sliding sums of doubles go through fixed-point bigints —
+window sum implementations (segment trees vs streaming) are free to
+re-associate additions, which diverges in ulps on doubles but is exact
+on integers.
+
+Scale: a window's partitionBy key is its shuffle key. Everything here
+partitions by a high-cardinality key (customer, user) — never a global
+window over raw facts. The one global window (daily series) runs over
+an already-aggregated frame of |days| rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mysql_to_clickhouse_spark.functions.numeric import fixed_point, o_fixed_point
+from mysql_to_clickhouse_spark.registry import register
+from mysql_to_clickhouse_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# e1_row_number — ranking trio, top-3 orders per customer
+# ---------------------------------------------------------------------------
+
+_E1_ORACLE = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+         CAST(RANK() OVER w AS BIGINT) AS rk,
+         CAST(DENSE_RANK() OVER w AS BIGINT) AS drk
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+)
+SELECT * FROM ranked WHERE rn <= 3
+ORDER BY o_custkey, rn
+"""
+
+
+@register("e1_row_number", oracle=_E1_ORACLE, tier="T1")
+def e1_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number/rank/dense_rank: top-3 orders per customer.
+    One shuffle on o_custkey; the filter keeps ≤3 rows per key."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.rank().over(w).cast("long").alias("rk"),
+            F.dense_rank().over(w).cast("long").alias("drk"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# e2_lag_lead — offset access: inter-event gaps per user
+# ---------------------------------------------------------------------------
+
+_E2_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         LAG(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER w AS prev_us,
+         LEAD(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER w AS next_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+)
+SELECT user_id, event_id, ts_us,
+       COALESCE(prev_us, -1) AS prev_us,
+       COALESCE(next_us, -1) AS next_us,
+       COALESCE(ts_us - prev_us, -1) AS gap_us
+FROM seq
+ORDER BY user_id, ts_us, event_id
+"""
+
+
+@register("e2_lag_lead", oracle=_E2_ORACLE)
+def e2_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead by one event within each user's timeline; gap between
+    consecutive events. Edge rows surface sentinel -1 (NULL policy)."""
+    ev = load(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        seq.select(
+            "user_id",
+            "event_id",
+            "ts_us",
+            F.lag("ts_us", 1).over(w).alias("prev_us"),
+            F.lead("ts_us", 1).over(w).alias("next_us"),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "ts_us",
+            F.coalesce("prev_us", F.lit(-1)).alias("prev_us"),
+            F.coalesce("next_us", F.lit(-1)).alias("next_us"),
+            F.coalesce(F.col("ts_us") - F.col("prev_us"), F.lit(-1)).alias("gap_us"),
+        )
+        .orderBy("user_id", "ts_us", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# e3_running_sum — cumulative revenue per customer
+# ---------------------------------------------------------------------------
+
+_E3_ORACLE = f"""
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(SUM({o_fixed_point('o_totalprice')}) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) / 10000.0 AS running_spend
+FROM orders
+ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+
+@register("e3_running_sum", oracle=_E3_ORACLE)
+def e3_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum frame (UNBOUNDED PRECEDING → CURRENT ROW).
+    Fixed-point keeps the running total exact under any evaluation
+    strategy (streaming vs segment tree)."""
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            (F.sum(fixed_point("o_totalprice")).over(w).cast("double") / 10000.0).alias(
+                "running_spend"
+            ),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# e4_moving_avg — 7-row moving average over the daily event series
+# ---------------------------------------------------------------------------
+
+_E4_ORACLE = f"""
+WITH daily AS (
+  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         CAST(SUM({o_fixed_point('value')}) AS DOUBLE) / 10000.0 AS day_total
+  FROM events GROUP BY day
+), win AS (
+  SELECT day, day_total,
+         CAST(SUM(CAST(FLOOR(day_total * 10000.0) AS BIGINT)) OVER w AS DOUBLE)
+           / 10000.0 AS win_sum,
+         CAST(COUNT(*) OVER w AS BIGINT) AS win_n
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT day, day_total, win_sum / win_n AS ma7
+FROM win
+ORDER BY day
+"""
+
+
+@register("e4_moving_avg", oracle=_E4_ORACLE)
+def e4_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row sliding mean over the daily totals series.
+
+    The global window is safe: it runs over |days| pre-aggregated rows,
+    not raw events — aggregate first, window second is the pattern that
+    scales."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        (F.sum(fixed_point("value")).cast("double") / 10000.0).alias("day_total")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    win = daily.select(
+        "day",
+        "day_total",
+        (F.sum(fixed_point("day_total")).over(w).cast("double") / 10000.0).alias(
+            "win_sum"
+        ),
+        F.count(F.lit(1)).over(w).cast("long").alias("win_n"),
+    )
+    return win.select(
+        "day", "day_total", (F.col("win_sum") / F.col("win_n")).alias("ma7")
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# e5_range_frame — RANGE frame over a numeric ordering
+# ---------------------------------------------------------------------------
+
+_E5_ORACLE = f"""
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_in_band,
+       CAST(SUM({o_fixed_point('o_totalprice')}) OVER w AS DOUBLE) / 10000.0
+         AS band_sum
+FROM orders
+WINDOW w AS (
+  PARTITION BY o_custkey ORDER BY o_totalprice
+  RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW
+)
+ORDER BY o_custkey, o_totalprice, o_orderkey
+"""
+
+
+@register("e5_range_frame", oracle=_E5_ORACLE, tier="T3")
+def e5_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame: orders within 10k price below each
+    order, per customer. RANGE frames include peers — well-defined even
+    with ties, so no tie-break is needed inside the frame itself."""
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, Window.currentRow)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.count(F.lit(1)).over(w).cast("long").alias("n_in_band"),
+            (F.sum(fixed_point("o_totalprice")).over(w).cast("double") / 10000.0).alias(
+                "band_sum"
+            ),
+        )
+        .orderBy("o_custkey", "o_totalprice", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# e6_ntile_pct — distribution functions
+# ---------------------------------------------------------------------------
+
+_E6_ORACLE = """
+SELECT c_custkey, c_acctbal,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume
+FROM customer
+WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+ORDER BY c_acctbal, c_custkey
+"""
+
+
+@register("e6_ntile_pct", oracle=_E6_ORACLE)
+def e6_ntile_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile/percent_rank/cume_dist over a unique total order (PK
+    tie-break makes peer groups singletons → both engines agree).
+
+    Scale note: a global ORDER BY window sorts on one partition; for
+    percentiles over 100 TB use d8b sketches or range partitioning."""
+    cust = load(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select(
+            "c_custkey",
+            "c_acctbal",
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .orderBy("c_acctbal", "c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# e7_first_last — first/last value in frame
+# ---------------------------------------------------------------------------
+
+_E7_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       FIRST_VALUE(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS first_price,
+       LAST_VALUE(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+       ) AS latest_price
+FROM orders
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@register("e7_first_last", oracle=_E7_ORACLE)
+def e7_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value (earliest order price) and last_value (latest order
+    price) per customer, with explicit frames on a unique ordering."""
+    orders = load(spark, sf_dir, "orders")
+    base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_first = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_last = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.first("o_totalprice").over(w_first).alias("first_price"),
+            F.last("o_totalprice").over(w_last).alias("latest_price"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
