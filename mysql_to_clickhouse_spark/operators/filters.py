@@ -1,1 +1,244 @@
-"""§2 — placeholder, populated in later phases."""
+"""§2.B — projection, filtering, predicates.
+
+Every predicate here is a Catalyst-native expression, so it reaches the
+parquet scan as a pushed filter (row-group stats + page skipping) and
+the projection prunes columns at the reader — verified in
+tests/test_plans.py via .explain() inspection, not assumed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql_to_clickhouse_spark.registry import register
+from mysql_to_clickhouse_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# b1_project_compute
+# ---------------------------------------------------------------------------
+
+_B1_ORACLE = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  l_extendedprice * (1 - l_discount) AS disc_price,
+  l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+  l_extendedprice / l_quantity AS unit_price,
+  l_quantity * 2.0 + 1.0 AS qty_affine
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@register("b1_project_compute", oracle=_B1_ORACLE, tier="T1")
+def b1_project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived-column arithmetic, row-level. Per-row IEEE expressions on
+    identical operands are bit-identical across engines — no fixed-point
+    needed until values are aggregated."""
+    li = load(spark, sf_dir, "lineitem")
+    price, disc, tax = F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (price * (1 - disc)).alias("disc_price"),
+        (price * (1 - disc) * (1 + tax)).alias("charge"),
+        (price / F.col("l_quantity")).alias("unit_price"),
+        (F.col("l_quantity") * 2.0 + 1.0).alias("qty_affine"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+# ---------------------------------------------------------------------------
+# b2_filter_compare
+# ---------------------------------------------------------------------------
+
+_B2_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+FROM lineitem
+WHERE l_quantity >= 45.0
+  AND l_extendedprice > 90000.0
+  AND l_returnflag != 'A'
+  AND l_shipdate < TIMESTAMP '2000-01-01'
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@register("b2_filter_compare", oracle=_B2_ORACLE, tier="T1")
+def b2_filter_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All comparison classes (num >=/>,string !=, timestamp <) — each
+    pushes to the parquet scan as a native filter."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_quantity") >= 45.0)
+            & (F.col("l_extendedprice") > 90000.0)
+            & (F.col("l_returnflag") != "A")
+            & (F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp"))
+        )
+        .select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+            "l_returnflag",
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# ---------------------------------------------------------------------------
+# b3_filter_boolean
+# ---------------------------------------------------------------------------
+
+_B3_ORACLE = """
+SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+FROM orders
+WHERE (o_orderstatus = 'P' AND o_totalprice > 200000.0)
+   OR (o_orderpriority = '1-URGENT' AND NOT (o_orderstatus = 'F'))
+ORDER BY o_orderkey
+"""
+
+
+@register("b3_filter_boolean", oracle=_B3_ORACLE, tier="T1")
+def b3_filter_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND/OR/NOT with grouping parentheses — boolean algebra fidelity."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            ((F.col("o_orderstatus") == "P") & (F.col("o_totalprice") > 200000.0))
+            | (
+                (F.col("o_orderpriority") == "1-URGENT")
+                & ~(F.col("o_orderstatus") == "F")
+            )
+        )
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# b4_filter_in_between
+# ---------------------------------------------------------------------------
+
+_B4_ORACLE = """
+SELECT c_custkey, c_mktsegment, c_acctbal
+FROM customer
+WHERE c_mktsegment IN ('AUTOMOBILE', 'MACHINERY', 'BUILDING')
+  AND c_acctbal BETWEEN 1000.0 AND 5000.0
+ORDER BY c_custkey
+"""
+
+
+@register("b4_filter_in_between", oracle=_B4_ORACLE)
+def b4_filter_in_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list membership + inclusive BETWEEN range."""
+    cust = load(spark, sf_dir, "customer")
+    return (
+        cust.filter(
+            F.col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY", "BUILDING")
+            & F.col("c_acctbal").between(1000.0, 5000.0)
+        )
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# b5_filter_like
+# ---------------------------------------------------------------------------
+
+_B5_ORACLE = """
+SELECT p_partkey, p_name, p_brand, p_type
+FROM part
+WHERE p_name LIKE '%gear%'
+   OR p_name LIKE 'red %'
+   OR (p_type LIKE '%ECO%' AND p_brand LIKE 'Brand#1_')
+ORDER BY p_partkey
+"""
+
+
+@register("b5_filter_like", oracle=_B5_ORACLE)
+def b5_filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE patterns: infix %, prefix, and _ single-char wildcard."""
+    part = load(spark, sf_dir, "part")
+    return (
+        part.filter(
+            F.col("p_name").like("%gear%")
+            | F.col("p_name").like("red %")
+            | (F.col("p_type").like("%ECO%") & F.col("p_brand").like("Brand#1_"))
+        )
+        .select("p_partkey", "p_name", "p_brand", "p_type")
+        .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# b6_filter_null
+# ---------------------------------------------------------------------------
+
+_B6_ORACLE = """
+WITH withnulls AS (
+  SELECT
+    NULLIF(l_returnflag, 'N') AS flag_n,
+    NULLIF(l_linestatus, 'O') AS status_n
+  FROM lineitem
+)
+SELECT
+  COUNT(*) AS total,
+  COUNT(CASE WHEN flag_n IS NULL THEN 1 END) AS flag_nulls,
+  COUNT(CASE WHEN status_n IS NOT NULL THEN 1 END) AS status_not_nulls,
+  COUNT(CASE WHEN flag_n IS NOT DISTINCT FROM status_n THEN 1 END) AS nullsafe_eq
+FROM withnulls
+"""
+
+
+@register("b6_filter_null", oracle=_B6_ORACLE)
+def b6_filter_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS NULL / IS NOT NULL / null-safe equality (<=>), on nulls
+    manufactured with nullif (the testdata itself is null-free)."""
+    li = load(spark, sf_dir, "lineitem")
+    withnulls = li.select(
+        F.nullif("l_returnflag", F.lit("N")).alias("flag_n"),
+        F.nullif("l_linestatus", F.lit("O")).alias("status_n"),
+    )
+    return withnulls.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count(F.when(F.col("flag_n").isNull(), 1)).alias("flag_nulls"),
+        F.count(F.when(F.col("status_n").isNotNull(), 1)).alias("status_not_nulls"),
+        F.count(
+            F.when(F.col("flag_n").eqNullSafe(F.col("status_n")), 1)
+        ).alias("nullsafe_eq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# b7_case_when
+# ---------------------------------------------------------------------------
+
+_B7_ORACLE = """
+SELECT
+  CASE
+    WHEN o_totalprice < 50000.0 THEN 'small'
+    WHEN o_totalprice < 150000.0 THEN 'medium'
+    WHEN o_totalprice < 300000.0 THEN 'large'
+    ELSE 'jumbo'
+  END AS price_band,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY price_band
+ORDER BY price_band
+"""
+
+
+@register("b7_case_when", oracle=_B7_ORACLE, tier="T1")
+def b7_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained CASE WHEN (CH multiIf): price banding + count."""
+    orders = load(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 50000.0, "small")
+        .when(F.col("o_totalprice") < 150000.0, "medium")
+        .when(F.col("o_totalprice") < 300000.0, "large")
+        .otherwise("jumbo")
+    )
+    return (
+        orders.groupBy(band.alias("price_band"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("price_band")
+    )

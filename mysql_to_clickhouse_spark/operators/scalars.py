@@ -1,1 +1,500 @@
-"""§2 — placeholder, populated in later phases."""
+"""§2.G — scalar function surface (the ClickHouse function library on
+Spark builtins: string/regex/date/math/null/JSON/hash/array/lambda).
+
+Everything is a JVM-side built-in inside whole-stage codegen — no
+Python in the hot path. Cross-engine gotchas handled here (verified by
+probe, not assumed):
+
+- DuckDB ``dayofweek`` is Sunday=0; Spark's is Sunday=1 → subtract 1.
+- DuckDB CAST(double AS INT) rounds, Spark truncates → FLOOR first.
+- Transcendentals (ln/…) differ in last ulps between libm and the JVM
+  → round to 6 decimals on both sides.
+- Array lambda folds: both sides fold fixed-point bigints so
+  accumulation is exact (list_sum on bigints / aggregate on longs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql_to_clickhouse_spark.registry import register
+from mysql_to_clickhouse_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# g1_string_core
+# ---------------------------------------------------------------------------
+
+_G1_ORACLE = """
+SELECT
+  doc_id,
+  upper(substring(text, 1, 12)) AS head_upper,
+  concat(lang, ':', source) AS lang_source,
+  length(text) AS n_chars_fn,
+  n_chars,
+  lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded_id,
+  replace(substring(text, 1, 30), ' ', '_') AS head_snake,
+  trim('  ' || lang || '  ') AS lang_trim
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("g1_string_core", oracle=_G1_ORACLE, tier="T1")
+def g1_string_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """concat/substring/upper/length/lpad/replace/trim (CH string core).
+    length(text) is cross-checked against the stored n_chars column."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 12)).alias("head_upper"),
+        F.concat(F.col("lang"), F.lit(":"), F.col("source")).alias("lang_source"),
+        F.length("text").cast("long").alias("n_chars_fn"),
+        "n_chars",
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded_id"),
+        F.replace(
+            F.substring("text", 1, 30), F.lit(" "), F.lit("_")
+        ).alias("head_snake"),
+        F.trim(F.concat(F.lit("  "), F.col("lang"), F.lit("  "))).alias("lang_trim"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# g2_string_split
+# ---------------------------------------------------------------------------
+
+_G2_ORACLE = """
+SELECT
+  doc_id,
+  len(string_split(text, ' ')) AS n_tokens,
+  string_split(text, ' ')[1] AS first_token,
+  string_split(text, ' ')[-1] AS last_token
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("g2_string_split", oracle=_G2_ORACLE)
+def g2_string_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split + token access (CH splitByChar). documents.text is
+    single-space separated, so regex split == literal split."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ", -1)
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.element_at(toks, -1).alias("last_token"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# g3_regex
+# ---------------------------------------------------------------------------
+
+_G3_ORACLE = """
+SELECT
+  doc_id,
+  regexp_matches(text, 'batch') AS has_batch,
+  CASE WHEN regexp_extract(text, 'p[a-z]+') = '' THEN '(none)'
+       ELSE regexp_extract(text, 'p[a-z]+') END AS first_p_word
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("g3_regex", oracle=_G3_ORACLE)
+def g3_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regex match + extract (CH match/extract). No-match normalizes to
+    '(none)' on both engines (Spark and DuckDB both return '')."""
+    docs = load(spark, sf_dir, "documents")
+    extracted = F.regexp_extract("text", "p[a-z]+", 0)
+    return docs.select(
+        "doc_id",
+        F.col("text").rlike("batch").alias("has_batch"),
+        F.when(extracted == "", F.lit("(none)")).otherwise(extracted).alias(
+            "first_p_word"
+        ),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# g4_date_trunc — CH toStartOfDay/Hour/Month, toYYYYMM
+# ---------------------------------------------------------------------------
+
+_G4_ORACLE = """
+SELECT
+  event_id,
+  date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ts_hour,
+  date_trunc('day', CAST(ts AS TIMESTAMP)) AS ts_day,
+  date_trunc('month', CAST(ts AS TIMESTAMP)) AS ts_month,
+  strftime(CAST(ts AS TIMESTAMP), '%Y%m') AS yyyymm
+FROM events
+ORDER BY event_id
+"""
+
+
+@register("g4_date_trunc", oracle=_G4_ORACLE, tier="T1")
+def g4_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp truncation to hour/day/month + the ClickHouse-idiom
+    toYYYYMM partition key (the expression a5's sink partitions by)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_trunc("hour", "ts").alias("ts_hour"),
+        F.date_trunc("day", "ts").alias("ts_day"),
+        F.date_trunc("month", "ts").alias("ts_month"),
+        F.date_format("ts", "yyyyMM").alias("yyyymm"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# g5_date_parts
+# ---------------------------------------------------------------------------
+
+_G5_ORACLE = """
+SELECT
+  o_orderkey,
+  CAST(year(o_orderdate) AS INT) AS y,
+  CAST(month(o_orderdate) AS INT) AS m,
+  CAST(dayofmonth(o_orderdate) AS INT) AS d,
+  CAST(dayofweek(o_orderdate) AS INT) AS dow,
+  CAST(dayofyear(o_orderdate) AS INT) AS doy,
+  CAST(quarter(o_orderdate) AS INT) AS q
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+@register("g5_date_parts", oracle=_G5_ORACLE)
+def g5_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction (CH toYear/toMonth/...). Spark dayofweek is
+    Sunday=1, DuckDB's Sunday=0 → normalize by -1 (verified by probe)."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.quarter("o_orderdate").alias("q"),
+    ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# g6_date_arith
+# ---------------------------------------------------------------------------
+
+_G6_ORACLE = """
+SELECT
+  o_orderkey,
+  o_orderdate + INTERVAL 30 DAY AS due_date,
+  o_orderdate - INTERVAL 2 HOUR AS ts_minus_2h,
+  date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_epoch_start
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+@register("g6_date_arith", oracle=_G6_ORACLE)
+def g6_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval add/subtract + day difference (CH addDays/dateDiff).
+    Interval arithmetic keeps TimestampType (no DATE in outputs —
+    engines disagree on DATE's pandas representation)."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        (F.col("o_orderdate") - F.expr("INTERVAL 2 HOURS")).alias("ts_minus_2h"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+        ).cast("long").alias("days_since_epoch_start"),
+    ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# g7_math
+# ---------------------------------------------------------------------------
+
+_G7_ORACLE = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  round(l_quantity / 4.0, 1) AS qty_quarter,
+  CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+  CAST(CEIL(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+  abs(l_quantity - 25.0) AS qty_dev,
+  pow(l_quantity, 2) AS qty_sq,
+  round(ln(l_extendedprice), 6) AS ln_price,
+  l_partkey % 7 AS pk_mod
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@register("g7_math", oracle=_G7_ORACLE)
+def g7_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """round/floor/ceil/abs/pow/ln/mod. round() only on exactly-
+    representable quarters (no cross-engine tie ambiguity); ln rounded
+    to 6 decimals (libm vs JVM last-ulp divergence)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_quantity") / 4.0, 1).alias("qty_quarter"),
+        F.floor("l_extendedprice").cast("long").alias("price_floor"),
+        F.ceil(F.col("l_discount") * 100).cast("long").alias("disc_pct_ceil"),
+        F.abs(F.col("l_quantity") - 25.0).alias("qty_dev"),
+        F.pow("l_quantity", F.lit(2)).alias("qty_sq"),
+        F.round(F.log("l_extendedprice"), 6).alias("ln_price"),
+        (F.col("l_partkey") % 7).alias("pk_mod"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+# ---------------------------------------------------------------------------
+# g8_null_funcs
+# ---------------------------------------------------------------------------
+
+_G8_ORACLE = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  COALESCE(NULLIF(l_returnflag, 'N'), '(kept)') AS flag_or_kept,
+  CASE WHEN NULLIF(l_linestatus, 'O') IS NULL THEN 1 ELSE 0 END AS status_was_o,
+  GREATEST(l_tax, l_discount) AS max_rate,
+  LEAST(l_tax, l_discount) AS min_rate,
+  COALESCE(NULLIF(l_quantity, 1.0), 0.0) AS qty_nonone
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@register("g8_null_funcs", oracle=_G8_ORACLE)
+def g8_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL algebra (coalesce/nullif/greatest/least). The testdata has
+    no NULLs, so nullif() manufactures them before they're folded back
+    to sentinels — exercising null propagation end-to-end."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce(F.nullif("l_returnflag", F.lit("N")), F.lit("(kept)")).alias(
+            "flag_or_kept"
+        ),
+        F.when(F.nullif("l_linestatus", F.lit("O")).isNull(), 1)
+        .otherwise(0)
+        .alias("status_was_o"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+        F.coalesce(F.nullif("l_quantity", F.lit(1.0)), F.lit(0.0)).alias(
+            "qty_nonone"
+        ),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+# ---------------------------------------------------------------------------
+# g9_json_extract — CH JSONExtractInt on events.props
+# ---------------------------------------------------------------------------
+
+_G9_ORACLE = """
+SELECT
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+  COUNT(*) AS n,
+  COUNT(DISTINCT user_id) AS uniq_users
+FROM events
+GROUP BY k
+ORDER BY k
+"""
+
+
+@register("g9_json_extract", oracle=_G9_ORACLE)
+def g9_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from a string column (CH JSONExtractInt;
+    the MySQL JSON→String→query-time-extract idiom of §1.1) and an
+    aggregate over the extracted key."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("long").alias("k"), "user_id"
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("uniq_users"),
+        )
+        .orderBy("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# g10_hash — content hashing (CH MD5/SHA/cityHash64)
+# ---------------------------------------------------------------------------
+
+_G10_ORACLE = """
+SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("g10_hash", oracle=_G10_ORACLE)
+def g10_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic content hashes — the exact-dedup keys of i1 and the
+    CDC row-fingerprint of the ETL layer. Hex strings match across
+    engines byte-for-byte."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("md5_hex"),
+        F.sha2("text", 256).alias("sha256_hex"),
+    ).orderBy("doc_id")
+
+
+@register("g10b_xxhash64", oracle=None)
+def g10b_xxhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-cryptographic 64-bit hash (CH cityHash64 analog → Spark
+    xxhash64): the cheap shuffle/bucket key. No DuckDB equivalent →
+    rows-only; stability asserted in unit tests."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.xxhash64("text").alias("xx64"),
+        (F.pmod(F.xxhash64("text"), F.lit(64))).alias("bucket"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# g11_array_core
+# ---------------------------------------------------------------------------
+
+_G11_ORACLE = """
+SELECT
+  vec_id,
+  len(embedding) AS dim,
+  CAST(embedding[1] AS DOUBLE) AS first_el,
+  CAST(embedding[64] AS DOUBLE) AS last_el,
+  CAST(list_sort(embedding[1:8])[1] AS DOUBLE) AS min_first8
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
+@register("g11_array_core", oracle=_G11_ORACLE)
+def g11_array_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array size/index/slice/sort (CH array core). Scalars surface as
+    double (float32→float64 is exact) — arrays stay internal, scalar
+    projections hash portably."""
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_el"),
+        F.element_at("embedding", 64).cast("double").alias("last_el"),
+        F.element_at(F.sort_array(F.slice("embedding", 1, 8)), 1)
+        .cast("double")
+        .alias("min_first8"),
+    ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# g12_explode — CH arrayJoin / UNNEST
+# ---------------------------------------------------------------------------
+
+_G12_ORACLE = """
+SELECT vec_id, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS el
+FROM embeddings, range(64) t(i)
+WHERE vec_id < 10
+ORDER BY vec_id, pos
+"""
+
+
+@register("g12_explode", oracle=_G12_ORACLE)
+def g12_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: one row per array element with its 0-based index
+    (CH arrayJoin). Generator runs map-side — no shuffle."""
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.filter(F.col("vec_id") < 10)
+        .select("vec_id", F.posexplode("embedding").alias("pos", "el"))
+        .select(
+            "vec_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.col("el").cast("double").alias("el"),
+        )
+        .orderBy("vec_id", "pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# g13_higher_order — lambda over arrays (CH arrayMap/arrayFilter/arraySum)
+# ---------------------------------------------------------------------------
+
+_G13_ORACLE = """
+SELECT
+  vec_id,
+  sqrt(CAST(list_sum(list_transform(embedding,
+        x -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000000.0)
+             AS BIGINT))) AS DOUBLE) / 1000000000.0) AS l2_norm,
+  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+  CAST(len(list_filter(embedding, x -> abs(CAST(x AS DOUBLE)) > 0.2)) AS BIGINT)
+    AS n_large
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
+@register("g13_higher_order", oracle=_G13_ORACLE)
+def g13_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform/filter/aggregate lambdas: L2 norm via fixed-point fold
+    (exact under any fold order) + element-predicate counts. All
+    JVM-side codegen — the no-UDF way to do vector math."""
+    emb = load(spark, sf_dir, "embeddings")
+    sq_fixed = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * x.cast("double") * 1e9).cast("long"),
+    )
+    sum_sq = F.aggregate(sq_fixed, F.lit(0).cast("long"), lambda acc, y: acc + y)
+    return emb.select(
+        "vec_id",
+        F.sqrt(sum_sq.cast("double") / 1e9).alias("l2_norm"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.size(
+            F.filter("embedding", lambda x: F.abs(x.cast("double")) > 0.2)
+        ).cast("long").alias("n_large"),
+    ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# g14_cast_fmt
+# ---------------------------------------------------------------------------
+
+_G14_ORACLE = """
+SELECT
+  p_partkey,
+  CAST(p_size AS VARCHAR) AS size_str,
+  CAST(p_size AS BIGINT) AS size_long,
+  CAST(FLOOR(p_retailprice) AS BIGINT) AS price_int,
+  strftime(TIMESTAMP '1995-03-04 05:06:07', '%Y-%m-%d %H:%M:%S') AS ts_fmt,
+  printf('%.1f', CAST(p_size AS DOUBLE)) AS size_fmt
+FROM part
+ORDER BY p_partkey
+"""
+
+
+@register("g14_cast_fmt", oracle=_G14_ORACLE)
+def g14_cast_fmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast matrix + formatting (CH toString/toInt/formatDateTime).
+    double→int goes through FLOOR (DuckDB's raw cast rounds, Spark's
+    truncates — probed, not assumed)."""
+    part = load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_size").cast("string").alias("size_str"),
+        F.col("p_size").cast("long").alias("size_long"),
+        F.floor("p_retailprice").cast("long").alias("price_int"),
+        F.date_format(
+            F.lit("1995-03-04 05:06:07").cast("timestamp"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("ts_fmt"),
+        F.format_string("%.1f", F.col("p_size").cast("double")).alias("size_fmt"),
+    ).orderBy("p_partkey")
