@@ -1,1 +1,262 @@
-"""§2 — placeholder, populated in later phases."""
+"""§2.A — scans, sources, sinks, and the ETL/replication semantics
+(full load, incremental watermark, CDC latest-row-wins, typed casts,
+partitioned sink) re-expressed as Spark pipelines.
+
+This is the reference category's own surface (SURVEY.md §3.1): chunked
+full load → a2; incremental high-watermark load → a3; binlog
+upsert/delete apply with ReplacingMergeTree latest-wins semantics → a4;
+buffered bulk insert into a partitioned columnar sink → a5; the
+MySQL→ClickHouse type map → a6; column routing → a7.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mysql_to_clickhouse_spark.functions.numeric import dsum, o_dsum
+from mysql_to_clickhouse_spark.registry import register
+from mysql_to_clickhouse_spark.sources.jdbc import chunk_ranges
+from mysql_to_clickhouse_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# a1_parquet_scan
+# ---------------------------------------------------------------------------
+
+_A1_ORACLE = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+"""
+
+
+@register("a1_parquet_scan", oracle=_A1_ORACLE, tier="T1")
+def a1_parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain columnar scan, schema preserved, checked row-for-row."""
+    return load(spark, sf_dir, "nation").orderBy("n_nationkey")
+
+
+# ---------------------------------------------------------------------------
+# a2_jdbc_source — chunked keyset full load (exercised against parquet)
+# ---------------------------------------------------------------------------
+
+_A2_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_orderkey
+"""
+
+
+@register("a2_jdbc_source", oracle=_A2_ORACLE, tier="T3")
+def a2_jdbc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel chunked full load: the JDBC partitionColumn pattern.
+
+    sources/jdbc.py holds the real MySQL reader config; with no server
+    in the testbed, the same keyset chunking (chunk_ranges) is applied
+    as 8 disjoint key-range reads of the parquet table and unioned —
+    proving every key lands in exactly one chunk (the oracle is simply
+    the whole table)."""
+    orders = load(spark, sf_dir, "orders")
+    lo, hi = orders.agg(
+        F.min("o_orderkey"), F.max("o_orderkey")
+    ).first()
+    chunks = None
+    for start, end in chunk_ranges(int(lo), int(hi), 8):
+        part = orders.filter(
+            (F.col("o_orderkey") >= start) & (F.col("o_orderkey") <= end)
+        ).select("o_orderkey", "o_custkey", "o_totalprice")
+        chunks = part if chunks is None else chunks.unionByName(part)
+    return chunks.orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# a3_incremental_watermark
+# ---------------------------------------------------------------------------
+
+_A3_ORACLE = """
+SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type, value
+FROM events
+WHERE CAST(ts AS TIMESTAMP) > TIMESTAMP '2024-01-20 00:00:00'
+ORDER BY event_id
+"""
+
+
+@register("a3_incremental_watermark", oracle=_A3_ORACLE)
+def a3_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch load: rows past the persisted high-watermark
+    (the category's binlog-position analog for batch mode). The
+    predicate pushes into the scan, so an incremental run reads only
+    new row groups when data is time-ordered/partitioned."""
+    ev = load(spark, sf_dir, "events")
+    wm = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    return (
+        ev.filter(F.col("ts") > wm)
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_type",
+            "value",
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# a4_cdc_apply_latest — ReplacingMergeTree FINAL semantics
+# ---------------------------------------------------------------------------
+
+_A4_ORACLE = """
+WITH versioned AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         event_type, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id
+           ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC, event_id DESC
+         ) AS rn
+  FROM events
+)
+SELECT user_id, event_id, ts_us, event_type, value
+FROM versioned
+WHERE rn = 1 AND event_type != 'error'
+ORDER BY user_id
+"""
+
+
+@register("a4_cdc_apply_latest", oracle=_A4_ORACLE)
+def a4_cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert apply: latest version per PK wins, tombstones drop —
+    exactly ClickHouse ReplacingMergeTree + FINAL read semantics
+    (events stand in for the binlog stream; user_id = PK, ts = version,
+    event_type 'error' = delete marker).
+
+    One shuffle by PK at any scale; at 100 TB this runs per
+    time-partition so only touched partitions re-merge (the h7
+    streaming form does exactly that per micro-batch)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc(F.unix_micros("ts")), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_type",
+            "value",
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# a5_batch_sink — partitioned columnar sink, verified by read-back
+# ---------------------------------------------------------------------------
+
+_A5_ORACLE = f"""
+SELECT strftime(CAST(ts AS TIMESTAMP), '%Y%m') AS yyyymm,
+       event_type,
+       COUNT(*) AS n,
+       {o_dsum('value')} AS total_value
+FROM events
+GROUP BY yyyymm, event_type
+ORDER BY yyyymm, event_type
+"""
+
+
+@register("a5_batch_sink", oracle=_A5_ORACLE)
+def a5_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk partitioned write + read-back: events land in parquet
+    partitioned by toYYYYMM(ts) — the ClickHouse PARTITION BY idiom —
+    then the read-back is aggregated and checked against the source.
+
+    Directory partitioning is what buys partition pruning at 100 TB:
+    a month-filtered query touches only that month's files. (JDBC sink
+    twin: sources.jdbc.clickhouse_writer, config-only in this testbed.)"""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "yyyymm", F.date_format("ts", "yyyyMM")
+    )
+    out_dir = os.path.join(
+        tempfile.mkdtemp(prefix="a5_sink_"), "events_by_month"
+    )
+    ev.select("event_id", "user_id", "event_type", "value", "yyyymm").write.mode(
+        "overwrite"
+    ).partitionBy("yyyymm").parquet(out_dir)
+    back = spark.read.parquet(out_dir)
+    return (
+        back.groupBy(F.col("yyyymm").cast("string").alias("yyyymm"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+        .orderBy("yyyymm", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# a6_type_cast_matrix — the MySQL→ClickHouse→Spark type map
+# ---------------------------------------------------------------------------
+
+_A6_ORACLE = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  CAST(l_linenumber AS BIGINT) AS ln_long,
+  CAST(l_linenumber AS VARCHAR) AS ln_str,
+  CAST(CAST(l_extendedprice AS FLOAT) AS DOUBLE) AS price_f32_roundtrip,
+  CAST('1995-03-04 05:06:07' AS TIMESTAMP) AS ts_parsed,
+  epoch(l_shipdate) AS ship_epoch_s,
+  CAST(CAST('123.45' AS DECIMAL(10,2)) AS DOUBLE) AS dec_parsed,
+  CAST(FLOOR(l_quantity) AS INT) AS qty_int,
+  (l_linenumber % 2 = 1) AS is_odd_line
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@register("a6_type_cast_matrix", oracle=_A6_ORACLE)
+def a6_type_cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §1.2 cast matrix: int widening, int→string, double→float32
+    round-trip, string→timestamp, timestamp→epoch seconds,
+    string→decimal (exact, then surfaced as double — engines disagree
+    on decimal's pandas form), double→int via FLOOR, int→bool."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_linenumber").cast("long").alias("ln_long"),
+        F.col("l_linenumber").cast("string").alias("ln_str"),
+        F.col("l_extendedprice").cast("float").cast("double").alias(
+            "price_f32_roundtrip"
+        ),
+        F.lit("1995-03-04 05:06:07").cast("timestamp").alias("ts_parsed"),
+        F.unix_timestamp("l_shipdate").alias("ship_epoch_s"),
+        F.lit("123.45").cast("decimal(10,2)").cast("double").alias("dec_parsed"),
+        F.floor("l_quantity").cast("int").alias("qty_int"),
+        ((F.col("l_linenumber") % 2) == 1).alias("is_odd_line"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+# ---------------------------------------------------------------------------
+# a7_schema_projection — column include/exclude + rename routing
+# ---------------------------------------------------------------------------
+
+_A7_ORACLE = """
+SELECT l_orderkey AS order_id,
+       l_partkey AS part_id,
+       l_quantity AS qty,
+       l_extendedprice AS price
+FROM lineitem
+ORDER BY order_id, part_id, qty, price
+"""
+
+
+@register("a7_schema_projection", oracle=_A7_ORACLE, tier="T1")
+def a7_schema_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column routing (the category's include/exclude + rename config):
+    projection prunes the parquet read to exactly these columns."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_partkey").alias("part_id"),
+        F.col("l_quantity").alias("qty"),
+        F.col("l_extendedprice").alias("price"),
+    ).orderBy("order_id", "part_id", "qty", "price")
