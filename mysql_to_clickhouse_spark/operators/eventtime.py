@@ -1,1 +1,398 @@
-"""§2 — placeholder, populated in later phases."""
+"""§2.H — event-time operators, batch-checkable forms.
+
+Spark's event-time semantics are identical in batch and streaming
+(`window()` / `session_window()` are ordinary expressions), so each
+operator is proven correct here against the SQL oracle in batch, and
+the streaming/ package re-runs the same logic as a real
+Structured-Streaming job (tests assert stream == batch — the
+streaming/batch equivalence strategy of SURVEY.md §5.3).
+
+Timestamps surface as epoch-µs bigints throughout (events.ts is the
+ns-parquet column; see tables._load_events).
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mysql_to_clickhouse_spark.functions.numeric import dsum, o_dsum
+from mysql_to_clickhouse_spark.registry import register
+from mysql_to_clickhouse_spark.tables import load
+
+_US_PER_MIN = 60_000_000
+
+# ---------------------------------------------------------------------------
+# h1_tumbling — fixed windows
+# ---------------------------------------------------------------------------
+
+_H1_ORACLE = f"""
+SELECT
+  (epoch_us(CAST(ts AS TIMESTAMP)) // 600000000) * 600000000 AS win_start_us,
+  event_type,
+  COUNT(*) AS n,
+  {o_dsum('value')} AS total_value
+FROM events
+GROUP BY win_start_us, event_type
+ORDER BY win_start_us, event_type
+"""
+
+
+@register("h1_tumbling", oracle=_H1_ORACLE)
+def h1_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute windows per event type, via the real
+    `window()` expression (epoch-aligned starts == floor division for
+    positive epochs — the oracle states exactly that)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+        .select(
+            F.unix_micros("win.start").alias("win_start_us"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("win_start_us", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# h2_sliding — hopping windows (1 h window, 15 min slide → 4 windows/event)
+# ---------------------------------------------------------------------------
+
+_H2_ORACLE = """
+SELECT
+  ((epoch_us(CAST(ts AS TIMESTAMP)) // 900000000) - i) * 900000000 AS win_start_us,
+  COUNT(*) AS n
+FROM events, range(4) t(i)
+GROUP BY win_start_us
+ORDER BY win_start_us
+"""
+
+
+@register("h2_sliding", oracle=_H2_ORACLE, tier="T3")
+def h2_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows: every event lands in window/slide = 4
+    windows; the oracle derives the same 4 aligned starts per event by
+    integer arithmetic. Spark's Expand does this map-side — the ×4 row
+    amplification never crosses the network unaggregated."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_micros("win.start").alias("win_start_us"), "n")
+        .orderBy("win_start_us")
+    )
+
+
+# ---------------------------------------------------------------------------
+# h3_session — gap-based sessionization (30 min inactivity)
+# ---------------------------------------------------------------------------
+
+_H3_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, event_id, value,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+         ) AS prev_us
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev_us IS NULL
+                   OR ts_us - prev_us > {30 * _US_PER_MIN} THEN 1 ELSE 0 END
+              AS is_new
+  FROM seq
+), numbered AS (
+  SELECT *, SUM(is_new) OVER (
+    PARTITION BY user_id ORDER BY ts_us, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events,
+       MIN(ts_us) AS session_start_us,
+       MAX(ts_us) AS session_end_us,
+       {o_dsum('value')} AS session_value
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+@register("h3_session", oracle=_H3_ORACLE)
+def h3_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag-gap flag + running sum assigns session ids,
+    then per-session aggregates. One shuffle by user_id; the streaming
+    twin is session_window(ts, '30 minutes') (streaming/ tests)."""
+    ev = load(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id", "event_id", "value", F.unix_micros("ts").alias("ts_us")
+    )
+    w_order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = seq.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_us").over(w_order).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w_order) > 30 * _US_PER_MIN),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("is_new")
+        .over(w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    return (
+        numbered.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts_us").alias("session_start_us"),
+            F.max("ts_us").alias("session_end_us"),
+            dsum("value").alias("session_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# h4_watermark_late — late-data accounting (batch analog of watermark)
+# ---------------------------------------------------------------------------
+
+_H4_ORACLE = """
+WITH mx AS (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us FROM events)
+SELECT
+  max_us,
+  COUNT(CASE WHEN ts_us >= max_us - 86400000000 THEN 1 END) AS n_kept,
+  COUNT(CASE WHEN ts_us < max_us - 86400000000 THEN 1 END) AS n_dropped
+FROM (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events), mx
+GROUP BY max_us
+"""
+
+
+@register("h4_watermark_late", oracle=_H4_ORACLE, tier="T3")
+def h4_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark accounting, batch analog: events older than
+    max(ts) − 1 day count as late/dropped. The streaming twin is
+    withWatermark('ts', ...) (streaming/ tests); the broadcast of the
+    1-row max is the scalar-subquery pattern."""
+    ev = load(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("ts_us")
+    )
+    mx = ev.agg(F.max("ts_us").alias("max_us"))
+    day_us = 86_400_000_000
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("max_us")
+        .agg(
+            F.count(F.when(F.col("ts_us") >= F.col("max_us") - day_us, 1)).alias(
+                "n_kept"
+            ),
+            F.count(F.when(F.col("ts_us") < F.col("max_us") - day_us, 1)).alias(
+                "n_dropped"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# h5_stream_dedup — first occurrence per key
+# ---------------------------------------------------------------------------
+
+_H5_ORACLE = """
+WITH numbered AS (
+  SELECT user_id, event_type, event_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+         ) AS rn
+  FROM events
+)
+SELECT user_id, event_type, event_id AS first_event_id, ts_us AS first_ts_us
+FROM numbered WHERE rn = 1
+ORDER BY user_id, event_type
+"""
+
+
+@register("h5_stream_dedup", oracle=_H5_ORACLE)
+def h5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 'first occurrence per (user, event_type)'.
+
+    NOTE: dropDuplicates() keeps an ARBITRARY row — fine for streaming
+    ingestion dedup (any one copy), wrong for a value-hashed check, so
+    the batch form pins the winner with row_number over (ts, event_id).
+    Streaming twin: dropDuplicatesWithinWatermark (streaming/ tests)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.unix_micros("ts").alias("first_ts_us"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# h6_stateful_funnel — CH windowFunnel: ordered view→click→purchase
+# ---------------------------------------------------------------------------
+
+_H6_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t1
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND epoch_us(CAST(e.ts AS TIMESTAMP)) > v.t1
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(CAST(e.ts AS TIMESTAMP)) > c.t2
+  GROUP BY e.user_id
+)
+SELECT v.user_id,
+       v.t1 AS view_us,
+       COALESCE(c.t2, -1) AS click_us,
+       COALESCE(p.t3, -1) AS purchase_us,
+       CASE WHEN p.t3 IS NOT NULL THEN 3
+            WHEN c.t2 IS NOT NULL THEN 2
+            ELSE 1 END AS funnel_depth
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+       LEFT JOIN p ON v.user_id = p.user_id
+ORDER BY v.user_id
+"""
+
+
+@register("h6_stateful_funnel", oracle=_H6_ORACLE, tier="T3")
+def h6_stateful_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (CH windowFunnel): earliest view, earliest click
+    strictly after it, earliest purchase strictly after that.
+
+    Three key-partitioned aggregates chained by joins — each stage is
+    one shuffle on user_id and the intermediate state is one row per
+    user, so it scales linearly. Streaming twin with explicit state:
+    streaming/funnel.py (applyInPandasWithState)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("t1").alias("view_us"),
+            F.coalesce("t2", F.lit(-1)).alias("click_us"),
+            F.coalesce("t3", F.lit(-1)).alias("purchase_us"),
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .otherwise(1)
+            .alias("funnel_depth"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# h7_foreach_upsert — micro-batched CDC apply loop (batch simulation)
+# ---------------------------------------------------------------------------
+
+
+@register("h7_foreach_upsert", oracle=None, tier="T3")
+def h7_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The foreachBatch CDC apply loop, simulated deterministically:
+    events split into 6 time slices; each slice merges into the state as
+    'latest version per user_id wins' (a4 semantics per micro-batch).
+    Tombstones filter on the final read (FINAL-style).
+
+    The result must equal the single-shot a4_cdc_apply_latest — asserted
+    in tests/test_streaming.py together with the true writeStream+
+    foreachBatch variant (streaming/cdc.py). Rows-only here because the
+    incremental path, not the final relation, is what's under test."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        "value",
+    )
+    bounds = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+    lo, hi = int(bounds[0]), int(bounds[1]) + 1
+    step = (hi - lo) // 6 + 1
+
+    def latest_per_key(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts_us"), F.desc("event_id")
+        )
+        return df.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") == 1
+        ).drop("rn")
+
+    state: DataFrame | None = None
+    for i in range(6):
+        batch = ev.filter(
+            (F.col("ts_us") >= lo + i * step) & (F.col("ts_us") < lo + (i + 1) * step)
+        )
+        state = batch if state is None else state.unionByName(batch)
+        state = latest_per_key(state)
+    return (
+        state.filter(F.col("event_type") != "error")
+        .select("user_id", "event_id", "ts_us", "event_type", "value")
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# h8_rate_replay — real Structured Streaming over a table replay
+# ---------------------------------------------------------------------------
+
+_H8_ORACLE = """
+SELECT event_type, COUNT(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("h8_rate_replay", oracle=_H8_ORACLE, tier="T3")
+def h8_rate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Structured Streaming run: events replayed as a file stream
+    (3 ts-ordered parquet slices), aggregated with a streaming groupBy
+    in complete mode into a memory sink, drained with availableNow.
+
+    The streaming result must equal the batch aggregate — which is
+    exactly what the SQL oracle checks."""
+    from mysql_to_clickhouse_spark.streaming.replay import replay_counts
+
+    return replay_counts(spark, sf_dir)
