@@ -1,1 +1,647 @@
-"""§2 — placeholder, populated in later phases."""
+"""§2.I — LLM-training-data pipeline operators (the north star,
+BASELINE.json:6): deduplication (exact / MinHash-LSH / SimHash / n-gram
+Jaccard / embedding-cosine), similarity search (brute-force + LSH
+bucketed ANN), text analysis, TF-IDF, vector hygiene, kNN.
+
+Everything is DataFrame-native (array lambdas + joins + windows); no
+Python in the hot path. Deterministic numerics via functions.vectors /
+functions.numeric fixed-point.
+
+Scale shapes (the part that matters at 100 TB):
+- Exact dedup: hash-groupBy — one shuffle on the content hash.
+- MinHash-LSH: explode→min-aggregate→band-bucket join. Candidate pairs
+  are generated per LSH bucket, NEVER all-pairs. O(n·shingles) map work
+  + bucket-local joins.
+- Brute-force cosine is the CORRECTNESS baseline only; i4b is the scale
+  path (hyperplane-LSH buckets shrink the pair space; block the
+  remainder).
+- TF-IDF: two hash aggregates (term-doc counts, doc freq) + broadcast
+  of the doc count scalar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mysql_to_clickhouse_spark.functions.numeric import fixed_point, o_fixed_point
+from mysql_to_clickhouse_spark.functions.text import (
+    distinct_shingles,
+    o_distinct_shingles,
+    o_tokens,
+    tokens,
+)
+from mysql_to_clickhouse_spark.functions.vectors import (
+    DOT_SCALE,
+    cosine,
+    l2_norm,
+    o_cosine,
+    o_l2_norm,
+)
+from mysql_to_clickhouse_spark.registry import register
+from mysql_to_clickhouse_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# i1_exact_dedup — content-hash dedup
+# ---------------------------------------------------------------------------
+
+_I1_ORACLE = """
+SELECT md5(text) AS content_hash,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY content_hash
+ORDER BY content_hash
+"""
+
+
+@register("i1_exact_dedup", oracle=_I1_ORACLE)
+def i1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep min doc_id per content hash. One shuffle on the
+    hash; at 100 TB hash first (map-side), never groupBy raw text
+    (shuffling full documents vs 32-char digests). All sf0.01 texts are
+    distinct → every group has n_copies=1, which the oracle confirms."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("content_hash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# i2_minhash_neardup — MinHash + banded LSH near-duplicate candidates
+# ---------------------------------------------------------------------------
+
+_MINHASH_K = 16  # signature length
+_BANDS = 4  # → rows-per-band r = 4; θ ≈ (1/b)^(1/r) ≈ 0.71 jaccard
+
+
+@register("i2_minhash_neardup", oracle=None, tier="T3")
+def i2_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4 bands × 4 rows) near-dup detection over 3-word
+    shingles, with exact-Jaccard verification of every candidate pair.
+
+    Pipeline: shingle (map) → explode → per-doc min of k seeded
+    xxhash64 (one hash-agg pass, 16 mins at once) → band hashes →
+    bucket join for candidates → exact Jaccard recheck on shingle sets.
+    Rows-only check (LSH recall < 1 is inherent); recall on planted
+    near-dups is asserted in tests/test_llmops.py.
+
+    Scale: never materializes all pairs — candidates only within equal
+    (band_idx, band_hash) buckets; the band join shuffles doc_id pairs,
+    not documents."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", distinct_shingles("text").alias("shingles")
+    )
+    exploded = docs.select("doc_id", F.explode("shingles").alias("shingle"))
+    min_cols = [
+        F.min(F.xxhash64(F.lit(k), F.col("shingle"))).alias(f"m{k}")
+        for k in range(_MINHASH_K)
+    ]
+    sigs = exploded.groupBy("doc_id").agg(*min_cols)
+    rows_per_band = _MINHASH_K // _BANDS
+    band_cols = [
+        F.xxhash64(
+            F.lit(b), *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
+        ).alias(f"band{b}")
+        for b in range(_BANDS)
+    ]
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_idx"), band_cols[b].alias("band_hash"))
+                    for b in range(_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            [
+                F.col("x.band_idx") == F.col("y.band_idx"),
+                F.col("x.band_hash") == F.col("y.band_hash"),
+                F.col("x.doc_id") < F.col("y.doc_id"),
+            ],
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # exact-Jaccard verification of candidates (kills LSH false positives)
+    sh = docs.select(
+        F.col("doc_id").alias("vid"), F.col("shingles").alias("vshingles")
+    )
+    verified = (
+        cand.join(sh.withColumnRenamed("vid", "doc_a"), "doc_a")
+        .withColumnRenamed("vshingles", "sh_a")
+        .join(
+            sh.withColumnRenamed("vid", "doc_b").withColumnRenamed(
+                "vshingles", "sh_b"
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_common"),
+            F.size("sh_a").cast("long").alias("n_a"),
+            F.size("sh_b").cast("long").alias("n_b"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    return verified.orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# i2b_jaccard_exact — exact n-gram Jaccard (SQL-verifiable ground truth)
+# ---------------------------------------------------------------------------
+
+_I2B_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, source, {o_distinct_shingles('text')} AS shingles
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS n_common,
+       CAST(len(a.shingles) AS BIGINT) AS n_a,
+       CAST(len(b.shingles) AS BIGINT) AS n_b,
+       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         / CAST(len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) AS jaccard
+FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("i2b_jaccard_exact", oracle=_I2B_ORACLE)
+def i2b_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-word-shingle Jaccard for same-source pairs with any
+    shingle overlap — the SQL-checkable ground truth that i2's LSH
+    approximates (and the exact recheck it reuses).
+
+    Blocking key = source (the standard 'never all-pairs' move: compare
+    within blocks only)."""
+    sh = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", distinct_shingles("text").alias("shingles")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    na, nb = F.size(F.col("a.shingles")), F.size(F.col("b.shingles"))
+    return (
+        a.join(
+            b,
+            [
+                F.col("a.source") == F.col("b.source"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .filter(inter > 0)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            inter.cast("long").alias("n_common"),
+            na.cast("long").alias("n_a"),
+            nb.cast("long").alias("n_b"),
+            (inter.cast("double") / (na + nb - inter).cast("double")).alias(
+                "jaccard"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# i2c_simhash — 32-bit SimHash fingerprints
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 32
+
+
+@register("i2c_simhash", oracle=None, tier="T3")
+def i2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprint: per bit b, the sign of
+    Σ_tokens (±1 for bit b of xxhash64(token)); near-dups differ in few
+    bits (Hamming). Pure array lambdas — per-doc work is O(tokens×bits)
+    map-side with zero shuffle. Rows-only (no xxhash64 in DuckDB);
+    planted-duplicate Hamming-distance behavior is unit-tested."""
+    docs = load(spark, sf_dir, "documents")
+    tok_hashes = F.transform(tokens("text"), lambda t: F.xxhash64(t))
+    hashes_col = F.col("tok_hashes")
+    n = F.size(hashes_col)
+    bit_terms = []
+    for b in range(_SIMHASH_BITS):
+        n_set = F.size(
+            F.filter(hashes_col, lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1)
+        )
+        bit_terms.append(
+            F.when(2 * n_set - n >= 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
+        )
+    simhash = sum(bit_terms[1:], start=bit_terms[0])
+    return (
+        docs.select("doc_id", tok_hashes.alias("tok_hashes"))
+        .select(
+            "doc_id",
+            simhash.alias("simhash32"),
+            F.shiftright(simhash, _SIMHASH_BITS - 8).alias("bucket_hi8"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# i3_cosine_pairs — embedding near-dup pairs (brute force, exact)
+# ---------------------------------------------------------------------------
+
+_I3_ORACLE = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {o_cosine('a.embedding', 'b.embedding')} AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {o_cosine('a.embedding', 'b.embedding')} >= 0.25
+ORDER BY id_a, id_b
+"""
+
+
+@register("i3_cosine_pairs", oracle=_I3_ORACLE)
+def i3_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.25), brute-force
+    over the pair triangle — the exactness baseline that i4b's LSH
+    variant approximates at scale. Fixed-point arithmetic makes every
+    cosine bit-identical to the oracle, so the threshold cannot flake."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cosine("ea", "eb"))
+        .filter(F.col("cos_sim") >= 0.25)
+        .select("id_a", "id_b", "cos_sim")
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# i4_topk_similar — k nearest neighbors per vector (brute force)
+# ---------------------------------------------------------------------------
+
+_I4_ORACLE = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {o_cosine('a.embedding', 'b.embedding')} AS cos_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+), ranked AS (
+  SELECT id_a, id_b, cos_sim,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY id_a ORDER BY cos_sim DESC, id_b
+         ) AS BIGINT) AS rk
+  FROM pairs
+)
+SELECT id_a, id_b, cos_sim, rk FROM ranked WHERE rk <= 5
+ORDER BY id_a, rk
+"""
+
+
+@register("i4_topk_similar", oracle=_I4_ORACLE)
+def i4_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 nearest embeddings per vector: directed pairs from the
+    undirected triangle (computed once, mirrored), ranked per query
+    vector with a vec_id tie-break."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    tri = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cosine("ea", "eb"))
+        .select("id_a", "id_b", "cos_sim")
+    )
+    directed = tri.unionByName(
+        tri.select(
+            F.col("id_b").alias("id_a"),
+            F.col("id_a").alias("id_b"),
+            "cos_sim",
+        )
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cos_sim"), F.asc("id_b"))
+    return (
+        directed.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .orderBy("id_a", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# i4b_ann_lsh — hyperplane-LSH bucketed ANN (the scale path)
+# ---------------------------------------------------------------------------
+
+
+@register("i4b_ann_lsh", oracle=None, tier="T3")
+def i4b_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors via random-hyperplane LSH:
+    8 deterministic pseudo-random hyperplanes (sign pattern from
+    xxhash64(plane, dim)) → 8-bit bucket per vector → exact cosine
+    top-3 *within* each bucket.
+
+    This is the 100 TB shape: the pair space shrinks by ~2^8 per table,
+    buckets join on their key, and recall tunes with planes/tables.
+    Rows-only (approximation); recall vs i4 is unit-tested."""
+    emb = load(spark, sf_dir, "embeddings")
+
+    def bucket_bit(plane: int):
+        signed = F.zip_with(
+            "embedding",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda i: F.when(
+                    F.pmod(F.xxhash64(F.lit(plane), i), F.lit(2)) == 1, F.lit(1.0)
+                ).otherwise(F.lit(-1.0)),
+            ),
+            lambda x, h: x.cast("double") * h,
+        )
+        dot = F.aggregate(signed, F.lit(0.0), lambda acc, v: acc + v)
+        return F.when(dot >= 0, F.lit(1 << plane)).otherwise(F.lit(0))
+
+    bucket = sum(bucket_bit(p) for p in range(1, 8)) + F.when(
+        F.aggregate(
+            F.zip_with(
+                "embedding",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(63)),
+                    lambda i: F.when(
+                        F.pmod(F.xxhash64(F.lit(0), i), F.lit(2)) == 1, F.lit(1.0)
+                    ).otherwise(F.lit(-1.0)),
+                ),
+                lambda x, h: x.cast("double") * h,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        >= 0,
+        F.lit(1),
+    ).otherwise(F.lit(0))
+
+    bucketed = emb.select(
+        "vec_id", "embedding", bucket.cast("long").alias("bucket")
+    )
+    a = bucketed.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "bucket"
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "bucket"
+    )
+    pairs = (
+        a.join(b, ["bucket"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .withColumn("cos_sim", cosine("ea", "eb"))
+        .select("bucket", "id_a", "id_b", "cos_sim")
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cos_sim"), F.asc("id_b"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .orderBy("id_a", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# i5_text_stats — corpus quality statistics
+# ---------------------------------------------------------------------------
+
+_I5_ORACLE = f"""
+WITH per_doc AS (
+  SELECT lang, source, n_chars,
+         CAST(len({o_tokens('text')}) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS total_tokens,
+       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+       CAST(SUM(n_chars) - SUM(n_tokens) + COUNT(*) AS DOUBLE)
+         / SUM(n_tokens) AS avg_token_len,
+       COUNT(DISTINCT source) AS n_sources
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("i5_text_stats", oracle=_I5_ORACLE)
+def i5_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats: doc/token/char counts, average token
+    length derived from integer sums only (chars minus separators over
+    tokens) — no float accumulation anywhere."""
+    docs = load(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+            (
+                (F.sum("n_chars") - F.sum("n_tokens") + F.count(F.lit(1))).cast(
+                    "double"
+                )
+                / F.sum("n_tokens")
+            ).alias("avg_token_len"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# i6_tfidf_keywords — top TF-IDF terms per source
+# ---------------------------------------------------------------------------
+
+_I6_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest({o_tokens('text')}) AS term
+  FROM documents
+), tf AS (
+  SELECT source, doc_id, term, COUNT(*) AS tf
+  FROM tok GROUP BY source, doc_id, term
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.source, tf.term,
+         CAST(SUM({o_fixed_point(
+             "tf.tf * round(ln(CAST(n.n_docs AS DOUBLE) / df.df), 6)", 6
+         )}) AS DOUBLE) / 1000000.0 AS score
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+  GROUP BY tf.source, tf.term
+), ranked AS (
+  SELECT source, term, score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY score DESC, term
+         ) AS BIGINT) AS rk
+  FROM scored
+)
+SELECT source, term, score, rk FROM ranked WHERE rk <= 3
+ORDER BY source, rk
+"""
+
+
+@register("i6_tfidf_keywords", oracle=_I6_ORACLE, tier="T3")
+def i6_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per source. idf = ln(N/df) rounded to 6
+    decimals on both engines (libm ulp guard); per-source score sums go
+    through fixed-point. Two hash aggregates + one broadcast scalar —
+    no all-pairs anything, scales with token count."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(tokens("text")).alias("term")
+    )
+    tf = tok.groupBy("source", "doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    idf = F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .groupBy("source", "term")
+        .agg(
+            (
+                F.sum(fixed_point(F.col("tf") * idf, 6)).cast("double") / 1e6
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .orderBy("source", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# i7_embed_normalize — vector hygiene
+# ---------------------------------------------------------------------------
+
+_I7_ORACLE = f"""
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       len(embedding) = 64 AS dim_ok,
+       {o_l2_norm('embedding')} AS l2_norm,
+       CAST(embedding[1] AS DOUBLE) / {o_l2_norm('embedding')} AS e1_unit,
+       CAST(embedding[2] AS DOUBLE) / {o_l2_norm('embedding')} AS e2_unit
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
+@register("i7_embed_normalize", oracle=_I7_ORACLE)
+def i7_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization + dimension check (multimodal column hygiene).
+    The full normalized array is produced the same way via
+    F.transform(e, x -> x/norm); scalar projections are surfaced for
+    engine-portable hashing."""
+    emb = load(spark, sf_dir, "embeddings")
+    norm = l2_norm("embedding")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        (F.size("embedding") == 64).alias("dim_ok"),
+        norm.alias("l2_norm"),
+        (F.element_at("embedding", 1).cast("double") / norm).alias("e1_unit"),
+        (F.element_at("embedding", 2).cast("double") / norm).alias("e2_unit"),
+    ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# i8_knn_classify — majority label among k nearest
+# ---------------------------------------------------------------------------
+
+_I8_ORACLE = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, b.label AS nbr_label,
+         {o_cosine('a.embedding', 'b.embedding')} AS cos_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+), ranked AS (
+  SELECT id_a, nbr_label,
+         ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cos_sim DESC, id_b) AS rk
+  FROM pairs
+), votes AS (
+  SELECT id_a, nbr_label, COUNT(*) AS n_votes
+  FROM ranked WHERE rk <= 5
+  GROUP BY id_a, nbr_label
+), winner AS (
+  SELECT id_a, nbr_label AS pred_label, n_votes,
+         ROW_NUMBER() OVER (
+           PARTITION BY id_a ORDER BY n_votes DESC, nbr_label
+         ) AS wrk
+  FROM votes
+)
+SELECT w.id_a AS vec_id, e.label AS true_label,
+       w.pred_label, w.n_votes
+FROM winner w JOIN embeddings e ON w.id_a = e.vec_id
+WHERE w.wrk = 1
+ORDER BY vec_id
+"""
+
+
+@register("i8_knn_classify", oracle=_I8_ORACLE, tier="T3")
+def i8_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-NN majority-vote label per vector (tie-break: more votes, then
+    smaller label), with the true label alongside. Reuses the i4
+    neighbor machinery + one vote aggregate."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        F.col("label").alias("nbr_label"),
+    )
+    pairs = (
+        a.join(b, F.col("id_a") != F.col("id_b"))
+        .withColumn("cos_sim", cosine("ea", "eb"))
+        .select("id_a", "id_b", "nbr_label", "cos_sim")
+    )
+    w_rank = Window.partitionBy("id_a").orderBy(F.desc("cos_sim"), F.asc("id_b"))
+    votes = (
+        pairs.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= 5)
+        .groupBy("id_a", "nbr_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w_win = Window.partitionBy("id_a").orderBy(
+        F.desc("n_votes"), F.asc("nbr_label")
+    )
+    winner = votes.withColumn("wrk", F.row_number().over(w_win)).filter(
+        F.col("wrk") == 1
+    )
+    truth = emb.select("vec_id", F.col("label").alias("true_label"))
+    return (
+        winner.join(truth, winner.id_a == truth.vec_id)
+        .select(
+            "vec_id",
+            "true_label",
+            F.col("nbr_label").alias("pred_label"),
+            "n_votes",
+        )
+        .orderBy("vec_id")
+    )
