@@ -1,1 +1,212 @@
-"""§2 — placeholder, populated in later phases."""
+"""§2.J — the UDF/UDAF/UDTF escape hatch, used the way it should be:
+Arrow-vectorized (pandas_udf / applyInPandas) and only where built-ins
+genuinely cannot express the logic. Every op here deliberately has a
+built-in-free twin stated in the oracle, proving the UDF boundary
+returns exactly what the declarative form would.
+
+Scale: pandas UDFs move Arrow record batches to worker-local Python
+processes — ~10-100× cheaper than row-pickling, but still off the JVM
+fast path; nothing else in this engine uses Python per-row.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType
+
+from mysql_to_clickhouse_spark.registry import register
+from mysql_to_clickhouse_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# j1_python_udf — row-at-a-time scalar UDF (the slow path, demonstrated)
+# ---------------------------------------------------------------------------
+
+_J1_ORACLE = """
+SELECT doc_id,
+       CAST(length(text) % 97 AS BIGINT) AS len_mod,
+       CAST(CASE WHEN length(text) BETWEEN 100 AND 400 THEN 1 ELSE 0 END
+            AS BIGINT) AS len_ok
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("j1_python_udf", oracle=_J1_ORACLE)
+def j1_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (kept around as the last-resort escape
+    hatch; the oracle restates the logic in SQL). Do not imitate in hot
+    paths — see j2 for the Arrow-vectorized form."""
+
+    @F.udf(returnType=LongType())
+    def len_mod(text: str) -> int:
+        return len(text) % 97
+
+    @F.udf(returnType=LongType())
+    def len_ok(text: str) -> int:
+        return 1 if 100 <= len(text) <= 400 else 0
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        len_mod("text").alias("len_mod"),
+        len_ok("text").alias("len_ok"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# j2_pandas_udf — Arrow-vectorized scalar UDF
+# ---------------------------------------------------------------------------
+
+_J2_ORACLE = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_udf,
+       CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nonspace
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("j2_pandas_udf", oracle=_J2_ORACLE)
+def j2_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series→Series pandas UDF (Arrow batches, vectorized pandas str
+    ops) — the correct way to run Python when you must."""
+
+    @F.pandas_udf(LongType())
+    def n_tokens(texts: pd.Series) -> pd.Series:
+        return texts.str.split(" ").str.len().astype("int64")
+
+    @F.pandas_udf(LongType())
+    def n_nonspace(texts: pd.Series) -> pd.Series:
+        return texts.str.replace(" ", "", regex=False).str.len().astype("int64")
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        n_tokens("text").alias("n_tokens_udf"),
+        n_nonspace("text").alias("n_nonspace"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# j3_pandas_udaf — grouped-aggregate pandas UDF
+# ---------------------------------------------------------------------------
+
+
+@register("j3_pandas_udaf", oracle=None, tier="T3")
+def j3_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF: geometric mean of event value per type.
+    Values are sorted inside the UDF before log-summing so the result
+    is deterministic for a given group regardless of shuffle arrival
+    order; still rows-only (no engine-portable float-sum oracle) with
+    tolerance asserted in tests."""
+    import numpy as np
+
+    @F.pandas_udf(DoubleType())
+    def geo_mean(v: pd.Series) -> float:
+        arr = np.sort(v.to_numpy(dtype="float64"))
+        return float(np.exp(np.log(arr).sum() / len(arr)))
+
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(geo_mean("value").alias("geo_mean_value"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# j4_apply_in_pandas — grouped-map (per-group DataFrame→DataFrame)
+# ---------------------------------------------------------------------------
+
+_J4_ORACLE = """
+WITH stats AS (
+  SELECT user_id, event_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value,
+         MIN(value) OVER (PARTITION BY user_id) AS vmin,
+         MAX(value) OVER (PARTITION BY user_id) AS vmax,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY user_id
+           ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+         ) AS BIGINT) AS seq
+  FROM events
+)
+SELECT user_id, event_id, ts_us, value,
+       CASE WHEN vmax = vmin THEN 0.5
+            ELSE (value - vmin) / (vmax - vmin) END AS value_scaled,
+       seq
+FROM stats
+ORDER BY user_id, seq
+"""
+
+
+@register("j4_apply_in_pandas", oracle=_J4_ORACLE, tier="T3")
+def j4_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-user min-max scaling + sequence
+    numbering, written as arbitrary per-group pandas logic. The oracle
+    proves the UDTF boundary agrees with the pure-window formulation —
+    per-group math is (value-min)/(max-min): identical IEEE ops.
+
+    Scale: each group must fit in one worker's memory — fine for
+    per-user groups; this is the documented constraint of the grouped-
+    map pattern (SURVEY.md §4.2 spill note)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+
+    def scale_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
+        vmin, vmax = pdf["value"].min(), pdf["value"].max()
+        if vmax == vmin:
+            pdf["value_scaled"] = 0.5
+        else:
+            pdf["value_scaled"] = (pdf["value"] - vmin) / (vmax - vmin)
+        pdf["seq"] = (pdf.index + 1).astype("int64")
+        return pdf
+
+    schema = (
+        "user_id long, event_id long, ts_us long, value double, "
+        "value_scaled double, seq long"
+    )
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(scale_group, schema=schema)
+        .orderBy("user_id", "seq")
+    )
+
+
+# ---------------------------------------------------------------------------
+# j5_sql_register — UDF registered into the SQL surface
+# ---------------------------------------------------------------------------
+
+_J5_ORACLE = """
+SELECT CASE WHEN o_totalprice < 100000.0 THEN 'low'
+            WHEN o_totalprice < 250000.0 THEN 'mid'
+            ELSE 'high' END AS band,
+       COUNT(*) AS n
+FROM orders
+GROUP BY band
+ORDER BY band
+"""
+
+
+@register("j5_sql_register", oracle=_J5_ORACLE, tier="T3")
+def j5_sql_register(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.udf.register + use from spark.sql(...) — the SQL entry
+    point consuming a Python UDF (CH user-defined-function surface)."""
+
+    def band(p: float) -> str:
+        return "low" if p < 100000.0 else ("mid" if p < 250000.0 else "high")
+
+    spark.udf.register("price_band_udf", band, "string")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_j5")
+    return spark.sql(
+        """
+        SELECT price_band_udf(o_totalprice) AS band, COUNT(*) AS n
+        FROM orders_j5
+        GROUP BY band
+        ORDER BY band
+        """
+    )
