@@ -76,7 +76,7 @@ def d1_group_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
             dmean("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        
     )
 
 
@@ -141,7 +141,7 @@ def d3_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("uniq_users"),
             F.count(F.lit(1)).alias("n_events"),
         )
-        .orderBy("day")
+        
     )
 
 
@@ -166,7 +166,7 @@ def d4_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
             F.count(F.lit(1)).alias("n_events"),
         )
-        .orderBy("event_type")
+        
     )
 
 
@@ -204,7 +204,7 @@ def d5_cond_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             dmean(big_qty).alias("avg_if_price"),
             F.count(F.lit(1)).alias("n"),
         )
-        .orderBy("l_returnflag")
+        
     )
 
 
@@ -242,7 +242,7 @@ def d6_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c_acctbal").alias("top_acctbal"),
             F.min_by("c_name", "c_acctbal").alias("poorest_customer"),
         )
-        .orderBy("n_name")
+        
     )
 
 
@@ -276,7 +276,7 @@ def d7_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.sort_array(F.collect_set("n_name")), ",").alias("nations"),
             F.countDistinct("n_name").alias("n_nations"),
         )
-        .orderBy("r_name")
+        
     )
 
 
@@ -314,7 +314,7 @@ def d8_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile("l_quantity", 0.9).alias("p90_qty"),
             F.count(F.lit(1)).alias("n"),
         )
-        .orderBy("l_returnflag")
+        
     )
 
 
@@ -330,7 +330,7 @@ def d8b_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_price"),
             F.percentile_approx("l_extendedprice", 0.99, 1000).alias("p99_price"),
         )
-        .orderBy("l_returnflag")
+        
     )
 
 
@@ -378,12 +378,7 @@ def d9_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "r_name", "n_name", "g_region", "g_nation", "n_customers", "total_acctbal"
         )
-        .orderBy(
-            "g_region",
-            "g_nation",
-            F.col("r_name").asc_nulls_first(),
-            F.col("n_name").asc_nulls_first(),
-        )
+        
     )
 
 
@@ -425,12 +420,7 @@ def d10_cube_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
             "total_price",
         )
-        .orderBy(
-            "g_status",
-            "g_priority",
-            F.col("o_orderstatus").asc_nulls_first(),
-            F.col("o_orderpriority").asc_nulls_first(),
-        )
+        
     )
 
 
@@ -461,7 +451,7 @@ def d11_having(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("spend"),
         )
         .filter(F.col("n_orders") > 15)
-        .orderBy("o_custkey")
+        
     )
 
 
@@ -532,7 +522,7 @@ def d12_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             (sxy - sx * sy / n)
             / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
         ).alias("corr_qty_price"),
-    ).orderBy("l_returnflag")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -573,7 +563,7 @@ def d13_topk_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         counted.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 3)
-        .orderBy("day", "rk")
+        
     )
 
 
@@ -593,6 +583,4 @@ def d14_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT = group-by-all-columns; partial dedup runs map-side, so
     the shuffle carries only unique pairs."""
     li = load(spark, sf_dir, "lineitem")
-    return li.select("l_returnflag", "l_linestatus").distinct().orderBy(
-        "l_returnflag", "l_linestatus"
-    )
+    return li.select("l_returnflag", "l_linestatus").distinct()

@@ -55,7 +55,7 @@ def h1_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "total_value",
         )
-        .orderBy("win_start_us", "event_type")
+        
     )
 
 
@@ -84,7 +84,7 @@ def h2_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"))
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.unix_micros("win.start").alias("win_start_us"), "n")
-        .orderBy("win_start_us")
+        
     )
 
 
@@ -101,8 +101,10 @@ WITH seq AS (
          ) AS prev_us
   FROM events
 ), flagged AS (
+  -- >= gap starts a new session: matches Spark session_window's
+  -- half-open [start, last+gap) semantics exactly
   SELECT *, CASE WHEN prev_us IS NULL
-                   OR ts_us - prev_us > {30 * _US_PER_MIN} THEN 1 ELSE 0 END
+                   OR ts_us - prev_us >= {30 * _US_PER_MIN} THEN 1 ELSE 0 END
               AS is_new
   FROM seq
 ), numbered AS (
@@ -137,7 +139,7 @@ def h3_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_new",
         F.when(
             F.lag("ts_us").over(w_order).isNull()
-            | (F.col("ts_us") - F.lag("ts_us").over(w_order) > 30 * _US_PER_MIN),
+            | (F.col("ts_us") - F.lag("ts_us").over(w_order) >= 30 * _US_PER_MIN),
             1,
         ).otherwise(0),
     )
@@ -155,7 +157,7 @@ def h3_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts_us").alias("session_end_us"),
             dsum("value").alias("session_value"),
         )
-        .orderBy("user_id", "session_id")
+        
     )
 
 
@@ -240,7 +242,7 @@ def h5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id").alias("first_event_id"),
             F.unix_micros("ts").alias("first_ts_us"),
         )
-        .orderBy("user_id", "event_type")
+        
     )
 
 
@@ -320,7 +322,7 @@ def h6_stateful_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(1)
             .alias("funnel_depth"),
         )
-        .orderBy("user_id")
+        
     )
 
 
@@ -369,7 +371,7 @@ def h7_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         state.filter(F.col("event_type") != "error")
         .select("user_id", "event_id", "ts_us", "event_type", "value")
-        .orderBy("user_id")
+        
     )
 
 

@@ -45,7 +45,7 @@ def b1_project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
         (price * (1 - disc) * (1 + tax)).alias("charge"),
         (price / F.col("l_quantity")).alias("unit_price"),
         (F.col("l_quantity") * 2.0 + 1.0).alias("qty_affine"),
-    ).orderBy("l_orderkey", "l_linenumber")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -79,7 +79,7 @@ def b2_filter_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
             "l_returnflag",
         )
-        .orderBy("l_orderkey", "l_linenumber")
+        
     )
 
 
@@ -109,7 +109,7 @@ def b3_filter_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
-        .orderBy("o_orderkey")
+        
     )
 
 
@@ -136,7 +136,7 @@ def b4_filter_in_between(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("c_acctbal").between(1000.0, 5000.0)
         )
         .select("c_custkey", "c_mktsegment", "c_acctbal")
-        .orderBy("c_custkey")
+        
     )
 
 
@@ -165,7 +165,7 @@ def b5_filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("p_type").like("%ECO%") & F.col("p_brand").like("Brand#1_"))
         )
         .select("p_partkey", "p_name", "p_brand", "p_type")
-        .orderBy("p_partkey")
+        
     )
 
 
@@ -240,5 +240,5 @@ def b7_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.groupBy(band.alias("price_band"))
         .agg(F.count(F.lit(1)).alias("n_orders"))
-        .orderBy("price_band")
+        
     )

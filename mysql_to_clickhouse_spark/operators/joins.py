@@ -48,7 +48,7 @@ def c1_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .select("o_orderkey", "o_custkey", "c_name", "c_mktsegment", "o_totalprice")
-        .orderBy("o_orderkey")
+        
     )
 
 
@@ -79,7 +79,7 @@ def c2_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("o_orderkey", F.lit(-1)).alias("o_orderkey"),
             F.coalesce("o_totalprice", F.lit(0.0)).alias("o_totalprice"),
         )
-        .orderBy("c_custkey", "o_orderkey")
+        
     )
 
 
@@ -123,7 +123,7 @@ def c3_right_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_orders", F.lit(-1)).alias("n_orders"),
             F.coalesce("c_acctbal", F.lit(-1.0)).alias("acctbal"),
         )
-        .orderBy("custkey")
+        
     )
 
 
@@ -150,7 +150,7 @@ def c3b_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
         )
-        .orderBy("c_custkey")
+        
     )
 
 
@@ -176,7 +176,7 @@ def c4_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
         .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
+        
     )
 
 
@@ -196,7 +196,7 @@ def c5_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .select("c_custkey", "c_name", "c_acctbal")
-        .orderBy("c_custkey")
+        
     )
 
 
@@ -240,7 +240,7 @@ def c6_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_linenumber").alias("ln_a"),
             F.col("b.l_linenumber").alias("ln_b"),
         )
-        .orderBy("l_orderkey", "l_partkey", "ln_a", "ln_b")
+        
     )
 
 
@@ -261,7 +261,7 @@ def c7_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     (5 × 25 here); Spark rightly makes you opt in via crossJoin."""
     region = load(spark, sf_dir, "region").select("r_name")
     nation = load(spark, sf_dir, "nation").select("n_name")
-    return region.crossJoin(nation).orderBy("r_name", "n_name")
+    return region.crossJoin(nation)
 
 
 # ---------------------------------------------------------------------------
@@ -307,7 +307,7 @@ def c8_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             dsum("value").alias("sum_value"),
         )
-        .orderBy("bucket_id")
+        
     )
 
 
@@ -372,7 +372,7 @@ def c9_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("last_view_us", F.lit(-1)).alias("last_view_us"),
             "value",
         )
-        .orderBy("event_id")
+        
     )
 
 
@@ -439,7 +439,7 @@ def c10_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "revenue"
             )
         )
-        .orderBy(F.desc("revenue"), "n_name")
+        
     )
 
 
@@ -475,5 +475,55 @@ def c11_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("a.label").alias("label"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
-        .orderBy("label")
+        
+    )
+
+
+# ---------------------------------------------------------------------------
+# c12_q3_shipping — TPC-H Q3 shape (bench headline q3_shipping_priority)
+# ---------------------------------------------------------------------------
+
+_C12_ORACLE = f"""
+SELECT l_orderkey,
+       {o_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       o_orderdate,
+       o_orderpriority
+FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1996-06-30'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+@register("c12_q3_shipping", oracle=_C12_ORACLE)
+def c12_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority top-10 (TPC-H Q3 shape): segment-filtered
+    customers broadcast into orders, one shuffle join to lineitem,
+    grouped revenue, TakeOrdered top-10 with full tie-break."""
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-06-30").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
     )

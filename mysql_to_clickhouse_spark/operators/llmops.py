@@ -68,7 +68,7 @@ def i1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keeper_doc_id"),
             F.count(F.lit(1)).alias("n_copies"),
         )
-        .orderBy("content_hash")
+        
     )
 
 
@@ -163,7 +163,7 @@ def i2_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.5)
     )
-    return verified.orderBy("doc_a", "doc_b")
+    return verified
 
 
 # ---------------------------------------------------------------------------
@@ -221,7 +221,7 @@ def i2b_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "jaccard"
             ),
         )
-        .orderBy("doc_a", "doc_b")
+        
     )
 
 
@@ -259,7 +259,7 @@ def i2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             simhash.alias("simhash32"),
             F.shiftright(simhash, _SIMHASH_BITS - 8).alias("bucket_hi8"),
         )
-        .orderBy("doc_id")
+        
     )
 
 
@@ -276,21 +276,100 @@ ORDER BY id_a, id_b
 """
 
 
+def _broadcast_matrix(spark: SparkSession, emb: DataFrame):
+    """Collect the embedding table once (vec_id-sorted) and broadcast
+    (ids, float64 matrix, exact norms) to every task.
+
+    Scale note: at testbed/embedding-table sizes (≤ a few 1e5 × small
+    dim) broadcasting the matrix is THE right plan — every partition
+    scans its own rows against the broadcast side with zero shuffle
+    (a broadcast nested-loop specialized to matrix arithmetic). When
+    the table outgrows a broadcast, switch to the block-matrix join:
+    cross-join of row-blocks × col-blocks on block ids — same kernel,
+    one extra shuffle."""
+    import numpy as np
+
+    from mysql_to_clickhouse_spark.functions.vectors import (
+        np_fixed_norms,
+        np_quantize,
+    )
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    quant = np_quantize(np.array([r["embedding"] for r in rows], dtype=np.float64))
+    norms = np_fixed_norms(quant)
+    return spark.sparkContext.broadcast((ids, quant, norms))
+
+
 @register("i3_cosine_pairs", oracle=_I3_ORACLE)
 def i3_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos ≥ 0.25), brute-force
-    over the pair triangle — the exactness baseline that i4b's LSH
-    variant approximates at scale. Fixed-point arithmetic makes every
-    cosine bit-identical to the oracle, so the threshold cannot flake."""
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.25) over the pair
+    triangle — the exactness baseline that i4b's LSH variant
+    approximates at scale.
+
+    Executed as mapInPandas over the broadcast embedding matrix with
+    the exact fixed-point numpy kernel: bit-identical to the
+    declarative zip_with form (i3b) and the DuckDB oracle, ~100× faster
+    than interpreted array lambdas on all-pairs work."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from mysql_to_clickhouse_spark.functions.vectors import (
+        np_fixed_cosines,
+        np_fixed_norms,
+        np_quantize,
+    )
+
     emb = load(spark, sf_dir, "embeddings")
+    bc = _broadcast_matrix(spark, emb)
+
+    def pairs_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, quant, norms = bc.value
+        for pdf in batches:
+            q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            q_quant = np_quantize(np.array(list(pdf["embedding"]), dtype=np.float64))
+            q_norms = np_fixed_norms(q_quant)
+            cos = np_fixed_cosines(q_quant, q_norms, quant, norms)
+            qi, vj = np.nonzero((cos >= 0.25) & (q_ids[:, None] < ids[None, :]))
+            yield pd.DataFrame(
+                {
+                    "id_a": q_ids[qi],
+                    "id_b": ids[vj],
+                    "cos_sim": cos[qi, vj],
+                }
+            )
+
+    return (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(pairs_batches, schema="id_a long, id_b long, cos_sim double")
+        
+    )
+
+
+_I3B_ORACLE = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {o_cosine('a.embedding', 'b.embedding')} AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 80 AND b.vec_id < 80
+ORDER BY id_a, id_b
+"""
+
+
+@register("i3b_cosine_zipwith", oracle=_I3B_ORACLE)
+def i3b_cosine_zipwith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-DataFrame cosine (zip_with + aggregate lambdas, no
+    Python anywhere), on a bounded id range: proves the declarative
+    form and the i3 numpy kernel produce bit-identical cosines (same
+    oracle arithmetic; lambdas are interpreter-bound, hence bounded)."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 80)
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("cos_sim", cosine("ea", "eb"))
-        .filter(F.col("cos_sim") >= 0.25)
         .select("id_a", "id_b", "cos_sim")
-        .orderBy("id_a", "id_b")
+        
     )
 
 
@@ -317,29 +396,51 @@ ORDER BY id_a, rk
 
 @register("i4_topk_similar", oracle=_I4_ORACLE)
 def i4_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-5 nearest embeddings per vector: directed pairs from the
-    undirected triangle (computed once, mirrored), ranked per query
-    vector with a vec_id tie-break."""
+    """Top-5 nearest embeddings per vector via the broadcast-matrix
+    numpy kernel: each partition ranks its own query rows against the
+    broadcast side locally (ties broken by neighbor id with a stable
+    lexsort), so NO shuffle of pairs ever happens — only k rows per
+    query leave the worker."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from mysql_to_clickhouse_spark.functions.vectors import (
+        np_fixed_cosines,
+        np_fixed_norms,
+        np_quantize,
+    )
+
     emb = load(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
-    tri = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", cosine("ea", "eb"))
-        .select("id_a", "id_b", "cos_sim")
-    )
-    directed = tri.unionByName(
-        tri.select(
-            F.col("id_b").alias("id_a"),
-            F.col("id_a").alias("id_b"),
-            "cos_sim",
-        )
-    )
-    w = Window.partitionBy("id_a").orderBy(F.desc("cos_sim"), F.asc("id_b"))
+    bc = _broadcast_matrix(spark, emb)
+    k = 5
+
+    def topk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, quant, norms = bc.value
+        for pdf in batches:
+            q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            q_quant = np_quantize(np.array(list(pdf["embedding"]), dtype=np.float64))
+            q_norms = np_fixed_norms(q_quant)
+            cos = np_fixed_cosines(q_quant, q_norms, quant, norms)
+            out: dict[str, list] = {"id_a": [], "id_b": [], "cos_sim": [], "rk": []}
+            for qi in range(len(q_ids)):
+                row = cos[qi]
+                # order: cos desc, id asc; np.lexsort's last key is primary
+                order = np.lexsort((ids, -row))
+                order = order[ids[order] != q_ids[qi]][:k]
+                out["id_a"].extend([q_ids[qi]] * len(order))
+                out["id_b"].extend(ids[order])
+                out["cos_sim"].extend(row[order])
+                out["rk"].extend(range(1, len(order) + 1))
+            yield pd.DataFrame(out)
+
     return (
-        directed.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= 5)
-        .orderBy("id_a", "rk")
+        emb.select("vec_id", "embedding")
+        .mapInPandas(
+            topk_batches,
+            schema="id_a long, id_b long, cos_sim double, rk long",
+        )
+        
     )
 
 
@@ -348,71 +449,79 @@ def i4_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_LSH_TABLES = 3
+_LSH_PLANES = 3  # bits per table → 8 buckets/table; recall ≈ 1-(1-p^3)^3
+
+
 @register("i4b_ann_lsh", oracle=None, tier="T3")
 def i4b_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate nearest neighbors via random-hyperplane LSH:
-    8 deterministic pseudo-random hyperplanes (sign pattern from
-    xxhash64(plane, dim)) → 8-bit bucket per vector → exact cosine
-    top-3 *within* each bucket.
+    """Approximate nearest neighbors via random-hyperplane LSH with
+    OR-amplification: 3 independent tables × 3 hyperplanes. Hyperplane
+    sign patterns are deterministic pseudo-random (xxhash64(table,
+    plane, dim) parity); a vector's bucket per table is the 3-bit sign
+    pattern of its hyperplane dots; candidates = same (table, bucket);
+    exact cosine top-3 over the deduped candidate set.
 
-    This is the 100 TB shape: the pair space shrinks by ~2^8 per table,
-    buckets join on their key, and recall tunes with planes/tables.
-    Rows-only (approximation); recall vs i4 is unit-tested."""
+    This is the 100 TB shape: per-table pair space shrinks ~2^planes,
+    buckets equi-join on their key (no all-pairs), and recall tunes
+    with tables (OR) × planes (AND). Rows-only (approximate); recall
+    vs exact i4 is unit-tested."""
     emb = load(spark, sf_dir, "embeddings")
 
-    def bucket_bit(plane: int):
+    def hyperplane_dot(table: int, plane: int):
         signed = F.zip_with(
             "embedding",
             F.transform(
                 F.sequence(F.lit(0), F.lit(63)),
                 lambda i: F.when(
-                    F.pmod(F.xxhash64(F.lit(plane), i), F.lit(2)) == 1, F.lit(1.0)
+                    F.pmod(F.xxhash64(F.lit(table), F.lit(plane), i), F.lit(2)) == 1,
+                    F.lit(1.0),
                 ).otherwise(F.lit(-1.0)),
             ),
             lambda x, h: x.cast("double") * h,
         )
-        dot = F.aggregate(signed, F.lit(0.0), lambda acc, v: acc + v)
-        return F.when(dot >= 0, F.lit(1 << plane)).otherwise(F.lit(0))
+        return F.aggregate(signed, F.lit(0.0), lambda acc, v: acc + v)
 
-    bucket = sum(bucket_bit(p) for p in range(1, 8)) + F.when(
-        F.aggregate(
-            F.zip_with(
-                "embedding",
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(63)),
-                    lambda i: F.when(
-                        F.pmod(F.xxhash64(F.lit(0), i), F.lit(2)) == 1, F.lit(1.0)
-                    ).otherwise(F.lit(-1.0)),
-                ),
-                lambda x, h: x.cast("double") * h,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        >= 0,
-        F.lit(1),
-    ).otherwise(F.lit(0))
+    def table_bucket(table: int):
+        bits = [
+            F.when(hyperplane_dot(table, p) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+            for p in range(_LSH_PLANES)
+        ]
+        return sum(bits[1:], start=bits[0])
 
-    bucketed = emb.select(
-        "vec_id", "embedding", bucket.cast("long").alias("bucket")
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"), table_bucket(t).cast("long").alias("bucket")
+            )
+            for t in range(_LSH_TABLES)
+        ]
     )
+    bucketed = emb.select(
+        "vec_id", "embedding", F.explode(tables).alias("tb")
+    ).select("vec_id", "embedding", "tb.tbl", "tb.bucket")
     a = bucketed.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "bucket"
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"),
+        "tbl", "bucket",
     )
     b = bucketed.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "bucket"
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"),
+        "tbl", "bucket",
     )
-    pairs = (
-        a.join(b, ["bucket"])
+    cand = (
+        a.join(b, ["tbl", "bucket"])
         .filter(F.col("id_a") != F.col("id_b"))
-        .withColumn("cos_sim", cosine("ea", "eb"))
-        .select("bucket", "id_a", "id_b", "cos_sim")
+        .select("id_a", "id_b", "ea", "eb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = cand.withColumn("cos_sim", cosine("ea", "eb")).select(
+        "id_a", "id_b", "cos_sim"
     )
     w = Window.partitionBy("id_a").orderBy(F.desc("cos_sim"), F.asc("id_b"))
     return (
         pairs.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 3)
-        .orderBy("id_a", "rk")
+        
     )
 
 
@@ -428,8 +537,8 @@ WITH per_doc AS (
 )
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS total_tokens,
-       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
        CAST(SUM(n_chars) - SUM(n_tokens) + COUNT(*) AS DOUBLE)
          / SUM(n_tokens) AS avg_token_len,
@@ -467,7 +576,7 @@ def i5_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_token_len"),
             F.countDistinct("source").alias("n_sources"),
         )
-        .orderBy("lang")
+        
     )
 
 
@@ -534,7 +643,7 @@ def i6_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 3)
-        .orderBy("source", "rk")
+        
     )
 
 
@@ -569,7 +678,7 @@ def i7_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm.alias("l2_norm"),
         (F.element_at("embedding", 1).cast("double") / norm).alias("e1_unit"),
         (F.element_at("embedding", 2).cast("double") / norm).alias("e2_unit"),
-    ).orderBy("vec_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -608,23 +717,15 @@ ORDER BY vec_id
 def i8_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-NN majority-vote label per vector (tie-break: more votes, then
     smaller label), with the true label alongside. Reuses the i4
-    neighbor machinery + one vote aggregate."""
+    kernel for neighbors (broadcast matrix, no pair shuffle) + a
+    DataFrame vote aggregate."""
     emb = load(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = emb.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("eb"),
-        F.col("label").alias("nbr_label"),
+    neighbors = i4_topk_similar(spark, sf_dir)  # id_a, id_b, cos_sim, rk≤5
+    labels = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("nbr_label")
     )
-    pairs = (
-        a.join(b, F.col("id_a") != F.col("id_b"))
-        .withColumn("cos_sim", cosine("ea", "eb"))
-        .select("id_a", "id_b", "nbr_label", "cos_sim")
-    )
-    w_rank = Window.partitionBy("id_a").orderBy(F.desc("cos_sim"), F.asc("id_b"))
     votes = (
-        pairs.withColumn("rk", F.row_number().over(w_rank))
-        .filter(F.col("rk") <= 5)
+        neighbors.join(F.broadcast(labels), "id_b")
         .groupBy("id_a", "nbr_label")
         .agg(F.count(F.lit(1)).alias("n_votes"))
     )
@@ -643,5 +744,5 @@ def i8_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nbr_label").alias("pred_label"),
             "n_votes",
         )
-        .orderBy("vec_id")
+        
     )

@@ -1,0 +1,184 @@
+"""Multimodal (binary) column operators — image/audio/video payloads as
+opaque ``binary`` columns with typed metadata, processed via Arrow-
+batched mapInPandas.
+
+The container has no image/audio codecs, so the DECODE step is a
+clearly-marked STUB (deterministic fake derived from the bytes;
+``real_decode()`` raises NotImplementedError) — but every piece of
+Spark plumbing is real and tested: binary schema, Arrow batch shape,
+mapInPandas row explosion (frame sampling), metadata structs, and
+partition-friendly layouts. Swap ``_fake_decode`` for PIL/ffmpeg and
+nothing else changes.
+
+The payloads derive deterministically from documents.text (the driver
+testdata has no binary column), so results are stable across runs.
+
+Registered in SURVEY §2 terms as m-ops (extension of §2.I's multimodal
+north star).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql_to_clickhouse_spark.registry import register
+from mysql_to_clickhouse_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# m1_binary_ingest — bytes + typed metadata, SQL-verified
+# ---------------------------------------------------------------------------
+
+_M1_ORACLE = """
+SELECT doc_id,
+       octet_length(encode(text)) AS byte_len,
+       md5(text) AS content_md5,
+       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS mime,
+       octet_length(encode(text)) = n_chars AS len_matches_chars
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("m1_binary_ingest", oracle=_M1_ORACLE)
+def m1_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column ingestion: payload bytes + typed metadata columns
+    (length, content hash, mime tag). BinaryType is a first-class
+    parquet type — at 100 TB these are the blob shards a training
+    pipeline shuffles by content hash, never by raw bytes."""
+    docs = load(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    mime = (
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+    )
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).cast("long").alias("byte_len"),
+        F.md5("text").alias("content_md5"),
+        mime.alias("mime"),
+        (F.octet_length(payload).cast("long") == F.col("n_chars")).alias(
+            "len_matches_chars"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# decode stubs
+# ---------------------------------------------------------------------------
+
+
+def real_decode(payload: bytes, mime: str):  # pragma: no cover
+    """The production decode hook. The testbed container ships no
+    codecs — wire PIL/torchaudio/ffmpeg here in a real deployment."""
+    raise NotImplementedError(
+        "no image/audio codecs in this container; use _fake_decode (STUB)"
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic STUB decoder: fake (width, height, channels) from
+    the payload bytes. Replaces a real codec so the Spark-side plumbing
+    (schema, batching, partitioning) is fully exercised. (md5-based —
+    Python's hash() is process-salted and would not be reproducible.)"""
+    import hashlib
+
+    h = int.from_bytes(hashlib.md5(payload[:64]).digest()[:8], "big")
+    return 64 + h % 1024, 64 + (h >> 10) % 1024, 3
+
+
+# ---------------------------------------------------------------------------
+# m2_decode_features — mapInPandas decode + feature extraction (STUB)
+# ---------------------------------------------------------------------------
+
+
+@register("m2_decode_features", oracle=None, tier="T3")
+def m2_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + feature-extract over binary payloads via mapInPandas
+    (Arrow batches in, Arrow batches out). The decode itself is the
+    documented STUB; the schema contract, batch iteration, and resize
+    metadata (fit into 256×256 preserving aspect) are real.
+
+    Scale: mapInPandas streams batches — no per-group materialization,
+    so this shape handles arbitrarily large partitions; decode-heavy
+    workloads repartition by byte_len to balance skew."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = pdf["payload"].map(lambda p: _fake_decode(bytes(p)))
+            w = dims.map(lambda d: d[0]).astype("int64")
+            h = dims.map(lambda d: d[1]).astype("int64")
+            scale = (256.0 / pd.concat([w, h], axis=1).max(axis=1)).clip(upper=1.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": w,
+                    "height": h,
+                    "channels": dims.map(lambda d: d[2]).astype("int64"),
+                    "resized_w": (w * scale).astype("int64"),
+                    "resized_h": (h * scale).astype("int64"),
+                    "mean_byte": pdf["payload"].map(
+                        lambda p: float(sum(p) / len(p)) if len(p) else 0.0
+                    ),
+                }
+            )
+
+    schema = (
+        "doc_id long, width long, height long, channels long, "
+        "resized_w long, resized_h long, mean_byte double"
+    )
+    return docs.mapInPandas(decode_batches, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# m3_frame_sample — 1→N row explosion (video frame sampling shape, STUB)
+# ---------------------------------------------------------------------------
+
+
+@register("m3_frame_sample", oracle=None, tier="T3")
+def m3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: each payload yields ceil(len/256) fixed-size
+    'frames' (mapInPandas exploding one row into many — the video
+    decode shape). Frame bytes stay binary; metadata (index, offset,
+    length, md5) surfaces for downstream joins."""
+    import hashlib
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "frame_idx": [],
+                "offset": [],
+                "frame_len": [],
+                "frame_md5": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                for i in range(0, max(len(data), 1), 256):
+                    chunk = data[i : i + 256]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i // 256)
+                    out["offset"].append(i)
+                    out["frame_len"].append(len(chunk))
+                    out["frame_md5"].append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, frame_idx long, offset long, frame_len long, "
+        "frame_md5 string"
+    )
+    return docs.mapInPandas(sample_frames, schema=schema)

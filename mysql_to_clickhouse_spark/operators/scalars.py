@@ -56,7 +56,7 @@ def g1_string_core(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("text", 1, 30), F.lit(" "), F.lit("_")
         ).alias("head_snake"),
         F.trim(F.concat(F.lit("  "), F.col("lang"), F.lit("  "))).alias("lang_trim"),
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -85,7 +85,7 @@ def g2_string_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("long").alias("n_tokens"),
         F.element_at(toks, 1).alias("first_token"),
         F.element_at(toks, -1).alias("last_token"),
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -115,7 +115,7 @@ def g3_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(extracted == "", F.lit("(none)")).otherwise(extracted).alias(
             "first_p_word"
         ),
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -145,7 +145,7 @@ def g4_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", "ts").alias("ts_day"),
         F.date_trunc("month", "ts").alias("ts_month"),
         F.date_format("ts", "yyyyMM").alias("yyyymm"),
-    ).orderBy("event_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -179,7 +179,7 @@ def g5_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.dayofweek("o_orderdate") - 1).alias("dow"),
         F.dayofyear("o_orderdate").alias("doy"),
         F.quarter("o_orderdate").alias("q"),
-    ).orderBy("o_orderkey")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -210,7 +210,7 @@ def g6_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(
             F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
         ).cast("long").alias("days_since_epoch_start"),
-    ).orderBy("o_orderkey")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -249,7 +249,7 @@ def g7_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pow("l_quantity", F.lit(2)).alias("qty_sq"),
         F.round(F.log("l_extendedprice"), 6).alias("ln_price"),
         (F.col("l_partkey") % 7).alias("pk_mod"),
-    ).orderBy("l_orderkey", "l_linenumber")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -290,7 +290,7 @@ def g8_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.nullif("l_quantity", F.lit(1.0)), F.lit(0.0)).alias(
             "qty_nonone"
         ),
-    ).orderBy("l_orderkey", "l_linenumber")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -323,7 +323,7 @@ def g9_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.countDistinct("user_id").alias("uniq_users"),
         )
-        .orderBy("k")
+        
     )
 
 
@@ -348,7 +348,7 @@ def g10_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5("text").alias("md5_hex"),
         F.sha2("text", 256).alias("sha256_hex"),
-    ).orderBy("doc_id")
+    )
 
 
 @register("g10b_xxhash64", oracle=None)
@@ -361,7 +361,7 @@ def g10b_xxhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.xxhash64("text").alias("xx64"),
         (F.pmod(F.xxhash64("text"), F.lit(64))).alias("bucket"),
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -394,7 +394,7 @@ def g11_array_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.sort_array(F.slice("embedding", 1, 8)), 1)
         .cast("double")
         .alias("min_first8"),
-    ).orderBy("vec_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -422,7 +422,7 @@ def g12_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pos").cast("long").alias("pos"),
             F.col("el").cast("double").alias("el"),
         )
-        .orderBy("vec_id", "pos")
+        
     )
 
 
@@ -462,7 +462,7 @@ def g13_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(
             F.filter("embedding", lambda x: F.abs(x.cast("double")) > 0.2)
         ).cast("long").alias("n_large"),
-    ).orderBy("vec_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -497,4 +497,4 @@ def g14_cast_fmt(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("1995-03-04 05:06:07").cast("timestamp"), "yyyy-MM-dd HH:mm:ss"
         ).alias("ts_fmt"),
         F.format_string("%.1f", F.col("p_size").cast("double")).alias("size_fmt"),
-    ).orderBy("p_partkey")
+    )

@@ -34,7 +34,7 @@ SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
 @register("a1_parquet_scan", oracle=_A1_ORACLE, tier="T1")
 def a1_parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plain columnar scan, schema preserved, checked row-for-row."""
-    return load(spark, sf_dir, "nation").orderBy("n_nationkey")
+    return load(spark, sf_dir, "nation")
 
 
 # ---------------------------------------------------------------------------
@@ -65,7 +65,7 @@ def a2_jdbc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderkey") >= start) & (F.col("o_orderkey") <= end)
         ).select("o_orderkey", "o_custkey", "o_totalprice")
         chunks = part if chunks is None else chunks.unionByName(part)
-    return chunks.orderBy("o_orderkey")
+    return chunks
 
 
 # ---------------------------------------------------------------------------
@@ -97,7 +97,7 @@ def a3_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "value",
         )
-        .orderBy("event_id")
+        
     )
 
 
@@ -146,7 +146,7 @@ def a4_cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "value",
         )
-        .orderBy("user_id")
+        
     )
 
 
@@ -187,7 +187,7 @@ def a5_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         back.groupBy(F.col("yyyymm").cast("string").alias("yyyymm"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
-        .orderBy("yyyymm", "event_type")
+        
     )
 
 
@@ -203,7 +203,7 @@ SELECT
   CAST(l_linenumber AS VARCHAR) AS ln_str,
   CAST(CAST(l_extendedprice AS FLOAT) AS DOUBLE) AS price_f32_roundtrip,
   CAST('1995-03-04 05:06:07' AS TIMESTAMP) AS ts_parsed,
-  epoch(l_shipdate) AS ship_epoch_s,
+  CAST(epoch(l_shipdate) AS BIGINT) AS ship_epoch_s,
   CAST(CAST('123.45' AS DECIMAL(10,2)) AS DOUBLE) AS dec_parsed,
   CAST(FLOOR(l_quantity) AS INT) AS qty_int,
   (l_linenumber % 2 = 1) AS is_odd_line
@@ -232,7 +232,7 @@ def a6_type_cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("123.45").cast("decimal(10,2)").cast("double").alias("dec_parsed"),
         F.floor("l_quantity").cast("int").alias("qty_int"),
         ((F.col("l_linenumber") % 2) == 1).alias("is_odd_line"),
-    ).orderBy("l_orderkey", "l_linenumber")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -259,4 +259,4 @@ def a7_schema_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("part_id"),
         F.col("l_quantity").alias("qty"),
         F.col("l_extendedprice").alias("price"),
-    ).orderBy("order_id", "part_id", "qty", "price")
+    )

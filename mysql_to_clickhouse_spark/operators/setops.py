@@ -53,7 +53,7 @@ def f1_order_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_mktsegment",
             "c_acctbal",
         )
-        .orderBy("pos")
+        
     )
 
 
@@ -107,7 +107,7 @@ def f3_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
         F.lit("urgent").alias("src"), "o_orderkey", "o_totalprice"
     )
-    return pending.unionByName(urgent).orderBy("src", "o_orderkey")
+    return pending.unionByName(urgent)
 
 
 # ---------------------------------------------------------------------------
@@ -134,7 +134,7 @@ def f4_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = cust.filter(F.col("c_acctbal") > 9000).select(
         F.col("c_custkey").alias("custkey")
     )
-    return a.union(b).distinct().orderBy("custkey")
+    return a.union(b).distinct()
 
 
 # ---------------------------------------------------------------------------
@@ -163,7 +163,7 @@ def f5_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
         ).select(F.col("o_custkey").alias("custkey"))
 
-    return year(1996).intersect(year(1997)).orderBy("custkey")
+    return year(1996).intersect(year(1997))
 
 
 _F6_ORACLE = """
@@ -188,4 +188,4 @@ def f6_except(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
         ).select(F.col("o_custkey").alias("custkey"))
 
-    return year(1996).subtract(year(1997)).orderBy("custkey")
+    return year(1996).subtract(year(1997))

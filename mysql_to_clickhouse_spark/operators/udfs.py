@@ -53,7 +53,7 @@ def j1_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         len_mod("text").alias("len_mod"),
         len_ok("text").alias("len_ok"),
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -87,7 +87,7 @@ def j2_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n_tokens("text").alias("n_tokens_udf"),
         n_nonspace("text").alias("n_nonspace"),
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -113,7 +113,7 @@ def j3_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("event_type")
         .agg(geo_mean("value").alias("geo_mean_value"))
-        .orderBy("event_type")
+        
     )
 
 
@@ -173,7 +173,7 @@ def j4_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("user_id")
         .applyInPandas(scale_group, schema=schema)
-        .orderBy("user_id", "seq")
+        
     )
 
 

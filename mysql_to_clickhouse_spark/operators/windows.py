@@ -57,7 +57,7 @@ def e1_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.dense_rank().over(w).cast("long").alias("drk"),
         )
         .filter(F.col("rn") <= 3)
-        .orderBy("o_custkey", "rn")
+        
     )
 
 
@@ -107,7 +107,7 @@ def e2_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("next_us", F.lit(-1)).alias("next_us"),
             F.coalesce(F.col("ts_us") - F.col("prev_us"), F.lit(-1)).alias("gap_us"),
         )
-        .orderBy("user_id", "ts_us", "event_id")
+        
     )
 
 
@@ -146,7 +146,7 @@ def e3_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "running_spend"
             ),
         )
-        .orderBy("o_custkey", "o_orderkey")
+        
     )
 
 
@@ -195,7 +195,7 @@ def e4_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return win.select(
         "day", "day_total", (F.col("win_sum") / F.col("win_n")).alias("ma7")
-    ).orderBy("day")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -237,7 +237,7 @@ def e5_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "band_sum"
             ),
         )
-        .orderBy("o_custkey", "o_totalprice", "o_orderkey")
+        
     )
 
 
@@ -273,7 +273,7 @@ def e6_ntile_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percent_rank().over(w).alias("pct_rank"),
             F.cume_dist().over(w).alias("cume"),
         )
-        .orderBy("c_acctbal", "c_custkey")
+        
     )
 
 
@@ -312,5 +312,5 @@ def e7_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("o_totalprice").over(w_first).alias("first_price"),
             F.last("o_totalprice").over(w_last).alias("latest_price"),
         )
-        .orderBy("o_custkey", "o_orderkey")
+        
     )

@@ -56,6 +56,7 @@ _OPERATOR_MODULES = (
     "scalars",
     "eventtime",
     "llmops",
+    "multimodal",
     "udfs",
 )
 

@@ -109,6 +109,20 @@ def compare_frames(
     return CompareResult(True, "ok")
 
 
+def _string_rows(pdf: pd.DataFrame) -> list[tuple[str, ...]]:
+    """The driver-hash model: datetimes normalized to µs, everything
+    else stringified as-is — dtype differences (int64 vs float64) that
+    a numeric comparison forgives WILL break this, as they would break
+    the driver's value hash."""
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if pd.api.types.is_datetime64_any_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype("datetime64[us]")
+    return sorted(
+        tuple(str(v) for v in row) for row in pdf.itertuples(index=False)
+    )
+
+
 def run_and_compare(spark, con, query, sf_dir: str) -> CompareResult:
     """Execute one registry Query against spark + duckdb and compare."""
     sdf = query.fn(spark, sf_dir)
@@ -117,4 +131,21 @@ def run_and_compare(spark, con, query, sf_dir: str) -> CompareResult:
         n = len(spark_pdf)
         return CompareResult(True, f"rows-only: {n} rows")
     oracle_pdf = con.sql(query.oracle).df()
-    return compare_frames(spark_pdf, oracle_pdf, approx_floats=query.approx_floats)
+    result = compare_frames(
+        spark_pdf, oracle_pdf, approx_floats=query.approx_floats
+    )
+    if not result.ok or query.approx_floats:
+        return result
+    # strict driver-hash model on top of the numeric comparison
+    s_rows, o_rows = _string_rows(spark_pdf), _string_rows(oracle_pdf)
+    if s_rows != o_rows:
+        first = next(
+            (f"spark={a} oracle={b}" for a, b in zip(s_rows, o_rows) if a != b),
+            "row sets differ",
+        )
+        return CompareResult(
+            False,
+            "numeric-equal but STRINGIFIED mismatch (driver hash would "
+            f"fail): {first}",
+        )
+    return result

@@ -73,6 +73,21 @@ def main():
                 tag = f"hash_match={ok}"
                 if not ok:
                     failed.append(name)
+                    srows = sorted(
+                        tuple(str(v) for v in row)
+                        for row in spdf[sorted(spdf.columns)].itertuples(index=False)
+                    )
+                    orows = sorted(
+                        tuple(str(v) for v in row)
+                        for row in opdf[sorted(opdf.columns)].itertuples(index=False)
+                    )
+                    tag += f" rows={len(spdf)}/{len(opdf)}"
+                    for srow, orow in zip(srows, orows):
+                        if srow != orow:
+                            tag += f"\n    spark : {srow}\n    oracle: {orow}"
+                            break
+                    tag += f"\n    dtypes spark={dict(spdf.dtypes.astype(str))}"
+                    tag += f"\n    dtypes oracle={dict(opdf.dtypes.astype(str))}"
             else:
                 tag = f"rows-only rows={len(spdf)}"
         except Exception as exc:  # noqa: BLE001

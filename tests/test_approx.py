@@ -1,0 +1,69 @@
+"""Tolerance tests for the approximate operators the SQL oracle can't
+check (SURVEY.md §5.4: never SQL-oracle approx functions)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mysql_to_clickhouse_spark.registry import all_queries
+from mysql_to_clickhouse_spark.tables import load
+from tests.conftest import TEST_SF_DIR
+
+QUERIES = all_queries()
+
+
+def test_approx_distinct_within_rsd(spark):
+    approx = (
+        QUERIES["d4_approx_distinct"].fn(spark, TEST_SF_DIR).toPandas()
+        .set_index("event_type")["approx_users"]
+    )
+    exact = (
+        load(spark, TEST_SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("u"))
+        .toPandas()
+        .set_index("event_type")["u"]
+    )
+    for etype, est in approx.items():
+        rel_err = abs(est - exact[etype]) / exact[etype]
+        assert rel_err < 0.10, f"{etype}: {est} vs {exact[etype]} ({rel_err:.2%})"
+
+
+def test_approx_quantile_within_band(spark):
+    approx = (
+        QUERIES["d8b_quantile_approx"].fn(spark, TEST_SF_DIR).toPandas()
+        .set_index("l_returnflag")
+    )
+    exact = (
+        load(spark, TEST_SF_DIR, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.percentile("l_extendedprice", 0.5).alias("p50"))
+        .toPandas()
+        .set_index("l_returnflag")["p50"]
+    )
+    for flag, row in approx.iterrows():
+        rel_err = abs(row["p50_price"] - exact[flag]) / exact[flag]
+        assert rel_err < 0.05, f"{flag}: {row['p50_price']} vs {exact[flag]}"
+
+
+def test_geo_mean_udaf_matches_reference(spark):
+    import numpy as np
+
+    result = (
+        QUERIES["j3_pandas_udaf"].fn(spark, TEST_SF_DIR).toPandas()
+        .set_index("event_type")["geo_mean_value"]
+    )
+    pdf = load(spark, TEST_SF_DIR, "events").select("event_type", "value").toPandas()
+    for etype, got in result.items():
+        vals = pdf[pdf["event_type"] == etype]["value"].to_numpy()
+        want = float(np.exp(np.log(np.sort(vals)).mean()))
+        assert abs(got - want) / want < 1e-9
+
+
+def test_xxhash64_stable_across_runs(spark):
+    a = QUERIES["g10b_xxhash64"].fn(spark, TEST_SF_DIR).toPandas()
+    b = QUERIES["g10b_xxhash64"].fn(spark, TEST_SF_DIR).toPandas()
+    assert (a["xx64"] == b["xx64"]).all()
+    assert a["bucket"].between(0, 63).all()

@@ -1,0 +1,106 @@
+"""Unit tests for the approximate LLM-pipeline operators: planted
+near-duplicates must be FOUND (recall) — the property the rows-only
+driver check can't see."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _planted_docs(spark):
+    """Six docs: (0,1) near-identical, (2,3) moderately similar,
+    4 and 5 unrelated."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the afternoon sun light"
+    )
+    near = base.replace("afternoon", "evening")
+    mid = (
+        "the quick brown fox jumps over the lazy dog while birds sing "
+        "completely different words about rivers mountains and storms"
+    )
+    other1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    other2 = "one two three four five six seven eight nine ten eleven twelve"
+    rows = [(0, base), (1, near), (2, base), (3, mid), (4, other1), (5, other2)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_lsh_recall_on_planted_dups(spark, tmp_path):
+    """Run the i2 pipeline logic on planted docs by staging them as the
+    documents table of a scratch sf_dir."""
+    from mysql_to_clickhouse_spark.registry import all_queries
+
+    docs = _planted_docs(spark).withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("src0")
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    result = (
+        all_queries()["i2_minhash_neardup"].fn(spark, str(tmp_path)).toPandas()
+    )
+    found = set(map(tuple, result[["doc_a", "doc_b"]].values))
+    assert (0, 1) in found, f"near-identical pair missed: {found}"
+    assert (0, 2) in found and (1, 2) in found  # exact dup of 0
+    assert all(4 not in p and 5 not in p for p in found), found
+
+
+def test_simhash_hamming_on_planted_dups(spark, tmp_path):
+    from mysql_to_clickhouse_spark.registry import all_queries
+
+    docs = _planted_docs(spark).withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("src0")
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    result = (
+        all_queries()["i2c_simhash"].fn(spark, str(tmp_path)).toPandas()
+        .set_index("doc_id")["simhash32"]
+    )
+
+    def hamming(a: int, b: int) -> int:
+        return bin(int(a) ^ int(b)).count("1")
+
+    assert hamming(result[0], result[2]) == 0  # identical text
+    assert hamming(result[0], result[1]) <= 6  # near-dup: few bits
+    assert hamming(result[0], result[4]) >= 8  # unrelated: many bits
+
+
+def test_ann_lsh_recall_vs_exact(spark):
+    """i4b (bucketed ANN) must recover a reasonable share of true
+    top-3 neighbor edges on the real embeddings table."""
+    from mysql_to_clickhouse_spark.registry import all_queries
+    from tests.conftest import SMOKE_SF_DIR
+
+    exact = (
+        all_queries()["i4_topk_similar"]
+        .fn(spark, SMOKE_SF_DIR)
+        .filter(F.col("rk") <= 3)
+        .select("id_a", "id_b")
+        .toPandas()
+    )
+    approx = (
+        all_queries()["i4b_ann_lsh"]
+        .fn(spark, SMOKE_SF_DIR)
+        .select("id_a", "id_b")
+        .toPandas()
+    )
+    exact_edges = set(map(tuple, exact.values))
+    approx_edges = set(map(tuple, approx.values))
+    recall = len(exact_edges & approx_edges) / len(exact_edges)
+    # 3 tables × 3 planes on random-ish vectors: modest but real
+    assert recall >= 0.3, f"ANN recall collapsed: {recall:.3f}"
+
+
+def test_exact_dedup_collapses_planted_dups(spark, tmp_path):
+    from mysql_to_clickhouse_spark.registry import all_queries
+
+    docs = _planted_docs(spark).withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("src0")
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    result = all_queries()["i1_exact_dedup"].fn(spark, str(tmp_path)).toPandas()
+    # 6 docs, one exact duplicate pair (0,2) → 5 hash groups
+    assert len(result) == 5
+    dup_group = result[result["n_copies"] == 2]
+    assert len(dup_group) == 1 and dup_group["keeper_doc_id"].iloc[0] == 0

@@ -1,0 +1,57 @@
+"""Source/sink builder tests: keyset chunking properties (hypothesis)
+and the JDBC config surface (inspectable without a live server)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mysql_to_clickhouse_spark.sources.jdbc import chunk_ranges
+
+
+@given(
+    lower=st.integers(min_value=-(10**9), max_value=10**9),
+    span=st.integers(min_value=0, max_value=10**6),
+    n=st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=200, deadline=None)
+def test_chunk_ranges_partition_exactly(lower, span, n):
+    """Every key in [lower, upper] appears in exactly one chunk;
+    chunks are contiguous, ordered, non-overlapping."""
+    upper = lower + span
+    ranges = chunk_ranges(lower, upper, n)
+    assert ranges[0][0] == lower
+    assert ranges[-1][1] == upper
+    for (s1, e1), (s2, e2) in zip(ranges, ranges[1:]):
+        assert e1 + 1 == s2, "gap or overlap between chunks"
+        assert s1 <= e1 and s2 <= e2
+
+
+def test_mysql_reader_options(spark):
+    from mysql_to_clickhouse_spark.sources.jdbc import mysql_reader
+
+    reader = mysql_reader(
+        spark,
+        url="jdbc:mysql://mysql-host:3306/shop",
+        table="orders",
+        partition_column="o_orderkey",
+        lower_bound=1,
+        upper_bound=1_000_000,
+        num_partitions=16,
+        user="replicator",
+        password="secret",
+    )
+    # reader is configured but not loaded (no server in testbed)
+    assert reader is not None
+
+
+def test_clickhouse_writer_options(spark):
+    from mysql_to_clickhouse_spark.sources.jdbc import clickhouse_writer
+    from mysql_to_clickhouse_spark.tables import load
+    from tests.conftest import SMOKE_SF_DIR
+
+    df = load(spark, SMOKE_SF_DIR, "nation")
+    writer = clickhouse_writer(
+        df, url="jdbc:clickhouse://ch-host:8123/analytics", table="nation"
+    )
+    assert writer is not None

@@ -1,0 +1,130 @@
+"""Streaming/batch equivalence (SURVEY.md §5.3 strategy 5): every true
+Structured-Streaming topology must produce the batch operator's answer
+once drained."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from mysql_to_clickhouse_spark.registry import all_queries
+from mysql_to_clickhouse_spark.verify import compare_frames
+from tests.conftest import SMOKE_SF_DIR
+
+QUERIES = all_queries()
+
+
+def _sorted(pdf: pd.DataFrame, cols=None) -> pd.DataFrame:
+    cols = cols or list(sorted(pdf.columns))
+    return pdf[sorted(pdf.columns)].sort_values(by=cols).reset_index(drop=True)
+
+
+def test_cdc_stream_equals_batch_apply(spark):
+    from mysql_to_clickhouse_spark.streaming.cdc import run_cdc_stream
+
+    streamed = run_cdc_stream(spark, SMOKE_SF_DIR).toPandas()
+    batch = QUERIES["a4_cdc_apply_latest"].fn(spark, SMOKE_SF_DIR).toPandas()
+    result = compare_frames(streamed, batch)
+    assert result.ok, result.detail
+
+
+def test_foreach_upsert_sim_equals_batch_apply(spark):
+    sim = QUERIES["h7_foreach_upsert"].fn(spark, SMOKE_SF_DIR).toPandas()
+    batch = QUERIES["a4_cdc_apply_latest"].fn(spark, SMOKE_SF_DIR).toPandas()
+    result = compare_frames(sim, batch)
+    assert result.ok, result.detail
+
+
+def test_tumbling_stream_equals_batch(spark):
+    from mysql_to_clickhouse_spark.streaming.windows import tumbling_counts_stream
+
+    streamed = tumbling_counts_stream(spark, SMOKE_SF_DIR).toPandas()
+    batch = (
+        QUERIES["h1_tumbling"]
+        .fn(spark, SMOKE_SF_DIR)
+        .select("win_start_us", "event_type", "n")
+        .toPandas()
+    )
+    result = compare_frames(streamed, batch)
+    assert result.ok, result.detail
+
+
+def test_watermarked_append_is_sealed_subset(spark):
+    from mysql_to_clickhouse_spark.streaming.windows import (
+        tumbling_counts_watermarked,
+    )
+
+    emitted = tumbling_counts_watermarked(spark, SMOKE_SF_DIR).toPandas()
+    batch = (
+        QUERIES["h1_tumbling"]
+        .fn(spark, SMOKE_SF_DIR)
+        .select("win_start_us", "event_type", "n")
+        .toPandas()
+    )
+    # append mode emits only watermark-sealed windows: a strict subset
+    # that must agree row-for-row where emitted
+    assert 0 < len(emitted) <= len(batch)
+    merged = emitted.merge(
+        batch, on=["win_start_us", "event_type"], suffixes=("_s", "_b")
+    )
+    assert len(merged) == len(emitted)
+    assert (merged["n_s"] == merged["n_b"]).all()
+
+
+def test_session_stream_matches_batch_sessionization(spark):
+    from mysql_to_clickhouse_spark.streaming.windows import session_windows_stream
+
+    streamed = session_windows_stream(spark, SMOKE_SF_DIR).toPandas()
+    batch = QUERIES["h3_session"].fn(spark, SMOKE_SF_DIR).toPandas()
+    # append mode emits only watermark-sealed sessions: tail-of-stream
+    # sessions (within gap+watermark of max ts) are legitimately absent
+    max_ts = batch["session_end_us"].max()
+    sealed_cutoff = max_ts - (60 + 30) * 60 * 1_000_000
+    s = set(
+        map(tuple, streamed[["user_id", "session_start_us", "n_events"]].values)
+    )
+    b_all = set(
+        map(tuple, batch[["user_id", "session_start_us", "n_events"]].values)
+    )
+    b_sealed = set(
+        map(
+            tuple,
+            batch[batch["session_end_us"] < sealed_cutoff][
+                ["user_id", "session_start_us", "n_events"]
+            ].values,
+        )
+    )
+    assert s <= b_all, f"stream emitted sessions batch doesn't have: {s - b_all}"
+    assert b_sealed <= s, f"sealed sessions missing from stream: {b_sealed - s}"
+
+
+def test_dedup_stream_one_row_per_key(spark):
+    from mysql_to_clickhouse_spark.streaming.windows import (
+        dedup_within_watermark_stream,
+    )
+
+    streamed = dedup_within_watermark_stream(spark, SMOKE_SF_DIR).toPandas()
+    batch = QUERIES["h5_stream_dedup"].fn(spark, SMOKE_SF_DIR).toPandas()
+    # dropDuplicatesWithinWatermark keeps an arbitrary representative —
+    # assert the KEY SET matches the deterministic batch dedup
+    s_keys = set(map(tuple, streamed[["user_id", "event_type"]].values))
+    b_keys = set(map(tuple, batch[["user_id", "event_type"]].values))
+    assert s_keys == b_keys
+
+
+def test_funnel_stream_equals_batch_funnel(spark):
+    from mysql_to_clickhouse_spark.streaming.funnel import run_funnel_stream
+
+    streamed = run_funnel_stream(spark, SMOKE_SF_DIR).toPandas()
+    batch = QUERIES["h6_stateful_funnel"].fn(spark, SMOKE_SF_DIR).toPandas()
+    s = _sorted(
+        streamed[streamed["funnel_depth"] > 0][
+            ["user_id", "view_us", "click_us", "purchase_us", "funnel_depth"]
+        ],
+        ["user_id"],
+    )
+    b = _sorted(
+        batch[["user_id", "view_us", "click_us", "purchase_us", "funnel_depth"]],
+        ["user_id"],
+    )
+    pd.testing.assert_frame_equal(s, b, check_dtype=False)
