@@ -584,3 +584,71 @@ def d14_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle carries only unique pairs."""
     li = load(spark, sf_dir, "lineitem")
     return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+# ---------------------------------------------------------------------------
+# d15_bitwise_agg — CH groupBitAnd/Or/Xor
+# ---------------------------------------------------------------------------
+
+_D15_ORACLE = """
+SELECT event_type,
+       bit_and(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_and,
+       bit_or(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_or,
+       bit_xor(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_xor,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("d15_bitwise_agg", oracle=_D15_ORACLE)
+def d15_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates over the JSON-extracted key (CH groupBitAnd/
+    groupBitOr/groupBitXor) — integer-exact and fully commutative, so
+    no determinism work is needed."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.bit_and(k).alias("k_and"),
+            F.bit_or(k).alias("k_or"),
+            F.bit_xor(k).alias("k_xor"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# d16_histogram — equal-width histogram (CH histogram sketch analog)
+# ---------------------------------------------------------------------------
+
+_D16_ORACLE = """
+SELECT LEAST(CAST(FLOOR(o_totalprice / 30000.0) AS BIGINT), 19) AS bucket,
+       COUNT(*) AS n,
+       MIN(o_totalprice) AS lo,
+       MAX(o_totalprice) AS hi
+FROM orders
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@register("d16_histogram", oracle=_D16_ORACLE)
+def d16_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width 20-bucket histogram of order totals via FLOOR
+    bucketing (deterministic on both engines; DuckDB's raw double→int
+    cast would round). Map-side combinable — |buckets| rows shuffle."""
+    orders = load(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / 30000.0).cast("long"), F.lit(19)
+    )
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )

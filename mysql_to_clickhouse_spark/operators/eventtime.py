@@ -398,3 +398,106 @@ def h8_rate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysql_to_clickhouse_spark.streaming.replay import replay_counts
 
     return replay_counts(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# h9_retention — CH retention(): cohort day-7 return rate
+# ---------------------------------------------------------------------------
+
+_H9_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+  FROM events
+), cohort AS (
+  SELECT user_id, MIN(day) AS d0 FROM days GROUP BY user_id
+)
+SELECT c.d0 AS cohort_day,
+       COUNT(*) AS n_users,
+       COUNT(CASE WHEN r.user_id IS NOT NULL THEN 1 END) AS retained_7d
+FROM cohort c
+LEFT JOIN days r
+  ON r.user_id = c.user_id AND r.day = c.d0 + INTERVAL 7 DAY
+GROUP BY cohort_day
+ORDER BY cohort_day
+"""
+
+
+@register("h9_retention", oracle=_H9_ORACLE)
+def h9_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH retention(): of each first-seen-day cohort, how many users
+    were active again exactly 7 days later. Dedup to (user, day) first
+    — the shuffles run over distinct pairs, not raw events."""
+    ev = load(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    cohort = days.groupBy("user_id").agg(F.min("day").alias("d0"))
+    returned = days.select(
+        F.col("user_id").alias("r_user"), F.col("day").alias("r_day")
+    )
+    return (
+        cohort.join(
+            returned,
+            (cohort.user_id == returned.r_user)
+            & (returned.r_day == F.col("d0") + F.expr("INTERVAL 7 DAYS")),
+            "left",
+        )
+        .groupBy(F.col("d0").alias("cohort_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.count(F.when(F.col("r_user").isNotNull(), 1)).alias("retained_7d"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# h10_sequence_match — CH sequenceMatch(): regex over per-user event seq
+# ---------------------------------------------------------------------------
+
+_H10_ORACLE = """
+WITH seq AS (
+  SELECT user_id,
+         string_agg(substring(event_type, 1, 1), ''
+                    ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS s
+  FROM events
+  GROUP BY user_id
+)
+SELECT user_id,
+       CAST(length(s) AS BIGINT) AS n_events,
+       regexp_matches(s, 'v.*c.*p') AS funnel_vcp,
+       regexp_matches(s, 's.*p') AS signup_then_purchase,
+       NOT regexp_matches(s, 'e') AS error_free
+FROM seq
+ORDER BY user_id
+"""
+
+
+@register("h10_sequence_match", oracle=_H10_ORACLE)
+def h10_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH sequenceMatch: collapse each user's time-ordered events to a
+    string of type-initials, then regex-match patterns over it.
+
+    Determinism: collect_list order is undefined, so events are
+    collected as (ts, event_id, initial) structs, sort_array'd (well-
+    defined struct ordering), THEN projected to initials — the portable
+    equivalent of DuckDB's string_agg(... ORDER BY)."""
+    ev = load(spark, sf_dir, "events")
+    packed = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.unix_micros("ts").alias("ts_us"),
+                    F.col("event_id").alias("eid"),
+                    F.substring("event_type", 1, 1).alias("ini"),
+                )
+            )
+        ).alias("evs")
+    )
+    s = F.array_join(F.transform("evs", lambda x: x["ini"]), "")
+    return packed.select(
+        "user_id",
+        F.length(s).cast("long").alias("n_events"),
+        s.rlike("v.*c.*p").alias("funnel_vcp"),
+        s.rlike("s.*p").alias("signup_then_purchase"),
+        (~s.rlike("e")).alias("error_free"),
+    )

@@ -746,3 +746,186 @@ def i8_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         
     )
+
+
+# ---------------------------------------------------------------------------
+# i9_lang_id — n-gram/vocabulary-profile language identification
+# ---------------------------------------------------------------------------
+
+_I9_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+  FROM documents
+), lang_counts AS (
+  SELECT lang, term, COUNT(*) AS cnt FROM tok GROUP BY lang, term
+), vocab AS (
+  SELECT lang AS v_lang, term FROM (
+    SELECT lang, term,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS rk
+    FROM lang_counts
+  ) WHERE rk <= 30
+), doc_terms AS (
+  SELECT DISTINCT doc_id, lang AS true_lang, term FROM tok
+), scores AS (
+  SELECT d.doc_id, d.true_lang, v.v_lang, COUNT(*) AS hits
+  FROM doc_terms d JOIN vocab v ON d.term = v.term
+  GROUP BY d.doc_id, d.true_lang, v.v_lang
+), pred AS (
+  SELECT doc_id, true_lang, v_lang AS pred_lang, hits,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY hits DESC, v_lang
+         ) AS prk
+  FROM scores
+)
+SELECT doc_id, true_lang, pred_lang, hits
+FROM pred WHERE prk = 1
+ORDER BY doc_id
+"""
+
+
+@register("i9_lang_id", oracle=_I9_ORACLE, tier="T3")
+def i9_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification by vocabulary profile: build a top-30
+    token profile per language (from the labeled corpus), score each
+    document by distinct-token overlap with every profile, predict the
+    argmax (tie-break: more hits, then language code).
+
+    The n-gram-profile classifier shape: two hash aggregates + one
+    broadcast join of the (tiny) vocabulary — scales with token count,
+    never materializes document pairs."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens("text")).alias("term")
+    )
+    lang_counts = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    w_v = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("term"))
+    vocab = (
+        lang_counts.withColumn("rk", F.row_number().over(w_v))
+        .filter(F.col("rk") <= 30)
+        .select(F.col("lang").alias("v_lang"), "term")
+    )
+    doc_terms = tok.select(
+        "doc_id", F.col("lang").alias("true_lang"), "term"
+    ).distinct()
+    scores = (
+        doc_terms.join(F.broadcast(vocab), "term")
+        .groupBy("doc_id", "true_lang", "v_lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    w_p = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("v_lang"))
+    return (
+        scores.withColumn("prk", F.row_number().over(w_p))
+        .filter(F.col("prk") == 1)
+        .select("doc_id", "true_lang", F.col("v_lang").alias("pred_lang"), "hits")
+    )
+
+
+# ---------------------------------------------------------------------------
+# i10_quality_score — document quality heuristics
+# ---------------------------------------------------------------------------
+
+_I10_ORACLE = """
+WITH feats AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+           AS n_distinct,
+         CAST(len(list_filter(string_split(text, ' '), t -> length(t) <= 3))
+              AS BIGINT) AS n_short,
+         n_chars
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens, n_distinct, n_short,
+       CAST(n_distinct AS DOUBLE) / n_tokens AS diversity,
+       CAST(n_short AS DOUBLE) / n_tokens AS short_ratio,
+       0.5 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+         + 0.3 * (1.0 - CAST(n_short AS DOUBLE) / n_tokens)
+         + 0.2 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) AS quality_score
+FROM feats
+ORDER BY doc_id
+"""
+
+
+@register("i10_quality_score", oracle=_I10_ORACLE)
+def i10_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring for training-data filtering: lexical diversity,
+    short-token ratio, and a length saturation term combined into one
+    score. All ratios are integer/integer divisions — deterministic
+    IEEE on both engines; purely map-side (no shuffle at all)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tokens = F.size(toks).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    n_short = F.size(F.filter(toks, lambda t: F.length(t) <= 3)).cast("long")
+    feats = docs.select(
+        "doc_id", "lang", n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct"), n_short.alias("n_short"), "n_chars",
+    )
+    diversity = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    short_ratio = F.col("n_short").cast("double") / F.col("n_tokens")
+    sat = F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0))
+    return feats.select(
+        "doc_id", "lang", "n_tokens", "n_distinct", "n_short",
+        diversity.alias("diversity"),
+        short_ratio.alias("short_ratio"),
+        (0.5 * diversity + 0.3 * (1.0 - short_ratio) + 0.2 * sat).alias(
+            "quality_score"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# i11_rolling_fingerprint — polynomial rolling hash document fingerprint
+# ---------------------------------------------------------------------------
+
+# portable token hash: engine-expressible on both sides (no xxhash64 in
+# DuckDB): h(t) = len(t)*131 + ascii(first)*31 + ascii(last)
+_I11_ORACLE = """
+WITH hs AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '), t ->
+           CAST(length(t) * 131
+                + ascii(substring(t, 1, 1)) * 31
+                + ascii(substring(t, length(t), 1)) AS BIGINT)) AS token_hashes
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(token_hashes) AS BIGINT) AS n_tokens,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), token_hashes),
+                   (a, h) -> (a * 131 + h) % 1000000007) AS fingerprint,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), token_hashes),
+                   (a, h) -> (a * 131 + h) % 1000000007) % 256 AS shard
+FROM hs
+ORDER BY doc_id
+"""
+
+
+@register("i11_rolling_fingerprint", oracle=_I11_ORACLE)
+def i11_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint via a polynomial rolling hash over token
+    hashes (Rabin–Karp style, mod 1e9+7 so the fold never overflows
+    int64). Order-sensitive by construction — permuted documents get
+    different fingerprints, unlike bag-of-words hashes. Integer-exact
+    on both engines; the shard column shows the downstream use
+    (routing/bucketing by fingerprint)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    token_hashes = F.transform(
+        toks,
+        lambda t: (
+            F.length(t).cast("long") * 131
+            + F.ascii(F.substring(t, 1, 1)).cast("long") * 31
+            + F.ascii(t.substr(F.length(t), F.lit(1))).cast("long")
+        ),
+    )
+    fingerprint = F.aggregate(
+        token_hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 131 + h) % 1000000007,
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        fingerprint.alias("fingerprint"),
+        (fingerprint % 256).alias("shard"),
+    )

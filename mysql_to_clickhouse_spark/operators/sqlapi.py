@@ -1,0 +1,80 @@
+"""The SQL entry point (SURVEY.md §3.2 entry point 2): the same engine
+surface consumed as SQL text via spark.sql over registered views —
+parser → same Catalyst plan as the DataFrame API.
+
+The Spark-dialect SQL uses the same fixed-point expressions as the
+DataFrame forms, so the DuckDB oracles hash-match identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mysql_to_clickhouse_spark.functions.numeric import o_dmean, o_dsum
+from mysql_to_clickhouse_spark.registry import register
+from mysql_to_clickhouse_spark.tables import load
+
+_S1_SPARK_SQL = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(FLOOR(l_quantity * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0
+    AS sum_qty,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT))
+       AS DOUBLE) / 10000.0 AS sum_disc_price,
+  COUNT(*) AS count_order
+FROM {li}
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+_S1_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {o_dsum('l_quantity')} AS sum_qty,
+  {o_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("s1_sql_pricing", oracle=_S1_ORACLE)
+def s1_sql_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape written as SQL text — proving the SQL surface
+    resolves to the same results (and the same Catalyst machinery) as
+    the DataFrame form (d1_group_basic)."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("s1_lineitem")
+    return spark.sql(_S1_SPARK_SQL.format(li="s1_lineitem"))
+
+
+_S2_SPARK_SQL = """
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn
+  FROM {orders}
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+)
+WHERE rn <= 2
+"""
+
+_S2_ORACLE = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+         ) AS BIGINT) AS rn
+  FROM orders
+)
+SELECT * FROM ranked WHERE rn <= 2
+"""
+
+
+@register("s2_sql_window_qualify", oracle=_S2_ORACLE)
+def s2_sql_window_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL WINDOW clause + ranked-subquery filter (the top-k-per-group
+    idiom; Spark's parser has no QUALIFY) through the SQL surface."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("s2_orders")
+    return spark.sql(_S2_SPARK_SQL.format(orders="s2_orders"))

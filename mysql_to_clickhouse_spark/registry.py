@@ -57,6 +57,8 @@ _OPERATOR_MODULES = (
     "eventtime",
     "llmops",
     "multimodal",
+    "scale",
+    "sqlapi",
     "udfs",
 )
 

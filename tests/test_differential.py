@@ -1,0 +1,81 @@
+"""Property-based differential testing (SURVEY.md §5.3 item 3): random
+small tables, composed relational ops, Spark vs DuckDB must agree
+exactly. Integer-only values keep both engines in exact arithmetic, so
+any disagreement is a real semantic bug, not float noise."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=-5, max_value=5),        # key
+        st.integers(min_value=-1000, max_value=1000),  # val
+        st.sampled_from(["x", "y", "z"]),              # tag
+    ),
+    min_size=0,
+    max_size=50,
+)
+
+
+@given(rows=rows_strategy)
+@settings(max_examples=12, deadline=None)
+def test_groupby_agg_differential(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["k", "v", "tag"])
+    sdf = spark.createDataFrame(pdf) if len(pdf) else None
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.sql(
+        "SELECT k, tag, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS s, "
+        "MIN(v) AS lo, MAX(v) AS hi FROM t GROUP BY k, tag"
+    ).df()
+    if sdf is None:
+        assert len(want) == 0
+        return
+    from pyspark.sql import functions as F
+
+    got = (
+        sdf.groupBy("k", "tag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .toPandas()
+    )
+    key = ["k", "tag"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@given(rows=rows_strategy, lo=st.integers(-5, 5), hi=st.integers(-5, 5))
+@settings(max_examples=12, deadline=None)
+def test_filter_distinct_differential(spark, rows, lo, hi):
+    pdf = pd.DataFrame(rows, columns=["k", "v", "tag"])
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.sql(
+        f"SELECT DISTINCT k, tag FROM t WHERE k BETWEEN {lo} AND {hi}"
+    ).df()
+    if len(pdf) == 0:
+        assert len(want) == 0
+        return
+    from pyspark.sql import functions as F
+
+    got = (
+        spark.createDataFrame(pdf)
+        .filter(F.col("k").between(lo, hi))
+        .select("k", "tag")
+        .distinct()
+        .toPandas()
+    )
+    key = ["k", "tag"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -71,3 +71,12 @@ def test_broadcast_threshold_covers_dims(spark):
     # of the fact side)
     df = QUERIES["c1_inner_equi"].fn(spark, TEST_SF_DIR)
     assert num_broadcast_joins(df) >= 1, plan_of(df, "simple")
+
+
+def test_bucketed_join_has_no_join_exchange(spark):
+    df = QUERIES["a9_bucketed_join"].fn(spark, TEST_SF_DIR)
+    plan = plan_of(df, "simple")
+    assert "SortMergeJoin" in plan, plan
+    # bucketed scans feed the SMJ directly; the only allowed Exchange is
+    # the final tiny aggregate's
+    assert plan.count("Exchange") <= 1, plan
