@@ -138,18 +138,19 @@ def a9_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact tables by their join key at ingest time (the a5 sink) turns
     every subsequent fact-fact join into a local merge."""
     import shutil
+    import tempfile
 
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
-    spark.sql("CREATE DATABASE IF NOT EXISTS m2c_bkt")
-    warehouse = spark.conf.get(
-        "spark.sql.warehouse.dir", "spark-warehouse"
-    ).removeprefix("file:")
+    # explicit LOCATION: the host session's default warehouse is
+    # cwd-relative and the caller's cwd may not be writable
+    wh = f"{tempfile.gettempdir()}/m2c_bkt_warehouse"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS m2c_bkt LOCATION '{wh}'")
     for tbl in ("orders_b", "customer_b"):
         # a stale location from a previous session blocks saveAsTable
         # even in overwrite mode (LOCATION_ALREADY_EXISTS)
         spark.sql(f"DROP TABLE IF EXISTS m2c_bkt.{tbl}")
-        shutil.rmtree(f"{warehouse}/m2c_bkt.db/{tbl}", ignore_errors=True)
+        shutil.rmtree(f"{wh}/{tbl}", ignore_errors=True)
     (
         orders.select("o_orderkey", "o_custkey", "o_totalprice")
         .write.bucketBy(8, "o_custkey")
