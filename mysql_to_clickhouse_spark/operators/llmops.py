@@ -929,3 +929,43 @@ def i11_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint.alias("fingerprint"),
         (fingerprint % 256).alias("shard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# i12_subword_tokens — BPE-ish regex token counting
+# ---------------------------------------------------------------------------
+
+_SUBWORD_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+_I12_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_SUBWORD_PATTERN}')) AS BIGINT)
+         AS subword_tokens,
+       CAST(len(list_filter(regexp_extract_all(text, '{_SUBWORD_PATTERN}'),
+                            t -> length(t) >= 4)) AS BIGINT) AS long_subwords,
+       regexp_extract_all(text, '{_SUBWORD_PATTERN}')[1] AS first_subword
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("i12_subword_tokens", oracle=_I12_ORACLE)
+def i12_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens vs a BPE-ish regex
+    lexer ([a-z]+ runs, digit runs, single punctuation) — the cheap
+    proxy for tokenizer-budget estimation over a corpus. Pure map-side
+    regexp_extract_all on both engines (identical simple-regex
+    semantics, probed)."""
+    docs = load(spark, sf_dir, "documents")
+    # idx=0 → whole match (Spark defaults to capture group 1)
+    sub = F.regexp_extract_all("text", F.lit(_SUBWORD_PATTERN), 0)
+    return docs.select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("ws_tokens"),
+        F.size(sub).cast("long").alias("subword_tokens"),
+        F.size(F.filter(sub, lambda t: F.length(t) >= 4))
+        .cast("long")
+        .alias("long_subwords"),
+        F.element_at(sub, 1).alias("first_subword"),
+    )

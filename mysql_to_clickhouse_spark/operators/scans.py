@@ -260,3 +260,52 @@ def a7_schema_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").alias("qty"),
         F.col("l_extendedprice").alias("price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# a10_compaction — small-file compaction (sink maintenance)
+# ---------------------------------------------------------------------------
+
+_A10_ORACLE = f"""
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT event_id) AS n_ids,
+       {o_dsum('value')} AS total_value
+FROM events
+"""
+
+
+@register("a10_compaction", oracle=_A10_ORACLE, tier="T3")
+def a10_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the ClickHouse background-merge analog
+    every parquet sink needs operationally: explode events into many
+    tiny files (the pathological ingest state), then compact to
+    size-targeted files (coalesce to ceil(bytes / 128 MB)) and verify
+    the compacted copy is byte-complete via count/distinct/sum against
+    the source.
+
+    Scale note: compaction uses coalesce (no shuffle) because it only
+    narrows partition count; use repartition only when files must also
+    be re-clustered."""
+    import math
+    import os as _os
+    import tempfile
+
+    ev = load(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="a10_compact_")
+    fragmented = _os.path.join(root, "fragmented")
+    compacted = _os.path.join(root, "compacted")
+    ev.repartition(64).write.parquet(fragmented)  # 64 tiny files
+    frag_df = spark.read.parquet(fragmented)
+    frag_bytes = sum(
+        f.stat().st_size
+        for f in _os.scandir(fragmented)
+        if f.name.endswith(".parquet")
+    )
+    target_files = max(1, math.ceil(frag_bytes / (128 * 1024 * 1024)))
+    frag_df.coalesce(target_files).write.parquet(compacted)
+    back = spark.read.parquet(compacted)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("event_id").alias("n_ids"),
+        dsum("value").alias("total_value"),
+    )
