@@ -652,3 +652,74 @@ def d16_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d17_pivot — wide-format aggregation (Spark pivot API)
+# ---------------------------------------------------------------------------
+
+_D17_ORACLE = """
+SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+FROM events
+GROUP BY day
+ORDER BY day
+"""
+
+_EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+@register("d17_pivot", oracle=_D17_ORACLE)
+def d17_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: long→wide event counts per day. The value list is given
+    explicitly — at scale an unbounded pivot needs a distinct-values
+    pass first; pinning the columns keeps it one aggregate and makes
+    the schema static (and oracle-checkable)."""
+    ev = load(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    # pivot leaves NULL for absent combos; the oracle's COUNT gives 0
+    return out.select(
+        "day", *[F.coalesce(t, F.lit(0)).alias(t) for t in _EVENT_TYPES]
+    )
+
+
+# ---------------------------------------------------------------------------
+# d18_unpivot — wide→long (melt)
+# ---------------------------------------------------------------------------
+
+_D18_ORACLE = """
+SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS val
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+ORDER BY l_orderkey, l_linenumber, metric
+"""
+
+
+@register("d18_unpivot", oracle=_D18_ORACLE)
+def d18_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: one row per (row, metric) — the long format every
+    metrics store ingests. Spark's unpivot is a map-side Expand (zero
+    shuffle), unlike the naive N-scan UNION ALL the oracle states."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    ).withColumn(
+        "metric",
+        F.when(F.col("metric") == "l_quantity", "quantity")
+        .when(F.col("metric") == "l_discount", "discount")
+        .otherwise("tax"),
+    )

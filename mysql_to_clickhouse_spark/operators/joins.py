@@ -527,3 +527,38 @@ def c12_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# c14_shuffle_hash_join — explicit join-strategy control
+# ---------------------------------------------------------------------------
+
+_C14_ORACLE = f"""
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       {o_dsum('l_extendedprice')} AS total_price
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("c14_shuffle_hash_join", oracle=_C14_ORACLE)
+def c14_shuffle_hash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join under an explicit SHUFFLE_HASH hint: when neither
+    side broadcasts and the build side fits per-partition memory, hash
+    beats sort-merge (no sort phase). The hint surface is how a query
+    author overrides Catalyst when cardinality estimates are wrong —
+    results are strategy-invariant, which is exactly what the oracle
+    checks."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        orders.hint("shuffle_hash")
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("l_extendedprice").alias("total_price"),
+        )
+    )

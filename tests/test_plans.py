@@ -80,3 +80,8 @@ def test_bucketed_join_has_no_join_exchange(spark):
     # bucketed scans feed the SMJ directly; the only allowed Exchange is
     # the final tiny aggregate's
     assert plan.count("Exchange") <= 1, plan
+
+
+def test_shuffle_hash_hint_respected(spark):
+    df = QUERIES["c14_shuffle_hash_join"].fn(spark, TEST_SF_DIR)
+    assert "ShuffledHashJoin" in plan_of(df, "simple"), plan_of(df, "simple")
