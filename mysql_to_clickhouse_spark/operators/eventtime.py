@@ -13,7 +13,6 @@ ns-parquet column; see tables._load_events).
 
 from __future__ import annotations
 
-import functools
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F

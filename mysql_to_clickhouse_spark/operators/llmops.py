@@ -32,7 +32,6 @@ from mysql_to_clickhouse_spark.functions.text import (
     tokens,
 )
 from mysql_to_clickhouse_spark.functions.vectors import (
-    DOT_SCALE,
     cosine,
     l2_norm,
     o_cosine,

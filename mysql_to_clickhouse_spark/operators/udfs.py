@@ -41,11 +41,11 @@ def j1_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths — see j2 for the Arrow-vectorized form."""
 
     @F.udf(returnType=LongType())
-    def len_mod(text: str) -> int:
+    def len_mod(text):
         return len(text) % 97
 
     @F.udf(returnType=LongType())
-    def len_ok(text: str) -> int:
+    def len_ok(text):
         return 1 if 100 <= len(text) <= 400 else 0
 
     docs = load(spark, sf_dir, "documents")

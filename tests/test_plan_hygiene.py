@@ -1,0 +1,39 @@
+"""Registry-wide plan hygiene: no query may silently plan a cartesian
+product or an unexpected broadcast-nested-loop — the two shapes that
+detonate at 100 TB. Whitelisted exceptions are the operators whose
+SEMANTICS are a cross/theta join (bounded inputs by design)."""
+
+from __future__ import annotations
+
+import pytest
+
+from mysql_to_clickhouse_spark.plans.explain import plan_of
+from mysql_to_clickhouse_spark.registry import all_queries
+from tests.conftest import SMOKE_SF_DIR
+
+QUERIES = all_queries()
+
+# semantics ARE a cartesian/theta join over bounded inputs:
+CARTESIAN_OK = {
+    "c7_cross",          # explicit cross join (5 × 25)
+    "c8_theta_range",    # band join against 10 broadcast buckets
+    "h4_watermark_late", # scalar (1-row) max cross join
+    "i3_cosine_pairs",   # kernel op (no join; pairs inside mapInPandas)
+    "i3b_cosine_zipwith",# bounded pair triangle by design
+    "i6_tfidf_keywords", # scalar doc-count cross join
+}
+
+# queries whose side effects / streaming make a plain plan dump moot
+SKIP = {"h8_rate_replay"}
+
+
+@pytest.mark.parametrize("name", [n for n in QUERIES if n not in SKIP])
+def test_no_unplanned_cartesian(spark, name):
+    df = QUERIES[name].fn(spark, SMOKE_SF_DIR)
+    plan = plan_of(df, "simple")
+    if name in CARTESIAN_OK:
+        return
+    assert "CartesianProduct" not in plan, f"{name} planned a cartesian:\n{plan}"
+    assert (
+        "BroadcastNestedLoopJoin" not in plan
+    ), f"{name} planned a broadcast nested loop:\n{plan}"
