@@ -309,3 +309,73 @@ def a10_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_id").alias("n_ids"),
         dsum("value").alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# a11_csv_roundtrip / a12_json_roundtrip — non-parquet source formats
+# ---------------------------------------------------------------------------
+
+_A11_ORACLE = """
+SELECT n_regionkey, COUNT(*) AS n_nations,
+       array_to_string(list_sort(list(n_name)), ',') AS names
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
+@register("a11_csv_roundtrip", oracle=_A11_ORACLE, tier="T3")
+def a11_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source/sink: write nation to CSV with a header, read it back
+    with an EXPLICIT schema (never infer in an engine core — inference
+    is a second full scan and schema drift waiting to happen), verify
+    content against the parquet original."""
+    nation = load(spark, sf_dir, "nation")
+    out = os.path.join(tempfile.mkdtemp(prefix="a11_csv_"), "nation_csv")
+    nation.write.option("header", "true").csv(out)
+    back = (
+        spark.read.option("header", "true")
+        .schema("n_nationkey int, n_name string, n_regionkey int")
+        .csv(out)
+    )
+    return (
+        back.groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias(
+                "names"
+            ),
+        )
+    )
+
+
+_A12_ORACLE = f"""
+SELECT event_type, COUNT(*) AS n, {o_dsum('value')} AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("a12_json_roundtrip", oracle=_A12_ORACLE, tier="T3")
+def a12_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source/sink round-trip for the events stream (the
+    wire format CDC events usually arrive in). Timestamps travel as
+    epoch-µs bigints — JSON has no timestamp type; re-encoding through
+    ISO strings would re-open the ns/µs trap."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="a12_json_"), "events_json")
+    ev.write.json(out)
+    back = spark.read.schema(
+        "event_id long, ts_us long, user_id long, event_type string, value double"
+    ).json(out)
+    return (
+        back.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+    )
