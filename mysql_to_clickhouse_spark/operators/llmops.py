@@ -421,17 +421,21 @@ def i4_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_quant = np_quantize(np.array(list(pdf["embedding"]), dtype=np.float64))
             q_norms = np_fixed_norms(q_quant)
             cos = np_fixed_cosines(q_quant, q_norms, quant, norms)
-            out: dict[str, list] = {"id_a": [], "id_b": [], "cos_sim": [], "rk": []}
-            for qi in range(len(q_ids)):
-                row = cos[qi]
+            nq = len(q_ids)
+            sel = np.empty((nq, k), dtype=np.int64)
+            for qi in range(nq):
                 # order: cos desc, id asc; np.lexsort's last key is primary
-                order = np.lexsort((ids, -row))
-                order = order[ids[order] != q_ids[qi]][:k]
-                out["id_a"].extend([q_ids[qi]] * len(order))
-                out["id_b"].extend(ids[order])
-                out["cos_sim"].extend(row[order])
-                out["rk"].extend(range(1, len(order) + 1))
-            yield pd.DataFrame(out)
+                order = np.lexsort((ids, -cos[qi]))
+                sel[qi] = order[ids[order] != q_ids[qi]][:k]
+            flat = sel.ravel()
+            yield pd.DataFrame(
+                {
+                    "id_a": np.repeat(q_ids, k),
+                    "id_b": ids[flat],
+                    "cos_sim": cos[np.repeat(np.arange(nq), k), flat],
+                    "rk": np.tile(np.arange(1, k + 1, dtype=np.int64), nq),
+                }
+            )
 
     return (
         emb.select("vec_id", "embedding")
