@@ -12,14 +12,14 @@ w1_topk_per_customer / e1_daily_active / d1_dedup_docs / v1_cosine_topk.
 
 Timing protocol: one shared SparkSession (as in any long-lived
 deployment). Per query we report BOTH:
-- cold_queries: build the plan and execute, end to end (first run —
-  includes Py4J plan construction + Catalyst analysis, ~0.4 s of fixed
-  per-query cost on this testbed regardless of data size);
+- build_and_exec_queries: construct the plan and execute, end to end
+  (after a discarded warm-up, so it measures plan construction +
+  Catalyst analysis + execution, not first-touch I/O/JIT);
 - queries (the headline): median of 3 executions of the prepared plan —
   the steady-state cost of a resident engine (prepared-statement /
   Thrift-server model), which is the number that scales with data.
-The metric value is the sum of warm medians; cold totals are reported
-alongside, not hidden.
+The metric value is the sum of warm medians; build-and-execute totals
+are reported alongside, not hidden.
 """
 
 from __future__ import annotations
@@ -86,8 +86,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": warm,
-                "cold_queries": cold,
-                "cold_total": round(sum(cold.values()), 4),
+                "build_and_exec_queries": cold,
+                "build_and_exec_total": round(sum(cold.values()), 4),
                 "sf": sf,
             }
         )

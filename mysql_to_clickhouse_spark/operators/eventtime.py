@@ -348,17 +348,13 @@ def h7_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
+    # the SAME dedup the real stream applies per micro-batch — shared so
+    # the batch simulation can never drift from streaming/cdc semantics
+    from mysql_to_clickhouse_spark.streaming.cdc import _latest_per_key
+
     bounds = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
     lo, hi = int(bounds[0]), int(bounds[1]) + 1
     step = (hi - lo) // 6 + 1
-
-    def latest_per_key(df: DataFrame) -> DataFrame:
-        w = Window.partitionBy("user_id").orderBy(
-            F.desc("ts_us"), F.desc("event_id")
-        )
-        return df.withColumn("rn", F.row_number().over(w)).filter(
-            F.col("rn") == 1
-        ).drop("rn")
 
     state: DataFrame | None = None
     for i in range(6):
@@ -366,7 +362,7 @@ def h7_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ts_us") >= lo + i * step) & (F.col("ts_us") < lo + (i + 1) * step)
         )
         state = batch if state is None else state.unionByName(batch)
-        state = latest_per_key(state)
+        state = _latest_per_key(state)
     return (
         state.filter(F.col("event_type") != "error")
         .select("user_id", "event_id", "ts_us", "event_type", "value")

@@ -101,7 +101,10 @@ def i2_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.xxhash64(F.lit(k), F.col("shingle"))).alias(f"m{k}")
         for k in range(_MINHASH_K)
     ]
-    sigs = exploded.groupBy("doc_id").agg(*min_cols)
+    # the signature pipeline feeds both sides of the band self-join AND
+    # the Jaccard recheck — persist so the explode+16-min aggregate runs
+    # once, not 2-4× (session-lifetime cache; tiny relative to input)
+    sigs = exploded.groupBy("doc_id").agg(*min_cols).persist()
     rows_per_band = _MINHASH_K // _BANDS
     band_cols = [
         F.xxhash64(
@@ -275,7 +278,14 @@ ORDER BY id_a, id_b
 """
 
 
-def _broadcast_matrix(spark: SparkSession, emb: DataFrame):
+import weakref as _weakref
+
+_MATRIX_CACHE: "_weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    _weakref.WeakKeyDictionary()
+)
+
+
+def _broadcast_matrix(spark: SparkSession, emb: DataFrame, sf_dir: str):
     """Collect the embedding table once (vec_id-sorted) and broadcast
     (ids, float64 matrix, exact norms) to every task.
 
@@ -293,11 +303,20 @@ def _broadcast_matrix(spark: SparkSession, emb: DataFrame):
         np_quantize,
     )
 
-    rows = emb.select("vec_id", "embedding").collect()
+    # one collect + broadcast per (session, table); repeated i3/i4/i8
+    # invocations reuse it instead of leaking broadcast blocks
+    per_session = _MATRIX_CACHE.setdefault(spark, {})
+    if sf_dir in per_session:
+        return per_session[sf_dir]
+    rows = sorted(
+        emb.select("vec_id", "embedding").collect(), key=lambda r: r["vec_id"]
+    )
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     quant = np_quantize(np.array([r["embedding"] for r in rows], dtype=np.float64))
     norms = np_fixed_norms(quant)
-    return spark.sparkContext.broadcast((ids, quant, norms))
+    bc = spark.sparkContext.broadcast((ids, quant, norms))
+    per_session[sf_dir] = bc
+    return bc
 
 
 @register("i3_cosine_pairs", oracle=_I3_ORACLE)
@@ -321,7 +340,7 @@ def i3_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load(spark, sf_dir, "embeddings")
-    bc = _broadcast_matrix(spark, emb)
+    bc = _broadcast_matrix(spark, emb, sf_dir)
 
     def pairs_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids, quant, norms = bc.value
@@ -411,7 +430,7 @@ def i4_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load(spark, sf_dir, "embeddings")
-    bc = _broadcast_matrix(spark, emb)
+    bc = _broadcast_matrix(spark, emb, sf_dir)
     k = 5
 
     def topk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -12,7 +12,8 @@ MySQL→ClickHouse type map → a6; column routing → a7.
 from __future__ import annotations
 
 import os
-import tempfile
+
+from mysql_to_clickhouse_spark.functions.tmputil import scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -178,7 +179,7 @@ def a5_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         "yyyymm", F.date_format("ts", "yyyyMM")
     )
     out_dir = os.path.join(
-        tempfile.mkdtemp(prefix="a5_sink_"), "events_by_month"
+        scratch_dir("a5_sink_"), "events_by_month"
     )
     ev.select("event_id", "user_id", "event_type", "value", "yyyymm").write.mode(
         "overwrite"
@@ -288,10 +289,9 @@ def a10_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     be re-clustered."""
     import math
     import os as _os
-    import tempfile
 
     ev = load(spark, sf_dir, "events")
-    root = tempfile.mkdtemp(prefix="a10_compact_")
+    root = scratch_dir("a10_compact_")
     fragmented = _os.path.join(root, "fragmented")
     compacted = _os.path.join(root, "compacted")
     ev.repartition(64).write.parquet(fragmented)  # 64 tiny files
@@ -331,7 +331,7 @@ def a11_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a second full scan and schema drift waiting to happen), verify
     content against the parquet original."""
     nation = load(spark, sf_dir, "nation")
-    out = os.path.join(tempfile.mkdtemp(prefix="a11_csv_"), "nation_csv")
+    out = os.path.join(scratch_dir("a11_csv_"), "nation_csv")
     nation.write.option("header", "true").csv(out)
     back = (
         spark.read.option("header", "true")
@@ -370,7 +370,7 @@ def a12_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="a12_json_"), "events_json")
+    out = os.path.join(scratch_dir("a12_json_"), "events_json")
     ev.write.json(out)
     back = spark.read.schema(
         "event_id long, ts_us long, user_id long, event_type string, value double"

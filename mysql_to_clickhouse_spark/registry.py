@@ -38,9 +38,6 @@ class Query:
     oracle: str | None  # DuckDB ANSI SQL, or None → rows-only check
     tier: str
     doc: str = ""
-    # local-harness hint: compare floats with tolerance instead of exactly
-    # (driver still gets the oracle; this only relaxes OUR stricter test)
-    approx_floats: bool = False
     tags: tuple[str, ...] = field(default_factory=tuple)
 
 
@@ -67,7 +64,6 @@ def register(
     name: str,
     oracle: str | None = None,
     tier: str = "T2",
-    approx_floats: bool = False,
     tags: tuple[str, ...] = (),
 ) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
@@ -79,7 +75,6 @@ def register(
             oracle=oracle,
             tier=tier,
             doc=(fn.__doc__ or "").strip(),
-            approx_floats=approx_floats,
             tags=tags,
         )
         return fn

@@ -17,8 +17,9 @@ same way.
 from __future__ import annotations
 
 import os
-import tempfile
 import uuid
+
+from mysql_to_clickhouse_spark.functions.tmputil import scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -39,10 +40,7 @@ def run_cdc_stream(spark: SparkSession, sf_dir: str, n_slices: int = 3) -> DataF
     """Run the CDC apply loop as a real stream; returns the final state
     (latest non-tombstone row per user_id)."""
     replay_dir, ev = write_replay_slices(spark, sf_dir, n_slices)
-    state_root = os.path.join(
-        tempfile.gettempdir(), f"cdc_state_{uuid.uuid4().hex[:8]}"
-    )
-    os.makedirs(state_root)
+    state_root = scratch_dir(f"cdc_state_{uuid.uuid4().hex[:8]}_")
     versions: list[str] = []
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:

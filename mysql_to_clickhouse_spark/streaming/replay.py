@@ -12,8 +12,9 @@ against their batch equivalents.
 from __future__ import annotations
 
 import os
-import tempfile
 import uuid
+
+from mysql_to_clickhouse_spark.functions.tmputil import scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -32,10 +33,7 @@ def write_replay_slices(
     ).first()
     lo, hi = int(bounds[0]), int(bounds[1]) + 1
     step = (hi - lo) // n_slices + 1
-    replay_dir = os.path.join(
-        tempfile.gettempdir(), f"replay_{uuid.uuid4().hex[:8]}"
-    )
-    os.makedirs(replay_dir)
+    replay_dir = scratch_dir(f"replay_{uuid.uuid4().hex[:8]}_")
     for i in range(n_slices):
         ev.filter(
             (F.unix_micros("ts") >= lo + i * step)

@@ -61,11 +61,21 @@ def _ship_package(spark: SparkSession) -> None:
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    sources = sorted(
+        os.path.join(root, f)
+        for root, _d, files in os.walk(pkg_dir)
+        for f in files
+        if f.endswith(".py")
+    )
+    # content-stamped name: a stale zip after a source edit would make
+    # workers silently run old code
+    newest = max(int(os.path.getmtime(p) * 1000) for p in sources)
     zip_path = os.path.join(
-        tempfile.gettempdir(), "mysql_to_clickhouse_spark_pkg.zip"
+        tempfile.gettempdir(),
+        f"mysql_to_clickhouse_spark_pkg_{len(sources)}_{newest}.zip",
     )
     if not os.path.exists(zip_path):
-        tmp = zip_path + ".tmp"
+        tmp = zip_path + f".{os.getpid()}.tmp"
         with zipfile.ZipFile(tmp, "w") as zf:
             for root, _dirs, files in os.walk(pkg_dir):
                 for fname in files:
@@ -85,6 +95,11 @@ def _ship_package(spark: SparkSession) -> None:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # every timestamp literal, date_trunc and rendered TimestampType in
+    # the engine assumes UTC; the host session (the verification
+    # driver's!) may be on any machine TZ, so pin it at the query path —
+    # session timeZone is runtime-settable, same as the ns conf below
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     _ship_package(spark)
     per_session = _LOAD_CACHE.setdefault(spark, {})
     key = (sf_dir, name)

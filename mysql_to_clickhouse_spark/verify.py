@@ -3,8 +3,8 @@
 Runs a registered query on Spark and its oracle SQL on DuckDB over the
 same parquet tables, then compares row count + column names + values
 order-insensitively. Strictly harder than the driver's value-hash check:
-we demand exact equality (bitwise for floats) unless the query is marked
-``approx_floats`` — so a local pass predicts a driver hash match.
+exact equality (bitwise for floats) PLUS the stringified driver-hash
+model — so a local pass predicts a driver hash match.
 """
 
 from __future__ import annotations
@@ -72,7 +72,7 @@ class CompareResult:
 
 
 def compare_frames(
-    spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, approx_floats: bool = False
+    spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame
 ) -> CompareResult:
     a_cols, b_cols = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
     if a_cols != b_cols:
@@ -91,8 +91,6 @@ def compare_frames(
             if exact:
                 continue
             close = bool(np.allclose(avf, bvf, rtol=1e-9, atol=1e-12, equal_nan=True))
-            if approx_floats and close:
-                continue
             worst = float(np.nanmax(np.abs(avf - bvf))) if len(avf) else 0.0
             return CompareResult(
                 False,
@@ -131,10 +129,8 @@ def run_and_compare(spark, con, query, sf_dir: str) -> CompareResult:
         n = len(spark_pdf)
         return CompareResult(True, f"rows-only: {n} rows")
     oracle_pdf = con.sql(query.oracle).df()
-    result = compare_frames(
-        spark_pdf, oracle_pdf, approx_floats=query.approx_floats
-    )
-    if not result.ok or query.approx_floats:
+    result = compare_frames(spark_pdf, oracle_pdf)
+    if not result.ok:
         return result
     # strict driver-hash model on top of the numeric comparison
     s_rows, o_rows = _string_rows(spark_pdf), _string_rows(oracle_pdf)

@@ -40,6 +40,8 @@ def main():
 
     from pyspark.sql import SparkSession
 
+    # deliberately a plain session (like the verification driver's):
+    # no timezone/broadcast/AQE tuning — the engine must self-configure
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
