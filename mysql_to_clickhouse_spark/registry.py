@@ -46,6 +46,7 @@ _REGISTRY: dict[str, Query] = {}
 _OPERATOR_MODULES = (
     "scans",
     "filters",
+    "golden",
     "joins",
     "aggregates",
     "windows",
