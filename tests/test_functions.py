@@ -1,0 +1,64 @@
+"""Unit tests for the determinism helpers themselves — the properties
+everything else leans on."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_kernel_bitwise_equals_lambda_cosine(spark):
+    """The numpy dgemm kernel and the zip_with/aggregate lambda form
+    must produce BIT-identical cosines (the whole point of quantized
+    fixed-point arithmetic)."""
+    from mysql_to_clickhouse_spark.functions.vectors import (
+        cosine,
+        np_fixed_cosines,
+        np_fixed_norms,
+        np_quantize,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(scale=0.3, size=(12, 64)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = df.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    b = df.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+    got = {
+        (r["ia"], r["ib"]): r["c"]
+        for r in a.join(b, F.col("ia") < F.col("ib"))
+        .select("ia", "ib", cosine("ea", "eb").alias("c"))
+        .collect()
+    }
+    quant = np_quantize(vecs.astype(np.float64))
+    norms = np_fixed_norms(quant)
+    cos = np_fixed_cosines(quant, norms, quant, norms)
+    for (i, j), v in got.items():
+        assert v == cos[i, j], f"pair ({i},{j}): lambda={v!r} kernel={cos[i, j]!r}"
+
+
+def test_fixed_point_negative_and_null(spark):
+    from mysql_to_clickhouse_spark.functions.numeric import dsum, fixed_point
+
+    df = spark.createDataFrame(
+        [(-2.5,), (2.5,), (None,), (-0.00005,)], "v double"
+    )
+    fixed = df.select(fixed_point("v").alias("f")).collect()
+    # FLOOR semantics: -2.5*1e4 → -25000, 2.5 → 25000, null → null,
+    # -0.00005*1e4 = -0.5 → -1 (floor, not truncation)
+    assert [r["f"] for r in fixed] == [-25000, 25000, None, -1]
+    total = df.agg(dsum("v").alias("s")).collect()[0]["s"]
+    assert total == (-25000 + 25000 + -1) / 1e4
+
+
+def test_word_shingles_short_doc(spark):
+    from mysql_to_clickhouse_spark.functions.text import word_shingles
+
+    df = spark.createDataFrame(
+        [("one two",), ("a b c d",)], "text string"
+    )
+    got = [r["s"] for r in df.select(word_shingles("text").alias("s")).collect()]
+    assert got[0] == []  # fewer than 3 tokens → empty, not an error
+    assert got[1] == ["a b c", "b c d"]
