@@ -23,6 +23,7 @@ per-round firefighting):
 from __future__ import annotations
 
 import importlib
+import re
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -88,9 +89,49 @@ def _load_operators() -> None:
         importlib.import_module(f"mysql_to_clickhouse_spark.operators.{mod}")
 
 
+# SURVEY.md §2 base-operator counts per family. Used only for ordering:
+# a name like "c9_asof" (family letter, ordinal ≤ the family's base count,
+# no letter suffix) is a base §2 ID; everything else (a8+, c3b, d15+, m/s/x
+# series…) is an extension.
+_BASE_COUNTS = {
+    "a": 7, "b": 7, "c": 11, "d": 14, "e": 7,
+    "f": 6, "g": 14, "h": 8, "i": 8, "j": 5,
+}
+_ID_RE = re.compile(r"^([a-z])(\d+)([a-z]?)_")
+
+
+def _priority_order(names: list[str]) -> list[str]:
+    """Round-robin the 87 base §2 IDs across families A–J, extensions last.
+
+    The verification driver records correctness for only the first N entries
+    of ``queries()`` (N=50 in round 1, alphabetical order left families E–J
+    unverified).  Interleaving one ordinal per family per round guarantees
+    ANY prefix of ≥10 entries covers every §2 family, and a 50-entry prefix
+    covers each family 5 ordinals deep.
+    """
+    base: dict[tuple[str, int], str] = {}
+    extras: list[str] = []
+    for n in names:
+        m = _ID_RE.match(n)
+        if m and not m.group(3):
+            fam, num = m.group(1), int(m.group(2))
+            if num <= _BASE_COUNTS.get(fam, 0):
+                base[(fam, num)] = n
+                continue
+        extras.append(n)
+    ordered = [
+        name
+        for k in range(1, max(_BASE_COUNTS.values()) + 1)
+        for fam in _BASE_COUNTS
+        if (name := base.get((fam, k)))
+    ]
+    ordered.extend(sorted(extras))
+    return ordered
+
+
 def all_queries() -> dict[str, Query]:
     _load_operators()
-    return dict(sorted(_REGISTRY.items()))
+    return {name: _REGISTRY[name] for name in _priority_order(list(_REGISTRY))}
 
 
 def query_fns() -> dict[str, QueryFn]:

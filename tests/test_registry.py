@@ -1,0 +1,37 @@
+"""Registry ordering contract: the verification driver records correctness
+for only a prefix of ``queries()`` (50 entries in round 1), so the emitted
+order must cover every SURVEY.md §2 family in any reasonable prefix."""
+
+from __future__ import annotations
+
+from mysql_to_clickhouse_spark.registry import _BASE_COUNTS, all_queries
+
+
+def test_every_family_in_any_10_prefix():
+    names = list(all_queries())
+    first10 = names[:10]
+    assert {n[0] for n in first10} == set(_BASE_COUNTS), first10
+
+
+def test_50_prefix_covers_each_family_five_deep():
+    names = list(all_queries())[:50]
+    for fam in _BASE_COUNTS:
+        fam_names = [n for n in names if n[0] == fam]
+        assert len(fam_names) == 5, (fam, fam_names)
+        ordinals = sorted(int(n[1]) for n in fam_names)
+        assert ordinals == [1, 2, 3, 4, 5], (fam, fam_names)
+
+
+def test_base_ids_before_extensions():
+    names = list(all_queries())
+    n_base = sum(_BASE_COUNTS.values())
+    base_prefix = names[:n_base]
+    # No extension (letter-suffixed or beyond-family-count id) in base zone.
+    for n in base_prefix:
+        fam, rest = n[0], n[1:].split("_", 1)[0]
+        assert rest.isdigit() and int(rest) <= _BASE_COUNTS[fam], n
+
+
+def test_registry_complete():
+    names = list(all_queries())
+    assert len(names) == len(set(names)) == 120
