@@ -11,15 +11,23 @@ q1_pricing_summary / q3_shipping_priority / q5_local_supplier /
 w1_topk_per_customer / e1_daily_active / d1_dedup_docs / v1_cosine_topk.
 
 Timing protocol: one shared SparkSession (as in any long-lived
-deployment). Per query we report BOTH:
-- build_and_exec_queries: construct the plan and execute, end to end
-  (after a discarded warm-up, so it measures plan construction +
-  Catalyst analysis + execution, not first-touch I/O/JIT);
+deployment). Per query we report THREE numbers:
+- first_run_queries: the very first build+exec+fetch, including any
+  one-time per-session cache population (e.g. v1's broadcast embedding
+  matrix build) — reported, not hidden in a discarded warm-up;
+- build_and_exec_queries: construct the plan and execute end to end
+  (measures plan construction + Catalyst analysis + execution after
+  JIT/IO warm-up);
 - queries (the headline): median of 3 executions of the prepared plan —
   the steady-state cost of a resident engine (prepared-statement /
   Thrift-server model), which is the number that scales with data.
-The metric value is the sum of warm medians; build-and-execute totals
-are reported alongside, not hidden.
+The metric value is the sum of warm medians; the other totals are
+reported alongside, not hidden.
+
+Results are fetched via Arrow (`toPandas()`): the DuckDB anchor fetches
+its result in-process columnar, so the comparable Spark path is the
+Arrow columnar fetch, not Py4J row-at-a-time pickling (`collect()` adds
+~250 ms of pure serialization on a 45k-row result — measured r2).
 """
 
 from __future__ import annotations
@@ -64,17 +72,20 @@ def main() -> None:
 
     warm: dict[str, float] = {}
     cold: dict[str, float] = {}
+    first: dict[str, float] = {}
     for headline, qid in HEADLINERS.items():
         fn = queries[qid].fn
-        fn(spark, sf_dir).collect()  # JIT/IO warm-up, discarded
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).toPandas()  # first touch: JIT/IO + one-time caches
+        first[headline] = round(time.perf_counter() - t0, 4)
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
-        df.collect()
+        df.toPandas()
         cold[headline] = round(time.perf_counter() - t0, 4)
         runs = []
         for _ in range(RUNS):
             t0 = time.perf_counter()
-            df.collect()
+            df.toPandas()
             runs.append(time.perf_counter() - t0)
         warm[headline] = round(statistics.median(runs), 4)
 
@@ -88,6 +99,8 @@ def main() -> None:
                 "queries": warm,
                 "build_and_exec_queries": cold,
                 "build_and_exec_total": round(sum(cold.values()), 4),
+                "first_run_queries": first,
+                "first_run_total": round(sum(first.values()), 4),
                 "sf": sf,
             }
         )

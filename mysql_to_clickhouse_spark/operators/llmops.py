@@ -319,6 +319,29 @@ def _broadcast_matrix(spark: SparkSession, emb: DataFrame, sf_dir: str):
     return bc
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition the kernel's query side up to the session's shuffle
+    width (capped by executor parallelism).
+
+    A small parquet file scans as ONE partition, which would run the
+    whole O(n_query × n_table) mapInPandas kernel on a single core.
+    The round-robin shuffle moves only the query rows — trivial next to
+    the kernel — and at cluster scale a many-partition scan passes
+    through untouched. Target = configured shuffle partitions, NOT raw
+    core count: per-task Python-worker/Arrow overhead (~10 ms) makes
+    over-splitting a net loss (measured sf0.1 v1: 266 ms @1 part,
+    196 ms @8, 371 ms @16)."""
+    spark = df.sparkSession
+    try:
+        width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # e.g. "auto"
+        width = spark.sparkContext.defaultParallelism
+    target = min(width, spark.sparkContext.defaultParallelism)
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 @register("i3_cosine_pairs", oracle=_I3_ORACLE)
 def i3_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ 0.25) over the pair
@@ -359,9 +382,9 @@ def i3_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return (
-        emb.select("vec_id", "embedding")
+        _spread(emb.select("vec_id", "embedding"))
         .mapInPandas(pairs_batches, schema="id_a long, id_b long, cos_sim double")
-        
+
     )
 
 
@@ -435,17 +458,38 @@ def i4_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def topk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids, quant, norms = bc.value
+        n = len(ids)
         for pdf in batches:
             q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             q_quant = np_quantize(np.array(list(pdf["embedding"]), dtype=np.float64))
             q_norms = np_fixed_norms(q_quant)
             cos = np_fixed_cosines(q_quant, q_norms, quant, norms)
             nq = len(q_ids)
-            sel = np.empty((nq, k), dtype=np.int64)
-            for qi in range(nq):
-                # order: cos desc, id asc; np.lexsort's last key is primary
-                order = np.lexsort((ids, -cos[qi]))
-                sel[qi] = order[ids[order] != q_ids[qi]][:k]
+            # Self-exclusion: ids is vec_id-sorted, so the self column is
+            # found by searchsorted; mask it to -inf so it never ranks.
+            cos_w = cos.copy()
+            self_pos = np.searchsorted(ids, q_ids)
+            hit = (self_pos < n) & (ids[np.minimum(self_pos, n - 1)] == q_ids)
+            cos_w[np.arange(nq)[hit], self_pos[hit]] = -np.inf
+            # Batch top-k: argpartition a (k + slack) window, then one
+            # vectorized per-row lexsort (cos desc, id asc) over just that
+            # window — replaces the former full 2000-element lexsort per row.
+            m = min(k + 8, n)
+            part = np.argpartition(-cos_w, m - 1, axis=1)[:, :m]
+            win_cos = np.take_along_axis(cos_w, part, axis=1)
+            order = np.lexsort((ids[part], -win_cos), axis=1)
+            sel_sorted = np.take_along_axis(part, order, axis=1)
+            sel = sel_sorted[:, :k]
+            # Quantized cosines can tie exactly: if the value at rank k-1
+            # equals the window's worst value the tie group may extend past
+            # the window — resolve those rare rows with a full sort.
+            win_sorted = np.take_along_axis(cos_w, sel_sorted, axis=1)
+            risky = np.nonzero(win_sorted[:, k - 1] <= win_sorted[:, m - 1])[0]
+            if risky.size:
+                sel = sel.copy()
+                for qi in risky:
+                    full = np.lexsort((ids, -cos_w[qi]))
+                    sel[qi] = full[:k]
             flat = sel.ravel()
             yield pd.DataFrame(
                 {
@@ -457,12 +501,12 @@ def i4_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return (
-        emb.select("vec_id", "embedding")
+        _spread(emb.select("vec_id", "embedding"))
         .mapInPandas(
             topk_batches,
             schema="id_a long, id_b long, cos_sim double, rk long",
         )
-        
+
     )
 
 
