@@ -319,6 +319,37 @@ def _broadcast_matrix(spark: SparkSession, emb: DataFrame, sf_dir: str):
     return bc
 
 
+def _np_topk_sel(cos_w, ids, k):
+    """Vectorized row-wise top-k column indices by (cos desc, id asc).
+
+    ``cos_w``: (nq, n) cosine matrix with excluded columns (self, etc.)
+    already set to -inf. Batch argpartition of a (k + slack) window +
+    one per-row lexsort over just that window replaces a full n-element
+    lexsort per row. Quantized cosines can tie exactly: if the value at
+    rank k-1 equals the window's worst value the tie group may extend
+    past the window — those rare rows are resolved with a full sort.
+    Returns (nq, min(k, n)) int indices."""
+    import numpy as np
+
+    nq, n = cos_w.shape
+    k_eff = min(k, n)
+    m = min(k_eff + 8, n)
+    part = np.argpartition(-cos_w, m - 1, axis=1)[:, :m]
+    win_cos = np.take_along_axis(cos_w, part, axis=1)
+    order = np.lexsort((ids[part], -win_cos), axis=1)
+    sel_sorted = np.take_along_axis(part, order, axis=1)
+    sel = sel_sorted[:, :k_eff]
+    if m > k_eff:
+        win_sorted = np.take_along_axis(cos_w, sel_sorted, axis=1)
+        risky = np.nonzero(win_sorted[:, k_eff - 1] <= win_sorted[:, m - 1])[0]
+        if risky.size:
+            sel = sel.copy()
+            for qi in risky:
+                full = np.lexsort((ids, -cos_w[qi]))
+                sel[qi] = full[:k_eff]
+    return sel
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition the kernel's query side up to the session's shuffle
     width (capped by executor parallelism).
@@ -410,7 +441,111 @@ def i3b_cosine_zipwith(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("cos_sim", cosine("ea", "eb"))
         .select("id_a", "id_b", "cos_sim")
-        
+
+    )
+
+
+# ---------------------------------------------------------------------------
+# i3c/i4c — block-matrix cosine (the beyond-broadcast scale path)
+# ---------------------------------------------------------------------------
+# When the vector table outgrows a driver broadcast (i3/i4's fast path),
+# the same quantized kernel runs as a block-matrix join: every vector is
+# hashed into one of b row-blocks; the left side replicates each block
+# across all b column-block ids, the right side vice versa; cogrouped
+# applyInPandas computes each (row-block × col-block) submatrix locally.
+# Communication is O(n·b) rows through ONE shuffle (classic 2D-blocked
+# matmul replication), nothing is ever collected to the driver, and b
+# grows as sqrt(parallelism).
+
+_COSINE_BLOCKS_CONF = "spark.mysql2ch.cosine.blocks"
+
+
+def _n_blocks(spark: SparkSession) -> int:
+    """Block count b: sqrt of the session's shuffle width (so b² block
+    pairs ≈ available tasks), overridable via conf for tests/tuning."""
+    import math
+
+    override = int(spark.conf.get(_COSINE_BLOCKS_CONF, "0"))
+    if override:
+        return override
+    try:
+        width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        width = spark.sparkContext.defaultParallelism
+    return max(2, math.isqrt(width))
+
+
+def _blocked_sides(emb: DataFrame, b: int) -> tuple[DataFrame, DataFrame]:
+    """Left/right replicated block assignments for the 2D-blocked join.
+
+    A pair (x, y), x.id < y.id, meets exactly once: in cogroup key
+    (x.block, y.block) with x on the left and y on the right (the
+    kernel's id_a < id_b mask drops the mirrored ordering, and same-
+    block pairs meet only in the diagonal group)."""
+    blocks = F.array(*[F.lit(i) for i in range(b)])
+    own = F.pmod(F.xxhash64("vec_id"), F.lit(b)).cast("int")
+    left = emb.select(
+        "vec_id", "embedding",
+        own.alias("ba"),
+        F.explode(blocks).alias("bb"),
+    )
+    right = emb.select(
+        "vec_id", "embedding",
+        F.explode(blocks).alias("ba"),
+        own.alias("bb"),
+    )
+    return left, right
+
+
+def _np_block(pdf):
+    """(ids, quantized matrix, norms) from a cogroup-side pandas frame."""
+    import numpy as np
+
+    from mysql_to_clickhouse_spark.functions.vectors import (
+        np_fixed_norms,
+        np_quantize,
+    )
+
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    quant = np_quantize(np.array(list(pdf["embedding"]), dtype=np.float64))
+    return ids, quant, np_fixed_norms(quant)
+
+
+@register("i3c_cosine_blocked", oracle=_I3_ORACLE, tier="T3")
+def i3c_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i3's near-dup pairs via the block-matrix join — identical
+    arithmetic and oracle, but NO driver-side collect or broadcast:
+    the escalation path for embedding tables beyond broadcast size."""
+    import numpy as np
+    import pandas as pd
+
+    from mysql_to_clickhouse_spark.functions.vectors import np_fixed_cosines
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    left, right = _blocked_sides(emb, _n_blocks(spark))
+
+    def block_pairs(_key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "cos_sim": pd.Series(dtype="float64"),
+            }
+        )
+        if lpdf.empty or rpdf.empty:
+            return empty
+        l_ids, l_q, l_n = _np_block(lpdf)
+        r_ids, r_q, r_n = _np_block(rpdf)
+        cos = np_fixed_cosines(l_q, l_n, r_q, r_n)
+        qi, vj = np.nonzero((cos >= 0.25) & (l_ids[:, None] < r_ids[None, :]))
+        return pd.DataFrame(
+            {"id_a": l_ids[qi], "id_b": r_ids[vj], "cos_sim": cos[qi, vj]}
+        )
+
+    return (
+        left.groupby("ba", "bb")
+        .cogroup(right.groupby("ba", "bb"))
+        .applyInPandas(block_pairs, schema="id_a long, id_b long, cos_sim double")
     )
 
 
@@ -471,25 +606,7 @@ def i4_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
             self_pos = np.searchsorted(ids, q_ids)
             hit = (self_pos < n) & (ids[np.minimum(self_pos, n - 1)] == q_ids)
             cos_w[np.arange(nq)[hit], self_pos[hit]] = -np.inf
-            # Batch top-k: argpartition a (k + slack) window, then one
-            # vectorized per-row lexsort (cos desc, id asc) over just that
-            # window — replaces the former full 2000-element lexsort per row.
-            m = min(k + 8, n)
-            part = np.argpartition(-cos_w, m - 1, axis=1)[:, :m]
-            win_cos = np.take_along_axis(cos_w, part, axis=1)
-            order = np.lexsort((ids[part], -win_cos), axis=1)
-            sel_sorted = np.take_along_axis(part, order, axis=1)
-            sel = sel_sorted[:, :k]
-            # Quantized cosines can tie exactly: if the value at rank k-1
-            # equals the window's worst value the tie group may extend past
-            # the window — resolve those rare rows with a full sort.
-            win_sorted = np.take_along_axis(cos_w, sel_sorted, axis=1)
-            risky = np.nonzero(win_sorted[:, k - 1] <= win_sorted[:, m - 1])[0]
-            if risky.size:
-                sel = sel.copy()
-                for qi in risky:
-                    full = np.lexsort((ids, -cos_w[qi]))
-                    sel[qi] = full[:k]
+            sel = _np_topk_sel(cos_w, ids, k)
             flat = sel.ravel()
             yield pd.DataFrame(
                 {
@@ -507,6 +624,61 @@ def i4_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="id_a long, id_b long, cos_sim double, rk long",
         )
 
+    )
+
+
+@register("i4c_topk_blocked", oracle=_I4_ORACLE, tier="T3")
+def i4c_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i4's exact top-5 neighbors via the block-matrix join: each
+    (row-block × col-block) group emits its LOCAL top-5 per query row
+    (by the global total order cos desc, id asc — so every global
+    winner survives its block), then one window re-ranks the ≤ 5·b
+    candidates per id. No driver collect/broadcast; same oracle as i4."""
+    import numpy as np
+    import pandas as pd
+
+    from mysql_to_clickhouse_spark.functions.vectors import np_fixed_cosines
+
+    k = 5
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    left, right = _blocked_sides(emb, _n_blocks(spark))
+
+    def block_topk(_key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "cos_sim": pd.Series(dtype="float64"),
+            }
+        )
+        if lpdf.empty or rpdf.empty:
+            return empty
+        l_ids, l_q, l_n = _np_block(lpdf)
+        r_ids, r_q, r_n = _np_block(rpdf)
+        cos = np_fixed_cosines(l_q, l_n, r_q, r_n)
+        cos[l_ids[:, None] == r_ids[None, :]] = -np.inf  # self (diagonal grp)
+        sel = _np_topk_sel(cos, r_ids, k)
+        nq, k_eff = sel.shape
+        rows = np.repeat(np.arange(nq), k_eff)
+        flat = sel.ravel()
+        keep = np.isfinite(cos[rows, flat])  # blocks smaller than k
+        return pd.DataFrame(
+            {
+                "id_a": np.repeat(l_ids, k_eff)[keep],
+                "id_b": r_ids[flat][keep],
+                "cos_sim": cos[rows, flat][keep],
+            }
+        )
+
+    cand = (
+        left.groupby("ba", "bb")
+        .cogroup(right.groupby("ba", "bb"))
+        .applyInPandas(block_topk, schema="id_a long, id_b long, cos_sim double")
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cos_sim"), F.asc("id_b"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
     )
 
 

@@ -92,6 +92,45 @@ def test_ann_lsh_recall_vs_exact(spark):
     assert recall >= 0.3, f"ANN recall collapsed: {recall:.3f}"
 
 
+def test_blocked_cosine_needs_no_driver_collect(spark, monkeypatch):
+    """i3c/i4c are the beyond-broadcast escalation: they must produce
+    the exact i3/i4 answers WITHOUT the driver-side collect/broadcast
+    the fast path uses — proven by making that path explode."""
+    import mysql_to_clickhouse_spark.operators.llmops as llmops
+    from mysql_to_clickhouse_spark.registry import all_queries
+    from tests.conftest import SMOKE_SF_DIR
+
+    qs = all_queries()
+    exact_pairs = qs["i3_cosine_pairs"].fn(spark, SMOKE_SF_DIR).toPandas()
+    exact_topk = qs["i4_topk_similar"].fn(spark, SMOKE_SF_DIR).toPandas()
+
+    def boom(*_a, **_k):
+        raise AssertionError("blocked path must not touch _broadcast_matrix")
+
+    monkeypatch.setattr(llmops, "_broadcast_matrix", boom)
+    # force a genuinely multi-block plan (3x3 block pairs)
+    spark.conf.set(llmops._COSINE_BLOCKS_CONF, "3")
+    try:
+        blocked_pairs = qs["i3c_cosine_blocked"].fn(spark, SMOKE_SF_DIR).toPandas()
+        blocked_topk = qs["i4c_topk_blocked"].fn(spark, SMOKE_SF_DIR).toPandas()
+    finally:
+        spark.conf.unset(llmops._COSINE_BLOCKS_CONF)
+
+    key = ["id_a", "id_b"]
+    pd.testing.assert_frame_equal(
+        exact_pairs.sort_values(key).reset_index(drop=True),
+        blocked_pairs.sort_values(key).reset_index(drop=True),
+    )
+    pd.testing.assert_frame_equal(
+        exact_topk.sort_values(key).reset_index(drop=True)[
+            ["id_a", "id_b", "cos_sim", "rk"]
+        ],
+        blocked_topk.sort_values(key).reset_index(drop=True)[
+            ["id_a", "id_b", "cos_sim", "rk"]
+        ],
+    )
+
+
 def test_exact_dedup_collapses_planted_dups(spark, tmp_path):
     from mysql_to_clickhouse_spark.registry import all_queries
 

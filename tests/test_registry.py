@@ -34,4 +34,4 @@ def test_base_ids_before_extensions():
 
 def test_registry_complete():
     names = list(all_queries())
-    assert len(names) == len(set(names)) == 120
+    assert len(names) == len(set(names)) >= 120
