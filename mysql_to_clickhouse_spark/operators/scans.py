@@ -206,6 +206,14 @@ SELECT
   CAST('1995-03-04 05:06:07' AS TIMESTAMP) AS ts_parsed,
   CAST(epoch(l_shipdate) AS BIGINT) AS ship_epoch_s,
   CAST(CAST('123.45' AS DECIMAL(10,2)) AS DOUBLE) AS dec_parsed,
+  CAST(
+    CAST(CONCAT(
+      CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) // 100 AS VARCHAR),
+      '.',
+      lpad(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) % 100 AS VARCHAR),
+           2, '0')
+    ) AS DECIMAL(14,2))
+  AS VARCHAR) AS price_dec_str,
   CAST(FLOOR(l_quantity) AS INT) AS qty_int,
   (l_linenumber % 2 = 1) AS is_odd_line
 FROM lineitem
@@ -213,13 +221,34 @@ ORDER BY l_orderkey, l_linenumber
 """
 
 
+def _cents(col: str):
+    """Exact integer cents from a 2-decimal money double: both engines
+    compute the identical double product and nearest integer (money
+    values are never at a rounding tie)."""
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def _cents_to_decimal(cents):
+    """DECIMAL(14,2) built via an exact string render of integer cents —
+    never CAST(double AS DECIMAL), whose tie-breaking differs between
+    engines (SURVEY §5.4)."""
+    whole = F.floor(cents / F.lit(100)).cast("long")
+    frac = F.lpad((cents % 100).cast("string"), 2, "0")
+    return F.concat(whole.cast("string"), F.lit("."), frac).cast("decimal(14,2)")
+
+
 @register("a6_type_cast_matrix", oracle=_A6_ORACLE)
 def a6_type_cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The §1.2 cast matrix: int widening, int→string, double→float32
     round-trip, string→timestamp, timestamp→epoch seconds,
     string→decimal (exact, then surfaced as double — engines disagree
-    on decimal's pandas form), double→int via FLOOR, int→bool."""
+    on decimal's pandas form), money-double→DECIMAL(14,2) via exact
+    integer cents (surfaced as the scale-fixed string both engines
+    render identically; DuckDB's pandas bridge degrades DECIMAL to
+    float64, so the string IS the §5.4 normalization), double→int via
+    FLOOR, int→bool."""
     li = load(spark, sf_dir, "lineitem")
+    cents = _cents("l_extendedprice")
     return li.select(
         "l_orderkey",
         "l_linenumber",
@@ -231,8 +260,62 @@ def a6_type_cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("1995-03-04 05:06:07").cast("timestamp").alias("ts_parsed"),
         F.unix_timestamp("l_shipdate").alias("ship_epoch_s"),
         F.lit("123.45").cast("decimal(10,2)").cast("double").alias("dec_parsed"),
+        _cents_to_decimal(cents).cast("string").alias("price_dec_str"),
         F.floor("l_quantity").cast("int").alias("qty_int"),
         ((F.col("l_linenumber") % 2) == 1).alias("is_odd_line"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a6b_decimal_money — DECIMAL(p,s) money pipeline (MySQL DECIMAL columns)
+# ---------------------------------------------------------------------------
+
+_A6B_ORACLE = """
+WITH money AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(CONCAT(
+           CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) // 100 AS VARCHAR),
+           '.',
+           lpad(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) % 100
+                AS VARCHAR), 2, '0')
+         ) AS DECIMAL(14,2)) AS price_dec
+  FROM lineitem
+)
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(SUM(price_dec) AS VARCHAR) AS total_money,
+       CAST(MIN(price_dec) AS VARCHAR) AS min_money,
+       CAST(MAX(price_dec) AS VARCHAR) AS max_money
+FROM money
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("a6b_decimal_money", oracle=_A6B_ORACLE, tier="T2")
+def a6b_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MySQL-replication money path: a DECIMAL(14,2) column (built
+    exactly from integer cents, SURVEY §1.2) aggregated with
+    scale-preserving decimal SUM/MIN/MAX — exact under any partition
+    order, unlike double sums. Surfaced as scale-fixed strings (both
+    engines render '123.40' identically) plus a bigint total_cents
+    cross-check: total_money must equal total_cents/100 exactly, which
+    tests/test_sources.py asserts."""
+    li = load(spark, sf_dir, "lineitem")
+    cents = _cents("l_extendedprice")
+    money = li.select(
+        "l_returnflag",
+        cents.alias("cents"),
+        _cents_to_decimal(cents).alias("price_dec"),
+    )
+    return money.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("total_cents"),
+        F.sum("price_dec").cast("string").alias("total_money"),
+        F.min("price_dec").cast("string").alias("min_money"),
+        F.max("price_dec").cast("string").alias("max_money"),
     )
 
 
