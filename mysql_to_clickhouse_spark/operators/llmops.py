@@ -77,6 +77,39 @@ def i1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MINHASH_K = 16  # signature length
 _BANDS = 4  # → rows-per-band r = 4; θ ≈ (1/b)^(1/r) ≈ 0.71 jaccard
+_BUCKET_CAP = 32  # band buckets larger than this switch to star linking
+
+import weakref as _weakref
+
+# per-(session, sf_dir) persisted MinHash signatures: repeated i2 calls
+# reuse one cached plan instead of re-persisting (release: release_caches)
+_SIGS_CACHE: "_weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    _weakref.WeakKeyDictionary()
+)
+
+
+def _minhash_sigs(spark: SparkSession, exploded: DataFrame, sf_dir: str) -> DataFrame:
+    per_session = _SIGS_CACHE.setdefault(spark, {})
+    if sf_dir in per_session:
+        return per_session[sf_dir]
+    min_cols = [
+        F.min(F.xxhash64(F.lit(k), F.col("shingle"))).alias(f"m{k}")
+        for k in range(_MINHASH_K)
+    ]
+    sigs = exploded.groupBy("doc_id").agg(*min_cols).persist()
+    per_session[sf_dir] = sigs
+    return sigs
+
+
+def release_caches(spark: SparkSession) -> None:
+    """Release every session-lifetime cache this module holds for
+    ``spark``: unpersist MinHash signature frames and destroy broadcast
+    embedding matrices. Long-lived shared sessions call this between
+    workloads so executor memory is not pinned indefinitely."""
+    for sigs in _SIGS_CACHE.pop(spark, {}).values():
+        sigs.unpersist(blocking=True)
+    for bc in _MATRIX_CACHE.pop(spark, {}).values():
+        bc.destroy()
 
 
 @register("i2_minhash_neardup", oracle=None, tier="T3")
@@ -92,19 +125,19 @@ def i2_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: never materializes all pairs — candidates only within equal
     (band_idx, band_hash) buckets; the band join shuffles doc_id pairs,
-    not documents."""
+    not documents. A degenerate hot bucket (boilerplate that hashes
+    thousands of docs to one band value) would still be quadratic, so
+    buckets over _BUCKET_CAP members switch to star linking: every
+    member pairs with the bucket's min doc_id only (n-1 pairs; the
+    cluster stays connected through its representative)."""
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", distinct_shingles("text").alias("shingles")
     )
     exploded = docs.select("doc_id", F.explode("shingles").alias("shingle"))
-    min_cols = [
-        F.min(F.xxhash64(F.lit(k), F.col("shingle"))).alias(f"m{k}")
-        for k in range(_MINHASH_K)
-    ]
     # the signature pipeline feeds both sides of the band self-join AND
-    # the Jaccard recheck — persist so the explode+16-min aggregate runs
-    # once, not 2-4× (session-lifetime cache; tiny relative to input)
-    sigs = exploded.groupBy("doc_id").agg(*min_cols).persist()
+    # the Jaccard recheck — cached per (session, sf_dir) so the
+    # explode+16-min aggregate runs once, not 2-4× (release_caches frees)
+    sigs = _minhash_sigs(spark, exploded, sf_dir)
     rows_per_band = _MINHASH_K // _BANDS
     band_cols = [
         F.xxhash64(
@@ -123,10 +156,19 @@ def i2_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_hash")
-    cand = (
-        banded.alias("x")
+    bucket_w = Window.partitionBy("band_idx", "band_hash")
+    sized = banded.select(
+        "doc_id",
+        "band_idx",
+        "band_hash",
+        F.count(F.lit(1)).over(bucket_w).alias("bucket_n"),
+        F.min("doc_id").over(bucket_w).alias("bucket_rep"),
+    )
+    small = sized.filter(F.col("bucket_n") <= _BUCKET_CAP)
+    pairs_small = (
+        small.alias("x")
         .join(
-            banded.alias("y"),
+            small.alias("y"),
             [
                 F.col("x.band_idx") == F.col("y.band_idx"),
                 F.col("x.band_hash") == F.col("y.band_hash"),
@@ -136,8 +178,17 @@ def i2_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
         )
-        .distinct()
     )
+    pairs_hot = (
+        sized.filter(
+            (F.col("bucket_n") > _BUCKET_CAP)
+            & (F.col("doc_id") != F.col("bucket_rep"))
+        )
+        .select(
+            F.col("bucket_rep").alias("doc_a"), F.col("doc_id").alias("doc_b")
+        )
+    )
+    cand = pairs_small.unionByName(pairs_hot).distinct()
     # exact-Jaccard verification of candidates (kills LSH false positives)
     sh = docs.select(
         F.col("doc_id").alias("vid"), F.col("shingles").alias("vshingles")

@@ -92,6 +92,63 @@ def test_ann_lsh_recall_vs_exact(spark):
     assert recall >= 0.3, f"ANN recall collapsed: {recall:.3f}"
 
 
+def test_hot_lsh_bucket_pairs_bounded(spark, tmp_path):
+    """A degenerate band bucket (here: 120 identical boilerplate docs)
+    must produce O(n) star pairs, not O(n²) — while small-bucket recall
+    is untouched."""
+    import mysql_to_clickhouse_spark.operators.llmops as llmops
+    from mysql_to_clickhouse_spark.registry import all_queries
+
+    boiler = "subscribe to our newsletter for daily updates " * 6
+    rows = [(100 + i, boiler) for i in range(120)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    planted = _planted_docs(spark)
+    all_docs = (
+        planted.unionByName(docs)
+        .withColumn("lang", F.lit("en"))
+        .withColumn("source", F.lit("src0"))
+        .withColumn("n_chars", F.length("text").cast("long"))
+    )
+    all_docs.write.parquet(str(tmp_path / "documents.parquet"))
+    result = (
+        all_queries()["i2_minhash_neardup"].fn(spark, str(tmp_path)).toPandas()
+    )
+    pairs = set(map(tuple, result[["doc_a", "doc_b"]].values))
+    hot_pairs = {p for p in pairs if p[0] >= 100 or p[1] >= 100}
+    # star linking: 119 rep pairs, NOT 120*119/2 = 7140
+    assert len(hot_pairs) <= 200, len(hot_pairs)
+    # every hot-bucket member stays connected (recall preserved)
+    linked = {d for p in hot_pairs for d in p}
+    assert linked == set(range(100, 220)), sorted(set(range(100, 220)) - linked)[:5]
+    # small buckets unaffected
+    assert (0, 1) in pairs and (0, 2) in pairs
+    # and the planted near-dup cluster never got star-collapsed
+    assert llmops._BUCKET_CAP > 6
+
+
+def test_release_caches_frees_persisted_state(spark):
+    """After release_caches(spark) nothing this module persisted or
+    broadcast survives: a long-lived shared session must not accrue
+    pinned executor memory across workloads."""
+    import mysql_to_clickhouse_spark.operators.llmops as llmops
+    from mysql_to_clickhouse_spark.registry import all_queries
+    from tests.conftest import SMOKE_SF_DIR
+
+    qs = all_queries()
+    qs["i2_minhash_neardup"].fn(spark, SMOKE_SF_DIR).count()
+    qs["i3_cosine_pairs"].fn(spark, SMOKE_SF_DIR).count()
+    assert spark in llmops._SIGS_CACHE and spark in llmops._MATRIX_CACHE
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() > 0
+
+    llmops.release_caches(spark)
+    assert spark not in llmops._SIGS_CACHE
+    assert spark not in llmops._MATRIX_CACHE
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    # repeated release is a no-op, and the operators rebuild cleanly
+    llmops.release_caches(spark)
+    assert qs["i2_minhash_neardup"].fn(spark, SMOKE_SF_DIR).count() >= 0
+
+
 def test_blocked_cosine_needs_no_driver_collect(spark, monkeypatch):
     """i3c/i4c are the beyond-broadcast escalation: they must produce
     the exact i3/i4 answers WITHOUT the driver-side collect/broadcast
