@@ -170,6 +170,46 @@ def d4_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_D4B_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS hll_within_5pct,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("d4b_approx_bound", oracle=_D4B_ORACLE)
+def d4b_approx_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d4's HLL sketch made SQL-checkable: the Spark side computes BOTH
+    the exact NDV and the HLL estimate and surfaces the 5% relative-
+    error bound as a boolean; the oracle states exact NDV and literal
+    TRUE. A sketch drifting out of tolerance turns the column false and
+    the driver's hash check red — the deterministic companion the
+    rows-only d4 can't provide (HLL is deterministic for given data, so
+    this hashes stably)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.02).alias("_hll"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("_hll") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("hll_within_5pct"),
+            "n_events",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # d5_cond_agg — CH countIf / sumIf / avgIf
 # ---------------------------------------------------------------------------
@@ -331,6 +371,43 @@ def d8b_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile_approx("l_extendedprice", 0.99, 1000).alias("p99_price"),
         )
         
+    )
+
+
+_D8C_ORACLE = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS exact_p50,
+       TRUE AS approx_within_tol,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("d8c_quantile_bound", oracle=_D8C_ORACLE)
+def d8c_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d8b's sketch made SQL-checkable (companion pattern of d4b): the
+    Spark side computes the exact p50 AND the t-digest-style
+    percentile_approx and surfaces |approx − exact| ≤ 2.0 as a boolean
+    (accuracy 1000 → rank error ≲ n/1000, ≤ one integer quantity step
+    on this column); the oracle states the exact value and TRUE."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", 0.5).alias("exact_p50"),
+            F.percentile_approx("l_quantity", 0.5, 1000).alias("_ap50"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_p50",
+            (F.abs(F.col("_ap50") - F.col("exact_p50")) <= 2.0).alias(
+                "approx_within_tol"
+            ),
+            "n",
+        )
     )
 
 
