@@ -112,6 +112,36 @@ def test_dedup_stream_one_row_per_key(spark):
     assert s_keys == b_keys
 
 
+def test_funnel_state_evicts_after_watermark(spark):
+    """With an event-time horizon, users inactive past the watermark are
+    evicted (GroupStateTimeout tombstones observed) and the final
+    answer — already emitted before eviction — is unchanged."""
+    from mysql_to_clickhouse_spark.streaming.funnel import run_funnel_stream
+
+    final, snap = run_funnel_stream(
+        spark, SMOKE_SF_DIR, evict_horizon_us=60_000_000, return_snapshots=True
+    )
+    raw = snap.toPandas()
+    tombstones = raw[raw["funnel_depth"] < 0]
+    # slices span days and the horizon is 1 minute: users whose last
+    # event precedes the later slices MUST have been timed out
+    assert len(tombstones) > 0, "no state was evicted"
+    # eviction happens only after a user's last event, so the deepest
+    # snapshot was already emitted: final view == batch operator
+    batch = QUERIES["h6_stateful_funnel"].fn(spark, SMOKE_SF_DIR).toPandas()
+    s = _sorted(
+        final.toPandas()[final.toPandas()["funnel_depth"] > 0][
+            ["user_id", "view_us", "click_us", "purchase_us", "funnel_depth"]
+        ],
+        ["user_id"],
+    )
+    b = _sorted(
+        batch[["user_id", "view_us", "click_us", "purchase_us", "funnel_depth"]],
+        ["user_id"],
+    )
+    pd.testing.assert_frame_equal(s, b, check_dtype=False)
+
+
 def test_funnel_stream_equals_batch_funnel(spark):
     from mysql_to_clickhouse_spark.streaming.funnel import run_funnel_stream
 
