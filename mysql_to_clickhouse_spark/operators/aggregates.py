@@ -252,20 +252,35 @@ def d5_cond_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # d6_argmax — CH argMax/argMin → max_by/min_by
 # ---------------------------------------------------------------------------
 
-# NOTE determinism: max_by ties are arbitrary. Verified on the driver
-# testdata: per-nation max/min c_acctbal is unique at sf0.01, so the
-# result is well-defined; the general tie-safe form is e1_row_number.
+# Determinism: bare max_by/min_by ties are arbitrary, so both engines
+# order by a composite (c_acctbal, c_name) packed into one
+# lexicographically-sortable string — acctbal as offset fixed-point
+# cents lpad'd to 7 digits (range −999.99..9999.99 → 0..1099999), then
+# the name. Tie-safe at ANY scale factor, not just where extrema happen
+# to be unique. (DuckDB's max_by can't order by a STRUCT; the string
+# pack is the portable total order.)
 
 _D6_ORACLE = """
 SELECT
   n_name,
-  max_by(c_name, c_acctbal) AS richest_customer,
+  max_by(c_name, CONCAT(lpad(CAST(CAST(ROUND(c_acctbal * 100) AS BIGINT)
+    + 100000 AS VARCHAR), 7, '0'), '|', c_name)) AS richest_customer,
   MAX(c_acctbal) AS top_acctbal,
-  min_by(c_name, c_acctbal) AS poorest_customer
+  min_by(c_name, CONCAT(lpad(CAST(CAST(ROUND(c_acctbal * 100) AS BIGINT)
+    + 100000 AS VARCHAR), 7, '0'), '|', c_name)) AS poorest_customer
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 ORDER BY n_name
 """
+
+
+def _acctbal_name_key():
+    """(c_acctbal, c_name) as one sortable string: offset fixed-point
+    cents, zero-padded so string order == numeric order, then name."""
+    cents = (F.round(F.col("c_acctbal") * 100).cast("long") + 100000).cast(
+        "string"
+    )
+    return F.concat(F.lpad(cents, 7, "0"), F.lit("|"), F.col("c_name"))
 
 
 @register("d6_argmax", oracle=_D6_ORACLE)
@@ -278,11 +293,11 @@ def d6_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.max_by("c_name", "c_acctbal").alias("richest_customer"),
+            F.max_by("c_name", _acctbal_name_key()).alias("richest_customer"),
             F.max("c_acctbal").alias("top_acctbal"),
-            F.min_by("c_name", "c_acctbal").alias("poorest_customer"),
+            F.min_by("c_name", _acctbal_name_key()).alias("poorest_customer"),
         )
-        
+
     )
 
 

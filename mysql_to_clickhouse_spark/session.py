@@ -34,6 +34,12 @@ def build_session(
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default all
     cores). On a real cluster pass ``master=None`` and submit normally —
     every config below is master-agnostic.
+
+    NOTE ``spark.driver.memory`` (and any other JVM-startup conf) only
+    takes effect when this call CREATES the JVM; if getOrCreate reuses
+    an already-running session (tests, the verification driver) the
+    setting is silently ignored. For processes you launch yourself, pass
+    it via spark-submit / SPARK_GRAFT_DRIVER_MEM before first start.
     """
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")

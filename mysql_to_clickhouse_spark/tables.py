@@ -93,6 +93,15 @@ def _ship_package(spark: SparkSession) -> None:
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testbed table (cached per session+path).
+
+    SIDE EFFECT on the host session, by contract: sets
+    ``spark.sql.session.timeZone=UTC`` and (for events)
+    ``spark.sql.legacy.parquet.nanosAsLong=true``. The verification
+    driver hands us an untuned session, so the engine must self-
+    configure here; a host embedding this engine alongside workloads
+    that need a different session timezone should run them on a
+    separate SparkSession."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     # every timestamp literal, date_trunc and rendered TimestampType in
