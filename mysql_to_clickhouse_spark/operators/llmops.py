@@ -907,8 +907,10 @@ ORDER BY source, rk
 def i6_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per source. idf = ln(N/df) rounded to 6
     decimals on both engines (libm ulp guard); per-source score sums go
-    through fixed-point. Two hash aggregates + one broadcast scalar —
-    no all-pairs anything, scales with token count."""
+    through fixed-point. Two hash aggregates + a broadcast 1-row count
+    cross-joined into the plan (no docs.count() driver action — one job,
+    mirrors the oracle's CROSS JOIN n) — no all-pairs anything, scales
+    with token count."""
     docs = load(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", "source", F.explode(tokens("text")).alias("term")
@@ -917,10 +919,11 @@ def i6_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("tf")
     )
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()
-    idf = F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+    n = docs.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.round(F.log(F.col("n_docs").cast("double") / F.col("df")), 6)
     scored = (
         tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
         .groupBy("source", "term")
         .agg(
             (
