@@ -14,12 +14,16 @@ def test_every_family_in_any_10_prefix():
 
 
 def test_50_prefix_covers_each_family_five_deep():
-    names = list(all_queries())[:50]
+    qs = all_queries()
+    names = list(qs)[:50]
     for fam in _BASE_COUNTS:
         fam_names = [n for n in names if n[0] == fam]
         assert len(fam_names) == 5, (fam, fam_names)
-        ordinals = sorted(int(n[1]) for n in fam_names)
-        assert ordinals == [1, 2, 3, 4, 5], (fam, fam_names)
+    # every capped driver row should be a hash check where possible:
+    # a rows-only entry may appear only when its family has fewer than
+    # five oracle-backed base IDs (only J: j3 is its 5th)
+    rows_only = [n for n in names if qs[n].oracle is None]
+    assert rows_only == ["j3_pandas_udaf"], rows_only
 
 
 def test_base_ids_before_extensions():
