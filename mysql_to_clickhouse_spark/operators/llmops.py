@@ -810,7 +810,69 @@ def i4b_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 3)
-        
+
+    )
+
+
+# ---------------------------------------------------------------------------
+# i4d_ann_ivf — inverted-file (coarse-cell) ANN, the IVF scale path
+# ---------------------------------------------------------------------------
+
+_IVF_CELLS = 16  # production: ~sqrt(n) cells, trained centroids
+_IVF_NPROBE = 2  # cells probed per query
+
+
+@register("i4d_ann_ivf", oracle=None, tier="T3")
+def i4d_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors via an inverted file (IVF-flat),
+    the other classic ANN scale path next to i4b's LSH: pick C coarse
+    centroids (here: the C lowest-vec_id vectors — deterministic; a
+    trained k-means replaces this at production scale), assign every
+    vector to its nearest centroid cell (one broadcast join, map-side),
+    then let each query probe its nprobe=2 nearest cells and score
+    candidates exactly — a cell equi-join, never all-pairs.
+
+    Pair space shrinks ~C/nprobe ×; recall vs exact i4 is unit-tested
+    (rows-only: approximate by construction). Output: top-3 neighbors
+    per vector among probed candidates."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(_IVF_CELLS)
+        .select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+        )
+    )
+    # nearest + second-nearest centroid per vector, one broadcast join
+    scored = emb.join(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        cosine("embedding", "cvec").alias("ccos"),
+    )
+    cw = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    ranked = scored.withColumn("crk", F.row_number().over(cw))
+    members = ranked.filter(F.col("crk") == 1).select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        F.col("cid").alias("cell"),
+    )
+    probes = ranked.filter(F.col("crk") <= _IVF_NPROBE).select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        F.col("cid").alias("cell"),
+    )
+    cand = (
+        probes.join(members, "cell")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cos_sim", cosine("ea", "eb"))
+        .select("id_a", "id_b", "cos_sim")
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cos_sim"), F.asc("id_b"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
     )
 
 

@@ -188,6 +188,29 @@ def test_blocked_cosine_needs_no_driver_collect(spark, monkeypatch):
     )
 
 
+def test_ann_ivf_recall_vs_exact(spark):
+    """i4d (inverted-file ANN) must recover a reasonable share of true
+    top-3 neighbor edges and emit well-formed rankings."""
+    from mysql_to_clickhouse_spark.registry import all_queries
+    from tests.conftest import SMOKE_SF_DIR
+
+    exact = (
+        all_queries()["i4_topk_similar"]
+        .fn(spark, SMOKE_SF_DIR)
+        .filter(F.col("rk") <= 3)
+        .select("id_a", "id_b")
+        .toPandas()
+    )
+    approx = all_queries()["i4d_ann_ivf"].fn(spark, SMOKE_SF_DIR).toPandas()
+    assert (approx["rk"] <= 3).all()
+    assert (approx["id_a"] != approx["id_b"]).all()
+    exact_edges = set(map(tuple, exact.values))
+    approx_edges = set(map(tuple, approx[["id_a", "id_b"]].values))
+    recall = len(exact_edges & approx_edges) / len(exact_edges)
+    # 16 untrained cells, nprobe 2 on random-ish vectors: modest but real
+    assert recall >= 0.25, f"IVF recall collapsed: {recall:.3f}"
+
+
 def test_exact_dedup_collapses_planted_dups(spark, tmp_path):
     from mysql_to_clickhouse_spark.registry import all_queries
 

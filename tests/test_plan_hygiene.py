@@ -21,6 +21,7 @@ CARTESIAN_OK = {
     "i3_cosine_pairs",   # kernel op (no join; pairs inside mapInPandas)
     "i3b_cosine_zipwith",# bounded pair triangle by design
     "i6_tfidf_keywords", # scalar doc-count cross join
+    "i4d_ann_ivf",       # centroid-assignment cross vs 16 broadcast rows
 }
 
 # queries whose side effects / streaming make a plain plan dump moot
