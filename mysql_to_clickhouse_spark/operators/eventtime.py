@@ -396,6 +396,44 @@ def h8_rate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# h11_stream_stream — true stream-stream time-interval join
+# ---------------------------------------------------------------------------
+
+# ts in parquet is ns; the engine (and the replay slices it writes)
+# normalize to µs, so the oracle joins on the µs-truncated instants.
+_H11_ORACLE = """
+SELECT v.user_id,
+       v.event_id AS view_event_id,
+       p.event_id AS purchase_event_id,
+       epoch_us(CAST(v.ts AS TIMESTAMP)) AS view_us,
+       epoch_us(CAST(p.ts AS TIMESTAMP)) AS purchase_us
+FROM events v
+JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND epoch_us(CAST(p.ts AS TIMESTAMP)) > epoch_us(CAST(v.ts AS TIMESTAMP))
+ AND epoch_us(CAST(p.ts AS TIMESTAMP))
+     <= epoch_us(CAST(v.ts AS TIMESTAMP)) + 3600000000
+ORDER BY v.user_id, view_us, purchase_us
+"""
+
+
+@register("h11_stream_stream", oracle=_H11_ORACLE, tier="T3")
+def h11_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE stream-stream join: views ⋈ purchases within 1 hour per
+    user, both sides replayed as file streams (one slice per
+    micro-batch), watermarked on both sides with an event-time range
+    bound so join state is evictable — the production streaming-join
+    shape. The drained append-mode result must equal the batch interval
+    join, which is exactly what the SQL oracle states."""
+    from mysql_to_clickhouse_spark.streaming.joins import (
+        stream_view_purchase_join,
+    )
+
+    return stream_view_purchase_join(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
 # h9_retention — CH retention(): cohort day-7 return rate
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,73 @@
+"""Stream-stream time-interval join (h11): views joined to the
+purchases that follow them within one hour, per user — both sides are
+REAL Structured Streaming sources (file replay, one slice per
+micro-batch), with watermarks on both sides and an event-time range
+bound so the join state is evictable.
+
+This is the streaming join shape Spark documents for production: each
+side buffers rows only until the other side's watermark passes the
+interval bound; an unbounded (condition-free) stream-stream join would
+accumulate state forever."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql_to_clickhouse_spark.streaming.replay import (
+    run_stream_to_memory,
+    write_replay_slices,
+)
+
+
+def stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the view→purchase interval join to a memory sink; returns
+    the joined rows as a batch DataFrame (µs epochs, append mode)."""
+    replay_dir, ev = write_replay_slices(spark, sf_dir)
+
+    def src() -> DataFrame:
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(replay_dir)
+        )
+
+    views = (
+        src()
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_event_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "10 seconds")
+    )
+    purchases = (
+        src()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 seconds")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_event_id",
+        "purchase_event_id",
+        F.unix_micros("v_ts").alias("view_us"),
+        F.unix_micros("p_ts").alias("purchase_us"),
+    )
+    name = f"ssjoin_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(joined, name, output_mode="append")
+    return spark.table(name)
