@@ -18,7 +18,7 @@ deployment). Per query we report THREE numbers:
 - build_and_exec_queries: construct the plan and execute end to end
   (measures plan construction + Catalyst analysis + execution after
   JIT/IO warm-up);
-- queries (the headline): median of 3 executions of the prepared plan —
+- queries (the headline): median of 5 executions of the prepared plan —
   the steady-state cost of a resident engine (prepared-statement /
   Thrift-server model), which is the number that scales with data.
 The metric value is the sum of warm medians; the other totals are
@@ -53,7 +53,7 @@ HEADLINERS = {
     "v1_cosine_topk": "i4_topk_similar",
 }
 
-RUNS = 3
+RUNS = 5  # median of 5: v1's run-to-run spread measured ±70 ms (OS noise)
 
 
 def main() -> None:
