@@ -396,6 +396,64 @@ def h8_rate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# h12_gap_fill — ClickHouse ORDER BY ... WITH FILL (time-series gap fill)
+# ---------------------------------------------------------------------------
+
+_H12_ORACLE = f"""
+WITH daily AS (
+  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         COUNT(*) AS n_events,
+         {o_dsum('value')} AS total_value
+  FROM events
+  GROUP BY day
+), b AS (
+  SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily
+), days AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day_str,
+       COALESCE(n_events, 0) AS n_events,
+       COALESCE(total_value, 0.0) AS total_value,
+       (n_events IS NULL) AS was_filled
+FROM days d LEFT JOIN daily USING (day)
+ORDER BY day_str
+"""
+
+
+@register("h12_gap_fill", oracle=_H12_ORACLE, tier="T2")
+def h12_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `ORDER BY day WITH FILL` — a dense daily series with
+    zero rows for days that had no events: aggregate, take min/max day
+    from the aggregated frame (|days| rows, no extra scan), explode a
+    `sequence()` of days, left-join the aggregate back in.
+
+    Scale: the spine generation and the fill join run over the
+    aggregated frame (|days| rows), never over raw events — the only
+    full-data pass is the first groupBy."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("total_value"),
+    )
+    days = daily.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    ).select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    return (
+        days.join(daily, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day_str"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+            F.col("n_events").isNull().alias("was_filled"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # h11_stream_stream — true stream-stream time-interval join
 # ---------------------------------------------------------------------------
 

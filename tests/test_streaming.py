@@ -158,3 +158,37 @@ def test_funnel_stream_equals_batch_funnel(spark):
         ["user_id"],
     )
     pd.testing.assert_frame_equal(s, b, check_dtype=False)
+
+
+def test_gap_fill_plants_missing_days(spark, tmp_path):
+    """h12 must synthesize zero rows for absent days — the driver data
+    happens to be gap-free, so plant a hole and assert it fills."""
+    from mysql_to_clickhouse_spark.registry import all_queries
+
+    day_ns = 86_400 * 10**9
+    base_ns = 820_454_400 * 10**9  # 1996-01-01 UTC
+    rows = [
+        (1, 10, base_ns + 0 * day_ns + 5 * 10**9, "view", 1.0, "{}"),
+        (2, 10, base_ns + 1 * day_ns + 5 * 10**9, "click", 2.0, "{}"),
+        # day 2 missing entirely
+        (3, 11, base_ns + 3 * day_ns + 5 * 10**9, "purchase", 3.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = (
+        all_queries()["h12_gap_fill"]
+        .fn(spark, str(tmp_path))
+        .toPandas()
+        .sort_values("day_str")
+        .reset_index(drop=True)
+    )
+    assert list(out["day_str"]) == [
+        "1996-01-01", "1996-01-02", "1996-01-03", "1996-01-04"
+    ]
+    filled = out[out["was_filled"]]
+    assert list(filled["day_str"]) == ["1996-01-03"]
+    assert (filled["n_events"] == 0).all() and (filled["total_value"] == 0.0).all()
+    assert list(out["n_events"]) == [1, 1, 0, 1]
