@@ -10,7 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mysql_to_clickhouse_spark.functions.numeric import dsum, o_dsum
+from mysql_to_clickhouse_spark.functions.numeric import dmean, dsum, o_dmean, o_dsum
+from mysql_to_clickhouse_spark.functions.text import tokens
 from mysql_to_clickhouse_spark.registry import register
 from mysql_to_clickhouse_spark.tables import load
 
@@ -118,4 +119,86 @@ def x3_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             (100.0 * dsum(promo) / dsum(disc_price)).alias("promo_revenue_pct"),
             F.count(F.lit(1)).alias("n_lines"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x4_training_pipeline — the LLM-data composite: quality-filter → exact
+# dedup → per-language corpus stats, §2.I operators composed end-to-end
+# ---------------------------------------------------------------------------
+
+_X4_ORACLE = f"""
+WITH feats AS (
+  SELECT doc_id, lang, text,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+           AS n_distinct,
+         CAST(len(list_filter(string_split(text, ' '), t -> length(t) <= 3))
+              AS BIGINT) AS n_short
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang, text, n_tokens,
+         0.5 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+           + 0.3 * (1.0 - CAST(n_short AS DOUBLE) / n_tokens)
+           + 0.2 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+           AS quality_score
+  FROM feats
+), kept AS (
+  SELECT * FROM scored WHERE quality_score >= 0.6
+), deduped AS (
+  SELECT md5(text) AS content_hash,
+         MIN(doc_id) AS keeper_doc_id,
+         min_by(lang, doc_id) AS lang,
+         min_by(n_tokens, doc_id) AS n_tokens,
+         min_by(quality_score, doc_id) AS quality_score
+  FROM kept
+  GROUP BY content_hash
+)
+SELECT lang,
+       COUNT(*) AS kept_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       {o_dmean('quality_score')} AS avg_quality
+FROM deduped
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("x4_training_pipeline", oracle=_X4_ORACLE)
+def x4_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-training-data composite a real user runs end-to-end:
+    i10's quality scoring (map-side) filters low-quality docs, i1's
+    md5 exact dedup keeps the min-doc_id representative (one shuffle on
+    the digest; min_by carries the keeper's attributes in the same
+    aggregate — no join-back), then per-language corpus stats (second
+    small shuffle over one row per unique doc). Two shuffles total,
+    both over reduced data; scoring never leaves the scan stage."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tokens = F.size(toks).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    n_short = F.size(F.filter(toks, lambda t: F.length(t) <= 3)).cast("long")
+    diversity = n_distinct.cast("double") / n_tokens
+    short_ratio = n_short.cast("double") / n_tokens
+    sat = F.least(n_tokens.cast("double") / 100.0, F.lit(1.0))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        n_tokens.alias("n_tokens"),
+        (0.5 * diversity + 0.3 * (1.0 - short_ratio) + 0.2 * sat).alias(
+            "quality_score"
+        ),
+    )
+    kept = scored.filter(F.col("quality_score") >= 0.6)
+    deduped = kept.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.min_by("lang", "doc_id").alias("lang"),
+        F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+        F.min_by("quality_score", "doc_id").alias("quality_score"),
+    )
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        dmean("quality_score").alias("avg_quality"),
     )
