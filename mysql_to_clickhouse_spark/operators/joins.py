@@ -562,3 +562,62 @@ def c14_shuffle_hash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice").alias("total_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# c15_null_safe_join — join where NULL keys match (MySQL <=> semantics)
+# ---------------------------------------------------------------------------
+
+_C15_ORACLE = """
+WITH t AS (
+  SELECT n_nationkey, n_name, NULLIF(n_regionkey, 0) AS grp FROM nation
+)
+SELECT a.n_nationkey AS key_a, b.n_nationkey AS key_b,
+       a.n_name AS name_a, b.n_name AS name_b,
+       (a.grp IS NULL) AS null_group
+FROM t a
+JOIN t b
+  ON a.grp IS NOT DISTINCT FROM b.grp
+ AND a.n_nationkey < b.n_nationkey
+ORDER BY key_a, key_b
+"""
+
+
+@register("c15_null_safe_join", oracle=_C15_ORACLE, tier="T2")
+def c15_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (MySQL's <=>, SQL IS NOT DISTINCT FROM):
+    rows whose join key is NULL match EACH OTHER instead of vanishing —
+    the replication-layer semantics for nullable MySQL keys. Spark's
+    eqNullSafe plans as a plain equi join (hash/SMJ), so NULL keys form
+    one ordinary group; at scale a hot NULL group is exactly a skew key
+    (salt it like c13 if it dominates)."""
+    nation = load(spark, sf_dir, "nation")
+    t = nation.select(
+        "n_nationkey",
+        "n_name",
+        F.expr("nullif(n_regionkey, 0)").alias("grp"),
+    )
+    a = t.select(
+        F.col("n_nationkey").alias("key_a"),
+        F.col("n_name").alias("name_a"),
+        F.col("grp").alias("grp_a"),
+    )
+    b = t.select(
+        F.col("n_nationkey").alias("key_b"),
+        F.col("n_name").alias("name_b"),
+        F.col("grp").alias("grp_b"),
+    )
+    return (
+        a.join(
+            b,
+            F.col("grp_a").eqNullSafe(F.col("grp_b"))
+            & (F.col("key_a") < F.col("key_b")),
+        )
+        .select(
+            "key_a",
+            "key_b",
+            "name_a",
+            "name_b",
+            F.col("grp_a").isNull().alias("null_group"),
+        )
+    )

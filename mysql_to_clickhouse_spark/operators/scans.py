@@ -462,3 +462,34 @@ def a12_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
     )
+
+
+_A13_ORACLE = """
+SELECT n_regionkey, COUNT(*) AS n_nations,
+       array_to_string(list_sort(list(n_name)), ',') AS names
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
+@register("a13_orc_roundtrip", oracle=_A13_ORACLE, tier="T3")
+def a13_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round-trip (the other builtin columnar format a
+    ClickHouse-adjacent pipeline meets): write nation to ORC, read it
+    back, verify content against the parquet original. Same explicit-
+    schema discipline as the CSV/JSON round-trips; ORC predicate
+    pushdown and column pruning work like parquet's at scale."""
+    nation = load(spark, sf_dir, "nation")
+    out = os.path.join(scratch_dir("a13_orc_"), "nation_orc")
+    nation.write.orc(out)
+    back = spark.read.schema(nation.schema).orc(out)
+    return (
+        back.groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias(
+                "names"
+            ),
+        )
+    )
