@@ -79,3 +79,49 @@ def test_filter_distinct_differential(spark, rows, lo, hi):
     got = got.sort_values(key).reset_index(drop=True)
     want = want.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@given(
+    rows_a=rows_strategy,
+    rows_b=rows_strategy,
+    how=st.sampled_from(["inner", "left", "full"]),
+    nullify=st.integers(min_value=-5, max_value=5),
+)
+@settings(max_examples=12, deadline=None)
+def test_join_differential(spark, rows_a, rows_b, how, nullify):
+    """Join semantics under duplicate and NULL keys: Spark and DuckDB
+    must agree on row multiplicity and NULL-key non-matching for
+    inner/left/full joins."""
+    pdf_a = pd.DataFrame(rows_a, columns=["k", "v", "tag"])
+    pdf_b = pd.DataFrame(rows_b, columns=["k", "w", "tag2"]).drop(columns=["tag2"])
+    # plant NULL keys on both sides (never match in a plain join)
+    pdf_a["k"] = pdf_a["k"].where(pdf_a["k"] != nullify, pd.NA).astype("Int64")
+    pdf_b["k"] = pdf_b["k"].where(pdf_b["k"] != nullify, pd.NA).astype("Int64")
+    if len(pdf_a) == 0 or len(pdf_b) == 0:
+        return
+    con = duckdb.connect()
+    con.register("a", pdf_a)
+    con.register("b", pdf_b)
+    sql_how = {"inner": "JOIN", "left": "LEFT JOIN", "full": "FULL JOIN"}[how]
+    want = con.sql(
+        f"SELECT a.k AS ka, a.v, a.tag, b.k AS kb, b.w "
+        f"FROM a {sql_how} b ON a.k = b.k"
+    ).df()
+    sa = spark.createDataFrame(pdf_a)
+    sb = spark.createDataFrame(pdf_b)
+    got = (
+        sa.join(sb, sa["k"] == sb["k"], how)
+        .select(
+            sa["k"].alias("ka"), "v", "tag", sb["k"].alias("kb"), "w"
+        )
+        .toPandas()
+    )
+    key = ["ka", "v", "tag", "kb", "w"]
+
+    def canon(df):
+        out = df.copy()
+        for c in key:
+            out[c] = out[c].astype("float64") if c != "tag" else out[c]
+        return out.sort_values(key, na_position="last").reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
