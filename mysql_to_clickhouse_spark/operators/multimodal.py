@@ -182,3 +182,44 @@ def m3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_md5 string"
     )
     return docs.mapInPandas(sample_frames, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# m4_payload_dedup — exact dedup over BINARY payloads
+# ---------------------------------------------------------------------------
+
+# DuckDB 1.0 md5() is VARCHAR-only; hashing the VARCHAR hashes its
+# UTF-8 bytes — identical to Spark's md5 over encode(text,'UTF-8').
+_M4_ORACLE = """
+SELECT md5(text) AS payload_md5,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_copies,
+       CAST(MIN(octet_length(encode(text))) AS BIGINT) AS byte_len
+FROM documents
+GROUP BY payload_md5
+ORDER BY payload_md5
+"""
+
+
+@register("m4_payload_dedup", oracle=_M4_ORACLE, tier="T2")
+def m4_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i1's exact dedup applied to BINARY payloads — the multimodal
+    pipeline's first pass: hash the bytes map-side (32-char digest),
+    group on the digest, keep the min-doc_id shard. Raw bytes never
+    shuffle; only digests and metadata do — at 100 TB that is the
+    difference between shuffling terabytes and shuffling megabytes."""
+    docs = load(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    return (
+        docs.select(
+            "doc_id",
+            F.md5(payload).alias("payload_md5"),
+            F.octet_length(payload).cast("long").alias("byte_len"),
+        )
+        .groupBy("payload_md5")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("byte_len").alias("byte_len"),
+        )
+    )

@@ -78,3 +78,40 @@ def s2_sql_window_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
     idiom; Spark's parser has no QUALIFY) through the SQL surface."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("s2_orders")
     return spark.sql(_S2_SPARK_SQL.format(orders="s2_orders"))
+
+
+_S3_SPARK_SQL = """
+SELECT c_custkey, c_name,
+       (SELECT COUNT(*) FROM {orders} o WHERE o.o_custkey = c.c_custkey)
+         AS n_orders,
+       (SELECT COALESCE(CAST(SUM(CAST(FLOOR(o2.o_totalprice * 10000.0)
+                 AS BIGINT)) AS DOUBLE) / 10000.0, 0.0)
+        FROM {orders} o2 WHERE o2.o_custkey = c.c_custkey) AS total_spent
+FROM {cust} c
+WHERE c_custkey <= 200
+"""
+
+_S3_ORACLE = f"""
+SELECT c_custkey, c_name,
+       (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey)
+         AS n_orders,
+       (SELECT COALESCE({o_dsum('o2.o_totalprice')}, 0.0)
+        FROM orders o2 WHERE o2.o_custkey = c.c_custkey) AS total_spent
+FROM customer c
+WHERE c_custkey <= 200
+ORDER BY c_custkey
+"""
+
+
+@register("s3_scalar_subquery", oracle=_S3_ORACLE, tier="T2")
+def s3_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries through the SQL entry point — the
+    query-compat surface migrating reporting SQL leans on hardest.
+    Catalyst de-correlates each subquery into an aggregate + left outer
+    join (no per-row re-execution, unlike row-store engines), so the
+    plan is two joins on o_custkey at any scale."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("s3_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("s3_orders")
+    return spark.sql(
+        _S3_SPARK_SQL.format(cust="s3_customer", orders="s3_orders")
+    )
