@@ -314,3 +314,53 @@ def e7_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         
     )
+
+
+# ---------------------------------------------------------------------------
+# e8_window_distinct — running distinct count over a window
+# ---------------------------------------------------------------------------
+
+_E8_ORACLE = """
+SELECT user_id, event_id,
+       epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+       event_type,
+       CAST(COUNT(DISTINCT event_type) OVER w AS BIGINT) AS distinct_types_so_far
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id
+  ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+)
+ORDER BY user_id, ts_us, event_id
+"""
+
+
+@register("e8_window_distinct", oracle=_E8_ORACLE, tier="T3")
+def e8_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct count per user (how many distinct event types
+    so far) — an aggregate Spark windows do NOT support natively
+    (`count(distinct) over` is rejected), emulated exactly as
+    size(collect_set() over running-frame).
+
+    Scale note: the collected set is bounded by event-type cardinality
+    (small domain), so per-row state stays O(|types|); do NOT use this
+    pattern over unbounded-cardinality columns — that's a sketch's job
+    (d4's HLL merged per frame)."""
+    ev = load(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return seq.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        "event_type",
+        F.size(F.collect_set("event_type").over(w))
+        .cast("long")
+        .alias("distinct_types_so_far"),
+    )
