@@ -592,3 +592,34 @@ def h10_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.rlike("s.*p").alias("signup_then_purchase"),
         (~s.rlike("e")).alias("error_free"),
     )
+
+
+# ---------------------------------------------------------------------------
+# h13_stream_enrich — stream-static dimension join
+# ---------------------------------------------------------------------------
+
+_H13_ORACLE = """
+SELECT e.event_id, e.user_id,
+       epoch_us(CAST(e.ts AS TIMESTAMP)) AS ts_us,
+       e.event_type,
+       (e.user_id % 1500) + 1 AS cust_id,
+       c.c_name, c.c_mktsegment
+FROM events e
+JOIN customer c ON c.c_custkey = (e.user_id % 1500) + 1
+ORDER BY e.event_id
+"""
+
+
+@register("h13_stream_enrich", oracle=_H13_ORACLE, tier="T2")
+def h13_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment, run as a REAL streaming job: the event
+    stream inner-joins a broadcast static dimension per micro-batch —
+    the everyday facts-stream/dimension-table topology. Stateless (no
+    watermark needed for inner equi), and the static side re-resolves
+    each batch so dimension updates flow through. Drained result must
+    equal the batch join, which the oracle states."""
+    from mysql_to_clickhouse_spark.streaming.joins import (
+        stream_static_enrich,
+    )
+
+    return stream_static_enrich(spark, sf_dir)

@@ -71,3 +71,42 @@ def stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"ssjoin_{uuid.uuid4().hex[:8]}"
     run_stream_to_memory(joined, name, output_mode="append")
     return spark.table(name)
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joined to a STATIC
+    dimension (the customer table keyed by a derived customer id) — the
+    everyday production topology where facts stream and dimensions are
+    batch tables. The static side re-resolves per micro-batch (picking
+    up dimension updates) and broadcasts; no state, no watermark needed
+    for an inner equi join."""
+    from mysql_to_clickhouse_spark.tables import load
+
+    replay_dir, ev = write_replay_slices(spark, sf_dir)
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_id"),
+        "c_name",
+        "c_mktsegment",
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay_dir)
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_type",
+            # map the event's user onto the dimension's key domain
+            (F.pmod(F.col("user_id"), F.lit(1500)) + 1).alias("cust_id"),
+        )
+    )
+    enriched = stream.join(F.broadcast(cust), "cust_id").select(
+        "event_id", "user_id", "ts_us", "event_type",
+        "cust_id", "c_name", "c_mktsegment",
+    )
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(enriched, name, output_mode="append")
+    return spark.table(name)

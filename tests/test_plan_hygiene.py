@@ -25,7 +25,7 @@ CARTESIAN_OK = {
 }
 
 # queries whose side effects / streaming make a plain plan dump moot
-SKIP = {"h8_rate_replay", "h11_stream_stream"}
+SKIP = {"h8_rate_replay", "h11_stream_stream", "h13_stream_enrich"}
 
 
 @pytest.mark.parametrize("name", [n for n in QUERIES if n not in SKIP])
