@@ -115,3 +115,35 @@ def s3_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _S3_SPARK_SQL.format(cust="s3_customer", orders="s3_orders")
     )
+
+
+_S4_SPARK_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+       COUNT(*) AS n_orders
+FROM {orders}
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+_S4_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY g_status, g_priority, o_orderstatus NULLS FIRST,
+         o_orderpriority NULLS FIRST
+"""
+
+
+@register("s4_grouping_sets", oracle=_S4_ORACLE, tier="T2")
+def s4_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLICIT GROUPING SETS — the general form d9's ROLLUP and d10's
+    CUBE are sugar for: exactly the requested subtotal combinations
+    ((status), (priority), (grand total)), no cross-product of levels.
+    Spark plans one Expand (3 output rows per input) + a single hash
+    aggregate — the same one-shuffle shape as rollup/cube."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("s4_orders")
+    return spark.sql(_S4_SPARK_SQL.format(orders="s4_orders"))
