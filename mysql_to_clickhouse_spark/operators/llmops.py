@@ -430,10 +430,13 @@ def i3_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle — the exactness baseline that i4b's LSH variant
     approximates at scale.
 
-    Executed as mapInPandas over the broadcast embedding matrix with
-    the exact fixed-point numpy kernel: bit-identical to the
-    declarative zip_with form (i3b) and the DuckDB oracle, ~100× faster
-    than interpreted array lambdas on all-pairs work."""
+    AUTO-DISPATCH: below ``spark.mysql2ch.vector.broadcastThreshold``
+    (Catalyst-estimated table size) this runs as mapInPandas over the
+    broadcast embedding matrix with the exact fixed-point numpy kernel —
+    bit-identical to the declarative zip_with form (i3b) and the DuckDB
+    oracle, zero shuffle. Above it (or with the threshold set ≤ 0) the
+    same kernel runs as the block-matrix cogroup join (i3c's body): one
+    shuffle, nothing collected to the driver, no OOM ceiling."""
     import numpy as np
     import pandas as pd
     from collections.abc import Iterator
@@ -445,6 +448,8 @@ def i3_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load(spark, sf_dir, "embeddings")
+    if not _use_broadcast_path(spark, emb):
+        return _cosine_pairs_blocked(spark, emb)
     bc = _broadcast_matrix(spark, emb, sf_dir)
 
     def pairs_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -507,8 +512,37 @@ def i3b_cosine_zipwith(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Communication is O(n·b) rows through ONE shuffle (classic 2D-blocked
 # matmul replication), nothing is ever collected to the driver, and b
 # grows as sqrt(parallelism).
+#
+# DISPATCH: i3_cosine_pairs / i4_topk_similar auto-select between the
+# broadcast kernel and this blocked path by the Catalyst-estimated size
+# of the embedding table (optimizedPlan stats — file-size based, no
+# driver action) vs ``spark.mysql2ch.vector.broadcastThreshold``. Below
+# the threshold the collect+broadcast kernel wins (zero shuffle); above
+# it the blocked cogroup path runs — identical arithmetic, identical
+# oracle, no driver collect, no OOM ceiling.
 
 _COSINE_BLOCKS_CONF = "spark.mysql2ch.cosine.blocks"
+_VECTOR_BC_CONF = "spark.mysql2ch.vector.broadcastThreshold"
+# Default: 256 MiB of estimated on-disk vector bytes. The collected
+# float64 matrix is ~4× the parquet footprint (snappy + encoding), so
+# this keeps the driver copy ≲1 GiB — comfortably inside the 8 GiB
+# testbed driver and any production driver, while tables beyond it take
+# the shuffle path that scales to 100 TB.
+_VECTOR_BC_DEFAULT = str(256 * 1024 * 1024)
+
+
+def _use_broadcast_path(spark: SparkSession, emb: DataFrame) -> bool:
+    """True when the embedding table's Catalyst-estimated size fits the
+    broadcast threshold. Reads optimizedPlan().stats().sizeInBytes —
+    derived from parquet file sizes, no job is launched — so the choice
+    is made the same way Spark's own broadcast-join planning makes it.
+    Threshold ≤ 0 forces the blocked path (mirrors the
+    autoBroadcastJoinThreshold=-1 convention)."""
+    threshold = int(spark.conf.get(_VECTOR_BC_CONF, _VECTOR_BC_DEFAULT))
+    if threshold <= 0:
+        return False
+    est = int(emb._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    return est <= threshold
 
 
 def _n_blocks(spark: SparkSession) -> int:
@@ -562,18 +596,15 @@ def _np_block(pdf):
     return ids, quant, np_fixed_norms(quant)
 
 
-@register("i3c_cosine_blocked", oracle=_I3_ORACLE, tier="T3")
-def i3c_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """i3's near-dup pairs via the block-matrix join — identical
-    arithmetic and oracle, but NO driver-side collect or broadcast:
-    the escalation path for embedding tables beyond broadcast size."""
+def _cosine_pairs_blocked(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """Near-dup pairs (cos ≥ 0.25) via the block-matrix cogroup join —
+    i3's arithmetic with no driver-side collect or broadcast."""
     import numpy as np
     import pandas as pd
 
     from mysql_to_clickhouse_spark.functions.vectors import np_fixed_cosines
 
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    left, right = _blocked_sides(emb, _n_blocks(spark))
+    left, right = _blocked_sides(emb.select("vec_id", "embedding"), _n_blocks(spark))
 
     def block_pairs(_key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -598,6 +629,15 @@ def i3c_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(right.groupby("ba", "bb"))
         .applyInPandas(block_pairs, schema="id_a long, id_b long, cos_sim double")
     )
+
+
+@register("i3c_cosine_blocked", oracle=_I3_ORACLE, tier="T3")
+def i3c_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i3's near-dup pairs via the block-matrix join — identical
+    arithmetic and oracle, but NO driver-side collect or broadcast:
+    the escalation path for embedding tables beyond broadcast size
+    (what i3 itself dispatches to above the size threshold)."""
+    return _cosine_pairs_blocked(spark, load(spark, sf_dir, "embeddings"))
 
 
 # ---------------------------------------------------------------------------
@@ -627,7 +667,12 @@ def i4_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     numpy kernel: each partition ranks its own query rows against the
     broadcast side locally (ties broken by neighbor id with a stable
     lexsort), so NO shuffle of pairs ever happens — only k rows per
-    query leave the worker."""
+    query leave the worker.
+
+    AUTO-DISPATCH: same size rule as i3 — beyond
+    ``spark.mysql2ch.vector.broadcastThreshold`` the blocked cogroup
+    path (i4c's body) runs instead: block-local top-k + one window
+    re-rank, no driver collect, same oracle."""
     import numpy as np
     import pandas as pd
     from collections.abc import Iterator
@@ -639,8 +684,10 @@ def i4_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load(spark, sf_dir, "embeddings")
-    bc = _broadcast_matrix(spark, emb, sf_dir)
     k = 5
+    if not _use_broadcast_path(spark, emb):
+        return _topk_blocked(spark, emb, k)
+    bc = _broadcast_matrix(spark, emb, sf_dir)
 
     def topk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids, quant, norms = bc.value
@@ -658,13 +705,18 @@ def i4_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
             hit = (self_pos < n) & (ids[np.minimum(self_pos, n - 1)] == q_ids)
             cos_w[np.arange(nq)[hit], self_pos[hit]] = -np.inf
             sel = _np_topk_sel(cos_w, ids, k)
+            k_eff = sel.shape[1]  # min(k, n): tables smaller than k
             flat = sel.ravel()
+            rows = np.repeat(np.arange(nq), k_eff)
+            # n ≤ k can select the -inf self column; it sorts last, so
+            # dropping non-finite rows keeps rk contiguous per query
+            keep = np.isfinite(cos_w[rows, flat])
             yield pd.DataFrame(
                 {
-                    "id_a": np.repeat(q_ids, k),
-                    "id_b": ids[flat],
-                    "cos_sim": cos[np.repeat(np.arange(nq), k), flat],
-                    "rk": np.tile(np.arange(1, k + 1, dtype=np.int64), nq),
+                    "id_a": np.repeat(q_ids, k_eff)[keep],
+                    "id_b": ids[flat][keep],
+                    "cos_sim": cos[rows, flat][keep],
+                    "rk": np.tile(np.arange(1, k_eff + 1, dtype=np.int64), nq)[keep],
                 }
             )
 
@@ -678,21 +730,18 @@ def i4_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("i4c_topk_blocked", oracle=_I4_ORACLE, tier="T3")
-def i4c_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """i4's exact top-5 neighbors via the block-matrix join: each
-    (row-block × col-block) group emits its LOCAL top-5 per query row
+def _topk_blocked(spark: SparkSession, emb: DataFrame, k: int) -> DataFrame:
+    """Exact top-k neighbors via the block-matrix join: each
+    (row-block × col-block) group emits its LOCAL top-k per query row
     (by the global total order cos desc, id asc — so every global
-    winner survives its block), then one window re-ranks the ≤ 5·b
-    candidates per id. No driver collect/broadcast; same oracle as i4."""
+    winner survives its block), then one window re-ranks the ≤ k·b
+    candidates per id. No driver collect/broadcast; i4's oracle."""
     import numpy as np
     import pandas as pd
 
     from mysql_to_clickhouse_spark.functions.vectors import np_fixed_cosines
 
-    k = 5
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    left, right = _blocked_sides(emb, _n_blocks(spark))
+    left, right = _blocked_sides(emb.select("vec_id", "embedding"), _n_blocks(spark))
 
     def block_topk(_key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -731,6 +780,13 @@ def i4c_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
     )
+
+
+@register("i4c_topk_blocked", oracle=_I4_ORACLE, tier="T3")
+def i4c_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i4's exact top-5 neighbors via the block-matrix join (what i4
+    itself dispatches to above the size threshold)."""
+    return _topk_blocked(spark, load(spark, sf_dir, "embeddings"), 5)
 
 
 # ---------------------------------------------------------------------------

@@ -223,3 +223,76 @@ def test_exact_dedup_collapses_planted_dups(spark, tmp_path):
     assert len(result) == 5
     dup_group = result[result["n_copies"] == 2]
     assert len(dup_group) == 1 and dup_group["keeper_doc_id"].iloc[0] == 0
+
+
+def test_vector_path_auto_dispatch(spark, monkeypatch):
+    """i3/i4 must choose the blocked cogroup path (no driver collect)
+    when the Catalyst-estimated table size exceeds the broadcast
+    threshold, and produce hashes identical to the broadcast kernel."""
+    import mysql_to_clickhouse_spark.operators.llmops as llmops
+    from mysql_to_clickhouse_spark.registry import all_queries
+    from mysql_to_clickhouse_spark.tables import load
+    from tests.conftest import SMOKE_SF_DIR
+
+    qs = all_queries()
+    emb = load(spark, SMOKE_SF_DIR, "embeddings")
+    # default threshold: testbed table comfortably fits → broadcast path
+    assert llmops._use_broadcast_path(spark, emb)
+    bc_pairs = qs["i3_cosine_pairs"].fn(spark, SMOKE_SF_DIR).toPandas()
+    bc_topk = qs["i4_topk_similar"].fn(spark, SMOKE_SF_DIR).toPandas()
+
+    def boom(*_a, **_k):
+        raise AssertionError("beyond-threshold dispatch must not collect")
+
+    monkeypatch.setattr(llmops, "_broadcast_matrix", boom)
+    spark.conf.set(llmops._VECTOR_BC_CONF, "0")
+    try:
+        assert not llmops._use_broadcast_path(spark, emb)
+        pairs_df = qs["i3_cosine_pairs"].fn(spark, SMOKE_SF_DIR)
+        topk_df = qs["i4_topk_similar"].fn(spark, SMOKE_SF_DIR)
+        # the selected physical plan is the cogroup join, not mapInPandas
+        for df in (pairs_df, topk_df):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "FlatMapCoGroupsInPandas" in plan, plan
+        blocked_pairs = pairs_df.toPandas()
+        blocked_topk = topk_df.toPandas()
+    finally:
+        spark.conf.unset(llmops._VECTOR_BC_CONF)
+
+    key = ["id_a", "id_b"]
+    pd.testing.assert_frame_equal(
+        bc_pairs.sort_values(key).reset_index(drop=True),
+        blocked_pairs.sort_values(key).reset_index(drop=True),
+    )
+    pd.testing.assert_frame_equal(
+        bc_topk.sort_values(key).reset_index(drop=True),
+        blocked_topk.sort_values(key).reset_index(drop=True)[
+            ["id_a", "id_b", "cos_sim", "rk"]
+        ],
+    )
+    # a 1-byte threshold behaves like 0 (estimate is always larger)
+    spark.conf.set(llmops._VECTOR_BC_CONF, "1")
+    try:
+        assert not llmops._use_broadcast_path(spark, emb)
+    finally:
+        spark.conf.unset(llmops._VECTOR_BC_CONF)
+
+
+def test_topk_table_smaller_than_k(spark, tmp_path):
+    """An embeddings table with n ≤ k vectors must yield n-1 contiguous
+    ranks per query, not crash (k_eff regression guard)."""
+    from mysql_to_clickhouse_spark.registry import all_queries
+
+    rows = [
+        (0, [1.0] * 64, "a"),
+        (1, [0.5] * 64, "b"),
+        (2, [-1.0] * 64, "a"),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    out = all_queries()["i4_topk_similar"].fn(spark, str(tmp_path)).toPandas()
+    assert len(out) == 6  # 3 queries × 2 neighbors
+    for qid, grp in out.groupby("id_a"):
+        assert sorted(grp["rk"]) == [1, 2]
+        assert qid not in set(grp["id_b"])
