@@ -192,3 +192,42 @@ def test_gap_fill_plants_missing_days(spark, tmp_path):
     assert list(filled["day_str"]) == ["1996-01-03"]
     assert (filled["n_events"] == 0).all() and (filled["total_value"] == 0.0).all()
     assert list(out["n_events"]) == [1, 1, 0, 1]
+
+
+def test_cdc_checkpoint_kill_and_resume(spark):
+    """Exactly-once on restart (the binlog-position analog): crash the
+    CDC stream mid-replay, restart against the SAME checkpointLocation,
+    and the final state must equal the batch a4 oracle — no duplicated,
+    no lost rows."""
+    from mysql_to_clickhouse_spark.functions.tmputil import scratch_dir
+    from mysql_to_clickhouse_spark.streaming.cdc import (
+        _committed_versions,
+        read_cdc_state,
+        start_cdc_query,
+    )
+    from mysql_to_clickhouse_spark.streaming.replay import write_replay_slices
+
+    n_slices = 4
+    replay_dir, ev = write_replay_slices(spark, SMOKE_SF_DIR, n_slices)
+    state_root = scratch_dir("cdc_kill_resume_")
+
+    # first run: injected crash while processing batch 1 (after batch 0
+    # committed its state version and the WAL pinned batch 1's offsets)
+    q = start_cdc_query(spark, replay_dir, ev.schema, state_root, fail_at_batch=1)
+    with pytest.raises(Exception, match="injected crash at batch 1"):
+        q.awaitTermination(180)
+    assert not q.isActive
+    assert _committed_versions(state_root) == [0], "crash must leave only v0"
+
+    # restart with the same checkpoint: the WAL re-delivers batch 1 with
+    # identical rows, then drains the remaining slices
+    q2 = start_cdc_query(spark, replay_dir, ev.schema, state_root)
+    q2.awaitTermination(180)
+    assert not q2.isActive
+    assert _committed_versions(state_root) == list(range(n_slices))
+
+    resumed = read_cdc_state(spark, state_root).toPandas()
+    batch = QUERIES["a4_cdc_apply_latest"].fn(spark, SMOKE_SF_DIR).toPandas()
+    assert resumed["user_id"].is_unique  # no duplicate PK from the re-run
+    result = compare_frames(resumed, batch)
+    assert result.ok, result.detail
