@@ -874,31 +874,71 @@ def i4b_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # i4d_ann_ivf — inverted-file (coarse-cell) ANN, the IVF scale path
 # ---------------------------------------------------------------------------
 
-_IVF_CELLS = 16  # production: ~sqrt(n) cells, trained centroids
+_IVF_CELLS = 16  # production: ~sqrt(n) cells
 _IVF_NPROBE = 2  # cells probed per query
+_IVF_SAMPLE_CAP = 4096  # training-sample rows collected to the driver
+_IVF_ITERS = 8  # Lloyd iterations on the sample
+
+
+def _ivf_centroids(
+    spark: SparkSession, emb: DataFrame, c: int = _IVF_CELLS
+) -> DataFrame:
+    """Train C coarse centroids with deterministic sampled spherical
+    k-means and return them as a (cid, cvec) DataFrame.
+
+    Sample = the _IVF_SAMPLE_CAP vectors with the smallest
+    xxhash64(vec_id): uniform over the table, reproducible, and a
+    per-partition top-k under orderBy+limit — the driver collect is
+    bounded at cap × dim × 8 B (2 MiB at dim 64) REGARDLESS of table
+    size, which is what makes driver-side training legal at 100 TB.
+    Init = evenly spaced rows of the hash-ordered sample (random-like,
+    seedless, deterministic); then _IVF_ITERS Lloyd rounds maximizing
+    cosine (rows and centroids L2-normalized; empty cells keep their
+    previous centroid)."""
+    import numpy as np
+
+    rows = (
+        emb.select("vec_id", "embedding", F.xxhash64("vec_id").alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(_IVF_SAMPLE_CAP)
+        .collect()
+    )
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    n = len(X)
+    c = min(c, n)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    cents = Xn[np.linspace(0, n - 1, num=c).round().astype(int)].copy()
+    for _ in range(_IVF_ITERS):
+        assign = np.argmax(Xn @ cents.T, axis=1)
+        for j in range(c):
+            members = Xn[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                norm = np.linalg.norm(m)
+                if norm > 1e-12:
+                    cents[j] = m / norm
+    return spark.createDataFrame(
+        [(j, [float(v) for v in cents[j]]) for j in range(c)],
+        "cid long, cvec array<double>",
+    )
 
 
 @register("i4d_ann_ivf", oracle=None, tier="T3")
 def i4d_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbors via an inverted file (IVF-flat),
-    the other classic ANN scale path next to i4b's LSH: pick C coarse
-    centroids (here: the C lowest-vec_id vectors — deterministic; a
-    trained k-means replaces this at production scale), assign every
-    vector to its nearest centroid cell (one broadcast join, map-side),
-    then let each query probe its nprobe=2 nearest cells and score
-    candidates exactly — a cell equi-join, never all-pairs.
+    the other classic ANN scale path next to i4b's LSH: train C coarse
+    centroids (deterministic sampled k-means, bounded driver sample —
+    see _ivf_centroids), assign every vector to its nearest centroid
+    cell (one broadcast join, map-side), then let each query probe its
+    nprobe=2 nearest cells and score candidates exactly — a cell
+    equi-join, never all-pairs.
 
-    Pair space shrinks ~C/nprobe ×; recall vs exact i4 is unit-tested
+    Pair space shrinks ~C/nprobe ×; recall vs exact i4 is unit-tested,
+    including on a skewed set where untrained centroids collapse
     (rows-only: approximate by construction). Output: top-3 neighbors
     per vector among probed candidates."""
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = (
-        emb.orderBy("vec_id")
-        .limit(_IVF_CELLS)
-        .select(
-            F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
-        )
-    )
+    cents = _ivf_centroids(spark, emb)
     # nearest + second-nearest centroid per vector, one broadcast join
     scored = emb.join(F.broadcast(cents)).select(
         "vec_id",

@@ -296,3 +296,55 @@ def test_topk_table_smaller_than_k(spark, tmp_path):
     for qid, grp in out.groupby("id_a"):
         assert sorted(grp["rk"]) == [1, 2]
         assert qid not in set(grp["id_b"])
+
+
+def test_ivf_trained_centroids_survive_skew(spark, tmp_path):
+    """Skewed set where the old lowest-vec_id centroid stand-in
+    collapses: ids 0..119 form one tight cluster, 120..239 another.
+    Trained sampled k-means must place centroids in BOTH clusters and
+    keep neighbor recall high."""
+    import numpy as np
+
+    import mysql_to_clickhouse_spark.operators.llmops as llmops
+    from mysql_to_clickhouse_spark.registry import all_queries
+    from mysql_to_clickhouse_spark.tables import load
+
+    rng = np.random.RandomState(7)
+    dim = 64
+    u_a = np.zeros(dim); u_a[0] = 1.0
+    u_b = np.zeros(dim); u_b[1] = 1.0
+    vecs = []
+    for i in range(240):
+        base = u_a if i < 120 else u_b
+        v = base + 0.05 * rng.randn(dim)
+        vecs.append((i, [float(x) for x in v], "a" if i < 120 else "b"))
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>, label string"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    emb = load(spark, str(tmp_path), "embeddings")
+    cents = llmops._ivf_centroids(spark, emb).toPandas()
+    C = np.array([np.asarray(c) for c in cents["cvec"]])
+    in_b = (C @ u_b > C @ u_a).sum()
+    # lowest-vec_id centroids would give in_b == 0; k-means must split
+    assert 3 <= in_b <= llmops._IVF_CELLS - 3, f"centroids collapsed: {in_b} in B"
+    # cell balance — THE scale property. Collapsed centroids dump one
+    # whole cluster (120 rows) into a single quadratic cell; trained
+    # cells must stay bounded.
+    X = np.array([v[1] for v in vecs], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sizes = np.bincount(np.argmax(Xn @ C.T, axis=1), minlength=len(C))
+    assert sizes.max() <= 60, f"hot cell: {sorted(sizes)}"
+
+    exact = (
+        all_queries()["i4_topk_similar"]
+        .fn(spark, str(tmp_path))
+        .filter(F.col("rk") <= 3)
+        .select("id_a", "id_b")
+        .toPandas()
+    )
+    approx = all_queries()["i4d_ann_ivf"].fn(spark, str(tmp_path)).toPandas()
+    exact_edges = set(map(tuple, exact.values))
+    approx_edges = set(map(tuple, approx[["id_a", "id_b"]].values))
+    recall = len(exact_edges & approx_edges) / len(exact_edges)
+    assert recall >= 0.65, f"IVF recall under skew: {recall:.3f}"
