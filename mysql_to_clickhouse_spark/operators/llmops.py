@@ -89,6 +89,13 @@ _SIGS_CACHE: "_weakref.WeakKeyDictionary[SparkSession, dict]" = (
 
 
 def _minhash_sigs(spark: SparkSession, exploded: DataFrame, sf_dir: str) -> DataFrame:
+    """Per-(session, sf_dir) persisted signature frame.
+
+    IMMUTABLE-INPUT INVARIANT: the cache is keyed on the path, not a
+    data fingerprint — on a hit the passed ``exploded`` plan is ignored.
+    Testbed sf_dirs are immutable by contract; anything that rewrites
+    data under a previously-loaded path within one session MUST call
+    ``release_caches(spark)`` first or i2 will reuse stale signatures."""
     per_session = _SIGS_CACHE.setdefault(spark, {})
     if sf_dir in per_session:
         return per_session[sf_dir]
@@ -129,7 +136,17 @@ def i2_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     thousands of docs to one band value) would still be quadratic, so
     buckets over _BUCKET_CAP members switch to star linking: every
     member pairs with the bucket's min doc_id only (n-1 pairs; the
-    cluster stays connected through its representative)."""
+    cluster stays connected through its representative).
+
+    Star-linking recall caveat: connectivity holds for the CANDIDATE
+    set; the exact-Jaccard recheck then scores each (rep, member) pair
+    individually, so a member whose similarity to the representative
+    falls below the 0.5 threshold drops out even if it would pass
+    against some other bucket member. Accepted tradeoff for a rows-only
+    approximate operator: hot buckets are near-identical boilerplate in
+    practice (the planted-boilerplate test keeps all 120 members
+    linked), and the alternative — transitive closure inside hot
+    buckets — reintroduces the quadratic work the cap exists to stop."""
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", distinct_shingles("text").alias("shingles")
     )

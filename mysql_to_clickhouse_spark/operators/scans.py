@@ -208,10 +208,12 @@ SELECT
   CAST(CAST('123.45' AS DECIMAL(10,2)) AS DOUBLE) AS dec_parsed,
   CAST(
     CAST(CONCAT(
-      CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) // 100 AS VARCHAR),
+      CASE WHEN CAST(ROUND(l_extendedprice * 100) AS BIGINT) < 0
+           THEN '-' ELSE '' END,
+      CAST(abs(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) // 100 AS VARCHAR),
       '.',
-      lpad(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) % 100 AS VARCHAR),
-           2, '0')
+      lpad(CAST(abs(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) % 100
+                AS VARCHAR), 2, '0')
     ) AS DECIMAL(14,2))
   AS VARCHAR) AS price_dec_str,
   CAST(FLOOR(l_quantity) AS INT) AS qty_int,
@@ -231,10 +233,28 @@ def _cents(col: str):
 def _cents_to_decimal(cents):
     """DECIMAL(14,2) built via an exact string render of integer cents —
     never CAST(double AS DECIMAL), whose tie-breaking differs between
-    engines (SURVEY §5.4)."""
-    whole = F.floor(cents / F.lit(100)).cast("long")
-    frac = F.lpad((cents % 100).cast("string"), 2, "0")
-    return F.concat(whole.cast("string"), F.lit("."), frac).cast("decimal(14,2)")
+    engines (SURVEY §5.4). Sign rendered explicitly over abs(cents):
+    floor-vs-trunc division and remainder sign conventions differ
+    between Spark and DuckDB on negatives, so neither engine's integer
+    division touches a signed value (tests/test_functions.py covers the
+    negative range)."""
+    sign = F.when(cents < 0, F.lit("-")).otherwise(F.lit(""))
+    a = F.abs(cents)
+    whole = F.floor(a / F.lit(100)).cast("long")
+    frac = F.lpad((a % 100).cast("string"), 2, "0")
+    return F.concat(sign, whole.cast("string"), F.lit("."), frac).cast(
+        "decimal(14,2)"
+    )
+
+
+def o_cents_to_decimal(cents_sql: str) -> str:
+    """The DuckDB twin of _cents_to_decimal, same sign-explicit render."""
+    return (
+        f"CAST(CONCAT(CASE WHEN ({cents_sql}) < 0 THEN '-' ELSE '' END, "
+        f"CAST(abs({cents_sql}) // 100 AS VARCHAR), '.', "
+        f"lpad(CAST(abs({cents_sql}) % 100 AS VARCHAR), 2, '0')) "
+        f"AS DECIMAL(14,2))"
+    )
 
 
 @register("a6_type_cast_matrix", oracle=_A6_ORACLE)
@@ -275,9 +295,12 @@ WITH money AS (
   SELECT l_returnflag,
          CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
          CAST(CONCAT(
-           CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) // 100 AS VARCHAR),
+           CASE WHEN CAST(ROUND(l_extendedprice * 100) AS BIGINT) < 0
+                THEN '-' ELSE '' END,
+           CAST(abs(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) // 100
+                AS VARCHAR),
            '.',
-           lpad(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) % 100
+           lpad(CAST(abs(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) % 100
                 AS VARCHAR), 2, '0')
          ) AS DECIMAL(14,2)) AS price_dec
   FROM lineitem

@@ -123,13 +123,21 @@ def _priority_order(registry: dict[str, Query]) -> list[str]:
         extras.append(n)
     for fam_list in per_family.values():
         fam_list.sort()
+    # bound by the LONGEST live family list, not the static base counts:
+    # a family holding more entries than its _BASE_COUNTS value must not
+    # silently drop the tail from queries()
+    longest = max((len(v) for v in per_family.values()), default=0)
     ordered = [
         fam_list[k][2]
-        for k in range(max(_BASE_COUNTS.values()))
+        for k in range(longest)
         for fam_list in per_family.values()
         if k < len(fam_list)
     ]
     ordered.extend(sorted(extras))
+    if len(ordered) != len(registry):  # pragma: no cover - totality guard
+        raise AssertionError(
+            f"priority order dropped {len(registry) - len(ordered)} entries"
+        )
     return ordered
 
 

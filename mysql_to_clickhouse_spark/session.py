@@ -19,8 +19,13 @@ same logical plans survive a 1000-executor / 100 TB deployment:
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import SparkSession
+
+# Confs that only apply at JVM launch: getOrCreate silently ignores them
+# when it reuses a live session, so build_session detects-and-warns.
+_JVM_STARTUP_CONFS = ("spark.driver.memory",)
 
 
 def build_session(
@@ -38,8 +43,10 @@ def build_session(
     NOTE ``spark.driver.memory`` (and any other JVM-startup conf) only
     takes effect when this call CREATES the JVM; if getOrCreate reuses
     an already-running session (tests, the verification driver) the
-    setting is silently ignored. For processes you launch yourself, pass
-    it via spark-submit / SPARK_GRAFT_DRIVER_MEM before first start.
+    setting is ignored — this function detects that case and emits a
+    UserWarning naming the conf and both values. For processes you
+    launch yourself, pass it via spark-submit / SPARK_GRAFT_DRIVER_MEM
+    before first start.
     """
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
@@ -67,4 +74,36 @@ def build_session(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    requested = {
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        **{
+            k: v
+            for k, v in (extra_conf or {}).items()
+            if k in _JVM_STARTUP_CONFS
+        },
+    }
+    preexisting = SparkSession.getActiveSession()
+    spark = builder.getOrCreate()
+    if preexisting is not None and preexisting is spark:
+        if spark.sparkContext.master != master:
+            warnings.warn(
+                f"build_session reused a live SparkSession on master "
+                f"{spark.sparkContext.master!r}; requested {master!r} was "
+                f"ignored (JVM-startup setting)",
+                UserWarning,
+                stacklevel=2,
+            )
+        for k, want in requested.items():
+            # read the JVM's actual launch conf — getOrCreate copies the
+            # requested value into the session RuntimeConfig even though
+            # the running JVM never saw it
+            have = spark.sparkContext._conf.get(k, None)
+            if have != want:
+                warnings.warn(
+                    f"build_session reused a live SparkSession: JVM-startup "
+                    f"conf {k}={want!r} was ignored (live value: {have!r}). "
+                    f"Stop the session or set it before first start.",
+                    UserWarning,
+                    stacklevel=2,
+                )
+    return spark

@@ -92,6 +92,9 @@ def _ship_package(spark: SparkSession) -> None:
     _SHIPPED.add(spark)
 
 
+_TZ_WARNED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testbed table (cached per session+path).
 
@@ -101,13 +104,31 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     driver hands us an untuned session, so the engine must self-
     configure here; a host embedding this engine alongside workloads
     that need a different session timezone should run them on a
-    separate SparkSession."""
+    separate SparkSession. If the host had EXPLICITLY set a non-UTC
+    session timezone, the override is surfaced as a UserWarning (once
+    per session) rather than silently clobbering their setting."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     # every timestamp literal, date_trunc and rendered TimestampType in
     # the engine assumes UTC; the host session (the verification
     # driver's!) may be on any machine TZ, so pin it at the query path —
     # session timeZone is runtime-settable, same as the ns conf below
+    prev_tz = spark.conf.get("spark.sql.session.timeZone", None)
+    # the effective value defaults to the JVM TZ when unset — only an
+    # explicitly-set, different timezone is worth a warning
+    jvm_default = spark.sparkContext._jvm.java.util.TimeZone.getDefault().getID()
+    if prev_tz not in (None, "UTC", jvm_default) and spark not in _TZ_WARNED:
+        _TZ_WARNED.add(spark)
+        import warnings
+
+        warnings.warn(
+            f"engine table load overrides spark.sql.session.timeZone "
+            f"({prev_tz!r} -> 'UTC') on the host session, by contract: "
+            f"every engine query assumes UTC. Run non-UTC workloads on a "
+            f"separate SparkSession.",
+            UserWarning,
+            stacklevel=2,
+        )
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     _ship_package(spark)
     per_session = _LOAD_CACHE.setdefault(spark, {})

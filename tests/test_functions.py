@@ -62,3 +62,35 @@ def test_word_shingles_short_doc(spark):
     got = [r["s"] for r in df.select(word_shingles("text").alias("s")).collect()]
     assert got[0] == []  # fewer than 3 tokens → empty, not an error
     assert got[1] == ["a b c", "b c d"]
+
+
+def test_money_render_sign_parity_with_duckdb(spark):
+    """_cents_to_decimal and its oracle twin must render NEGATIVE money
+    identically (floor-vs-trunc division and remainder sign conventions
+    differ between the engines on signed values)."""
+    import duckdb
+
+    from mysql_to_clickhouse_spark.operators.scans import (
+        _cents_to_decimal,
+        o_cents_to_decimal,
+    )
+
+    cents_vals = [-1234567, -12345, -100, -99, -5, 0, 5, 99, 100, 12345]
+    sdf = spark.createDataFrame([(c,) for c in cents_vals], "cents long")
+    got = {
+        r["cents"]: r["s"]
+        for r in sdf.select(
+            "cents", _cents_to_decimal(F.col("cents")).cast("string").alias("s")
+        ).collect()
+    }
+    con = duckdb.connect()
+    frag = o_cents_to_decimal("cents")
+    want = {
+        c: con.sql(
+            f"SELECT CAST({frag} AS VARCHAR) FROM (SELECT CAST({c} AS BIGINT) AS cents)"
+        ).fetchone()[0]
+        for c in cents_vals
+    }
+    con.close()
+    assert got == want
+    assert got[-12345] == "-123.45" and got[-5] == "-0.05" and got[0] == "0.00"

@@ -39,3 +39,27 @@ def test_base_ids_before_extensions():
 def test_registry_complete():
     names = list(all_queries())
     assert len(names) == len(set(names)) >= 120
+
+
+def test_priority_order_is_total():
+    """all_queries() must emit EVERY registered query — the interleave
+    must be bounded by the longest live family list, not the static
+    base counts (a dropped tail would silently skip driver checks)."""
+    from mysql_to_clickhouse_spark import registry as reg
+
+    qs = all_queries()
+    assert set(qs.keys()) == set(reg._REGISTRY.keys())
+
+    # synthetic overfull family: more entries than its base count
+    fake = {
+        f"a{i}_fake": reg.Query(name=f"a{i}_fake", fn=None, oracle="x", tier="T2")
+        for i in range(1, 8)
+    }
+    fake.update(
+        {
+            f"b{i}_fk": reg.Query(name=f"b{i}_fk", fn=None, oracle="x", tier="T2")
+            for i in range(1, 3)
+        }
+    )
+    ordered = reg._priority_order(fake)
+    assert set(ordered) == set(fake.keys())

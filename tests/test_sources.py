@@ -74,3 +74,42 @@ def test_decimal_money_sum_matches_cents_exactly(spark):
     for r in rows:
         assert Decimal(r["total_money"]) == Decimal(r["total_cents"]) / 100
         assert Decimal(r["min_money"]) <= Decimal(r["max_money"])
+
+
+def test_build_session_warns_on_ignored_jvm_conf(spark):
+    """getOrCreate reuse must not silently ignore JVM-startup settings:
+    build_session detects the reuse and warns with both values."""
+    import pytest as _pytest
+
+    from mysql_to_clickhouse_spark.session import build_session
+
+    with _pytest.warns(UserWarning, match="spark.driver.memory"):
+        build_session(
+            master=spark.sparkContext.master,
+            extra_conf={"spark.driver.memory": "123g"},
+        )
+
+
+def test_load_warns_on_explicit_foreign_timezone(spark):
+    """The engine pins session timeZone=UTC by contract; clobbering a
+    host's EXPLICIT non-UTC setting must be surfaced, once."""
+    import warnings as _warnings
+
+    import pytest as _pytest
+
+    from mysql_to_clickhouse_spark import tables as tables_mod
+    from mysql_to_clickhouse_spark.tables import load
+    from tests.conftest import SMOKE_SF_DIR
+
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    tables_mod._TZ_WARNED.discard(spark)
+    try:
+        with _pytest.warns(UserWarning, match="session.timeZone"):
+            load(spark, SMOKE_SF_DIR, "region")
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        # second load: already UTC, no warning
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error")
+            load(spark, SMOKE_SF_DIR, "nation")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
