@@ -85,3 +85,62 @@ def test_bucketed_join_has_no_join_exchange(spark):
 def test_shuffle_hash_hint_respected(spark):
     df = QUERIES["c14_shuffle_hash_join"].fn(spark, TEST_SF_DIR)
     assert "ShuffledHashJoin" in plan_of(df, "simple"), plan_of(df, "simple")
+
+
+def test_window_topk_survives_planted_hot_key(spark, tmp_path):
+    """Skew resilience for the window family: a key holding 50% of all
+    rows must neither break e1's answer nor flood the shuffle. The
+    mitigation is Spark's WindowGroupLimit pushdown — a PARTIAL top-3
+    prune runs map-side BEFORE the exchange, so the hot key ships at
+    most 3 rows per input partition instead of half the table."""
+    import pandas as pd
+
+    rows = []
+    # hot key 7: 20,000 rows (50%), with planted price ties
+    for i in range(20000):
+        rows.append((100000 + i, 7, (i // 2) * 0.5))
+    # 20,000 rows spread over 1,000 cold keys
+    for i in range(20000):
+        rows.append((200000 + i, 1000 + i % 1000, float(i % 977)))
+    sdf = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double"
+    ).repartition(8)
+    sdf.write.parquet(str(tmp_path / "orders.parquet"))
+
+    df = QUERIES["e1_row_number"].fn(spark, str(tmp_path))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+    # the partial prune must sit below the exchange (map-side)
+    assert plan.index("Partial") > plan.index("Exchange"), plan
+
+    got = (
+        df.toPandas()
+        .sort_values(["o_custkey", "rn"])
+        .reset_index(drop=True)
+    )
+    # independent expected answer (pandas), same total order + ties
+    pdf = pd.DataFrame(rows, columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    pdf = pdf.sort_values(
+        ["o_custkey", "o_totalprice", "o_orderkey"],
+        ascending=[True, False, True],
+    )
+    grp = pdf.groupby("o_custkey")
+    pdf["rn"] = grp.cumcount() + 1
+    # e1's window orders by (price DESC, orderkey ASC): the tiebreak
+    # column makes the ordering total, so rank/dense_rank never see a
+    # tie and equal row_number — matching the registered oracle
+    pdf["rk"] = pdf["rn"]
+    pdf["drk"] = pdf["rn"]
+    want = (
+        pdf[pdf["rn"] <= 3]
+        .sort_values(["o_custkey", "rn"])
+        .reset_index(drop=True)[got.columns]
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"rn": "int64", "rk": "int64", "drk": "int64"}),
+        want.astype({"rn": "int64", "rk": "int64", "drk": "int64"}),
+    )
+    # hot key's winners are exactly the planted maxima
+    hot = got[got["o_custkey"] == 7]
+    assert list(hot["o_totalprice"]) == [4999.5, 4999.5, 4999.0]
+    assert list(hot["rn"]) == [1, 2, 3]
