@@ -2,13 +2,14 @@
 opaque ``binary`` columns with typed metadata, processed via Arrow-
 batched mapInPandas.
 
-The container has no image/audio codecs, so the DECODE step is a
-clearly-marked STUB (deterministic fake derived from the bytes;
-``real_decode()`` raises NotImplementedError) — but every piece of
-Spark plumbing is real and tested: binary schema, Arrow batch shape,
-mapInPandas row explosion (frame sampling), metadata structs, and
-partition-friendly layouts. Swap ``_fake_decode`` for PIL/ffmpeg and
-nothing else changes.
+Decode is feature-gated: ``real_decode()`` probes for Pillow (image/*)
+and soundfile (audio/*) at import and uses them when present; when the
+codec is absent (this sandbox ships none) or the bytes don't decode,
+``decode_with_fallback()`` degrades to the deterministic fake, so every
+piece of Spark plumbing stays real and tested either way: binary
+schema, Arrow batch shape, mapInPandas row explosion (frame sampling),
+metadata structs, and partition-friendly layouts. The ``decode_src``
+column records which path each row took.
 
 The payloads derive deterministically from documents.text (the driver
 testdata has no binary column), so results are stable across runs.
@@ -71,16 +72,62 @@ def m1_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# decode stubs
+# decode: feature-gated real codecs + deterministic fallback
 # ---------------------------------------------------------------------------
 
+import importlib.util as _ilu
 
-def real_decode(payload: bytes, mime: str):  # pragma: no cover
-    """The production decode hook. The testbed container ships no
-    codecs — wire PIL/torchaudio/ffmpeg here in a real deployment."""
-    raise NotImplementedError(
-        "no image/audio codecs in this container; use _fake_decode (STUB)"
-    )
+_HAS_PIL = _ilu.find_spec("PIL") is not None
+_HAS_SOUNDFILE = _ilu.find_spec("soundfile") is not None
+
+
+def codec_support() -> dict[str, bool]:
+    """Which real codecs this host ships (probed once at import)."""
+    return {"image": _HAS_PIL, "audio": _HAS_SOUNDFILE}
+
+
+def real_decode(payload: bytes, mime: str) -> tuple[int, int, int]:
+    """Real codec decode — Pillow for image/*, soundfile for audio/*.
+
+    Returns (width, height, channels) for images and
+    (frames, samplerate, channels) for audio. Raises
+    NotImplementedError when the codec for ``mime`` is absent (this
+    sandbox ships none); the codec's own error propagates when the
+    bytes don't decode — ``decode_with_fallback`` catches both."""
+    if mime.startswith("image/"):
+        if not _HAS_PIL:
+            raise NotImplementedError("Pillow not installed; image decode gated off")
+        import io
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(payload)) as img:
+            img.load()
+            return img.width, img.height, len(img.getbands())
+    if mime.startswith("audio/"):
+        if not _HAS_SOUNDFILE:
+            raise NotImplementedError(
+                "soundfile not installed; audio decode gated off"
+            )
+        import io
+
+        import soundfile as sf
+
+        info = sf.info(io.BytesIO(payload))
+        return int(info.frames), int(info.samplerate), int(info.channels)
+    raise NotImplementedError(f"no codec wired for mime {mime!r}")
+
+
+def decode_with_fallback(payload: bytes, mime: str) -> tuple[int, int, int, str]:
+    """Try the real codec; degrade to the deterministic fake when the
+    codec is missing or the payload doesn't decode. The 4th element
+    tags which path ran ('real' / 'fake') so results stay auditable."""
+    try:
+        w, h, c = real_decode(payload, mime)
+        return w, h, c, "real"
+    except Exception:
+        w, h, c = _fake_decode(payload)
+        return w, h, c, "fake"
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int]:
@@ -102,20 +149,34 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
 @register("m2_decode_features", oracle=None, tier="T3")
 def m2_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract over binary payloads via mapInPandas
-    (Arrow batches in, Arrow batches out). The decode itself is the
-    documented STUB; the schema contract, batch iteration, and resize
-    metadata (fit into 256×256 preserving aspect) are real.
+    (Arrow batches in, Arrow batches out). Decode goes through the
+    feature-gated ``decode_with_fallback`` — real Pillow/soundfile when
+    the host ships them and the bytes decode, the deterministic fake
+    otherwise (always the fake in this sandbox: no codecs, and the
+    synthetic payloads are text bytes). The schema contract, batch
+    iteration, and resize metadata (fit into 256×256 preserving
+    aspect) are real on both paths; ``decode_src`` records the path.
 
     Scale: mapInPandas streams batches — no per-group materialization,
     so this shape handles arbitrarily large partitions; decode-heavy
     workloads repartition by byte_len to balance skew."""
+    mime = (
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+    )
     docs = load(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload")
+        "doc_id", F.encode("text", "UTF-8").alias("payload"), mime.alias("mime")
     )
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = pdf["payload"].map(lambda p: _fake_decode(bytes(p)))
+            dims = pd.Series(
+                [
+                    decode_with_fallback(bytes(p), m)
+                    for p, m in zip(pdf["payload"], pdf["mime"])
+                ]
+            )
             w = dims.map(lambda d: d[0]).astype("int64")
             h = dims.map(lambda d: d[1]).astype("int64")
             scale = (256.0 / pd.concat([w, h], axis=1).max(axis=1)).clip(upper=1.0)
@@ -130,12 +191,13 @@ def m2_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "mean_byte": pdf["payload"].map(
                         lambda p: float(sum(p) / len(p)) if len(p) else 0.0
                     ),
+                    "decode_src": dims.map(lambda d: d[3]),
                 }
             )
 
     schema = (
         "doc_id long, width long, height long, channels long, "
-        "resized_w long, resized_h long, mean_byte double"
+        "resized_w long, resized_h long, mean_byte double, decode_src string"
     )
     return docs.mapInPandas(decode_batches, schema=schema)
 
