@@ -29,7 +29,9 @@ from mysql_to_clickhouse_spark.functions.text import (
     distinct_shingles,
     o_distinct_shingles,
     o_tokens,
+    o_word_shingles,
     tokens,
+    word_shingles,
 )
 from mysql_to_clickhouse_spark.functions.vectors import (
     cosine,
@@ -1435,4 +1437,413 @@ def i12_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("long_subwords"),
         F.element_at(sub, 1).alias("first_subword"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# i13_pack_sequences — context-window packing (concat-then-chunk)
+# ---------------------------------------------------------------------------
+
+_CTX = 128  # tokens per training sequence
+_PACK_SHARDS = 8  # parallel packing streams per language
+
+# DuckDB windowed SUM(BIGINT) widens to HUGEINT (stringifies as float) —
+# compute start once in a CTE and CAST every derived column back to BIGINT.
+_I13_ORACLE = f"""
+WITH packed AS (
+  SELECT doc_id, lang,
+         doc_id % {_PACK_SHARDS} AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+           PARTITION BY lang, doc_id % {_PACK_SHARDS} ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - CAST(len(string_split(text, ' ')) AS BIGINT) AS BIGINT)
+           AS start_offset
+  FROM documents
+)
+SELECT doc_id, lang, shard, n_tokens, start_offset,
+       start_offset // {_CTX} AS seq_id,
+       start_offset % {_CTX} AS offset_in_seq
+FROM packed
+ORDER BY doc_id
+"""
+
+
+@register("i13_pack_sequences", oracle=_I13_ORACLE)
+def i13_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: concatenate documents in
+    doc_id order and chunk the token stream into fixed CTX-token
+    training sequences (the standard concat-then-chunk packing), per
+    (lang, shard) stream. Each doc gets its sequence id and offset —
+    the manifest a data loader needs to assemble batches.
+
+    Scale: one window shuffle on (lang, shard). The shard column is the
+    skew lever — a single global stream would serialize the corpus
+    through one partition; N shards per language give N independent,
+    deterministic streams (each 1/N of the data) at the cost of at most
+    one padded tail sequence per shard. At 100 TB raise _PACK_SHARDS to
+    O(cores); packing quality is unchanged because chunking is exact
+    within each stream."""
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(tokens("text")).cast("long")
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+            n_tok.alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "shard",
+            "n_tokens",
+            start.alias("start_offset"),
+            F.floor(start / _CTX).cast("long").alias("seq_id"),
+            (start % _CTX).alias("offset_in_seq"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# i14_decontaminate — n-gram overlap against a held-out eval split
+# ---------------------------------------------------------------------------
+
+_DECON_K = 5  # shingle width for contamination matching
+_EVAL_MOD = 50  # doc_id % 50 == 0 plays the benchmark/eval set
+
+_I14_ORACLE = f"""
+WITH ev AS (
+  SELECT DISTINCT unnest({o_distinct_shingles('text', _DECON_K)}) AS s
+  FROM documents WHERE doc_id % {_EVAL_MOD} = 0
+),
+tr AS (
+  SELECT doc_id, unnest({o_distinct_shingles('text', _DECON_K)}) AS s
+  FROM documents WHERE doc_id % {_EVAL_MOD} <> 0
+),
+hits AS (
+  SELECT tr.doc_id, COUNT(DISTINCT tr.s) AS n_shared
+  FROM tr JOIN ev ON tr.s = ev.s GROUP BY tr.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+       COALESCE(h.n_shared, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % {_EVAL_MOD} <> 0
+ORDER BY d.doc_id
+"""
+
+
+@register("i14_decontaminate", oracle=_I14_ORACLE)
+def i14_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    k-word shingle with the held-out eval split (doc_id % 50 == 0
+    stands in for the benchmark set). The standard n-gram-overlap
+    decontamination pass every serious pretraining pipeline runs.
+
+    Scale: the eval shingle set is tiny relative to the corpus →
+    broadcast it; the train side is a map-side explode + one hash
+    aggregation on doc_id. Never a shuffle of the corpus by shingle.
+    At 100 TB the eval set (benchmarks are ~MBs) still broadcasts."""
+    docs = load(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % _EVAL_MOD == 0
+    ev = (
+        docs.filter(is_eval)
+        .select(F.explode(distinct_shingles("text", _DECON_K)).alias("s"))
+        .distinct()
+    )
+    tr = docs.filter(~is_eval)
+    hits = (
+        tr.select("doc_id", F.explode(distinct_shingles("text", _DECON_K)).alias("s"))
+        .join(F.broadcast(ev), "s")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("s").alias("n_shared"))
+    )
+    return (
+        tr.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# i15_stratified_sample — deterministic per-stratum hash sampling
+# ---------------------------------------------------------------------------
+
+_SAMPLE_FRAC = 0.2
+
+_I15_ORACLE = f"""
+SELECT doc_id, lang,
+       ROW_NUMBER() OVER (
+         PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+         AS sample_rank,
+       COUNT(*) OVER (PARTITION BY lang) AS stratum_size,
+       ROW_NUMBER() OVER (
+         PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+         <= CAST(CEIL({_SAMPLE_FRAC} * COUNT(*) OVER (PARTITION BY lang))
+                 AS BIGINT) AS in_sample
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("i15_stratified_sample", oracle=_I15_ORACLE)
+def i15_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling: exactly ceil(f·|stratum|) docs per language,
+    chosen by md5-hash order — deterministic, seedless, and stable
+    under re-runs and repartitioning (unlike rand()-based sampling).
+    The train/eval-split primitive for corpus curation.
+
+    Scale: one window shuffle on the stratum key. Hash-order ranking
+    means adding data only perturbs selection locally; no global sort
+    of the corpus. Skewed strata are bounded by the same windowing as
+    any per-key op (salt or AQE if one language dominates)."""
+    docs = load(spark, sf_dir, "documents")
+    h = F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8"))
+    w = Window.partitionBy("lang").orderBy(h, F.col("doc_id"))
+    ws = Window.partitionBy("lang")
+    rank = F.row_number().over(w)
+    size = F.count(F.lit(1)).over(ws)
+    return docs.select(
+        "doc_id",
+        "lang",
+        rank.alias("sample_rank"),
+        size.alias("stratum_size"),
+        (rank <= F.ceil(F.lit(_SAMPLE_FRAC) * size).cast("long")).alias(
+            "in_sample"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# i16_semantic_components — cosine-threshold connected components
+# ---------------------------------------------------------------------------
+
+_SEMDUP_THETA = 0.4
+
+_I16_ORACLE = f"""
+WITH RECURSIVE
+edges AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE {o_cosine('a.embedding', 'b.embedding')} >= {_SEMDUP_THETA}
+),
+bidir AS (
+  SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges
+),
+reach(v, lbl) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT b.dst, r.lbl FROM reach r JOIN bidir b ON b.src = r.v
+),
+comp AS (SELECT v AS vec_id, MIN(lbl) AS component_id FROM reach GROUP BY v)
+SELECT vec_id, component_id,
+       COUNT(*) OVER (PARTITION BY component_id) AS comp_size,
+       vec_id = component_id AS is_keeper
+FROM comp
+ORDER BY vec_id
+"""
+
+
+@register("i16_semantic_components", oracle=_I16_ORACLE)
+def i16_semantic_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, completed: cosine-threshold pairs (the i3 kernel
+    at θ=0.4) become an undirected graph; connected components assign
+    every vector a cluster, the min-vec_id member is the keeper. This
+    is the grouping step that turns pairwise near-dup hits into an
+    actual drop-list — checked hash-for-hash against a DuckDB
+    recursive-CTE transitive closure.
+
+    Iterative min-label propagation as DataFrame joins: labels start as
+    vec_id; each round takes the min over neighbors; the label sum is
+    monotone non-increasing, so sum-unchanged == fixpoint (no
+    per-round diff join needed). Rounds = graph diameter — near-dup
+    clusters are shallow (dozens of members, diameter ≲ 5); for
+    adversarial chains switch to pointer-jumping (lbl := lbl[lbl]),
+    which is O(log n) rounds of the same join shape.
+
+    Scale: edges come from the auto-dispatched i3 kernel (broadcast or
+    blocked — never all-pairs materialized); each round is one shuffle
+    on vec_id over the EDGE set (|E| ≪ |pairs| after thresholding).
+    The result is localCheckpoint-ed so every intermediate cache can
+    be released before returning."""
+    edges = (
+        i3_cosine_pairs(spark, sf_dir)
+        .filter(F.col("cos_sim") >= _SEMDUP_THETA)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    bidir = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    emb = load(spark, sf_dir, "embeddings")
+    labels = emb.select("vec_id", F.col("vec_id").alias("lbl")).persist()
+    prev_sum = None
+    for _ in range(50):
+        nbr = (
+            bidir.join(labels, bidir.src == labels.vec_id)
+            .groupBy("dst")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.vec_id == nbr.dst, "left")
+            .select(
+                "vec_id",
+                F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+            )
+            .persist()
+        )
+        cur_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("comp_size"))
+    result = (
+        labels.join(sizes, "lbl")
+        .select(
+            "vec_id",
+            F.col("lbl").alias("component_id"),
+            "comp_size",
+            (F.col("vec_id") == F.col("lbl")).alias("is_keeper"),
+        )
+        .localCheckpoint()
+    )
+    labels.unpersist()
+    bidir.unpersist()
+    return result
+
+
+# ---------------------------------------------------------------------------
+# i17_topk_sketch — distributed Misra-Gries heavy hitters (CH topK analog)
+# ---------------------------------------------------------------------------
+
+_MG_CAPACITY = 256  # per-partition counter budget
+_TOPK_GRAMS = 10
+
+
+def _mg_partition_summaries(batches, capacity: int):
+    """Misra-Gries over one partition's stream of grams: at most
+    `capacity` counters survive; every surviving estimate undercounts
+    its true partition frequency by at most n_part/(capacity+1) and
+    never overcounts. Yields ONE summary frame per partition."""
+    import pandas as pd
+
+    counters: dict[str, int] = {}
+    for pdf in batches:
+        for g in pdf["gram"]:
+            if g in counters:
+                counters[g] += 1
+            elif len(counters) < capacity:
+                counters[g] = 1
+            else:
+                dead = [k for k in counters if counters[k] == 1]
+                for k in counters:
+                    counters[k] -= 1
+                for k in dead:
+                    del counters[k]
+    yield pd.DataFrame(
+        {"gram": list(counters), "est": list(counters.values())}
+    )
+
+
+@register("i17_topk_sketch", oracle=None, tier="T3")
+def i17_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `topK()` analog: approximate heavy hitters over the
+    corpus 2-gram stream via per-partition Misra-Gries summaries merged
+    by a hash aggregation. The shuffle carries ≤ capacity rows per
+    partition — fixed-size, like every mergeable sketch — instead of
+    the full gram stream; est ≤ true always, and (true − est) ≤
+    N/(capacity+1) summed over partitions (i17b turns that bound into
+    a SQL-checked boolean).
+
+    Rows-only by design: estimates depend on partition boundaries
+    (legitimately — any mergeable-summary sketch does); the planted-
+    skew unit test pins the recovery guarantee."""
+    docs = load(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.explode(word_shingles("text", 2)).alias("gram")
+    )
+
+    def summarize(batches):
+        yield from _mg_partition_summaries(batches, _MG_CAPACITY)
+
+    summaries = grams.mapInPandas(summarize, schema="gram string, est long")
+    return (
+        summaries.groupBy("gram")
+        .agg(F.sum("est").alias("est_count"))
+        .orderBy(F.desc("est_count"), "gram")
+        .limit(_TOPK_GRAMS)
+    )
+
+
+_I17B_ORACLE = f"""
+WITH grams AS (
+  SELECT unnest({o_word_shingles('text', 2)}) AS g FROM documents
+),
+counts AS (SELECT g, COUNT(*) AS exact_count FROM grams GROUP BY g),
+ranked AS (
+  SELECT g, exact_count,
+         ROW_NUMBER() OVER (ORDER BY exact_count DESC, g) AS rk
+  FROM counts
+)
+SELECT g AS gram, exact_count,
+       TRUE AS sketch_never_over, TRUE AS sketch_within_bound
+FROM ranked WHERE rk <= {_TOPK_GRAMS}
+ORDER BY exact_count DESC, gram
+"""
+
+
+@register("i17b_topk_bound", oracle=_I17B_ORACLE)
+def i17b_topk_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i17's sketch made SQL-checkable (the d4b pattern): the Spark side
+    computes the EXACT top-k 2-grams and the Misra-Gries estimates,
+    surfaces the sketch guarantees as booleans — est ≤ exact and
+    exact − est ≤ N/(capacity+1) — and the oracle states the exact
+    counts plus literal TRUE. The booleans hold for ANY partitioning
+    (that is the MG merge theorem), so the row hash is stable even
+    though the underlying estimates are partition-dependent."""
+    docs = load(spark, sf_dir, "documents")
+    grams = docs.select(F.explode(word_shingles("text", 2)).alias("gram"))
+
+    exact = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("exact_count"))
+    w = Window.orderBy(F.desc("exact_count"), "gram")
+    topk = exact.select(
+        "gram", "exact_count", F.row_number().over(w).alias("rk")
+    ).filter(F.col("rk") <= _TOPK_GRAMS)
+
+    def summarize(batches):
+        yield from _mg_partition_summaries(batches, _MG_CAPACITY)
+
+    est = (
+        grams.mapInPandas(summarize, schema="gram string, est long")
+        .groupBy("gram")
+        .agg(F.sum("est").alias("est_count"))
+    )
+    total = grams.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        topk.join(est, "gram", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "gram",
+            "exact_count",
+            (F.coalesce("est_count", F.lit(0)) <= F.col("exact_count")).alias(
+                "sketch_never_over"
+            ),
+            (
+                F.col("exact_count") - F.coalesce("est_count", F.lit(0))
+                <= F.col("n_total") / (_MG_CAPACITY + 1)
+            ).alias("sketch_within_bound"),
+        )
+        .orderBy(F.desc("exact_count"), "gram")
     )

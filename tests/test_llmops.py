@@ -348,3 +348,79 @@ def test_ivf_trained_centroids_survive_skew(spark, tmp_path):
     approx_edges = set(map(tuple, approx[["id_a", "id_b"]].values))
     recall = len(exact_edges & approx_edges) / len(exact_edges)
     assert recall >= 0.65, f"IVF recall under skew: {recall:.3f}"
+
+
+def test_mg_sketch_recovers_planted_heavy_hitter(spark, tmp_path):
+    """Misra-Gries guarantee on genuinely skewed data: a gram holding
+    >N/(capacity+1) occurrences MUST survive every partition summary
+    and be recovered by the merge, with est <= exact."""
+    import pandas as pd
+
+    from mysql_to_clickhouse_spark.operators.llmops import (
+        _mg_partition_summaries,
+    )
+
+    # 40% heavy hitter + uniform tail across 600 distinct grams
+    grams = ["hot gram"] * 4000 + [f"g{i} g{i}" for i in range(600)] * 10
+    cap = 64
+    # two partition summaries over disjoint halves, merged by summation
+    half = len(grams) // 2
+    merged: dict[str, int] = {}
+    for part in (grams[:half], grams[half:]):
+        pdf = pd.DataFrame({"gram": part})
+        (summary,) = list(_mg_partition_summaries(iter([pdf]), cap))
+        for g, est in zip(summary["gram"], summary["est"]):
+            merged[g] = merged.get(g, 0) + int(est)
+    exact = grams.count("hot gram")
+    assert "hot gram" in merged
+    assert merged["hot gram"] <= exact
+    assert exact - merged["hot gram"] <= len(grams) / (cap + 1)
+
+
+def test_semantic_components_invariants(spark):
+    """Every edge's endpoints share a component; the keeper is the min
+    vec_id of its component; comp_size sums to the node count."""
+    from mysql_to_clickhouse_spark.operators.llmops import (
+        _SEMDUP_THETA,
+        i16_semantic_components,
+        i3_cosine_pairs,
+    )
+    from tests.conftest import TEST_SF_DIR
+
+    comp = i16_semantic_components(spark, TEST_SF_DIR).toPandas()
+    lbl = comp.set_index("vec_id")["component_id"]
+    edges = (
+        i3_cosine_pairs(spark, TEST_SF_DIR)
+        .filter(F.col("cos_sim") >= _SEMDUP_THETA)
+        .select("id_a", "id_b")
+        .toPandas()
+    )
+    assert (lbl[edges["id_a"]].values == lbl[edges["id_b"]].values).all()
+    keepers = comp[comp["is_keeper"]]
+    assert (keepers["vec_id"] == keepers["component_id"]).all()
+    by_comp = comp.groupby("component_id")["vec_id"].min()
+    assert (by_comp.index == by_comp.values).all()  # label IS the min member
+    assert comp.drop_duplicates("component_id")["comp_size"].sum() == len(comp)
+
+
+def test_pack_sequences_chunking_exact(spark):
+    """Offsets tile each (lang, shard) stream exactly: consecutive docs
+    are contiguous in the token stream and offsets stay inside CTX."""
+    from mysql_to_clickhouse_spark.operators.llmops import (
+        _CTX,
+        i13_pack_sequences,
+    )
+    from tests.conftest import TEST_SF_DIR
+
+    pdf = (
+        i13_pack_sequences(spark, TEST_SF_DIR)
+        .toPandas()
+        .sort_values(["lang", "shard", "doc_id"])
+    )
+    assert pdf["offset_in_seq"].between(0, _CTX - 1).all()
+    for _, grp in pdf.groupby(["lang", "shard"]):
+        starts = grp["start_offset"].to_numpy()
+        toks = grp["n_tokens"].to_numpy()
+        assert starts[0] == 0
+        assert (starts[1:] == starts[:-1] + toks[:-1]).all()
+        assert (grp["seq_id"].to_numpy() == starts // _CTX).all()
