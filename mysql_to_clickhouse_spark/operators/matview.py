@@ -1,0 +1,193 @@
+"""k-family — incremental / materialized-view maintenance (the
+ClickHouse AggregatingMergeTree + materialized-view analog, the second
+half of the reference category's sink story: a MySQL→ClickHouse
+replicator lands rows, and CH materialized views keep pre-aggregates
+current without full recompute).
+
+Spark-first form: aggregate STATE is an ordinary DataFrame of mergeable
+partials (count, fixed-point sum, min/max, value sets). "Apply a
+delta" = union the delta's partials and re-merge — associative and
+exact, so the driver's hash check against a full-recompute oracle
+PROVES merge == recompute, which is the entire correctness claim of
+incremental view maintenance.
+
+Scale: partials are map-side-combinable hash aggregates; the merge
+shuffles one row per (group, batch) — independent of fact cardinality.
+At 100 TB the delta batch is hours of ingest, the state is thousands of
+groups, and the merge is a broadcast-sized job; nothing ever recomputes
+history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql_to_clickhouse_spark.functions.numeric import (
+    SUM_SCALE,
+    fixed_point,
+    o_dsum,
+    o_fixed_point,
+)
+from mysql_to_clickhouse_spark.registry import register
+from mysql_to_clickhouse_spark.tables import load
+
+_CUTOFF = "1997-01-01"  # base MV state = orders before; delta = on/after
+
+# ---------------------------------------------------------------------------
+# k1_mv_incremental — delta-merge a grouped aggregate MV
+# ---------------------------------------------------------------------------
+
+_K1_ORACLE = f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       {o_dsum('o_totalprice')} AS sum_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def _partials(orders: DataFrame) -> DataFrame:
+    """Mergeable partial state: (count, fixed-point sum) per group —
+    the -State combinator. Fixed-point longs make the sum exact and
+    order/batch-independent (functions/numeric.py)."""
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("p_count"),
+        F.sum(fixed_point("o_totalprice")).alias("p_sum_fp"),
+    )
+
+
+@register("k1_mv_incremental", oracle=_K1_ORACLE)
+def k1_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MV maintenance: the pre-cutoff base state and the
+    post-cutoff delta batch are aggregated INDEPENDENTLY into mergeable
+    partials, then merged by summing partials — never recomputing the
+    base. The oracle is a flat full-table aggregate, so hash equality
+    proves the maintained view is indistinguishable from recompute.
+
+    This is ClickHouse's materialized-view + AggregatingMergeTree loop
+    (CH merges -State columns at part-merge time); Spark expresses the
+    same algebra as a union of partial frames + one re-aggregation."""
+    orders = load(spark, sf_dir, "orders")
+    cutoff = F.lit(_CUTOFF).cast("timestamp")
+    base_state = _partials(orders.filter(F.col("o_orderdate") < cutoff))
+    delta_state = _partials(orders.filter(F.col("o_orderdate") >= cutoff))
+    merged = (
+        base_state.unionByName(delta_state)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("p_count").alias("n_orders"),
+            F.sum("p_sum_fp").alias("sum_fp"),
+        )
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n_orders",
+        (F.col("sum_fp").cast("double") / F.lit(float(10**SUM_SCALE))).alias(
+            "sum_price"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k2_state_merge — full -State/-Merge combinator algebra across shards
+# ---------------------------------------------------------------------------
+
+_K2_ORACLE = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {o_dsum('o_totalprice')} AS sum_price,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM orders
+"""
+
+
+@register("k2_state_merge", oracle=_K2_ORACLE)
+def k2_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH -State/-Merge combinators: four shards (o_custkey % 4) each
+    produce a partial-state row — count, fixed-point sum, min, max, and
+    the distinct-customer SET — and the states merge to the exact
+    global answer (sum/sum, min/min, max/max, union+distinct). Hash
+    equality against the flat global aggregate proves every combinator
+    merges losslessly.
+
+    Scale honesty: the distinct SET state grows with NDV — exactly why
+    CH offers uniq (HLL) next to uniqExact; d4/d4b are our sketch
+    twins. Min/max/count/sum states are O(1) per group forever."""
+    orders = load(spark, sf_dir, "orders")
+    states = (
+        orders.withColumn("shard", F.col("o_custkey") % 4)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("p_count"),
+            F.sum(fixed_point("o_totalprice")).alias("p_sum_fp"),
+            F.min("o_totalprice").alias("p_min"),
+            F.max("o_totalprice").alias("p_max"),
+            F.collect_set("o_custkey").alias("p_custs"),
+        )
+    )
+    return states.agg(
+        F.sum("p_count").alias("n_orders"),
+        (F.sum("p_sum_fp").cast("double") / F.lit(float(10**SUM_SCALE))).alias(
+            "sum_price"
+        ),
+        F.min("p_min").alias("min_price"),
+        F.max("p_max").alias("max_price"),
+        F.size(F.array_distinct(F.flatten(F.collect_list("p_custs"))))
+        .cast("long")
+        .alias("n_customers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k3_mv_cdc_refresh — MV maintained THROUGH a CDC upsert batch
+# ---------------------------------------------------------------------------
+
+_K3_ORACLE = f"""
+WITH final AS (
+  SELECT user_id, event_type, value FROM (
+    SELECT user_id, event_type, value,
+           ROW_NUMBER() OVER (
+             PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC,
+             event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1 AND event_type <> 'error'
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM({o_fixed_point('value')}) AS BIGINT) AS sum_value_fp
+FROM final
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("k3_mv_cdc_refresh", oracle=_K3_ORACLE)
+def k3_mv_cdc_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed loop a MySQL→ClickHouse deployment actually runs:
+    CDC upserts (a4's ReplacingMergeTree FINAL semantics — latest row
+    per PK, tombstones dropped) feeding a grouped MV. Aggregates over
+    the post-merge image can't be delta-merged blindly (an upsert
+    RETRACTS the PK's previous contribution), so the refresh
+    re-aggregates only the FINAL image — one window + one hash agg —
+    never raw history. The oracle recomputes the same thing flat.
+
+    At 100 TB: the FINAL image is per-PK state (ReplacingMergeTree
+    part-merge); the MV re-aggregates only partitions whose PKs
+    changed in the batch — h7 is the streaming form of this exact
+    maintenance."""
+    ev = load(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc(F.unix_micros("ts")), F.desc("event_id")
+    )
+    final = ev.withColumn("rn", F.row_number().over(w)).filter(
+        (F.col("rn") == 1) & (F.col("event_type") != "error")
+    )
+    return final.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(fixed_point("value")).alias("sum_value_fp"),
+    )

@@ -55,6 +55,7 @@ _OPERATOR_MODULES = (
     "scalars",
     "eventtime",
     "llmops",
+    "matview",
     "multimodal",
     "scale",
     "sqlapi",

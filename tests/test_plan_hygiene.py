@@ -22,6 +22,7 @@ CARTESIAN_OK = {
     "i3b_cosine_zipwith",# bounded pair triangle by design
     "i6_tfidf_keywords", # scalar doc-count cross join
     "i4d_ann_ivf",       # centroid-assignment cross vs 16 broadcast rows
+    "i17b_topk_bound",   # scalar total-gram-count cross join (N for the bound)
 }
 
 # queries whose side effects / streaming make a plain plan dump moot
