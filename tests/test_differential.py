@@ -125,3 +125,51 @@ def test_join_differential(spark, rows_a, rows_b, how, nullify):
         return out.sort_values(key, na_position="last").reset_index(drop=True)
 
     pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+
+
+float_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # group key
+        st.floats(
+            min_value=-1e9,
+            max_value=1e9,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(rows=float_rows)
+@settings(max_examples=15, deadline=None)
+def test_fixed_point_sum_differential(spark, rows):
+    """The engine-parity cornerstone (functions/numeric.py): dsum over
+    ARBITRARY doubles must be bit-identical between Spark and DuckDB —
+    the property every checked float aggregate in the registry relies
+    on. Random magnitudes up to 1e9 cover the scales the fixed-point
+    trick must survive (TPC-H money, event values)."""
+    import duckdb
+    import pandas as pd
+
+    from mysql_to_clickhouse_spark.functions.numeric import dsum, o_dsum
+
+    pdf = pd.DataFrame(rows, columns=["k", "v"])
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.sql(
+        f"SELECT k, {o_dsum('v')} AS s FROM t GROUP BY k ORDER BY k"
+    ).df()
+    from pyspark.sql import functions as F  # noqa: F401
+
+    got = (
+        spark.createDataFrame(pdf)
+        .groupBy("k")
+        .agg(dsum("v").alias("s"))
+        .orderBy("k")
+        .toPandas()
+    )
+    # bit-identical, not approx: stringify like the driver's hash does
+    assert list(map(str, got["s"])) == list(map(str, want["s"]))
+    assert list(got["k"]) == list(want["k"])

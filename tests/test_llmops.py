@@ -424,3 +424,22 @@ def test_pack_sequences_chunking_exact(spark):
         assert starts[0] == 0
         assert (starts[1:] == starts[:-1] + toks[:-1]).all()
         assert (grp["seq_id"].to_numpy() == starts // _CTX).all()
+
+
+def test_components_pointer_jumping_beats_diameter(spark):
+    """A 100-node chain has diameter 99; pure propagation would need
+    ~99 rounds. Pointer jumping must collapse it in O(log n) — and the
+    answer is still one component labeled by the min node."""
+    from mysql_to_clickhouse_spark.operators.llmops import (
+        connected_components,
+    )
+
+    nodes = spark.range(100).select(F.col("id"))
+    edges = (
+        spark.range(99)
+        .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    )
+    labels, rounds = connected_components(nodes, edges)
+    pdf = labels.toPandas()
+    assert (pdf["lbl"] == 0).all()
+    assert rounds <= 12, f"pointer jumping should be O(log n); took {rounds}"
