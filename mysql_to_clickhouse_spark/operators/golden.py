@@ -202,3 +202,43 @@ def x4_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         dmean("quality_score").alias("avg_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x5_tpch_q4 — order priority checking (EXISTS → semi join + grouped count)
+# ---------------------------------------------------------------------------
+
+_X5_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("x5_tpch_q4", oracle=_X5_ORACLE)
+def x5_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS decorrelated to a LEFT SEMI
+    join + grouped count (this testdata has no commitdate/receiptdate,
+    so 'has a returned line' plays the correlated predicate). The semi
+    join never materializes lineitem columns — at 100 TB the probe side
+    shuffles only l_orderkey, and the quarter filter prunes the orders
+    scan before the join."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    quarter = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        quarter.join(
+            returned, quarter.o_orderkey == returned.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )

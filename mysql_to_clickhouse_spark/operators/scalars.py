@@ -498,3 +498,66 @@ def g14_cast_fmt(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ts_fmt"),
         F.format_string("%.1f", F.col("p_size").cast("double")).alias("size_fmt"),
     )
+
+
+# ---------------------------------------------------------------------------
+# g15_url_funcs — ClickHouse URL function family
+# ---------------------------------------------------------------------------
+
+_G15_ORACLE = """
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.org/' || lang || '/doc/'
+           || CAST(doc_id AS VARCHAR) || '?page='
+           || CAST(doc_id % 7 AS VARCHAR) || '&ref=' || source AS url
+  FROM documents
+)
+SELECT doc_id, url,
+       regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+       regexp_extract(regexp_extract(url, '^https?://([^/]+)', 1),
+                      '([a-z0-9]+)$', 1) AS tld,
+       regexp_extract(url, '^https?://[^/]+(/[^?#]*)', 1) AS path,
+       regexp_extract(url, '\\?(.*)$', 1) AS query_string,
+       CAST(regexp_extract(url, 'page=([0-9]+)', 1) AS BIGINT) AS page_param,
+       regexp_extract(url, 'ref=([a-z0-9]+)', 1) AS ref_param
+FROM u
+ORDER BY doc_id
+"""
+
+
+@register("g15_url_funcs", oracle=_G15_ORACLE)
+def g15_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH URL function family (domain / topLevelDomain / path /
+    queryString / extractURLParameter) — Spark-first via the built-in
+    parse_url where its semantics are exact (HOST, PATH, QUERY, keyed
+    parameter extraction) and regexp for the TLD; the oracle derives
+    every piece with regexes only, so the check also pins parse_url's
+    behavior against an independent implementation. All map-side
+    JVM expressions — the URL never leaves codegen."""
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.org/"),
+        F.col("lang"),
+        F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?page="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("&ref="),
+        F.col("source"),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    host = F.parse_url("url", F.lit("HOST"))
+    return u.select(
+        "doc_id",
+        "url",
+        host.alias("host"),
+        F.regexp_extract(host, "([a-z0-9]+)$", 1).alias("tld"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query_string"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("page"))
+        .cast("long")
+        .alias("page_param"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
+    )
