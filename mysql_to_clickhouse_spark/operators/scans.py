@@ -573,3 +573,49 @@ def a14_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("sum_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# a15_sorted_sink — ClickHouse ORDER BY key layout (sortWithinPartitions)
+# ---------------------------------------------------------------------------
+
+_A15_ORACLE = f"""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       {o_dsum('value')} AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("a15_sorted_sink", oracle=_A15_ORACLE)
+def a15_sorted_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ClickHouse ORDER BY (primary-key layout) idiom on a parquet
+    sink: repartition by the leading sort key, sortWithinPartitions by
+    (event_type, ts), write, read back. The aggregate over the
+    read-back must equal the source (layout is a physical property;
+    content is invariant — that is what the hash check proves).
+
+    Why this matters at 100 TB: parquet writes row-group min/max stats
+    per column; clustering by the filter key makes those zone maps
+    TIGHT, so a predicate on event_type skips whole row groups at scan
+    time — the same data-skipping ClickHouse buys with its ORDER BY
+    key. tests/test_sources.py asserts the clustering property on the
+    written files (row-group min/max ranges for the sort key are
+    disjoint and ordered), not just the round-trip."""
+    ev = load(spark, sf_dir, "events")
+    out_dir = os.path.join(scratch_dir("a15_sorted_"), "events_ordered")
+    (
+        ev.repartition("event_type")
+        .sortWithinPartitions("event_type", "ts")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    back = spark.read.parquet(out_dir)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        dsum("value").alias("total_value"),
+    )

@@ -173,3 +173,43 @@ def test_fixed_point_sum_differential(spark, rows):
     # bit-identical, not approx: stringify like the driver's hash does
     assert list(map(str, got["s"])) == list(map(str, want["s"]))
     assert list(got["k"]) == list(want["k"])
+
+
+@given(rows=rows_strategy)
+@settings(max_examples=10, deadline=None)
+def test_window_functions_differential(spark, rows):
+    """Window semantics vs DuckDB on random data: row_number/lag/
+    running-sum over a deterministic total order (k, v, tag, rn is not
+    total — add a synthetic unique id). Integer-only → exact."""
+    pdf = pd.DataFrame(rows, columns=["k", "v", "tag"])
+    if len(pdf) == 0:
+        return
+    pdf = pdf.reset_index().rename(columns={"index": "uid"})
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.sql(
+        "SELECT uid, "
+        "ROW_NUMBER() OVER (PARTITION BY k ORDER BY v, uid) AS rn, "
+        "LAG(v, 1) OVER (PARTITION BY k ORDER BY v, uid) AS prev_v, "
+        "CAST(SUM(v) OVER (PARTITION BY k ORDER BY v, uid "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_sum "
+        "FROM t ORDER BY uid"
+    ).df()
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("k").orderBy("v", "uid")
+    got = (
+        spark.createDataFrame(pdf)
+        .select(
+            "uid",
+            F.row_number().over(w).alias("rn"),
+            F.lag("v", 1).over(w).alias("prev_v"),
+            F.sum("v")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("run_sum"),
+        )
+        .orderBy("uid")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -113,3 +113,60 @@ def test_load_warns_on_explicit_foreign_timezone(spark):
             load(spark, SMOKE_SF_DIR, "nation")
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_a15_sorted_sink_clusters_row_groups(spark, tmp_path):
+    """The ORDER BY layout claim, verified on the physical files: after
+    repartition(event_type) + sortWithinPartitions, each file's row
+    groups carry NON-OVERLAPPING, ordered (min, max) ranges for the
+    sort key — the zone-map property that lets a point predicate skip
+    every row group whose range excludes the value. (A single file may
+    hold several event_types — repartition hashes, it doesn't isolate —
+    so per-group single-valuedness is NOT the invariant; disjoint
+    sorted ranges are.) A tiny parquet.block.size forces many row
+    groups so the property is actually exercised."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from mysql_to_clickhouse_spark.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    out = str(tmp_path / "ordered")
+    (
+        ev.repartition("event_type")
+        .sortWithinPartitions("event_type", "ts")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 4096)
+        .parquet(out)
+    )
+    files = glob.glob(os.path.join(out, "*.parquet"))
+    assert files
+    multi_group_files = 0
+    total_groups = 0
+    skippable = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        ranges = []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.row_group(rg).num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "event_type"
+            )
+            st = col.statistics
+            assert st is not None and st.has_min_max
+            ranges.append((st.min, st.max))
+        total_groups += len(ranges)
+        if len(ranges) > 1:
+            multi_group_files += 1
+        for (lo, hi), (nlo, _nhi) in zip(ranges, ranges[1:]):
+            assert lo <= hi and hi <= nlo, (
+                f"{f}: row-group ranges overlap: [{lo},{hi}] then [{nlo},..]"
+            )
+        skippable += sum(1 for lo, hi in ranges if lo == hi)
+    # the tiny block size must have produced real multi-group files,
+    # and most groups must be single-valued (point-predicate skippable)
+    assert multi_group_files > 0 and total_groups > len(files)
+    assert skippable >= total_groups // 2
