@@ -815,3 +815,65 @@ def d18_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("metric") == "l_discount", "discount")
         .otherwise("tax"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d19_summap — CH sumMap / map aggregation (merge keyed histograms)
+# ---------------------------------------------------------------------------
+
+_D19_ORACLE = """
+WITH per AS (
+  SELECT event_type,
+         (CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) // 3600000000) % 24
+           AS hour_utc,
+         COUNT(*) AS n_h
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT event_type,
+       string_agg(CAST(hour_utc AS VARCHAR) || ':' || CAST(n_h AS VARCHAR),
+                  ',' ORDER BY hour_utc) AS hour_map,
+       CAST(SUM(n_h) AS BIGINT) AS n_events
+FROM per
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("d19_summap", oracle=_D19_ORACLE)
+def d19_summap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``sumMap`` / Map-combinator aggregation: per group, a keyed
+    histogram (hour-of-day → event count) merged by key. Spark has no
+    map-valued native aggregate, so the idiomatic plan is two hash
+    aggregates — (group, key) partial counts, then assemble the map —
+    which is exactly how CH's -Map combinator merges states. The map is
+    surfaced as a canonical sorted "k:v,..." string so the hash check
+    covers keys AND values (map column ordering would be engine-defined).
+
+    Hour is derived from epoch MICROS with integer div/mod — no
+    calendar functions, so the result is timezone-independent (the
+    oracle-parity suite runs under a non-UTC TZ).
+
+    Scale: both aggregates are map-side-combinable hash aggs; the
+    second one's cardinality is |groups| × 24, tiny. No window, no
+    sort shuffle; the collect_list holds ≤24 entries per group."""
+    ev = load(spark, sf_dir, "events")
+    hour = F.expr("(unix_micros(ts) div 3600000000) % 24").alias("hour_utc")
+    per = (
+        ev.select("event_type", hour)
+        .groupBy("event_type", "hour_utc")
+        .agg(F.count(F.lit(1)).alias("n_h"))
+    )
+    entry = F.struct(F.col("hour_utc"), F.col("n_h"))
+    return per.groupBy("event_type").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(entry)),
+                lambda x: F.concat_ws(
+                    ":", x.hour_utc.cast("string"), x.n_h.cast("string")
+                ),
+            ),
+            ",",
+        ).alias("hour_map"),
+        F.sum("n_h").alias("n_events"),
+    )

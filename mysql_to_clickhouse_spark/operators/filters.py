@@ -242,3 +242,49 @@ def b7_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         
     )
+
+
+# ---------------------------------------------------------------------------
+# b8_sample_by — the ClickHouse SAMPLE clause (deterministic hash sampling)
+# ---------------------------------------------------------------------------
+
+_B8_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_sampled,
+       COUNT(*) * 16 AS n_estimated,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users_sampled
+FROM events
+WHERE substring(md5(CAST(user_id AS VARCHAR)), 1, 1) = '0'
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("b8_sample_by", oracle=_B8_ORACLE)
+def b8_sample_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CH ``SELECT ... SAMPLE 1/16`` clause: a deterministic subset
+    chosen by hashing the table's sampling key (here user_id), NOT by
+    rand() — so the same rows are sampled on every run, every engine,
+    and every partitioning, and repeated queries over the sample are
+    consistent with each other (the property CH builds SAMPLE on).
+    ``n_estimated`` is the CH ``count() * any(_sample_factor)`` idiom:
+    scale sampled counts back to full-table estimates.
+
+    Scale: the predicate is map-side (one md5 per row, no shuffle
+    before the aggregate) and subsets by USER, not by row — all events
+    of a sampled user survive, so per-user sequences stay intact, which
+    is what makes hash-sampling usable for funnels/retention where
+    row-level sampling would shred sessions."""
+    ev = load(spark, sf_dir, "events")
+    bucket = F.substring(
+        F.md5(F.encode(F.col("user_id").cast("string"), "UTF-8")), 1, 1
+    )
+    return (
+        ev.filter(bucket == F.lit("0"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            (F.count(F.lit(1)) * 16).alias("n_estimated"),
+            F.countDistinct("user_id").alias("users_sampled"),
+        )
+    )

@@ -561,3 +561,66 @@ def g15_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("page_param"),
         F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
     )
+
+
+# ---------------------------------------------------------------------------
+# g16_geo — CH geo function family (greatCircleDistance / point-in-box)
+# ---------------------------------------------------------------------------
+
+_G16_ORACLE = """
+WITH pts AS (
+  SELECT c_custkey,
+         (c_custkey % 1700) / 10.0 - 85.0 AS lat,
+         ((c_custkey * 7 + c_nationkey * 13) % 3500) / 10.0 - 175.0 AS lon
+  FROM customer
+)
+SELECT c_custkey, lat, lon,
+       round(2.0 * 6371.0 * asin(sqrt(
+         sin(radians((lat - 48.8566) / 2.0)) * sin(radians((lat - 48.8566) / 2.0))
+         + cos(radians(lat)) * cos(radians(48.8566))
+           * sin(radians((lon - 2.3522) / 2.0)) * sin(radians((lon - 2.3522) / 2.0))
+       )), 3) AS dist_km,
+       (lat BETWEEN -23.5 AND 23.5) AND (lon BETWEEN 0.0 AND 90.0) AS in_box
+FROM pts
+ORDER BY c_custkey
+"""
+
+
+@register("g16_geo", oracle=_G16_ORACLE)
+def g16_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH geo functions (greatCircleDistance, pointInsideBox family) as
+    JVM built-ins: haversine great-circle distance to a fixed anchor
+    plus a bounding-box predicate. Coordinates are derived
+    deterministically from customer keys (the testdata carries no geo
+    columns) with pure integer/double arithmetic so both engines
+    construct bit-identical inputs.
+
+    Cross-engine determinism: the formula is written with the SAME
+    operation order on both sides; libm-vs-JVM trig can differ in the
+    last ulps, so the distance is rounded to 1 m resolution (policy of
+    §5.4, like g7's transcendentals). Verified to hash-match at both
+    sf0.01 and sf0.1.
+
+    Scale: pure map-side narrow projection inside whole-stage codegen —
+    no shuffle, no UDF; a geo filter (in_box) would push down as a
+    plain comparison on the derived columns."""
+    cust = load(spark, sf_dir, "customer")
+    lat = (F.col("c_custkey") % 1700) / 10.0 - 85.0
+    lon = ((F.col("c_custkey") * 7 + F.col("c_nationkey") * 13) % 3500) / 10.0 - 175.0
+    pts = cust.select("c_custkey", lat.alias("lat"), lon.alias("lon"))
+    sin_dphi = F.sin(F.radians((F.col("lat") - 48.8566) / 2.0))
+    sin_dlam = F.sin(F.radians((F.col("lon") - 2.3522) / 2.0))
+    havers = (
+        sin_dphi * sin_dphi
+        + F.cos(F.radians(F.col("lat")))
+        * F.cos(F.radians(F.lit(48.8566)))
+        * sin_dlam
+        * sin_dlam
+    )
+    dist = F.round(2.0 * 6371.0 * F.asin(F.sqrt(havers)), 3)
+    in_box = (
+        F.col("lat").between(-23.5, 23.5) & F.col("lon").between(0.0, 90.0)
+    )
+    return pts.select(
+        "c_custkey", "lat", "lon", dist.alias("dist_km"), in_box.alias("in_box")
+    )

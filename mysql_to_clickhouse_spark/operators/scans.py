@@ -619,3 +619,54 @@ def a15_sorted_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         dsum("value").alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# a16_ttl_expiry — MergeTree TTL (age out rows at compaction rewrite)
+# ---------------------------------------------------------------------------
+
+_A16_TTL_US = 10 * 86_400_000_000  # TTL ts + INTERVAL 10 DAY
+
+_A16_ORACLE = f"""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       {o_dsum('value')} AS total_value
+FROM events
+WHERE CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)
+      >= (SELECT CAST(epoch_us(CAST(MAX(ts) AS TIMESTAMP)) AS BIGINT)
+          FROM events) - {_A16_TTL_US}
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("a16_ttl_expiry", oracle=_A16_ORACLE)
+def a16_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MergeTree ``TTL ts + INTERVAL 10 DAY``: rows older than the TTL
+    are dropped when parts are rewritten (merge/compaction), not by a
+    synchronous DELETE. The Spark analog is exactly that shape: filter
+    on an age cutoff during a sink rewrite, then serve reads from the
+    compacted output. The cutoff anchors to MAX(ts) (not wall-clock) so
+    the result is deterministic and oracle-checkable.
+
+    Scale: the cutoff is a broadcast 1-row scalar (no driver action);
+    the filter is a pushable comparison on the sort/partition key, so
+    on a date-partitioned sink TTL expiry is PARTITION PRUNING — whole
+    old partitions drop without reading them, which is how the 100 TB
+    retention sweep must run (and how CH drops whole TTL'd parts)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value", F.unix_micros("ts").alias("ts_us")
+    )
+    mx = ev.agg(F.max("ts_us").alias("max_us"))
+    kept = ev.crossJoin(F.broadcast(mx)).filter(
+        F.col("ts_us") >= F.col("max_us") - F.lit(_A16_TTL_US)
+    )
+    out_dir = os.path.join(scratch_dir("a16_ttl_"), "events_compacted")
+    kept.drop("max_us").write.mode("overwrite").parquet(out_dir)
+    back = spark.read.parquet(out_dir)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        dsum("value").alias("total_value"),
+    )
