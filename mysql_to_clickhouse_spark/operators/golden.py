@@ -242,3 +242,321 @@ def x5_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
     )
+
+
+# ---------------------------------------------------------------------------
+# x6_tpch_q10 — returned-item reporting (3-way join + top-N customers)
+# ---------------------------------------------------------------------------
+
+_X6_ORACLE = f"""
+SELECT c_custkey, c_name,
+       {o_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       c_acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("x6_tpch_q10", oracle=_X6_ORACLE)
+def x6_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: customers who returned goods in a quarter,
+    ranked by lost revenue. Scale plan: the quarter filter prunes the
+    orders scan, the returnflag filter prunes lineitem row-groups;
+    customer and nation broadcast (bounded dims), so the only shuffle
+    is orders⋈lineitem on orderkey + the final 20-row TakeOrdered —
+    top-N never materializes a global sort. Tie-break: c_custkey."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# x7_tpch_q18 — large-volume orders (agg-then-join, no double scan)
+# ---------------------------------------------------------------------------
+
+_X7_ORACLE = f"""
+WITH big AS (
+  SELECT l_orderkey, {o_dsum('l_quantity')} AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING total_qty > 300.0
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM big
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@register("x7_tpch_q18", oracle=_X7_ORACLE)
+def x7_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds 300. The
+    classic formulation (IN-subquery + re-join lineitem) scans lineitem
+    twice; this plan aggregates lineitem ONCE — (orderkey, qty) is all
+    that shuffles — carries total_qty out of that aggregate, and joins
+    the (rare) qualifying keys to orders then broadcast-customer. The
+    HAVING filter runs map-side-partial first, so the join probe side
+    is tiny at any scale. Tie-break: o_orderkey."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        # boundary-safe: the threshold compares the bit-exact fixed-point
+        # sum on BOTH engines, not an order-dependent double accumulation
+        .filter(F.col("total_qty") > 300.0)
+    )
+    return (
+        big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# x8_tpch_q19 — discounted revenue (OR-of-ANDs predicate over a join)
+# ---------------------------------------------------------------------------
+
+_X8_PRED = """
+   (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+    AND l_quantity BETWEEN 1.0 AND 11.0)
+OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+    AND l_quantity BETWEEN 10.0 AND 20.0)
+OR (p_brand = 'Brand#3'  AND p_size BETWEEN 20 AND 50
+    AND l_quantity BETWEEN 20.0 AND 35.0)
+"""
+
+_X8_ORACLE = f"""
+SELECT {o_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE {_X8_PRED}
+"""
+
+
+@register("x8_tpch_q19", oracle=_X8_ORACLE)
+def x8_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of brand/size/quantity conjunctions
+    across the join. The per-table residuals ARE derivable and matter at
+    scale: Catalyst's constraint propagation pushes the quantity-range
+    union (1..35) into the lineitem scan and the size-range union
+    (1..50) plus brand IN-list into the (broadcast) part scan, so the
+    OR only evaluates post-join on pre-pruned rows."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    branch = lambda brand, s_lo, s_hi, q_lo, q_hi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(s_lo, s_hi)
+        & F.col("l_quantity").between(q_lo, q_hi)
+    )
+    return j.filter(
+        branch("Brand#12", 1, 15, 1.0, 11.0)
+        | branch("Brand#23", 10, 30, 10.0, 20.0)
+        | branch("Brand#3", 20, 50, 20.0, 35.0)
+    ).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x9_tpch_q22 — dormant high-balance customers (scalar subquery + anti join)
+# ---------------------------------------------------------------------------
+
+_X9_ORACLE = f"""
+SELECT n_name,
+       COUNT(*) AS numcust,
+       {o_dsum('c_acctbal')} AS totacctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT {o_dmean('c_acctbal')} FROM customer
+                   WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+@register("x9_tpch_q22", oracle=_X9_ORACLE)
+def x9_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (phone-prefix swapped for nation — this schema
+    has no c_phone): above-average-balance customers with no recent
+    orders, by nation. The mean is a bit-exact fixed-point scalar
+    (dmean) computed distributed and broadcast back as a 1-row cross
+    join — never a driver collect; the NOT EXISTS decorrelates to a
+    LEFT ANTI join whose probe side only ships o_custkey for orders
+    past the cutoff (filter pushed below the join)."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(dmean("c_acctbal").alias("_avg_bal"))
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x10_tpch_q7 — volume shipping between two nations, by year
+# ---------------------------------------------------------------------------
+
+_X10_ORACLE = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+       {o_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM supplier
+JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("x10_tpch_q7", oracle=_X10_ORACLE)
+def x10_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year. All four non-fact relations broadcast; the nation-pair
+    disjunction evaluates against broadcast rows so the only shuffles
+    are the orders⋈lineitem key exchange and the tiny final group-by.
+    At 100 TB the 2-year shipdate window is the partition-pruning
+    lever (ship-date-partitioned layout, a15)."""
+    sup = load(spark, sf_dir, "supplier")
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x11_tpch_q15 — top supplier by quarterly revenue (agg + max-equality)
+# ---------------------------------------------------------------------------
+
+_X11_ORACLE = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {o_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@register("x11_tpch_q15", oracle=_X11_ORACLE)
+def x11_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (view inlined): supplier(s) achieving the max
+    quarterly revenue. The revenue relation has |suppliers| rows, so
+    its global max is a 1-row broadcast joined back by equality —
+    bit-safe because dsum is bit-identical on both engines. The only
+    fact shuffle is the (suppkey, revenue) partial-agg exchange; ties
+    (multiple max suppliers) all survive, matching the spec."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    sup = load(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("_max_rev"))
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_max_rev"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )

@@ -11,8 +11,10 @@ per-round firefighting):
 - Double aggregates go through exact decimal sums then cast to double
   (``functions.numeric``) so Spark and DuckDB produce bit-identical
   results regardless of partition/accumulation order.
-- ``events.ts`` is ns-precision parquet; any ts value surfaced from it
-  is normalized to epoch microseconds (bigint) on both sides.
+- ``events.ts`` ships as naive parquet ``timestamp[us]`` (legacy
+  fixtures used ns-epoch int64; the loader adapts to both — tables.py);
+  any ts value surfaced from it is normalized to epoch microseconds
+  (bigint) on both sides.
 - Every ranking/limit has a total-order tie-break; every collect_list is
   sort_array'd.
 - Approximate operators (HLL, approx quantiles, LSH) register with

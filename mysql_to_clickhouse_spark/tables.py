@@ -130,6 +130,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             stacklevel=2,
         )
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # The testdata's timestamp columns (o_orderdate, l_shipdate, events.ts)
+    # are naive parquet timestamps. Read them as TIMESTAMP (LTZ) instants —
+    # raw stored micros interpreted as UTC at scan time — rather than
+    # TIMESTAMP_NTZ, so timestamp literals/arithmetic resolve uniformly and
+    # nothing in the plan depends on the session TZ at execution time.
+    # Set before ANY read so schemas don't depend on table load order.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     _ship_package(spark)
     per_session = _LOAD_CACHE.setdefault(spark, {})
     key = (sf_dir, name)
@@ -140,25 +147,162 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = _load_events(spark, sf_dir)
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _check_schema(name, df)
     per_session[key] = df
     return df
 
 
-def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is ns-precision parquet, which Spark 4 refuses outright
-    (PARQUET_TYPE_ILLEGAL) unless read as a bigint. Read ns-as-long and
-    convert to a µs TimestampType at the scan boundary — truncation for
-    positive epochs, exactly matching the DuckDB oracle's
-    CAST(TIMESTAMP_NS AS TIMESTAMP).
+# Post-load Spark dtypes per FIXTURES.md — the guard that turns testdata
+# schema drift (which silently regenerated under the engine once, r2→r3,
+# costing 40 queries) into ONE clear error at load() time instead of an
+# AnalysisException mid-plan in every downstream query. Timestamp columns
+# accept any timestamp flavor: the physical encoding is normalized by the
+# loader; what matters is that they ARE timestamps.
+EXPECTED_SCHEMAS: dict[str, dict[str, tuple[str, ...]]] = {
+    "region": {"r_regionkey": ("int", "bigint"), "r_name": ("string",)},
+    "nation": {
+        "n_nationkey": ("int", "bigint"),
+        "n_name": ("string",),
+        "n_regionkey": ("int", "bigint"),
+    },
+    "customer": {
+        "c_custkey": ("bigint", "int"),
+        "c_name": ("string",),
+        "c_nationkey": ("int", "bigint"),
+        "c_acctbal": ("double", "float"),
+        "c_mktsegment": ("string",),
+    },
+    "supplier": {
+        "s_suppkey": ("bigint", "int"),
+        "s_name": ("string",),
+        "s_nationkey": ("int", "bigint"),
+        "s_acctbal": ("double", "float"),
+    },
+    "part": {
+        "p_partkey": ("bigint", "int"),
+        "p_name": ("string",),
+        "p_brand": ("string",),
+        "p_type": ("string",),
+        "p_size": ("int", "bigint"),
+        "p_retailprice": ("double", "float"),
+    },
+    "orders": {
+        "o_orderkey": ("bigint", "int"),
+        "o_custkey": ("bigint", "int"),
+        "o_orderstatus": ("string",),
+        "o_totalprice": ("double", "float"),
+        "o_orderdate": ("timestamp", "timestamp_ntz", "date"),
+        "o_orderpriority": ("string",),
+    },
+    "lineitem": {
+        "l_orderkey": ("bigint", "int"),
+        "l_partkey": ("bigint", "int"),
+        "l_suppkey": ("bigint", "int"),
+        "l_linenumber": ("int", "bigint"),
+        "l_quantity": ("double", "float"),
+        "l_extendedprice": ("double", "float"),
+        "l_discount": ("double", "float"),
+        "l_tax": ("double", "float"),
+        "l_returnflag": ("string",),
+        "l_linestatus": ("string",),
+        "l_shipdate": ("timestamp", "timestamp_ntz", "date"),
+    },
+    "events": {
+        "event_id": ("bigint", "int"),
+        "ts": ("timestamp",),  # loader must have normalized every encoding
+        "user_id": ("bigint", "int"),
+        "event_type": ("string",),
+        "value": ("double", "float"),
+        "props": ("string",),
+    },
+    "documents": {
+        "doc_id": ("bigint", "int"),
+        "text": ("string",),
+        "lang": ("string",),
+        "source": ("string",),
+        "n_chars": ("bigint", "int"),
+    },
+    "embeddings": {
+        "vec_id": ("bigint", "int"),
+        "embedding": ("array<float>", "array<double>"),
+        "label": ("int", "bigint"),
+    },
+}
 
-    The conf is session-level and settable at runtime, so this works
-    under the driver's own SparkSession too (verified).
+
+class TestdataSchemaDrift(RuntimeError):
+    """The driver's parquet fixtures no longer match FIXTURES.md."""
+
+
+def _check_schema(name: str, df: DataFrame) -> None:
+    """Drift rules: a known column loaded with a foreign dtype (the r3
+    failure mode) or an unknown column name (a rename/addition) is an
+    error; MISSING columns are allowed so tests can run engine queries
+    against reduced synthetic fixtures that carry only the columns the
+    query touches (a removed column still fails at analysis with the
+    column name in the message)."""
+    expected = EXPECTED_SCHEMAS[name]
+    actual = dict(df.dtypes)
+    problems = []
+    for col, got in actual.items():
+        allowed = expected.get(col)
+        if allowed is None:
+            problems.append(
+                f"unknown column {col!r} ({actual[col]!r}) — renamed or "
+                f"newly added vs FIXTURES.md"
+            )
+        elif got not in allowed:
+            problems.append(
+                f"column {col!r} loaded as {got!r}, expected one of {allowed}"
+            )
+    if problems:
+        raise TestdataSchemaDrift(
+            f"testdata schema drift in table {name!r}: "
+            + "; ".join(problems)
+            + ". The driver fixtures changed under the engine — update "
+            "mysql_to_clickhouse_spark/tables.py (loader + EXPECTED_SCHEMAS) "
+            "and FIXTURES.md together."
+        )
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load events with a µs-precision UTC TimestampType ``ts`` column,
+    adapting to whichever physical encoding the testdata ships:
+
+    - parquet ``timestamp[us]`` naive (current driver fixtures): with
+      ``spark.sql.parquet.inferTimestampNTZ.enabled=false`` Spark reads
+      the stored epoch-micros directly as TIMESTAMP (LTZ instant) at
+      scan time — no session-TZ-dependent cast in the plan, so a host
+      flipping ``spark.sql.session.timeZone`` after load() cannot shift
+      the values. Matches the DuckDB oracle, which reads the same
+      micros as a naive TIMESTAMP rendered under UTC.
+    - ns-epoch int64 (legacy fixtures): readable only via
+      ``spark.sql.legacy.parquet.nanosAsLong=true``; converted with
+      ``timestamp_micros(ts div 1000)`` (truncation for positive
+      epochs, matching CAST(TIMESTAMP_NS AS TIMESTAMP)).
+    - already-LTZ timestamp: passed through.
+
+    The encoding changed under the engine once (r2→r3 testdata regen)
+    and cost a full round; tests/test_sources.py now pins both paths.
+    Both confs are session-level and runtime-settable, so this works
+    under the verification driver's own SparkSession too.
     """
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt is not None and dt.startswith("timestamp_ntz"):
+        # fallback if a future Spark ignores the infer conf for this
+        # file; session TZ is pinned to UTC by load() before any action,
+        # and every engine query re-enters load(), so the cast resolves
+        # under UTC in practice — the conf path above is still primary
+        # because it is execution-time safe without that invariant.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -284,12 +284,12 @@ def test_topk_table_smaller_than_k(spark, tmp_path):
     from mysql_to_clickhouse_spark.registry import all_queries
 
     rows = [
-        (0, [1.0] * 64, "a"),
-        (1, [0.5] * 64, "b"),
-        (2, [-1.0] * 64, "a"),
+        (0, [1.0] * 64, 0),
+        (1, [0.5] * 64, 1),
+        (2, [-1.0] * 64, 0),
     ]
     spark.createDataFrame(
-        rows, "vec_id long, embedding array<double>, label string"
+        rows, "vec_id long, embedding array<double>, label int"
     ).write.parquet(str(tmp_path / "embeddings.parquet"))
     out = all_queries()["i4_topk_similar"].fn(spark, str(tmp_path)).toPandas()
     assert len(out) == 6  # 3 queries × 2 neighbors
@@ -317,9 +317,9 @@ def test_ivf_trained_centroids_survive_skew(spark, tmp_path):
     for i in range(240):
         base = u_a if i < 120 else u_b
         v = base + 0.05 * rng.randn(dim)
-        vecs.append((i, [float(x) for x in v], "a" if i < 120 else "b"))
+        vecs.append((i, [float(x) for x in v], 0 if i < 120 else 1))
     spark.createDataFrame(
-        vecs, "vec_id long, embedding array<double>, label string"
+        vecs, "vec_id long, embedding array<double>, label int"
     ).write.parquet(str(tmp_path / "embeddings.parquet"))
 
     emb = load(spark, str(tmp_path), "embeddings")

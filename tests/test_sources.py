@@ -170,3 +170,92 @@ def test_a15_sorted_sink_clusters_row_groups(spark, tmp_path):
     # and most groups must be single-valued (point-predicate skippable)
     assert multi_group_files > 0 and total_groups > len(files)
     assert skippable >= total_groups // 2
+
+
+def _write_events_fixture(path, encoding):
+    """Write a tiny events.parquet in one of the physical encodings the
+    driver has shipped: 'us' = naive timestamp[us] (current, r3+),
+    'ns_int64' = ns-epoch int64 (legacy r1/r2)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    micros = [1704067200_000_000 + i * 37_000_001 for i in range(8)]  # 2024-01-01+
+    cols = {
+        "event_id": pa.array(range(8), pa.int64()),
+        "user_id": pa.array([i % 3 for i in range(8)], pa.int64()),
+        "event_type": pa.array(["view", "click"] * 4),
+        "value": pa.array([float(i) for i in range(8)], pa.float64()),
+        "props": pa.array(['{"k": %d}' % i for i in range(8)]),
+    }
+    if encoding == "us":
+        ts = pa.array(micros, pa.timestamp("us"))
+    elif encoding == "ns_int64":
+        ts = pa.array([m * 1000 for m in micros], pa.int64())
+    else:
+        raise ValueError(encoding)
+    table = pa.table(
+        {
+            "event_id": cols["event_id"],
+            "ts": ts,
+            "user_id": cols["user_id"],
+            "event_type": cols["event_type"],
+            "value": cols["value"],
+            "props": cols["props"],
+        }
+    )
+    pq.write_table(table, str(path))
+
+
+def test_events_loader_adapts_to_both_encodings(spark, tmp_path):
+    """Fixture-drift guard (round-3 postmortem): the driver regenerated
+    events.ts from ns-int64 to naive timestamp[us] between rounds and
+    every events query died. The loader must normalize BOTH encodings to
+    the identical µs TimestampType frame with identical values."""
+    from mysql_to_clickhouse_spark.tables import load
+
+    frames = {}
+    for enc in ("us", "ns_int64"):
+        d = tmp_path / enc
+        d.mkdir()
+        _write_events_fixture(d / "events.parquet", enc)
+        df = load(spark, str(d), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", enc
+        frames[enc] = sorted(
+            (r.event_id, r.ts.isoformat()) for r in df.select("event_id", "ts").collect()
+        )
+    assert frames["us"] == frames["ns_int64"]
+    # absolute anchor: first row is exactly 2024-01-01T00:00:00 UTC
+    assert frames["us"][0] == (0, "2024-01-01T00:00:00")
+
+
+def test_load_rejects_drifted_schema(spark, tmp_path):
+    """A testdata schema change must fail at load() with ONE targeted
+    error naming the column, not 40 mid-plan AnalysisExceptions."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from mysql_to_clickhouse_spark.tables import TestdataSchemaDrift, load
+
+    # nation with n_regionkey renamed → drift
+    table = pa.table(
+        {
+            "n_nationkey": pa.array([0, 1], pa.int32()),
+            "n_name": pa.array(["ALGERIA", "ARGENTINA"]),
+            "n_region_id": pa.array([0, 1], pa.int32()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "nation.parquet"))
+    with pytest.raises(TestdataSchemaDrift, match="n_region_id"):
+        load(spark, str(tmp_path), "nation")
+
+    # dtype drift on a known column (the r3 failure mode) also trips
+    table2 = pa.table(
+        {
+            "r_regionkey": pa.array([0.0, 1.0], pa.float64()),
+            "r_name": pa.array(["AFRICA", "AMERICA"]),
+        }
+    )
+    pq.write_table(table2, str(tmp_path / "region.parquet"))
+    with pytest.raises(TestdataSchemaDrift, match="r_regionkey"):
+        load(spark, str(tmp_path), "region")
