@@ -91,21 +91,29 @@ def main() -> None:
     warm: dict[str, float] = {}
     cold: dict[str, float] = {}
     first: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for headline, qid in HEADLINERS.items():
-        fn = queries[qid].fn
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).toPandas()  # first touch: JIT/IO + one-time caches
-        first[headline] = round(time.perf_counter() - t0, 4)
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.toPandas()
-        cold[headline] = round(time.perf_counter() - t0, 4)
-        runs = []
-        for _ in range(RUNS):
+        # Per-query isolation (r3 postmortem: ONE query dying at warm-up
+        # crashed the whole harness → a round with no bench numbers at
+        # all). A failing headliner is now reported in "errors" and the
+        # rest still get measured; rc stays 0 so the JSON line lands.
+        try:
+            fn = queries[qid].fn
             t0 = time.perf_counter()
+            fn(spark, sf_dir).toPandas()  # first touch: JIT/IO + caches
+            first[headline] = round(time.perf_counter() - t0, 4)
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
             df.toPandas()
-            runs.append(time.perf_counter() - t0)
-        warm[headline] = round(statistics.median(runs), 4)
+            cold[headline] = round(time.perf_counter() - t0, 4)
+            runs = []
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                df.toPandas()
+                runs.append(time.perf_counter() - t0)
+            warm[headline] = round(statistics.median(runs), 4)
+        except Exception as exc:  # noqa: BLE001
+            errors[headline] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(warm.values()), 4)
     print(
@@ -120,6 +128,7 @@ def main() -> None:
                 "first_run_queries": first,
                 "first_run_total": round(sum(first.values()), 4),
                 "job_floor_sec": job_floor,
+                "errors": errors,
                 "waivers": {
                     "d1_dedup_docs": (
                         "overhead-bound: warm median ~= job_floor_sec (the "

@@ -877,3 +877,97 @@ def d19_summap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hour_map"),
         F.sum("n_h").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d20_array_combinators — CH -Array combinator folds (sumArray/minArray/
+# maxArray) over the embedding vectors
+# ---------------------------------------------------------------------------
+
+_D20_ORACLE = """
+SELECT label,
+       CAST(SUM(list_sum(list_transform(embedding,
+             x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000.0) AS BIGINT))))
+            AS DOUBLE) / 10000.0 AS sum_all,
+       MAX(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))))
+           AS max_el,
+       MIN(list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))))
+           AS min_el,
+       CAST(SUM(len(embedding)) AS BIGINT) AS n_elements
+FROM embeddings
+GROUP BY label
+ORDER BY label
+"""
+
+
+@register("d20_array_combinators", oracle=_D20_ORACLE)
+def d20_array_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH's -Array aggregate combinators (sumArray, maxArray, minArray,
+    countArray): fold every element of an array column into the group's
+    aggregate. The per-row fold runs inside the scan stage with
+    higher-order functions (no explode — a posexplode here would
+    inflate the shuffle 64×); the sum folds deterministic fixed-point
+    bigints (element order within a row is fixed, the cross-row bigint
+    sum is order-free), so the double surfaced at the end is
+    bit-identical on both engines."""
+    emb = load(spark, sf_dir, "embeddings")
+    row_fp = F.aggregate(
+        F.col("embedding"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.floor(x.cast("double") * F.lit(10000.0)).cast("long"),
+    )
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.groupBy("label").agg(
+        (F.sum(row_fp).cast("double") / F.lit(10000.0)).alias("sum_all"),
+        F.max(F.array_max(as_double)).alias("max_el"),
+        F.min(F.array_min(as_double)).alias("min_el"),
+        F.sum(F.size("embedding")).cast("long").alias("n_elements"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# d21_sum_foreach — CH sumForEach: ELEMENT-WISE vector sum per group
+# ---------------------------------------------------------------------------
+
+_D21_DIM = 64  # fixed embedding dim (FIXTURES.md); asserted by i7's tests
+
+_D21_ORACLE = f"""
+WITH pos AS (SELECT i FROM range(1, {_D21_DIM + 1}) t(i)),
+per AS (
+  SELECT label, i,
+         CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 10000.0)
+                       AS BIGINT)) AS BIGINT) AS s
+  FROM embeddings, pos
+  GROUP BY label, i
+)
+SELECT label,
+       string_agg(CAST(s AS VARCHAR), ',' ORDER BY i) AS sum_vec_fp
+FROM per GROUP BY label
+ORDER BY label
+"""
+
+
+@register("d21_sum_foreach", oracle=_D21_ORACLE)
+def d21_sum_foreach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH sumForEach: element-wise sum of an array column per group —
+    the centroid-accumulation primitive (IVF training, k-means, mean
+    pooling). One hash aggregate with 64 independent bigint sums (one
+    per dimension), each reading its lane via element_at inside the
+    scan stage: the shuffle carries 64 longs per group — versus a
+    posexplode plan that would shuffle rows×64 exploded tuples. The
+    fixed-point lanes are surfaced as a canonical comma-joined string
+    (exact integers; array formatting differs between engines)."""
+    emb = load(spark, sf_dir, "embeddings")
+    lanes = [
+        F.sum(
+            F.floor(
+                F.element_at("embedding", i + 1).cast("double")
+                * F.lit(10000.0)
+            ).cast("long")
+        ).cast("string")
+        for i in range(_D21_DIM)
+    ]
+    return emb.groupBy("label").agg(
+        F.concat_ws(",", *lanes).alias("sum_vec_fp")
+    )

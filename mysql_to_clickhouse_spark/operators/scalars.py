@@ -624,3 +624,43 @@ def g16_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.select(
         "c_custkey", "lat", "lon", dist.alias("dist_km"), in_box.alias("in_box")
     )
+
+
+# ---------------------------------------------------------------------------
+# g17_dict_get — CH external-dictionary lookup (dictGetOrDefault)
+# ---------------------------------------------------------------------------
+
+_G17_ORACLE = """
+SELECT c_custkey,
+       c_nationkey + 20 AS dict_key,
+       COALESCE(n_name, 'UNKNOWN') AS dict_val
+FROM customer LEFT JOIN nation ON c_nationkey + 20 = n_nationkey
+"""
+
+
+@register("g17_dict_get", oracle=_G17_ORACLE)
+def g17_dict_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH dictGetOrDefault('nation_dict', 'n_name', key, 'UNKNOWN'): a
+    point lookup into an in-memory dictionary with a default for missing
+    keys (the shifted key makes 80% of lookups miss, exercising the
+    default path). Spark-first: the dictionary IS a broadcast LEFT join
+    — every executor holds the dict once, the lookup is a local hash
+    probe in whole-stage codegen, and COALESCE supplies the default.
+    No shuffle of the fact side at any scale, exactly like CH's
+    per-server dictionary replica."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    key = (F.col("c_nationkey") + F.lit(20)).alias("dict_key")
+    return (
+        cust.select("c_custkey", key)
+        .join(
+            F.broadcast(nation),
+            F.col("dict_key") == F.col("n_nationkey"),
+            "left",
+        )
+        .select(
+            "c_custkey",
+            "dict_key",
+            F.coalesce(F.col("n_name"), F.lit("UNKNOWN")).alias("dict_val"),
+        )
+    )

@@ -670,3 +670,143 @@ def a16_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         dsum("value").alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# a17_collapsing_merge — CollapsingMergeTree(sign) FINAL semantics
+# ---------------------------------------------------------------------------
+
+_A17_ORACLE = """
+WITH signed AS (
+  SELECT user_id, event_id, value,
+         CASE WHEN event_type = 'error' THEN -1 ELSE 1 END AS sign
+  FROM events
+), agg AS (
+  SELECT user_id,
+         CAST(SUM(sign) AS BIGINT) AS net,
+         arg_max(event_id, event_id) FILTER (WHERE sign = 1)  AS pos_id,
+         arg_max(value,    event_id) FILTER (WHERE sign = 1)  AS pos_val,
+         arg_min(event_id, event_id) FILTER (WHERE sign = -1) AS neg_id,
+         arg_min(value,    event_id) FILTER (WHERE sign = -1) AS neg_val
+  FROM signed GROUP BY user_id
+)
+SELECT user_id, net,
+       CASE WHEN net > 0 THEN pos_id  ELSE neg_id  END AS state_event_id,
+       CASE WHEN net > 0 THEN pos_val ELSE neg_val END AS state_value
+FROM agg
+WHERE net != 0
+ORDER BY user_id
+"""
+
+
+@register("a17_collapsing_merge", oracle=_A17_ORACLE)
+def a17_collapsing_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CollapsingMergeTree(sign) read-with-FINAL semantics: each key's
+    +1 (state) and -1 (cancel) rows collapse; a key whose signs net to
+    zero vanishes, a positive net surfaces the LATEST +1 row, a negative
+    net the EARLIEST unmatched -1 row (CH's documented collapse rule).
+    Here events plays the CDC stream: 'error' rows cancel, everything
+    else asserts state; arrival order is event_id.
+
+    Spark-first shape: ONE hash aggregate — net via sum, the
+    latest/earliest candidates via max/min over sign-gated structs
+    (F.max ignores the NULLs the gate produces, and struct comparison
+    is lexicographic on the leading event_id). No window, no self-join,
+    map-side combinable — the same one-shuffle shape as d1 at 100 TB,
+    where CH does this collapse at part-merge time."""
+    ev = load(spark, sf_dir, "events")
+    sign = F.when(F.col("event_type") == "error", F.lit(-1)).otherwise(F.lit(1))
+    signed = ev.select(
+        "user_id", "event_id", "value", sign.alias("sign")
+    )
+    pos = F.when(
+        F.col("sign") == 1, F.struct(F.col("event_id"), F.col("value"))
+    )
+    neg = F.when(
+        F.col("sign") == -1, F.struct(F.col("event_id"), F.col("value"))
+    )
+    agg = signed.groupBy("user_id").agg(
+        F.sum("sign").cast("long").alias("net"),
+        F.max(pos).alias("pos"),
+        F.min(neg).alias("neg"),
+    )
+    picked = F.when(F.col("net") > 0, F.col("pos")).otherwise(F.col("neg"))
+    return (
+        agg.filter(F.col("net") != 0)
+        .select(
+            "user_id",
+            "net",
+            picked.getField("event_id").alias("state_event_id"),
+            picked.getField("value").alias("state_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# a18_versioned_collapse — VersionedCollapsingMergeTree(sign, version)
+# ---------------------------------------------------------------------------
+
+_A18_ORACLE = """
+WITH signed AS (
+  SELECT user_id, event_id, value,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS version,
+         CASE WHEN event_type = 'error' THEN -1 ELSE 1 END AS sign
+  FROM events
+), v AS (
+  SELECT user_id, version,
+         CAST(SUM(sign) AS BIGINT) AS net_v,
+         arg_max(event_id, event_id) FILTER (WHERE sign = 1) AS pos_id,
+         arg_max(value,    event_id) FILTER (WHERE sign = 1) AS pos_val
+  FROM signed GROUP BY user_id, version
+), w AS (
+  SELECT user_id, version, pos_id, pos_val,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY version DESC) AS rn
+  FROM v WHERE net_v > 0
+)
+SELECT user_id, version, pos_id AS state_event_id, pos_val AS state_value
+FROM w WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+@register("a18_versioned_collapse", oracle=_A18_ORACLE)
+def a18_versioned_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VersionedCollapsingMergeTree(sign, version) FINAL: collapse
+    happens WITHIN a version (out-of-order cancels can't touch newer
+    state), then the highest surviving version wins per key. Version =
+    UTC day index of ts (integer div of epoch-µs — identical arithmetic
+    on both engines); 'error' rows cancel within their day.
+
+    Two hash aggregates: (key, version) collapse first — the shuffle
+    carries the fine key so skewed keys spread across reducers — then a
+    per-key max over surviving (version, state) structs, which is tiny
+    (≤ |versions| rows per key). Both map-side combinable; no window
+    over the raw stream at any scale."""
+    ev = load(spark, sf_dir, "events")
+    sign = F.when(F.col("event_type") == "error", F.lit(-1)).otherwise(F.lit(1))
+    version = F.expr("unix_micros(ts) div 86400000000")
+    signed = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        version.alias("version"),
+        sign.alias("sign"),
+    )
+    pos = F.when(
+        F.col("sign") == 1, F.struct(F.col("event_id"), F.col("value"))
+    )
+    per_version = signed.groupBy("user_id", "version").agg(
+        F.sum("sign").cast("long").alias("net_v"),
+        F.max(pos).alias("pos"),
+    )
+    latest = (
+        per_version.filter(F.col("net_v") > 0)
+        .groupBy("user_id")
+        .agg(F.max(F.struct(F.col("version"), F.col("pos"))).alias("st"))
+    )
+    return latest.select(
+        "user_id",
+        F.col("st.version").alias("version"),
+        F.col("st.pos.event_id").alias("state_event_id"),
+        F.col("st.pos.value").alias("state_value"),
+    )
