@@ -1889,3 +1889,146 @@ def i17b_topk_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_count"), "gram")
     )
+
+
+# ---------------------------------------------------------------------------
+# i18_repetition_ratio — duplicated-trigram fraction (repetition signal)
+# ---------------------------------------------------------------------------
+
+_I18_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), g AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         list_transform(range(1, GREATEST(len(toks) - 1, 1)), i ->
+           toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS trigrams
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(len(trigrams) AS BIGINT) AS n_trigrams,
+       CAST(len(list_distinct(trigrams)) AS BIGINT) AS n_distinct_trigrams,
+       CASE WHEN len(trigrams) > 0
+            THEN CAST(len(trigrams) - len(list_distinct(trigrams)) AS DOUBLE)
+                 / CAST(len(trigrams) AS DOUBLE)
+            ELSE 0.0 END AS dup_trigram_frac
+FROM g
+ORDER BY doc_id
+"""
+
+
+@register("i18_repetition_ratio", oracle=_I18_ORACLE)
+def i18_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition detection (a Gopher/C4-style quality signal): the
+    fraction of word trigrams that are duplicates within the document.
+    Boilerplate, keyword stuffing and template spam score high; clean
+    prose scores near 0. Trigram construction and the distinct count
+    run entirely inside the scan stage with array higher-order
+    functions (no explode — a 3-gram posexplode would multiply the
+    shuffle by ~n_tokens); the output is one row per doc, so the
+    operator is shuffle-free at any corpus size. The int/int → double
+    division is a single IEEE op, bit-identical on both engines."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks)
+    # sequence(1, n-2) DESCENDS when n-2 < 1 — gate short docs to empty
+    idx = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    trigrams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    n_tri = F.size(trigrams).cast("long")
+    n_uniq = F.size(F.array_distinct(trigrams)).cast("long")
+    frac = F.when(
+        n_tri > 0, (n_tri - n_uniq).cast("double") / n_tri.cast("double")
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        n_tri.alias("n_trigrams"),
+        n_uniq.alias("n_distinct_trigrams"),
+        frac.alias("dup_trigram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# i19_gopher_rules — Gopher-style document quality rule flags
+# ---------------------------------------------------------------------------
+
+_I19_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+), s AS (
+  SELECT doc_id, lang,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(toks, w -> length(w))) AS BIGINT)
+           AS n_word_chars,
+         CAST(len(list_filter(toks, w -> length(w) <= 2)) AS BIGINT)
+           AS n_tiny,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+  FROM t
+)
+SELECT doc_id, lang, n_words,
+       CAST(n_word_chars AS DOUBLE) / n_words AS mean_word_len,
+       CAST(n_tiny AS DOUBLE) / n_words AS tiny_word_frac,
+       CAST(n_distinct AS DOUBLE) / n_words AS distinct_frac,
+       (n_words BETWEEN 5 AND 100000) AS ok_word_count,
+       (CAST(n_word_chars AS DOUBLE) / n_words BETWEEN 3.0 AND 12.0)
+         AS ok_mean_word_len,
+       (CAST(n_tiny AS DOUBLE) / n_words <= 0.4) AS ok_tiny_frac,
+       (CAST(n_distinct AS DOUBLE) / n_words >= 0.2) AS ok_distinct,
+       ((n_words BETWEEN 5 AND 100000)
+        AND (CAST(n_word_chars AS DOUBLE) / n_words BETWEEN 3.0 AND 12.0)
+        AND (CAST(n_tiny AS DOUBLE) / n_words <= 0.4)
+        AND (CAST(n_distinct AS DOUBLE) / n_words >= 0.2))
+         AS passes_gopher
+FROM s
+ORDER BY doc_id
+"""
+
+
+@register("i19_gopher_rules", oracle=_I19_ORACLE)
+def i19_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style (Rae et al. 2021, public) rule-based quality gates,
+    adapted to the fixture corpus: word-count bounds, mean word length
+    band, tiny-word fraction cap, lexical-diversity floor, and the
+    conjunction as `passes_gopher`. Every statistic folds inside the
+    scan stage (map-only, no shuffle); ratios are single int/int IEEE
+    divisions so the flags and doubles hash identically on DuckDB.
+    At 100 TB this is the cheap first-pass filter run before any
+    dedup/embedding stage — it prunes the corpus in one scan."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_words = F.size(toks).cast("long")
+    n_word_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, w: a + F.length(w).cast("long")
+    )
+    n_tiny = F.size(F.filter(toks, lambda w: F.length(w) <= 2)).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    mean_len = n_word_chars.cast("double") / n_words
+    tiny_frac = n_tiny.cast("double") / n_words
+    distinct_frac = n_distinct.cast("double") / n_words
+    ok_wc = n_words.between(5, 100000)
+    ok_mwl = mean_len.between(3.0, 12.0)
+    ok_tiny = tiny_frac <= 0.4
+    ok_dist = distinct_frac >= 0.2
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        tiny_frac.alias("tiny_word_frac"),
+        distinct_frac.alias("distinct_frac"),
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_tiny.alias("ok_tiny_frac"),
+        ok_dist.alias("ok_distinct"),
+        (ok_wc & ok_mwl & ok_tiny & ok_dist).alias("passes_gopher"),
+    )

@@ -41,8 +41,14 @@ def num_broadcast_joins(df: DataFrame) -> int:
 
 
 def num_shuffles(df: DataFrame) -> int:
-    """Exchange operators in the plan (AQE may later coalesce them)."""
-    return plan_of(df, "simple").count("Exchange")
+    """SHUFFLE exchanges in the plan (AQE may later coalesce them).
+
+    BroadcastExchange is excluded: it ships a bounded build side to
+    every executor, not a repartition of the data — counting it as a
+    shuffle would penalize exactly the plans we want (broadcast joins
+    replacing shuffle joins)."""
+    plan = plan_of(df, "simple")
+    return plan.count("Exchange") - plan.count("BroadcastExchange")
 
 
 def has_codegen(df: DataFrame) -> bool:

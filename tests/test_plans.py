@@ -144,3 +144,53 @@ def test_window_topk_survives_planted_hot_key(spark, tmp_path):
     hot = got[got["o_custkey"] == 7]
     assert list(hot["o_totalprice"]) == [4999.5, 4999.5, 4999.0]
     assert list(hot["rn"]) == [1, 2, 3]
+
+
+def test_x7_q18_single_lineitem_scan(spark):
+    """Q18's agg-then-join shape must scan lineitem ONCE (the classic
+    IN-subquery formulation scans it twice)."""
+    df = QUERIES["x7_tpch_q18"].fn(spark, TEST_SF_DIR)
+    schemas = scan_read_schemas(df)
+    li_scans = [s for s in schemas if "l_orderkey" in s]
+    assert len(li_scans) == 1, schemas
+    # and the scan must be pruned to the two columns the agg needs
+    assert all("l_extendedprice" not in s for s in li_scans), li_scans
+
+
+def test_x6_q10_topn_not_global_sort(spark):
+    """Q10's LIMIT 20 must plan as TakeOrdered (per-partition top-N +
+    merge), never a global sort of the aggregate output."""
+    df = QUERIES["x6_tpch_q10"].fn(spark, TEST_SF_DIR)
+    plan = plan_of(df, "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_x9_q22_anti_join_planned(spark):
+    df = QUERIES["x9_tpch_q22"].fn(spark, TEST_SF_DIR)
+    plan = plan_of(df, "simple")
+    assert "LeftAnti" in plan, plan
+
+
+def test_a17_collapse_single_shuffle(spark):
+    """The CollapsingMergeTree FINAL read is ONE hash aggregate —
+    no window, no self-join."""
+    df = QUERIES["a17_collapsing_merge"].fn(spark, TEST_SF_DIR)
+    assert num_shuffles(df) <= 1, plan_of(df, "simple")
+    plan = plan_of(df, "simple")
+    assert "Window" not in plan and "Join" not in plan, plan
+
+
+def test_d21_foreach_single_shuffle_no_explode(spark):
+    """sumForEach must be one hash aggregate over 64 lanes — a
+    posexplode plan (64x shuffle inflation) is the anti-pattern."""
+    df = QUERIES["d21_sum_foreach"].fn(spark, TEST_SF_DIR)
+    assert num_shuffles(df) <= 1, plan_of(df, "simple")
+    assert "Generate" not in plan_of(df, "simple")
+
+
+def test_g17_dict_get_no_fact_shuffle(spark):
+    """The dictionary lookup is a broadcast probe: zero shuffle
+    exchanges on the customer (fact) side."""
+    df = QUERIES["g17_dict_get"].fn(spark, TEST_SF_DIR)
+    assert num_shuffles(df) == 0, plan_of(df, "simple")
+    assert num_broadcast_joins(df) == 1, plan_of(df, "simple")
