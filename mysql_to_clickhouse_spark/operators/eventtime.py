@@ -623,3 +623,90 @@ def h13_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return stream_static_enrich(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# h14_funnel_window — CH windowFunnel(window): time-bounded ordered funnel
+# ---------------------------------------------------------------------------
+
+_H14_WINDOW_US = 7 * 86_400_000_000  # 7 days
+
+_H14_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+  FROM events
+), v AS (
+  SELECT user_id, MIN(ts_us) AS t1
+  FROM ev WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts_us) AS t2
+  FROM ev e JOIN v USING (user_id)
+  WHERE e.event_type = 'click'
+    AND e.ts_us > v.t1 AND e.ts_us <= v.t1 + {_H14_WINDOW_US}
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts_us) AS t3
+  FROM ev e JOIN c USING (user_id) JOIN v USING (user_id)
+  WHERE e.event_type = 'purchase'
+    AND e.ts_us > c.t2 AND e.ts_us <= v.t1 + {_H14_WINDOW_US}
+  GROUP BY e.user_id
+)
+SELECT v.user_id, v.t1 AS view_us,
+       COALESCE(c.t2, -1) AS click_us,
+       COALESCE(p.t3, -1) AS purchase_us,
+       CASE WHEN p.t3 IS NOT NULL THEN 3
+            WHEN c.t2 IS NOT NULL THEN 2
+            ELSE 1 END AS funnel_depth
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+ORDER BY user_id
+"""
+
+
+@register("h14_funnel_window", oracle=_H14_ORACLE, tier="T3")
+def h14_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH windowFunnel(window, ...) — h6's ordered funnel with the TIME
+    WINDOW constraint: every later step must land within `window` of
+    the user's FIRST step (7 days here), so a purchase months after
+    the view no longer counts. Same scale shape as h6 — three
+    key-partitioned aggregates chained by joins, one row per user
+    between stages; the window predicate is evaluated against the
+    joined 1-row state, never by re-scanning history."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    w = F.lit(_H14_WINDOW_US)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts_us") > F.col("t1")) & (F.col("ts_us") <= F.col("t1") + w))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .join(v, "user_id")
+        .filter((F.col("ts_us") > F.col("t2")) & (F.col("ts_us") <= F.col("t1") + w))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("t1").alias("view_us"),
+            F.coalesce("t2", F.lit(-1)).alias("click_us"),
+            F.coalesce("t3", F.lit(-1)).alias("purchase_us"),
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .otherwise(1)
+            .alias("funnel_depth"),
+        )
+    )

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mysql_to_clickhouse_spark.functions.text import tokens
 from mysql_to_clickhouse_spark.registry import register
 from mysql_to_clickhouse_spark.tables import load
 
@@ -663,4 +664,77 @@ def g17_dict_get(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dict_key",
             F.coalesce(F.col("n_name"), F.lit("UNKNOWN")).alias("dict_val"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# g18_array_arith — CH arrayDifference / arrayCumSum / arrayCompact
+# ---------------------------------------------------------------------------
+
+_G18_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '), w -> CAST(length(w) AS BIGINT))
+           AS lens
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(lens) AS BIGINT) AS n,
+       list_aggregate(list_transform(range(1, len(lens) + 1), i ->
+         CASE WHEN i = 1 THEN 0 ELSE lens[i] - lens[i - 1] END),
+         'string_agg', ',') AS diff_str,
+       list_aggregate(list_transform(range(1, len(lens) + 1), i ->
+         list_sum(lens[1:i])), 'string_agg', ',') AS cumsum_str,
+       CAST(len(list_filter(range(1, len(lens) + 1), i ->
+         i = 1 OR lens[i] != lens[i - 1])) AS BIGINT) AS compact_len
+FROM t
+ORDER BY doc_id
+"""
+
+
+@register("g18_array_arith", oracle=_G18_ORACLE)
+def g18_array_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH array arithmetic family on integer sequences (token lengths):
+    arrayDifference (x[i] - x[i-1], leading 0), arrayCumSum (prefix
+    sums), arrayCompact (collapse consecutive duplicates — its length).
+    All three run per-row inside the scan stage via indexed
+    higher-order lambdas — zero shuffles at any corpus size; integer
+    arrays are surfaced as canonical comma strings (exact on both
+    engines). The prefix-sum is O(n²) per row via slices, fine for
+    per-document sequences; a column-length window would be the tool
+    for long arrays."""
+    docs = load(spark, sf_dir, "documents")
+    lens = F.transform(tokens("text"), lambda w: F.length(w).cast("long"))
+    # i is 0-based; element_at is 1-based → element_at(lens, i) IS the
+    # predecessor of x at position i (guard i=0 via greatest to keep
+    # element_at's argument legal on every row)
+    diff = F.transform(
+        lens,
+        lambda x, i: F.when(i == 0, F.lit(0).cast("long")).otherwise(
+            x - F.element_at(lens, F.greatest(i, F.lit(1)))
+        ),
+    )
+    cumsum = F.transform(
+        lens,
+        lambda x, i: F.aggregate(
+            F.slice(lens, 1, i + 1),
+            F.lit(0).cast("long"),
+            lambda a, y: a + y,
+        ),
+    )
+    keep = F.filter(
+        F.sequence(F.lit(1), F.size(lens)),
+        lambda i: (i == 1)
+        | (F.element_at(lens, i) != F.element_at(lens, F.greatest(i - 1, F.lit(1)))),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(lens).cast("long").alias("n"),
+        F.array_join(F.transform(diff, lambda d: d.cast("string")), ",").alias(
+            "diff_str"
+        ),
+        F.array_join(
+            F.transform(cumsum, lambda s: s.cast("string")), ","
+        ).alias("cumsum_str"),
+        F.size(keep).cast("long").alias("compact_len"),
     )

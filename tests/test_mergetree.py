@@ -100,3 +100,49 @@ def test_d21_lanes_match_numpy(spark, tmp_path):
         )
         got = np.array([int(s) for s in out.loc[lab, "sum_vec_fp"].split(",")])
         assert (got == want.astype(np.int64)).all()
+
+
+def test_a17_random_streams_match_reference(spark, tmp_path):
+    """Differential check on randomized CDC streams: a17's one-aggregate
+    collapse must equal a row-at-a-time Python reference of the CH
+    collapse rule (net>0 → latest +1; net<0 → earliest -1; net=0 →
+    absent) for any interleaving of signs."""
+    import random
+
+    rng = random.Random(42)
+    types = ["view", "click", "purchase", "signup", "error"]
+    rows = []
+    eid = 0
+    for uid in range(25):
+        for _ in range(rng.randint(0, 12)):
+            et = types[rng.randrange(5)]
+            rows.append((eid, eid * 1_000_000, uid, et, float(eid % 97)))
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+
+    # python reference
+    want = {}
+    per_user: dict[int, list] = {}
+    for (e, _off, u, et, val) in rows:
+        per_user.setdefault(u, []).append((e, -1 if et == "error" else 1, val))
+    for u, evs in per_user.items():
+        net = sum(s for (_e, s, _v) in evs)
+        if net == 0:
+            continue
+        if net > 0:
+            e, _s, v = max((x for x in evs if x[1] == 1), key=lambda x: x[0])
+        else:
+            e, _s, v = min((x for x in evs if x[1] == -1), key=lambda x: x[0])
+        want[u] = (net, e, v)
+
+    out = (
+        all_queries()["a17_collapsing_merge"]
+        .fn(spark, str(tmp_path))
+        .toPandas()
+        .set_index("user_id")
+    )
+    got = {
+        int(u): (int(r["net"]), int(r["state_event_id"]), float(r["state_value"]))
+        for u, r in out.iterrows()
+    }
+    assert got == want
