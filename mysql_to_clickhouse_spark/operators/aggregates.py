@@ -971,3 +971,59 @@ def d21_sum_foreach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.groupBy("label").agg(
         F.concat_ws(",", *lanes).alias("sum_vec_fp")
     )
+
+
+# ---------------------------------------------------------------------------
+# d22_hll_shard_union — Datasketches HLL partial states merged across
+# shards (CH uniqState / uniqMerge)
+# ---------------------------------------------------------------------------
+
+_D22_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS sharded_equals_direct,
+       TRUE AS union_within_5pct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("d22_hll_shard_union", oracle=_D22_ORACLE)
+def d22_hll_shard_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH uniqState/uniqMerge expressed with Spark's Datasketches HLL:
+    each shard (user_id % 4 — standing in for a cluster's distributed
+    table shards) builds an hll_sketch_agg PARTIAL, and hll_union_agg
+    merges the binary sketches into the global NDV. The proof
+    obligations ride along as checked booleans: the sharded merge must
+    equal the direct unsharded sketch EXACTLY (sketch algebra is
+    associative — the k2 -State/-Merge claim for distinct counts), and
+    land within 5% of the exact distinct. At 100 TB the shuffle
+    carries one ~KB sketch per (shard, group), never the values."""
+    ev = load(spark, sf_dir, "events")
+    shards = (
+        ev.withColumn("shard", F.col("user_id") % 4)
+        .groupBy("event_type", "shard")
+        .agg(F.hll_sketch_agg("user_id").alias("state"))
+    )
+    merged = shards.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("state")).alias("merged_ndv")
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("direct_ndv"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return (
+        merged.join(direct, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (F.col("merged_ndv") == F.col("direct_ndv")).alias(
+                "sharded_equals_direct"
+            ),
+            (
+                F.abs(F.col("merged_ndv") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("union_within_5pct"),
+        )
+    )

@@ -710,3 +710,63 @@ def h14_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("funnel_depth"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# h15_sequence_count — CH sequenceCount(): non-overlapping chain matches
+# ---------------------------------------------------------------------------
+
+_H15_ORACLE = """
+WITH seq AS (
+  SELECT user_id,
+         string_agg(substring(event_type, 1, 1), ''
+                    ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS s
+  FROM events
+  GROUP BY user_id
+)
+SELECT user_id,
+       CAST(length(s) AS BIGINT) AS n_events,
+       CAST(len(regexp_extract_all(s, 'v.*?c.*?p')) AS BIGINT) AS n_vcp,
+       CAST(len(regexp_extract_all(s, 's.*?p')) AS BIGINT) AS n_sp,
+       CAST(len(regexp_extract_all(s, 'ee')) AS BIGINT) AS n_error_pairs
+FROM seq
+ORDER BY user_id
+"""
+
+
+@register("h15_sequence_count", oracle=_H15_ORACLE)
+def h15_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH sequenceCount: how many NON-OVERLAPPING times a user completed
+    the chain (view→click→purchase here, plus signup→purchase and
+    back-to-back errors). Same packed-initials-string design as h10 —
+    one shuffle to assemble each user's ordered sequence, then the
+    count is a lazy-quantifier regex scan (regexp_extract_all consumes
+    left-to-right from the end of the previous match, which IS the
+    non-overlapping chain semantics, identically in Java regex and
+    RE2). Per-user state is one short string: linear at any scale."""
+    ev = load(spark, sf_dir, "events")
+    packed = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.unix_micros("ts").alias("ts_us"),
+                    F.col("event_id").alias("eid"),
+                    F.substring("event_type", 1, 1).alias("ini"),
+                )
+            )
+        ).alias("evs")
+    )
+    s = F.array_join(F.transform("evs", lambda x: x["ini"]), "")
+    return packed.select(
+        "user_id",
+        F.length(s).cast("long").alias("n_events"),
+        F.size(F.regexp_extract_all(s, F.lit("v.*?c.*?p"), F.lit(0)))
+        .cast("long")
+        .alias("n_vcp"),
+        F.size(F.regexp_extract_all(s, F.lit("s.*?p"), F.lit(0)))
+        .cast("long")
+        .alias("n_sp"),
+        F.size(F.regexp_extract_all(s, F.lit("ee"), F.lit(0)))
+        .cast("long")
+        .alias("n_error_pairs"),
+    )

@@ -24,6 +24,7 @@ CARTESIAN_OK = {
     "i4d_ann_ivf",       # centroid-assignment cross vs 16 broadcast rows
     "i17b_topk_bound",   # scalar total-gram-count cross join (N for the bound)
     "x9_tpch_q22",       # scalar (1-row) mean-balance cross join
+    "a19_zorder_layout", # scalar (1-row) min/max-bounds cross join
 }
 
 # queries whose side effects / streaming make a plain plan dump moot

@@ -259,3 +259,57 @@ def test_load_rejects_drifted_schema(spark, tmp_path):
     pq.write_table(table2, str(tmp_path / "region.parquet"))
     with pytest.raises(TestdataSchemaDrift, match="r_regionkey"):
         load(spark, str(tmp_path), "region")
+
+
+def test_a19_zorder_prunes_both_dimensions(spark, tmp_path):
+    """The Z-order claim, verified on physical files: after sorting by
+    the Morton value of (zx=user_id, zy=day), each row group's min/max
+    span must be a small fraction of the GLOBAL span on BOTH dimensions
+    — so a point/range predicate on EITHER column can skip most row
+    groups. A lexicographic (zx, zy) sort would give tight zx but
+    full-range zy in every group; that asymmetry is what the assert on
+    zy rules out."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from mysql_to_clickhouse_spark.registry import all_queries
+
+    zdf = all_queries()["a19_zorder_layout"].fn(spark, "/root/testdata/sf0.01")
+    out = str(tmp_path / "zordered")
+    (
+        zdf.repartitionByRange(1, "z32")
+        .sortWithinPartitions("z32")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 16384)
+        .parquet(out)
+    )
+
+    spans = {"zx": [], "zy": []}
+    glo = {"zx": [None, None], "zy": [None, None]}
+    for f in glob.glob(os.path.join(out, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            for i in range(row.num_columns):
+                col = row.column(i)
+                name = col.path_in_schema
+                if name not in spans:
+                    continue
+                st = col.statistics
+                assert st is not None and st.has_min_max
+                spans[name].append(st.max - st.min)
+                g = glo[name]
+                g[0] = st.min if g[0] is None else min(g[0], st.min)
+                g[1] = st.max if g[1] is None else max(g[1], st.max)
+
+    n_groups = len(spans["zx"])
+    assert n_groups >= 8, f"need many row groups to test pruning, got {n_groups}"
+    for dim in ("zx", "zy"):
+        global_span = glo[dim][1] - glo[dim][0]
+        assert global_span > 0
+        avg_frac = sum(spans[dim]) / n_groups / global_span
+        # Z-order: each 16k-row-group covers a local square of the curve;
+        # both dims must average well under half the global span
+        assert avg_frac <= 0.5, (dim, avg_frac, spans[dim][:8])
