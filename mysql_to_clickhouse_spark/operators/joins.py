@@ -621,3 +621,36 @@ def c15_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("grp_a").isNull().alias("null_group"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# c16_merge_join_hint — physical-strategy control: sort-merge join
+# ---------------------------------------------------------------------------
+
+_C16_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_lines
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("c16_merge_join_hint", oracle=_C16_ORACLE)
+def c16_merge_join_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit physical-strategy control: the MERGE hint forces a
+    sort-merge join for the fact-fact pair (the complement of c14's
+    SHUFFLE_HASH). When both sides are large and neither fits a hash
+    table per task — the 100 TB fact⋈fact regime — sort-merge is the
+    strategy that degrades gracefully: it spills sorted runs instead
+    of OOMing a hash table, and with bucketed/sorted source layouts
+    (a9) the sort phase disappears entirely. Result-identical to the
+    optimizer's own choice, which the hash check proves."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        orders.hint("merge")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )

@@ -191,3 +191,55 @@ def k3_mv_cdc_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_users"),
         F.sum(fixed_point("value")).alias("sum_value_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k4_projection_rewrite — CH projections: answer a coarse query from a
+# finer pre-aggregate, never the raw table
+# ---------------------------------------------------------------------------
+
+_K4_ORACLE = f"""
+SELECT event_type,
+       COUNT(*) AS n,
+       {o_dsum('value')} AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("k4_projection_rewrite", oracle=_K4_ORACLE)
+def k4_projection_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ALTER TABLE ... ADD PROJECTION: a finer-grained pre-aggregate
+    — here (event_type, day) partials — silently answers any query
+    whose grouping keys are a SUBSET of the projection's. The query
+    below never touches raw events: it re-aggregates the projection's
+    (count, fixed-point sum) partials up to event_type, and the
+    driver's hash check against the raw-table oracle proves the
+    rollup-from-projection is exact (partials are associative — the
+    same algebra k1/k2 prove for delta merges, applied to granularity
+    instead of time).
+
+    Scale: the projection has |event_type| × |days| rows regardless of
+    fact cardinality; the coarse query is a shuffle over THAT, i.e.
+    thousands of rows where the raw scan would be billions. This is
+    the batch analog of CH's automatic projection selection; a real
+    deployment materializes the projection with k1's incremental
+    maintenance."""
+    ev = load(spark, sf_dir, "events")
+    projection = ev.groupBy(
+        "event_type", F.expr("unix_micros(ts) div 86400000000").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("p_count"),
+        F.sum(fixed_point("value")).alias("p_sum_fp"),
+    )
+    return (
+        projection.groupBy("event_type")
+        .agg(
+            F.sum("p_count").alias("n"),
+            (
+                F.sum("p_sum_fp").cast("double")
+                / F.lit(float(10**SUM_SCALE))
+            ).alias("total_value"),
+        )
+    )

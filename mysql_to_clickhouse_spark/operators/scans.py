@@ -892,3 +892,89 @@ def a19_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out_dir)
     )
     return spark.read.parquet(out_dir).select("event_id", "zx", "zy", "z32")
+
+
+# ---------------------------------------------------------------------------
+# a20_ttl_rollup — CH "TTL ... GROUP BY": age-tiered granularity
+# ---------------------------------------------------------------------------
+
+_A20_TTL_US = 10 * 86_400_000_000  # raw retention: newest 10 days
+
+
+_A20_ORACLE = f"""
+WITH mx AS (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us FROM events),
+ev AS (
+  SELECT event_type, value,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+  FROM events
+),
+recent AS (
+  SELECT 'hour' AS grain, event_type,
+         (ts_us // 3600000000) * 3600000000 AS bucket_us,
+         COUNT(*) AS n, {o_dsum('value')} AS total_value
+  FROM ev, mx WHERE ts_us > max_us - {_A20_TTL_US}
+  GROUP BY event_type, bucket_us
+),
+old AS (
+  SELECT 'day' AS grain, event_type,
+         (ts_us // 86400000000) * 86400000000 AS bucket_us,
+         COUNT(*) AS n, {o_dsum('value')} AS total_value
+  FROM ev, mx WHERE ts_us <= max_us - {_A20_TTL_US}
+  GROUP BY event_type, bucket_us
+)
+SELECT * FROM recent UNION ALL SELECT * FROM old
+ORDER BY grain, event_type, bucket_us
+"""
+
+
+@register("a20_ttl_rollup", oracle=_A20_ORACLE)
+def a20_ttl_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH `TTL ts + INTERVAL 10 DAY GROUP BY ...` — instead of a16's
+    delete-on-expiry, aged rows are ROLLED UP to a coarser granularity
+    while fresh rows keep fine grain: the newest 10 days stay hourly,
+    everything older collapses to daily aggregates. This is the
+    standard observability-store downsampling policy expressed as one
+    plan: the age cutoff is a 1-row broadcast scalar, each tier is a
+    map-side-combinable aggregate over ITS partition-pruned slice, and
+    the union is append-only.
+
+    Scale: at 100 TB with a date-partitioned sink this runs as a
+    partition REWRITE at compaction time — old partitions shrink by
+    the rollup factor (≈ events-per-day/buckets) and the scan for
+    either tier prunes to its date range; no full-table pass ever."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "value", F.unix_micros("ts").alias("ts_us")
+    )
+    mx = ev.agg(F.max("ts_us").alias("max_us"))
+    aged = ev.crossJoin(F.broadcast(mx))
+    hour = (F.col("ts_us") / F.lit(3_600_000_000)).cast("long") * F.lit(
+        3_600_000_000
+    )
+    day = (F.col("ts_us") / F.lit(86_400_000_000)).cast("long") * F.lit(
+        86_400_000_000
+    )
+    recent = (
+        aged.filter(F.col("ts_us") > F.col("max_us") - F.lit(_A20_TTL_US))
+        .groupBy("event_type", hour.alias("bucket_us"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+        .select(
+            F.lit("hour").alias("grain"),
+            "event_type",
+            "bucket_us",
+            "n",
+            "total_value",
+        )
+    )
+    old = (
+        aged.filter(F.col("ts_us") <= F.col("max_us") - F.lit(_A20_TTL_US))
+        .groupBy("event_type", day.alias("bucket_us"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+        .select(
+            F.lit("day").alias("grain"),
+            "event_type",
+            "bucket_us",
+            "n",
+            "total_value",
+        )
+    )
+    return recent.unionByName(old)

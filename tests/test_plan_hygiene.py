@@ -25,6 +25,7 @@ CARTESIAN_OK = {
     "i17b_topk_bound",   # scalar total-gram-count cross join (N for the bound)
     "x9_tpch_q22",       # scalar (1-row) mean-balance cross join
     "a19_zorder_layout", # scalar (1-row) min/max-bounds cross join
+    "a20_ttl_rollup",    # scalar (1-row) max-ts age cutoff cross join
 }
 
 # queries whose side effects / streaming make a plain plan dump moot

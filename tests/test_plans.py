@@ -194,3 +194,16 @@ def test_g17_dict_get_no_fact_shuffle(spark):
     df = QUERIES["g17_dict_get"].fn(spark, TEST_SF_DIR)
     assert num_shuffles(df) == 0, plan_of(df, "simple")
     assert num_broadcast_joins(df) == 1, plan_of(df, "simple")
+
+
+def test_c16_merge_hint_plans_sort_merge(spark):
+    df = QUERIES["c16_merge_join_hint"].fn(spark, TEST_SF_DIR)
+    assert "SortMergeJoin" in plan_of(df, "simple"), plan_of(df, "simple")
+
+
+def test_k4_projection_single_raw_scan(spark):
+    """The projection rollup must read raw events exactly once (to build
+    the projection) and re-aggregate partials — never a second raw scan."""
+    df = QUERIES["k4_projection_rewrite"].fn(spark, TEST_SF_DIR)
+    schemas = scan_read_schemas(df)
+    assert len([s for s in schemas if "value" in s]) == 1, schemas
