@@ -981,7 +981,7 @@ def d21_sum_foreach(spark: SparkSession, sf_dir: str) -> DataFrame:
 _D22_ORACLE = """
 SELECT event_type,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
-       TRUE AS sharded_equals_direct,
+       TRUE AS merge_close_to_direct,
        TRUE AS union_within_5pct
 FROM events
 GROUP BY event_type
@@ -995,11 +995,15 @@ def d22_hll_shard_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     each shard (user_id % 4 — standing in for a cluster's distributed
     table shards) builds an hll_sketch_agg PARTIAL, and hll_union_agg
     merges the binary sketches into the global NDV. The proof
-    obligations ride along as checked booleans: the sharded merge must
-    equal the direct unsharded sketch EXACTLY (sketch algebra is
-    associative — the k2 -State/-Merge claim for distinct counts), and
-    land within 5% of the exact distinct. At 100 TB the shuffle
-    carries one ~KB sketch per (shard, group), never the values."""
+    obligations ride along as checked booleans: the merged estimate
+    must land within 5% of BOTH the exact distinct and the direct
+    unsharded sketch. NOTE the contract is accuracy, not bit-equality:
+    union of per-shard sketches follows a different sparse→dense
+    promotion path than a directly-built sketch, so estimates can
+    differ in low digits once registers densify (observed at 1,500
+    NDV; identical at 150) — the same property CH documents for
+    uniqMerge. At 100 TB the shuffle carries one ~KB sketch per
+    (shard, group), never the values."""
     ev = load(spark, sf_dir, "events")
     shards = (
         ev.withColumn("shard", F.col("user_id") % 4)
@@ -1018,9 +1022,10 @@ def d22_hll_shard_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "exact_users",
-            (F.col("merged_ndv") == F.col("direct_ndv")).alias(
-                "sharded_equals_direct"
-            ),
+            (
+                F.abs(F.col("merged_ndv") - F.col("direct_ndv"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("merge_close_to_direct"),
             (
                 F.abs(F.col("merged_ndv") - F.col("exact_users"))
                 <= 0.05 * F.col("exact_users")

@@ -226,20 +226,20 @@ def k4_projection_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch analog of CH's automatic projection selection; a real
     deployment materializes the projection with k1's incremental
     maintenance."""
+    from mysql_to_clickhouse_spark.plans.projection import (
+        Projection,
+        pick,
+        rollup,
+    )
+
     ev = load(spark, sf_dir, "events")
-    projection = ev.groupBy(
+    state = ev.groupBy(
         "event_type", F.expr("unix_micros(ts) div 86400000000").alias("day")
     ).agg(
         F.count(F.lit(1)).alias("p_count"),
         F.sum(fixed_point("value")).alias("p_sum_fp"),
     )
-    return (
-        projection.groupBy("event_type")
-        .agg(
-            F.sum("p_count").alias("n"),
-            (
-                F.sum("p_sum_fp").cast("double")
-                / F.lit(float(10**SUM_SCALE))
-            ).alias("total_value"),
-        )
-    )
+    by_type_day = Projection("events_by_type_day", ("event_type", "day"), state)
+    chosen = pick({"event_type"}, [by_type_day])
+    assert chosen is by_type_day  # selection rules tested in test_projection
+    return rollup(chosen, ["event_type"])
