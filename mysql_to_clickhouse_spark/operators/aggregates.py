@@ -1032,3 +1032,80 @@ def d22_hll_shard_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("union_within_5pct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d23_higher_moments — CH skewPop / kurtPop from exact moment sums
+# ---------------------------------------------------------------------------
+
+# Same determinism design as d12: exact fixed-point power sums, then ONE
+# shared arithmetic fragment evaluated on both engines so every IEEE op
+# runs in the identical order. x = l_quantity ≤ 50 → x^4 ≤ 6.25e6; at
+# scale 4 the x^4 sum stays int64-exact past 1e8 rows/group (documented
+# headroom; drop the moment scale for wider domains).
+_D23_MOMENTS_SQL = f"""
+  COUNT(*) AS n,
+  CAST(SUM({o_fixed_point('l_quantity', 4)}) AS DOUBLE) / 10000.0 AS s1,
+  CAST(SUM({o_fixed_point('l_quantity * l_quantity', 4)}) AS DOUBLE)
+    / 10000.0 AS s2,
+  CAST(SUM({o_fixed_point('l_quantity * l_quantity * l_quantity', 4)})
+    AS DOUBLE) / 10000.0 AS s3,
+  CAST(SUM({o_fixed_point(
+    'l_quantity * l_quantity * l_quantity * l_quantity', 4)})
+    AS DOUBLE) / 10000.0 AS s4
+"""
+
+# shared post-moment arithmetic — text-identical on both engines
+_D23_MATH = """
+  (s2 / n - (s1 / n) * (s1 / n)) AS m2,
+  (s3 / n - 3.0 * (s1 / n) * (s2 / n)
+    + 2.0 * (s1 / n) * (s1 / n) * (s1 / n)) AS m3c,
+  (s4 / n - 4.0 * (s1 / n) * (s3 / n)
+    + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+    - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n)) AS m4c
+"""
+
+_D23_FINAL = """
+  m3c / sqrt(m2 * m2 * m2) AS skew_qty,
+  m4c / (m2 * m2) AS kurt_qty
+"""
+
+_D23_ORACLE = f"""
+WITH m AS (
+  SELECT l_returnflag, {_D23_MOMENTS_SQL}
+  FROM lineitem GROUP BY l_returnflag
+), c AS (
+  SELECT l_returnflag, n, {_D23_MATH} FROM m
+)
+SELECT l_returnflag, n, {_D23_FINAL}
+FROM c
+ORDER BY l_returnflag
+"""
+
+
+@register("d23_higher_moments", oracle=_D23_ORACLE)
+def d23_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH skewPop/kurtPop (population skewness and raw kurtosis) from
+    exact power sums — the order-independent twin of Spark's built-in
+    skewness/kurtosis, whose double accumulation diverges from DuckDB
+    in the last ulps. Map-side combinable bigint moments, one shuffle;
+    the central-moment and ratio arithmetic is a single shared SQL
+    fragment evaluated by BOTH engines, so every IEEE operation runs
+    in the same order and the doubles hash identically."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(fixed_point(x, 4)).cast("double") / 10000.0).alias("s1"),
+        (F.sum(fixed_point(x * x, 4)).cast("double") / 10000.0).alias("s2"),
+        (F.sum(fixed_point(x * x * x, 4)).cast("double") / 10000.0).alias("s3"),
+        (F.sum(fixed_point(x * x * x * x, 4)).cast("double") / 10000.0).alias(
+            "s4"
+        ),
+    )
+    central = m.selectExpr("l_returnflag", "n", *[
+        frag.strip() for frag in _D23_MATH.strip().split(",\n")
+    ])
+    return central.selectExpr("l_returnflag", "n", *[
+        frag.strip() for frag in _D23_FINAL.strip().split(",\n")
+    ])

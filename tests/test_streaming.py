@@ -231,3 +231,44 @@ def test_cdc_checkpoint_kill_and_resume(spark):
     assert resumed["user_id"].is_unique  # no duplicate PK from the re-run
     result = compare_frames(resumed, batch)
     assert result.ok, result.detail
+
+
+def test_transform_with_state_totals_equal_batch(spark):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API): the
+    final per-user running totals must equal the batch aggregate —
+    the stream==batch claim for the typed-ValueState fold. Skips where
+    the sandbox's protobuf is broken (see running_totals docstring)."""
+    import pytest
+
+    from mysql_to_clickhouse_spark.streaming.running_totals import (
+        protobuf_available,
+        run_running_totals_stream,
+    )
+
+    if not protobuf_available():
+        pytest.skip("google.protobuf broken in this sandbox; "
+                    "transformWithStateInPandas needs it (install-free env)")
+    from mysql_to_clickhouse_spark.tables import load
+    from pyspark.sql import functions as F
+
+    streamed = (
+        run_running_totals_stream(spark, SMOKE_SF_DIR)
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    batch = (
+        load(spark, SMOKE_SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("value") * F.lit(10000.0)).cast("long")
+            ).alias("sum_fp"),
+        )
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert (streamed["n"] == batch["n"]).all()
+    assert (streamed["sum_fp"] == batch["sum_fp"]).all()
