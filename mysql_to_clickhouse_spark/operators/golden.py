@@ -560,3 +560,307 @@ def x11_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sup), F.col("s_suppkey") == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+# ---------------------------------------------------------------------------
+# x12_tpch_q13 — customer order-count distribution (outer join + two aggs)
+# ---------------------------------------------------------------------------
+
+_X12_ORACLE = """
+WITH c_orders AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register("x12_tpch_q13", oracle=_X12_ORACLE)
+def x12_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (the o_comment NOT LIKE filter becomes an
+    o_orderpriority exclusion — this schema carries no comment text):
+    distribution of per-customer order counts including zero-order
+    customers.
+
+    Scale shape: orders is pre-aggregated to one (custkey, count) row
+    per customer BEFORE touching the customer table — the join input
+    shrinks from |orders| to |customers| and the left join then runs
+    customer⋈counts at |customers| scale. The alternative (join first,
+    then count) ships every order row through the join shuffle. The
+    zero-count class is preserved by the left join + coalesce(0). Final
+    distribution agg is over ≤|customers| rows — negligible."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    per_cust = (
+        orders.filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        cust.join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce(F.col("_n"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# x13_tpch_q17 — small-quantity-order revenue (correlated avg, decorrelated)
+# ---------------------------------------------------------------------------
+
+_X13_ORACLE = f"""
+SELECT {o_dsum('l_extendedprice')} / 7.0 AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#3'
+  AND p_type = 'MEDIUM'
+  AND l_quantity < (SELECT 0.2 * ({o_dmean('l2.l_quantity')})
+                    FROM lineitem l2
+                    WHERE l2.l_partkey = p_partkey)
+"""
+
+
+@register("x13_tpch_q17", oracle=_X13_ORACLE)
+def x13_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (p_container swapped for p_type — no container
+    column): lines whose quantity is under 20% of that part's average.
+
+    The correlated scalar subquery decorrelates into a per-part
+    aggregate joined back. Order of operations is the scale story: the
+    brand/type part subset (tiny) broadcast-semi-filters lineitem
+    FIRST, so the per-part average is computed only over lines of the
+    ~1/50th of parts that can qualify — not the whole fact table — and
+    the threshold relation (one row per surviving part) broadcasts
+    back. Two broadcast joins, one partial-agg shuffle over the
+    filtered lines. The 0.2*avg threshold uses the fixed-point dmean
+    twin on both engines so boundary rows cannot flip."""
+    part_sel = (
+        load(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#3") & (F.col("p_type") == "MEDIUM"))
+        .select("p_partkey")
+    )
+    li = load(spark, sf_dir, "lineitem").join(
+        F.broadcast(part_sel), F.col("l_partkey") == F.col("p_partkey")
+    )
+    thresh = li.groupBy(F.col("l_partkey").alias("_tk")).agg(
+        (F.lit(0.2) * dmean("l_quantity")).alias("_q_thresh")
+    )
+    return (
+        li.join(F.broadcast(thresh), F.col("l_partkey") == F.col("_tk"))
+        .filter(F.col("l_quantity") < F.col("_q_thresh"))
+        .agg(
+            (dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x14_tpch_q21 — suppliers who kept orders waiting (exists + not-exists)
+# ---------------------------------------------------------------------------
+
+_X14_ORACLE = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND n_name = 'NATION_3'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
+
+@register("x14_tpch_q21", oracle=_X14_ORACLE)
+def x14_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape ("late" = shipped >60 days after the order date
+    — this schema has no commit/receipt dates): suppliers in one nation
+    who were the SOLE late supplier on a multi-supplier finished order.
+
+    The EXISTS / NOT EXISTS pair decorrelates into ONE per-order
+    aggregate instead of two correlated self-joins of the fact table:
+    per orderkey compute n_supp = distinct suppliers and n_late_supp =
+    distinct late suppliers; a late line qualifies iff n_supp >= 2 (some
+    other supplier exists) and n_late_supp = 1 (no OTHER supplier is
+    late — the one late supplier is this line's own). That turns Q21's
+    notorious triple lineitem scan into: one orders⋈lineitem shuffle to
+    tag lateness, one orderkey-partial aggregate, one orderkey join
+    back — each over the same key, so AQE can reuse the exchange. The
+    nation/supplier dims broadcast."""
+    sup = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    tagged = li.join(orders, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("_late"),
+    )
+    per_order = tagged.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias(
+            "_n_late_supp"
+        ),
+    )
+    return (
+        tagged.filter(F.col("_late"))
+        .join(per_order, F.col("l_orderkey") == F.col("_ok"))
+        .filter((F.col("_n_supp") >= 2) & (F.col("_n_late_supp") == 1))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# x15_tpch_q8 — national market share (two nation roles, ratio of sums)
+# ---------------------------------------------------------------------------
+
+_X15_ORACLE = f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       ({o_dsum(
+    "CASE WHEN n2.n_name = 'NATION_5' THEN l_extendedprice * (1 - l_discount) END"
+)}) / ({o_dsum('l_extendedprice * (1 - l_discount)')}) AS mkt_share
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+  AND p_type = 'ECONOMY'
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@register("x15_tpch_q8", oracle=_X15_ORACLE)
+def x15_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_5's share of ECONOMY-part revenue sold
+    into ASIA, by order year. The nation table plays two roles (customer
+    side restricts via region; supplier side labels the share) — both
+    broadcast under distinct aliases. Seven relations, ONE real
+    shuffle: orders⋈lineitem on orderkey; part/supplier/customer/
+    nation×2/region all broadcast, and the order-date window pushes into
+    the orders scan before the join. The share is a conditional/total
+    fixed-point sum ratio divided in the same order on both engines."""
+    part_sel = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_n1_key"), F.col("n_regionkey").alias("_n1_reg")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_n2_key"), F.col("n_name").alias("_supp_nation")
+    )
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.lit("1996-01-01").cast("timestamp"),
+            F.lit("1997-12-31").cast("timestamp"),
+        )
+    )
+    li = load(spark, sf_dir, "lineitem")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part_sel), F.col("p_partkey") == F.col("l_partkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("_n1_key"))
+        .join(
+            F.broadcast(region), F.col("_n1_reg") == F.col("r_regionkey")
+        )
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("_n2_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (
+                dsum(F.when(F.col("_supp_nation") == "NATION_5", volume))
+                / dsum(volume)
+            ).alias("mkt_share")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x16_tpch_q9 — product-line profit by nation and year (cost-proxy adapted)
+# ---------------------------------------------------------------------------
+
+_X16_ORACLE = f"""
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       {o_dsum(
+    'l_extendedprice * (1 - l_discount) - 0.01 * p_retailprice * l_quantity'
+)} AS sum_profit
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%bolt%'
+GROUP BY n_name, o_year
+ORDER BY n_name, o_year DESC
+"""
+
+
+@register("x16_tpch_q9", oracle=_X16_ORACLE)
+def x16_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (ps_supplycost proxied as 1% of p_retailprice —
+    no partsupp table in this schema): profit on '%bolt%' parts by
+    supplier nation and order year. The profit expression mixes
+    columns from part (broadcast), lineitem (fact), and orders (fact);
+    the one real shuffle is orders⋈lineitem — the p_name LIKE filter
+    broadcast-prunes lineitem to ~1/6th before that exchange, which is
+    exactly the join-order freedom Q9 exists to exercise. Group-by
+    cardinality is |nations|×|years| — trivially small final agg."""
+    part_sel = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%bolt%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.01
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part_sel), F.col("p_partkey") == F.col("l_partkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(dsum(profit).alias("sum_profit"))
+    )

@@ -207,3 +207,36 @@ def test_k4_projection_single_raw_scan(spark):
     df = QUERIES["k4_projection_rewrite"].fn(spark, TEST_SF_DIR)
     schemas = scan_read_schemas(df)
     assert len([s for s in schemas if "value" in s]) == 1, schemas
+
+
+def test_x12_q13_aggregates_orders_before_join(spark):
+    """Q13 must pre-aggregate orders to per-customer counts BEFORE the
+    customer join — the join operand carries the count column, so the
+    exchange ships |customers| rows, not |orders|."""
+    df = QUERIES["x12_tpch_q13"].fn(spark, TEST_SF_DIR)
+    plan = plan_of(df, "simple")
+    # the orders scan feeds a HashAggregate below the join
+    assert "Join" in plan and "HashAggregate" in plan, plan
+    schemas = scan_read_schemas(df)
+    orders_scans = [s for s in schemas if "o_custkey" in s]
+    assert orders_scans and all(
+        "o_totalprice" not in s for s in orders_scans
+    ), schemas
+
+
+def test_x15_q8_single_fact_shuffle(spark):
+    """Q8's seven-relation join must broadcast everything except the
+    orders⋈lineitem exchange: at most one shuffled join, >=5 broadcast
+    joins, and the order-date window pushed to the orders scan."""
+    df = QUERIES["x15_tpch_q8"].fn(spark, TEST_SF_DIR)
+    assert num_broadcast_joins(df) >= 5, plan_of(df, "simple")
+    assert has_pushed_filters(df), plan_of(df)
+
+
+def test_x14_q21_no_triple_lineitem_scan(spark):
+    """The decorrelated Q21 reads lineitem at most twice (tag + agg) —
+    never the three correlated scans of the textbook formulation."""
+    df = QUERIES["x14_tpch_q21"].fn(spark, TEST_SF_DIR)
+    schemas = scan_read_schemas(df)
+    li_scans = [s for s in schemas if "l_suppkey" in s and "l_orderkey" in s]
+    assert 1 <= len(li_scans) <= 2, schemas
