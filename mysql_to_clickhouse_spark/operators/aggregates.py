@@ -1109,3 +1109,149 @@ def d23_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return central.selectExpr("l_returnflag", "n", *[
         frag.strip() for frag in _D23_FINAL.strip().split(",\n")
     ])
+
+
+# ---------------------------------------------------------------------------
+# d24_uniq_upto — CH uniqUpTo(N): exact distinct count, saturating at N+1
+# ---------------------------------------------------------------------------
+
+_D24_ORACLE = """
+SELECT event_type,
+       LEAST(COUNT(DISTINCT user_id), 11) AS uniq_upto_10,
+       COUNT(DISTINCT user_id) <= 10 AS is_exact
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("d24_uniq_upto", oracle=_D24_ORACLE)
+def d24_uniq_upto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``uniqUpTo(10)(user_id)``: exact distinct count while it is
+    <= 10, saturating at 11 ("more than 10") beyond — the bounded-state
+    cardinality probe used for "has this key more than N distinct
+    values" gates without a full distinct count.
+
+    Scale shape: the plan is distinct-then-count — one exchange on
+    (event_type, user_id) that map-side combines to unique pairs, then
+    a per-group count capped with LEAST. Spark's partial-distinct
+    aggregate means per-reducer state is the group's unique set only
+    once, never duplicated rows; the saturation cap is applied to the
+    exact result, which CH's bounded uniqUpTo state also guarantees for
+    counts <= N (above N both report N+1, so semantics align exactly)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("_d"))
+        .select(
+            "event_type",
+            F.least(F.col("_d"), F.lit(11)).alias("uniq_upto_10"),
+            (F.col("_d") <= 10).alias("is_exact"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# d25_delta_sum — CH deltaSum: sum of positive consecutive deltas
+# ---------------------------------------------------------------------------
+
+_D25_ORACLE = f"""
+WITH d AS (
+  SELECT user_id,
+         value - LAG(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS delta
+  FROM events
+)
+SELECT user_id,
+       {o_dsum('delta')} AS delta_sum,
+       COUNT(delta) AS n_deltas
+FROM d
+WHERE delta > 0.0
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("d25_delta_sum", oracle=_D25_ORACLE)
+def d25_delta_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``deltaSum(value)`` per user over the ts-ordered event stream:
+    the sum of positive increments between consecutive readings — the
+    counter-reset-tolerant rate primitive (a monotone counter that
+    resets to 0 contributes only its climbs, not the reset cliff).
+
+    One window shuffle on user_id (ordered by ts, event_id tie-break)
+    computes each IEEE subtraction on identical operand pairs in both
+    engines; the positive deltas then fold through the fixed-point sum,
+    so partition order cannot perturb the total. State per key is one
+    row (the lag), which is exactly CH's deltaSum state — this scales
+    as any single window pass does."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    delta = (F.col("value") - F.lag("value").over(w)).alias("delta")
+    return (
+        ev.select("user_id", delta)
+        .filter(F.col("delta") > 0.0)
+        .groupBy("user_id")
+        .agg(
+            dsum("delta").alias("delta_sum"),
+            F.count("delta").alias("n_deltas"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# d8d_weighted_quantile — CH quantileExactWeighted (weighted median)
+# ---------------------------------------------------------------------------
+
+_D8D_ORACLE = """
+WITH wv AS (
+  SELECT l_returnflag, l_quantity,
+         CAST(SUM(l_linenumber) AS BIGINT) AS w
+  FROM lineitem
+  GROUP BY l_returnflag, l_quantity
+), cum AS (
+  SELECT l_returnflag, l_quantity,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cw,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+  FROM wv
+)
+SELECT l_returnflag,
+       MIN(l_quantity) AS wmedian_qty
+FROM cum
+WHERE 2 * cw >= tw
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("d8d_weighted_quantile", oracle=_D8D_ORACLE)
+def d8d_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``quantileExactWeighted(0.5)(l_quantity, l_linenumber)``: the
+    weighted median — smallest value whose cumulative weight reaches
+    half the group's total. Weights stay integral bigints end-to-end,
+    so the 2*cw >= tw comparison is exact on both engines (no float
+    rank arithmetic to diverge).
+
+    Scale shape mirrors CH's own state (a value→weight hash map): first
+    collapse the fact table to unique (group, value) rows with summed
+    weights — the map-side-combinable exchange that bounds downstream
+    state by the value cardinality, not the row count — then one window
+    pass over that collapsed relation picks the crossing value. For
+    l_quantity there are ~50 distinct values per group, so the window
+    input is trivial regardless of fact size."""
+    li = load(spark, sf_dir, "lineitem")
+    wv = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.sum("l_linenumber").cast("bigint").alias("w")
+    )
+    wspec = Window.partitionBy("l_returnflag")
+    cum = wv.select(
+        "l_returnflag",
+        "l_quantity",
+        F.sum("w").over(wspec.orderBy("l_quantity")).alias("cw"),
+        F.sum("w").over(wspec).alias("tw"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(F.min("l_quantity").alias("wmedian_qty"))
+    )
