@@ -1255,3 +1255,134 @@ def d8d_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.min("l_quantity").alias("wmedian_qty"))
     )
+
+
+# ---------------------------------------------------------------------------
+# d27_max_intersections — CH maxIntersections: peak interval overlap
+# ---------------------------------------------------------------------------
+
+_D27_ORACLE = """
+WITH iv AS (
+  SELECT user_id, ts AS t_start,
+         ts + INTERVAL 1 HOUR AS t_end
+  FROM events
+  WHERE event_type = 'view'
+), pts AS (
+  SELECT user_id, t_start AS t, 1 AS d FROM iv
+  UNION ALL
+  SELECT user_id, t_end AS t, -1 AS d FROM iv
+), sweep AS (
+  SELECT user_id,
+         SUM(d) OVER (PARTITION BY user_id ORDER BY t, d
+                      ROWS UNBOUNDED PRECEDING) AS depth
+  FROM pts
+)
+SELECT user_id, CAST(MAX(depth) AS BIGINT) AS max_concurrent
+FROM sweep
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("d27_max_intersections", oracle=_D27_ORACLE)
+def d27_max_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``maxIntersections(start, end)``: the maximum number of
+    simultaneously open intervals per user — here each 'view' event
+    opens a 1-hour presence interval, and the answer is peak
+    concurrency. Classic sweep-line as pure relational ops: every
+    interval contributes a +1 point at start and a -1 at end, a
+    per-user ordered running sum is the open-interval depth, and the
+    max depth is the answer.
+
+    Ends sort before starts at the same instant (d = -1 < +1) —
+    touching intervals [a,b),[b,c) therefore do NOT count as
+    overlapping, matching CH's half-open convention. One union of two
+    projections of the same scan (no second read: both branches prune
+    to ts only), one window exchange on user_id, one tiny max — the
+    sweep state is a single counter, so a 100 TB events table costs
+    exactly one 2x-row shuffle."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("t_start"))
+        .withColumn("t_end", F.col("t_start") + F.expr("INTERVAL 1 HOUR"))
+    )
+    pts = ev.select(
+        "user_id", F.col("t_start").alias("t"), F.lit(1).alias("d")
+    ).unionAll(
+        ev.select("user_id", F.col("t_end").alias("t"), F.lit(-1).alias("d"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        pts.select("user_id", F.sum("d").over(w).alias("depth"))
+        .groupBy("user_id")
+        .agg(F.max("depth").cast("bigint").alias("max_concurrent"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# d26_moving_sum_array — CH groupArrayMovingSum (per-key running-sum array)
+# ---------------------------------------------------------------------------
+
+_D26_ORACLE = """
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT user_id,
+       array_to_string(list(cum ORDER BY ts, event_id), ',') AS moving_sum,
+       COUNT(*) AS n_points
+FROM c
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("d26_moving_sum_array", oracle=_D26_ORACLE)
+def d26_moving_sum_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``groupArrayMovingSum(value)`` per user over ts order: the
+    whole prefix-sum trajectory as one array per key (the sparkline /
+    cumulative-spend primitive). Sums run in exact fixed-point bigints
+    (order-proof); the array is canonicalized by (ts, event_id) sort
+    and string-joined for an engine-portable hash, like d7.
+
+    One window exchange on user_id computes the running sum, then the
+    per-key collect rides the SAME partitioning — Catalyst plans
+    groupBy(user_id) after a user_id window without a second exchange.
+    Per-key state is the collected array itself — inherent to the
+    operator's return type (CH pays the same); keys here are users,
+    whose per-key event counts are bounded by app behavior, not table
+    scale."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(fixed_point("value")).over(w).alias("cum"),
+    )
+    traj = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "cum"))),
+            lambda s: s["cum"].cast("string"),
+        ),
+        ",",
+    )
+    return (
+        cum.groupBy("user_id")
+        .agg(traj.alias("moving_sum"), F.count(F.lit(1)).alias("n_points"))
+    )

@@ -147,3 +147,37 @@ def s4_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate — the same one-shuffle shape as rollup/cube."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("s4_orders")
     return spark.sql(_S4_SPARK_SQL.format(orders="s4_orders"))
+
+
+_S5_SPARK_SQL = """
+SELECT n_name, t.c_custkey, t.c_acctbal
+FROM {nation},
+LATERAL (SELECT c_custkey, c_acctbal FROM {customer}
+         WHERE c_nationkey = n_nationkey
+         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+"""
+
+_S5_ORACLE = """
+SELECT n_name, t.c_custkey, t.c_acctbal
+FROM nation,
+LATERAL (SELECT c_custkey, c_acctbal FROM customer
+         WHERE c_nationkey = n_nationkey
+         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+ORDER BY n_name, c_custkey
+"""
+
+
+@register("s5_lateral_topk", oracle=_S5_ORACLE)
+def s5_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY ... LIMIT —
+    the SQL-standard way to write "top 2 customers per nation" that
+    both engines accept verbatim (identical query text on both sides).
+    Catalyst decorrelates the lateral into a ranked window join — the
+    same physical shape as s2's QUALIFY/row_number form, so the lateral
+    syntax costs nothing at scale versus the hand-rewritten window (one
+    partitioned rank exchange; no per-outer-row re-execution)."""
+    load(spark, sf_dir, "nation").createOrReplaceTempView("s5_nation")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("s5_customer")
+    return spark.sql(
+        _S5_SPARK_SQL.format(nation="s5_nation", customer="s5_customer")
+    )
