@@ -770,3 +770,45 @@ def h15_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_error_pairs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# h16_stream_left_outer — stream-stream LEFT OUTER interval join
+# ---------------------------------------------------------------------------
+
+_H16_ORACLE = """
+SELECT v.user_id,
+       v.event_id AS view_event_id,
+       COALESCE(p.event_id, -1) AS purchase_event_id,
+       epoch_us(CAST(v.ts AS TIMESTAMP)) AS view_us,
+       COALESCE(epoch_us(CAST(p.ts AS TIMESTAMP)), -1) AS purchase_us
+FROM events v
+LEFT JOIN events p
+  ON v.user_id = p.user_id
+ AND p.event_type = 'purchase'
+ AND epoch_us(CAST(p.ts AS TIMESTAMP)) > epoch_us(CAST(v.ts AS TIMESTAMP))
+ AND epoch_us(CAST(p.ts AS TIMESTAMP))
+     <= epoch_us(CAST(v.ts AS TIMESTAMP)) + 3600000000
+WHERE v.event_type = 'view'
+ORDER BY v.user_id, view_us, purchase_us
+"""
+
+
+@register("h16_stream_left_outer", oracle=_H16_ORACLE, tier="T3")
+def h16_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join (h11's inner shape, plus the
+    unmatched-view rows): views with no purchase inside their 1-hour
+    window must still emit — which in Structured Streaming happens only
+    when the purchase-side watermark passes the view's interval bound,
+    i.e. the join state itself proves the absence. The replay appends a
+    far-future sentinel slice so the final watermark advance flushes
+    every pending outer row, making the drained append-mode result
+    equal the batch LEFT JOIN the oracle states. At scale this is the
+    conversion-attribution topology: per-key buffered state is bounded
+    by the interval length x arrival rate on each side, eviction is
+    watermark-driven, and nulls cost nothing extra."""
+    from mysql_to_clickhouse_spark.streaming.joins import (
+        stream_view_purchase_left_join,
+    )
+
+    return stream_view_purchase_left_join(spark, sf_dir)

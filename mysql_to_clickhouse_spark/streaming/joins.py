@@ -110,3 +110,86 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"enrich_{uuid.uuid4().hex[:8]}"
     run_stream_to_memory(enriched, name, output_mode="append")
     return spark.table(name)
+
+
+def stream_view_purchase_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every view, with the
+    purchases that followed it within one hour — or a null-marker row
+    if none did. The outer side can only emit its unmatched rows once
+    the OTHER side's watermark proves no future match can arrive, so a
+    bounded replay needs an end-of-stream flush: a final sentinel slice
+    carries one view + one purchase far past every real interval bound,
+    advancing both watermarks so all pending state resolves. Sentinel
+    rows are filtered from the result; unmatched purchases surface as
+    purchase_event_id = -1 (kept integral — a NULL id would force both
+    engines through float NaN pandas dtype on the hash path)."""
+    import os
+
+    from pyspark.sql import Row
+
+    replay_dir, ev = write_replay_slices(spark, sf_dir)
+    hi = ev.agg(F.max("ts")).first()[0]
+    import datetime
+
+    flush_ts = hi + datetime.timedelta(hours=4)
+    sentinel = spark.createDataFrame(
+        [
+            Row(
+                event_id=-1,
+                ts=flush_ts,
+                user_id=-1,
+                event_type=et,
+                value=0.0,
+                props="{}",
+            )
+            for et in ("view", "purchase")
+        ],
+        schema=ev.schema,
+    )
+    sentinel.coalesce(1).write.parquet(os.path.join(replay_dir, "slice_flush"))
+
+    def src() -> DataFrame:
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(replay_dir)
+        )
+
+    views = (
+        src()
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_event_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "10 seconds")
+    )
+    purchases = (
+        src()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 seconds")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_event_id",
+        F.coalesce("purchase_event_id", F.lit(-1)).alias("purchase_event_id"),
+        F.unix_micros("v_ts").alias("view_us"),
+        F.coalesce(F.unix_micros("p_ts"), F.lit(-1)).alias("purchase_us"),
+    )
+    name = f"ssljoin_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(joined, name, output_mode="append")
+    return spark.table(name).filter(F.col("view_event_id") >= 0)

@@ -272,3 +272,24 @@ def test_transform_with_state_totals_equal_batch(spark):
     )
     assert (streamed["n"] == batch["n"]).all()
     assert (streamed["sum_fp"] == batch["sum_fp"]).all()
+
+
+def test_left_outer_stream_emits_unmatched_views(spark):
+    """h16: the outer join must actually exercise the watermark-driven
+    null path — unmatched views (purchase_event_id = -1) exist in the
+    drained result alongside matched rows, and every view event
+    appears at least once."""
+    from mysql_to_clickhouse_spark.tables import load
+
+    res = all_queries()["h16_stream_left_outer"].fn(spark, SMOKE_SF_DIR)
+    pdf = res.toPandas()
+    n_unmatched = int((pdf["purchase_event_id"] == -1).sum())
+    n_matched = int((pdf["purchase_event_id"] >= 0).sum())
+    assert n_unmatched > 0, "no unmatched views — outer path untested"
+    assert n_matched > 0, "no matched views — join path untested"
+    n_views = (
+        load(spark, SMOKE_SF_DIR, "events")
+        .filter("event_type = 'view'")
+        .count()
+    )
+    assert pdf["view_event_id"].nunique() == n_views
