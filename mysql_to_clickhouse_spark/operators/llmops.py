@@ -2032,3 +2032,171 @@ def i19_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_dist.alias("ok_distinct"),
         (ok_wc & ok_mwl & ok_tiny & ok_dist).alias("passes_gopher"),
     )
+
+
+# ---------------------------------------------------------------------------
+# i20_mix_rebalance — resample the corpus to target mixture weights
+# ---------------------------------------------------------------------------
+
+# Target language mixture for the output corpus. Rebalancing never
+# upsamples: the output size is the largest n_out with
+# floor(n_out * w_l) <= n_l for every language.
+_I20_WEIGHTS = {"en": 0.40, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+
+_I20_WEIGHTS_SQL = " UNION ALL ".join(
+    f"SELECT '{lang}' AS w_lang, {w!r} AS w" for lang, w in _I20_WEIGHTS.items()
+)
+
+_I20_ORACLE = f"""
+WITH weights AS ({_I20_WEIGHTS_SQL}),
+counts AS (
+  SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang
+), budget AS (
+  SELECT CAST(MIN(FLOOR(n_l / w)) AS BIGINT) AS n_out
+  FROM counts JOIN weights ON lang = w_lang
+), quota AS (
+  SELECT lang, CAST(FLOOR(n_out * w) AS BIGINT) AS k_l
+  FROM counts JOIN weights ON lang = w_lang CROSS JOIN budget
+), ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rk
+  FROM documents
+)
+SELECT r.lang,
+       COUNT(*) AS kept_docs,
+       CAST(SUM(r.doc_id) AS BIGINT) AS kept_id_sum,
+       MIN(q.k_l) AS quota
+FROM ranked r JOIN quota q ON r.lang = q.lang
+WHERE r.rk <= q.k_l
+GROUP BY r.lang
+ORDER BY r.lang
+"""
+
+
+@register("i20_mix_rebalance", oracle=_I20_ORACLE)
+def i20_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture rebalancing: resample the corpus so language
+    shares hit target weights (en 40%, the rest 15% each) WITHOUT
+    upsampling — the output budget is the largest n_out whose per-lang
+    quotas floor(n_out*w_l) all fit inside the available counts, i.e.
+    the scarcest language binds the whole mixture. Selection within a
+    language is md5-order (i15's deterministic, seedless idiom), so
+    re-runs and repartitioning pick the identical subset.
+
+    Scale: per-lang counts are a tiny aggregate; the budget and quotas
+    are a |langs|-row relation broadcast back; the only fact-sized
+    work is one window rank per language — the same single exchange as
+    i15. Quota arithmetic stays integral (floor to bigint), so both
+    engines agree exactly."""
+    docs = load(spark, sf_dir, "documents")
+    weights = F.create_map(
+        *[F.lit(x) for kv in _I20_WEIGHTS.items() for x in kv]
+    )
+    counts = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_l"))
+        .withColumn("w", weights[F.col("lang")])
+    )
+    budget = counts.agg(
+        F.min(F.floor(F.col("n_l") / F.col("w"))).cast("bigint").alias("n_out")
+    )
+    quota = counts.crossJoin(F.broadcast(budget)).select(
+        F.col("lang").alias("q_lang"),
+        F.floor(F.col("n_out") * F.col("w")).cast("bigint").alias("k_l"),
+    )
+    h = F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8"))
+    rk = F.row_number().over(Window.partitionBy("lang").orderBy(h, "doc_id"))
+    ranked = docs.select("doc_id", "lang", rk.alias("rk"))
+    return (
+        ranked.join(F.broadcast(quota), F.col("lang") == F.col("q_lang"))
+        .filter(F.col("rk") <= F.col("k_l"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
+            F.min("k_l").alias("quota"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# i21_source_divergence — per-source total-variation distance from corpus
+# ---------------------------------------------------------------------------
+
+_I21_ORACLE = """
+WITH words AS (
+  SELECT source, UNNEST(string_split(text, ' ')) AS word
+  FROM documents
+), sc AS (
+  SELECT source, word, COUNT(*) AS c FROM words GROUP BY source, word
+), stot AS (
+  SELECT source, SUM(c) AS st FROM sc GROUP BY source
+), gc AS (
+  SELECT word, SUM(c) AS g FROM sc GROUP BY word
+), gtot AS (
+  SELECT SUM(c) AS gt FROM sc
+), terms AS (
+  SELECT sc.source,
+         ABS(CAST(sc.c AS DOUBLE) / st - CAST(g AS DOUBLE) / gt) AS t
+  FROM sc
+  JOIN stot USING (source)
+  JOIN gc USING (word)
+  CROSS JOIN gtot
+)
+SELECT source,
+       CAST(SUM(CAST(FLOOR(t * 1000000000.0) AS BIGINT)) AS DOUBLE)
+         / 2000000000.0 AS tv_lower,
+       COUNT(*) AS n_shared_words
+FROM terms
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("i21_source_divergence", oracle=_I21_ORACLE)
+def i21_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift: total-variation distance between
+    each source's word distribution and the whole-corpus distribution
+    (lower bound over words the source contains — absent words add
+    their global mass; the shared-word sum is the monitored signal).
+    The corpus-mixing diagnostic: a source whose TV distance spikes is
+    drifting from the mixture it was weighted for.
+
+    Each |p - q| term is two IEEE divisions + a subtraction evaluated
+    in the same order on both engines, then a scale-9 fixed-point sum
+    (order-proof; the /2 of the TV definition folds into the final
+    divisor). Scale shape: one (source, word) count exchange — the
+    same granularity TF-IDF (i6) already shuffles — then broadcast
+    joins of the per-source and global totals (|sources| + |vocab|
+    rows); no row-level Python anywhere."""
+    docs = load(spark, sf_dir, "documents")
+    sc = (
+        docs.select("source", F.explode(tokens("text")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sc.cache()
+    stot = sc.groupBy("source").agg(F.sum("c").alias("st"))
+    gc = sc.groupBy("word").agg(F.sum("c").alias("g"))
+    gtot = sc.agg(F.sum("c").alias("gt"))
+    t = F.abs(
+        F.col("c").cast("double") / F.col("st")
+        - F.col("g").cast("double") / F.col("gt")
+    )
+    return (
+        sc.join(F.broadcast(stot), "source")
+        .join(gc, "word")
+        .crossJoin(F.broadcast(gtot))
+        .groupBy("source")
+        .agg(
+            (
+                F.sum(F.floor(t * F.lit(1000000000.0)).cast("long")).cast(
+                    "double"
+                )
+                / F.lit(2000000000.0)
+            ).alias("tv_lower"),
+            F.count(F.lit(1)).alias("n_shared_words"),
+        )
+    )
