@@ -738,3 +738,43 @@ def g18_array_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cumsum_str"),
         F.size(keep).cast("long").alias("compact_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# g19_bit_scalars — CH bitCount/bitShiftLeft/bitShiftRight/bitTest family
+# ---------------------------------------------------------------------------
+
+_G19_ORACLE = """
+SELECT event_id,
+       CAST(bit_count(user_id) AS INT) AS popcnt,
+       user_id << 3 AS shl3,
+       user_id >> 2 AS shr2,
+       xor(user_id, 2863311530) AS xor_mask,
+       user_id & 255 AS low_byte,
+       user_id | 1 AS set_lsb,
+       (user_id >> 4) & 1 = 1 AS bit4_set
+FROM events
+WHERE event_type = 'click'
+ORDER BY event_id
+"""
+
+
+@register("g19_bit_scalars", oracle=_G19_ORACLE)
+def g19_bit_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH bit-manipulation scalars (bitCount, bitShiftLeft/Right,
+    bitXor/And/Or, bitTest) over the int64 key domain — the building
+    blocks the engine's own hash/bucket operators (g10, a9, i2c) lean
+    on, surfaced as user-facing functions. Integer-exact on both
+    engines, map-only, whole-stage-codegen'd — zero shuffle."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    u = F.col("user_id")
+    return ev.select(
+        "event_id",
+        F.bit_count(u).alias("popcnt"),
+        F.shiftleft(u, 3).cast("bigint").alias("shl3"),
+        F.shiftright(u, 2).cast("bigint").alias("shr2"),
+        u.bitwiseXOR(F.lit(2863311530)).alias("xor_mask"),
+        u.bitwiseAND(F.lit(255)).alias("low_byte"),
+        u.bitwiseOR(F.lit(1)).alias("set_lsb"),
+        (F.shiftright(u, 4).bitwiseAND(F.lit(1)) == 1).alias("bit4_set"),
+    )
