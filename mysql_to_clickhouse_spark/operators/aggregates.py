@@ -1516,3 +1516,76 @@ def d29_interval_length_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("covered_us")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d30_lttb_downsample — CH largestTriangleThreeBuckets (per-series LTTB)
+# ---------------------------------------------------------------------------
+
+_LTTB_N_OUT = 10
+
+
+def lttb_reference(ts_us, values, n_out: int):
+    """Pure-Python LTTB (Steinarsson 2013, public thesis algorithm):
+    keep the first and last points; for each interior bucket pick the
+    point forming the largest triangle with the PREVIOUSLY SELECTED
+    point and the NEXT bucket's centroid. Deterministic: ties resolve
+    to the earliest point (first argmax). Shared by the operator's
+    per-key kernel and the differential test."""
+    n = len(ts_us)
+    if n <= n_out:
+        return list(range(n))
+    idx = [0]
+    # n_out-2 interior buckets over points 1..n-2
+    import numpy as np
+
+    bounds = np.linspace(1, n - 1, n_out - 1).astype(int)
+    for b in range(n_out - 2):
+        lo, hi = bounds[b], bounds[b + 1]
+        nlo, nhi = bounds[b + 1], (bounds[b + 2] if b + 2 < len(bounds) else n)
+        cx = float(np.mean(ts_us[nlo:nhi])) if nlo < nhi else float(ts_us[n - 1])
+        cy = float(np.mean(values[nlo:nhi])) if nlo < nhi else float(values[n - 1])
+        ax, ay = float(ts_us[idx[-1]]), float(values[idx[-1]])
+        seg_x = ts_us[lo:hi].astype("float64")
+        seg_y = values[lo:hi].astype("float64")
+        area2 = np.abs(
+            (ax - cx) * (seg_y - ay) - (ax - seg_x) * (cy - ay)
+        )
+        idx.append(int(lo + int(np.argmax(area2))))
+    idx.append(n - 1)
+    return idx
+
+
+@register("d30_lttb_downsample", oracle=None, tier="T3")
+def d30_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``largestTriangleThreeBuckets(10)(ts, value)``: downsample
+    each user's value series to 10 visually-representative points (the
+    standard charting decimator). LTTB is inherently sequential within
+    one series (each pick depends on the previous pick), so the right
+    Spark shape is applyInPandas: one Arrow-batched Python call per
+    user group running the vectorized numpy kernel — parallel across
+    the millions of series, sequential only inside each (which CH's
+    implementation also is). No oracle: DuckDB has no LTTB and the
+    selection is not SQL-expressible; the differential unit test pins
+    the distributed result to the reference kernel per series, and
+    endpoints/monotonicity are structural invariants."""
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "value", "event_id"
+    )
+
+    def downsample(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
+        keep = lttb_reference(
+            pdf["ts_us"].to_numpy("int64"),
+            pdf["value"].to_numpy("float64"),
+            _LTTB_N_OUT,
+        )
+        out = pdf.iloc[keep][["user_id", "ts_us", "value"]].copy()
+        out["point_rank"] = range(len(keep))
+        return out
+
+    return ev.groupBy("user_id").applyInPandas(
+        downsample, "user_id long, ts_us long, value double, point_rank int"
+    )
