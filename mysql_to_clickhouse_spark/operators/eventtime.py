@@ -812,3 +812,60 @@ def h16_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return stream_view_purchase_left_join(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# h17_sequence_next_node — CH sequenceNextNode: what follows the chain
+# ---------------------------------------------------------------------------
+
+_H17_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_type,
+         LEAD(event_type, 1) OVER w AS t1,
+         LEAD(event_type, 2) OVER w AS t2,
+         ROW_NUMBER() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), m AS (
+  SELECT user_id, rn, COALESCE(t2, '<end>') AS next_node
+  FROM o
+  WHERE event_type = 'view' AND t1 = 'click'
+)
+SELECT user_id, min_by(next_node, rn) AS next_node
+FROM m
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("h17_sequence_next_node", oracle=_H17_ORACLE)
+def h17_sequence_next_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``sequenceNextNode('forward', 'first_match')`` shape: per
+    user, the event type that immediately follows the first adjacent
+    view→click pair in the ts-ordered stream ('<end>' when the chain
+    ends the stream) — the what-happens-next primitive behind journey
+    exploration UIs.
+
+    One window exchange on user_id computes both LEADs and the row
+    number in a single pass (same frame, one sort); first-match
+    selection is min_by over the unique rank — an aggregate, not a
+    join-back. Chain adjacency means state is two lookahead rows, never
+    a buffer of the whole session."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.row_number().over(w).alias("rn"),
+    )
+    m = o.filter(
+        (F.col("event_type") == "view") & (F.col("t1") == "click")
+    ).select(
+        "user_id", "rn", F.coalesce("t2", F.lit("<end>")).alias("next_node")
+    )
+    return (
+        m.groupBy("user_id")
+        .agg(F.min_by("next_node", "rn").alias("next_node"))
+    )

@@ -44,3 +44,70 @@ def test_lttb_matches_reference_per_series(spark):
         # endpoints always kept
         assert act["ts_us"].iloc[0] == g["ts_us"].iloc[0]
         assert act["ts_us"].iloc[-1] == g["ts_us"].iloc[-1]
+
+
+def test_interval_length_sum_matches_bruteforce_on_random_intervals(spark):
+    """d29 property test: the sweep-line union coverage equals a
+    brute-force merge of sorted intervals on randomized inputs,
+    including heavy overlap, nesting, duplicates, and exact-touching
+    endpoints."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    rng = random.Random(42)
+    rows = []
+    for uid in range(8):
+        for _ in range(rng.randint(1, 40)):
+            s = rng.randint(0, 1000)
+            ln = rng.choice([0, 1, 5, 50, 200])
+            rows.append((uid, s, s + ln))
+    # duplicates + touching intervals
+    rows += [(99, 10, 20), (99, 10, 20), (99, 20, 30), (99, 40, 40)]
+
+    def brute(iv):
+        iv = sorted((s, e) for _, s, e in iv if e > s)
+        total, cur_s, cur_e = 0, None, None
+        for s, e in iv:
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    total += cur_e - cur_s
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        if cur_e is not None:
+            total += cur_e - cur_s
+        return total
+
+    expected = {
+        uid: brute([r for r in rows if r[0] == uid])
+        for uid in {r[0] for r in rows}
+    }
+    df = spark.createDataFrame(rows, "user_id long, s long, e long").filter(
+        "e > s"
+    )
+    pts = df.select("user_id", F.col("s").alias("t"), F.lit(1).alias("d")).unionAll(
+        df.select("user_id", F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    wo = Window.partitionBy("user_id").orderBy("t", "d")
+    sweep = pts.select(
+        "user_id",
+        "t",
+        F.sum("d")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("depth"),
+        F.lead("t").over(wo).alias("nt"),
+    )
+    got = {
+        r["user_id"]: r["covered"]
+        for r in sweep.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("depth") > 0, F.col("nt") - F.col("t"))
+            ).alias("covered")
+        )
+        .collect()
+    }
+    for uid, exp in expected.items():
+        assert got.get(uid, 0) == exp, (uid, got.get(uid), exp)
