@@ -7,7 +7,7 @@ shapes.)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mysql_to_clickhouse_spark.functions.numeric import dmean, dsum, o_dmean, o_dsum
@@ -863,4 +863,67 @@ def x16_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
         .agg(dsum(profit).alias("sum_profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# x17_replication_pipeline — the reference's whole reason to exist,
+# end-to-end: CDC apply (FINAL) → dimension enrichment → report
+# ---------------------------------------------------------------------------
+
+_X17_ORACLE = f"""
+WITH versioned AS (
+  SELECT user_id, value, event_type,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id
+           ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC, event_id DESC
+         ) AS rn
+  FROM events
+), final AS (
+  SELECT user_id, value FROM versioned
+  WHERE rn = 1 AND event_type != 'error'
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_entities,
+       {o_dsum('value')} AS latest_value_sum
+FROM final JOIN customer ON c_custkey = (user_id % 1500) + 1
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register("x17_replication_pipeline", oracle=_X17_ORACLE)
+def x17_replication_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The category's end-to-end story in one query: the CDC stream
+    (events as versioned row images) collapses to ReplacingMergeTree
+    FINAL state (a4's latest-per-key, deletes filtered), the surviving
+    entities enrich against the replicated customer dimension
+    (broadcast — h13's stream-static topology, batch form), and the
+    report aggregates per segment. This is what a mysql-to-clickhouse
+    user actually runs after replication lands.
+
+    One window exchange on the CDC key does the FINAL collapse; the
+    dim probe is broadcast (zero fact exchange); the final agg is
+    segments-sized. At 100 TB the collapse shuffle is the pipeline's
+    only fact-scale exchange — same bound as a4 itself."""
+    ev = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts").desc(), F.col("event_id").desc()
+    )
+    final = (
+        ev.select(
+            "user_id", "value", "event_type",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+    )
+    return (
+        final.withColumn("c_key", F.pmod(F.col("user_id"), F.lit(1500)) + 1)
+        .join(F.broadcast(cust), F.col("c_key") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_entities"),
+            dsum("value").alias("latest_value_sum"),
+        )
     )
