@@ -1589,3 +1589,153 @@ def d30_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         downsample, "user_id long, ts_us long, value double, point_rank int"
     )
+
+
+# ---------------------------------------------------------------------------
+# d31_welch_ttest — CH welchTTest: two-sample unequal-variance t statistic
+# ---------------------------------------------------------------------------
+
+# Exact fixed-point power sums per sample (d23's determinism design),
+# then ONE shared arithmetic fragment for mean/variance/t — every IEEE
+# op in identical order on both engines. sqrt is IEEE-754
+# correctly-rounded, so it is hash-safe (unlike log — see d23 notes).
+_D31_SUMS_SQL = """
+  COUNT(*) AS n,
+  CAST(SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS s1,
+  CAST(SUM(CAST(FLOOR(value * value * 10000.0) AS BIGINT)) AS DOUBLE)
+    / 10000.0 AS s2
+"""
+
+_D31_MATH = """
+  (a_s1 / a_n) AS mean_a,
+  (b_s1 / b_n) AS mean_b,
+  ((a_s2 - (a_s1 / a_n) * a_s1) / (a_n - 1)) AS var_a,
+  ((b_s2 - (b_s1 / b_n) * b_s1) / (b_n - 1)) AS var_b
+"""
+
+_D31_FINAL = """
+  (mean_a - mean_b)
+    / sqrt(var_a / a_n + var_b / b_n) AS t_stat,
+  (var_a / a_n + var_b / b_n) * (var_a / a_n + var_b / b_n)
+    / ((var_a / a_n) * (var_a / a_n) / (a_n - 1)
+       + (var_b / b_n) * (var_b / b_n) / (b_n - 1)) AS welch_df
+"""
+
+_D31_ORACLE = f"""
+WITH a AS (
+  SELECT {_D31_SUMS_SQL} FROM events WHERE event_type = 'purchase'
+), b AS (
+  SELECT {_D31_SUMS_SQL} FROM events WHERE event_type = 'click'
+), s AS (
+  SELECT a.n AS a_n, a.s1 AS a_s1, a.s2 AS a_s2,
+         b.n AS b_n, b.s1 AS b_s1, b.s2 AS b_s2
+  FROM a CROSS JOIN b
+), m AS (
+  SELECT a_n, b_n, {_D31_MATH} FROM s
+)
+SELECT a_n, b_n, mean_a, mean_b, {_D31_FINAL}
+FROM m
+"""
+
+
+@register("d31_welch_ttest", oracle=_D31_ORACLE)
+def d31_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``welchTTest(value, group)``: does the purchase population's
+    value differ from the click population's — the unequal-variance
+    two-sample t statistic plus Welch–Satterthwaite degrees of freedom.
+
+    Both samples reduce to (n, Σx, Σx²) in exact fixed-point — ONE scan
+    of the fact table producing two conditional partial aggregates, no
+    shuffle beyond the single-row merge — and the entire statistic is
+    post-aggregate arithmetic on six scalars, stated once and evaluated
+    in the same order by both engines. The same shape holds at 100 TB:
+    a t-test is a fold, not a join."""
+    ev = load(spark, sf_dir, "events")
+
+    def sums(tag: str, etype: str):
+        cond = F.col("event_type") == etype
+        v = F.when(cond, F.col("value"))
+        return [
+            F.count(v).alias(f"{tag}_n"),
+            (F.sum(fixed_point(v)).cast("double") / 10000.0).alias(f"{tag}_s1"),
+            (
+                F.sum(fixed_point(v * F.col("value"))).cast("double") / 10000.0
+            ).alias(f"{tag}_s2"),
+        ]
+
+    s = ev.agg(*sums("a", "purchase"), *sums("b", "click"))
+    m = s.selectExpr(
+        "a_n", "b_n", *[frag.strip() for frag in _D31_MATH.strip().split(",\n")]
+    )
+    return m.selectExpr(
+        "a_n", "b_n", "mean_a", "mean_b",
+        *[frag.strip() for frag in _D31_FINAL.strip().split(",\n")],
+    )
+
+
+# ---------------------------------------------------------------------------
+# d32_mann_whitney — CH mannWhitneyUTest: rank-sum U, exactly, in integers
+# ---------------------------------------------------------------------------
+
+# U_A = Σ_pairs [a > b] + ½[a == b]. Doubling clears the half-ties:
+# 2U_A = Σ_v n_a(v)·(2·cum_b(<v) + n_b(v)) — all-integer, so both
+# engines agree bit-for-bit with no rank-average float arithmetic.
+_D32_ORACLE = """
+WITH vc AS (
+  SELECT value,
+         COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_a,
+         COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_b
+  FROM events
+  WHERE event_type IN ('purchase', 'click')
+  GROUP BY value
+), c AS (
+  SELECT n_a, n_b,
+         COALESCE(SUM(n_b) OVER (ORDER BY value
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_b
+  FROM vc
+)
+SELECT CAST(SUM(n_a * (2 * cum_b + n_b)) AS BIGINT) AS u2_a,
+       CAST(SUM(n_a) AS BIGINT) AS n_a,
+       CAST(SUM(n_b) AS BIGINT) AS n_b,
+       CAST(SUM(n_a) * SUM(n_b) AS BIGINT) AS u2_max_half
+FROM c
+"""
+
+
+@register("d32_mann_whitney", oracle=_D32_ORACLE)
+def d32_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``mannWhitneyUTest(value, group)``: the rank-sum U statistic
+    for purchase-vs-click values, computed EXACTLY — 2·U stays in
+    bigints (ties contribute their half through the doubling), so there
+    is no average-rank float path to diverge between engines.
+    u2_a / (2·n_a·n_b) is the rank-biserial effect size when a
+    consumer wants it.
+
+    Scale shape: the fact table collapses to per-distinct-value
+    (n_a, n_b) counts first (one map-side-combinable exchange — the
+    d8d idiom), and the ordered cumulative walks DISTINCT VALUES, not
+    rows. The global-order window is the honest cost of any rank
+    statistic; bounding it by value cardinality is what makes it
+    run at fact scale (range-partitioned sort at 1000 executors, a
+    few thousand distinct doubles here)."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    vc = ev.groupBy("value").agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_a"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_b"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    c = vc.select(
+        "n_a",
+        "n_b",
+        F.coalesce(F.sum("n_b").over(w), F.lit(0)).alias("cum_b"),
+    )
+    return c.agg(
+        F.sum(F.col("n_a") * (2 * F.col("cum_b") + F.col("n_b")))
+        .cast("bigint")
+        .alias("u2_a"),
+        F.sum("n_a").cast("bigint").alias("n_a"),
+        F.sum("n_b").cast("bigint").alias("n_b"),
+        (F.sum("n_a") * F.sum("n_b")).cast("bigint").alias("u2_max_half"),
+    )
