@@ -654,3 +654,82 @@ def c16_merge_join_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_lines"))
     )
+
+
+# ---------------------------------------------------------------------------
+# c17_asof_forward — forward as-of: EARLIEST purchase strictly after a view
+# ---------------------------------------------------------------------------
+
+_C17_ORACLE = """
+WITH v AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+  FROM events WHERE event_type = 'view'
+)
+SELECT v.user_id,
+       v.event_id AS view_event_id,
+       v.ts_us AS view_us,
+       p.event_id AS next_purchase_id,
+       p.p_us AS purchase_us
+FROM v, LATERAL (
+  SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+  FROM events p
+  WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+    AND epoch_us(CAST(p.ts AS TIMESTAMP)) > v.ts_us
+  ORDER BY p_us, event_id LIMIT 1
+) p
+ORDER BY view_event_id
+"""
+
+
+@register("c17_asof_forward", oracle=_C17_ORACLE, tier="T3")
+def c17_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (CH ASOF JOIN with ``>`` direction): each
+    view matched to the EARLIEST purchase strictly after it, per user —
+    c9's mirror, the time-to-conversion primitive.
+
+    Same distributed shape as c9: union both sides with a marker and
+    run ONE ordered window per user — never the naive O(n·m)
+    inequality join the oracle's LATERAL spells. Strictness is encoded
+    in the sort, not a post-filter: at equal ts the purchase marker
+    (0) sorts BEFORE the view (1), so the view's strictly-following
+    frame can never capture a same-instant purchase, while
+    first(..., ignorenulls) over that frame picks the (ts, event_id)-
+    least purchase after it. Unmatched views drop (inner as-of)."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    tagged = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        (F.col("event_type") == "view").cast("int").alias("d"),
+        F.when(F.col("event_type") == "purchase", F.col("event_id")).alias(
+            "p_id"
+        ),
+        F.when(
+            F.col("event_type") == "purchase", F.unix_micros("ts")
+        ).alias("p_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "d", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    return (
+        tagged.select(
+            "user_id",
+            "event_id",
+            "ts_us",
+            "d",
+            F.first("p_id", ignorenulls=True).over(w).alias("next_purchase_id"),
+            F.first("p_us", ignorenulls=True).over(w).alias("purchase_us"),
+        )
+        .filter((F.col("d") == 1) & F.col("next_purchase_id").isNotNull())
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_event_id"),
+            F.col("ts_us").alias("view_us"),
+            "next_purchase_id",
+            "purchase_us",
+        )
+    )
