@@ -2200,3 +2200,69 @@ def i21_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_shared_words"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# i22_containment_dedup — asymmetric shingle containment (subset detection)
+# ---------------------------------------------------------------------------
+
+_I22_THETA = 0.6
+
+_I22_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, source, {o_distinct_shingles('text')} AS shingles
+  FROM documents
+)
+SELECT a.doc_id AS contained_doc,
+       b.doc_id AS container_doc,
+       CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT)
+         AS n_common,
+       CAST(len(a.shingles) AS BIGINT) AS n_contained,
+       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         / CAST(len(a.shingles) AS DOUBLE) AS containment
+FROM sh a JOIN sh b
+  ON a.source = b.source AND a.doc_id <> b.doc_id
+WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / CAST(len(a.shingles) AS DOUBLE) >= {_I22_THETA}
+ORDER BY contained_doc, container_doc
+"""
+
+
+@register("i22_containment_dedup", oracle=_I22_ORACLE)
+def i22_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup: |A∩B| / |A| ≥ θ flags document
+    A as largely CONTAINED in B — the quote/excerpt/boilerplate-subset
+    case symmetric Jaccard misses (a short doc quoted inside a long one
+    scores low Jaccard but high containment; dedup pipelines drop the
+    contained copy, keep the container).
+
+    Same blocked shape as i2b (pairs only within the source block —
+    never all-pairs; at 100 TB the block key comes from the LSH
+    banding i2 already computes), but the predicate is directional, so
+    each unordered pair is examined both ways and both directions can
+    fire (mutual containment == exact dup). The containment ratio is
+    one IEEE division, identically ordered on both engines."""
+    sh = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", distinct_shingles("text").alias("shingles")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    na = F.size(F.col("a.shingles"))
+    containment = inter.cast("double") / na.cast("double")
+    return (
+        a.join(
+            b,
+            [
+                F.col("a.source") == F.col("b.source"),
+                F.col("a.doc_id") != F.col("b.doc_id"),
+            ],
+        )
+        .filter(containment >= F.lit(_I22_THETA))
+        .select(
+            F.col("a.doc_id").alias("contained_doc"),
+            F.col("b.doc_id").alias("container_doc"),
+            inter.cast("long").alias("n_common"),
+            na.cast("long").alias("n_contained"),
+            containment.alias("containment"),
+        )
+    )
