@@ -26,6 +26,8 @@ CARTESIAN_OK = {
     "x9_tpch_q22",       # scalar (1-row) mean-balance cross join
     "a19_zorder_layout", # scalar (1-row) min/max-bounds cross join
     "a20_ttl_rollup",    # scalar (1-row) max-ts age cutoff cross join
+    "i20_mix_rebalance", # scalar (1-row) mixture-budget cross join
+    "i21_source_divergence",  # scalar (1-row) global-total cross join
 }
 
 # queries whose side effects / streaming make a plain plan dump moot
