@@ -778,3 +778,36 @@ def g19_bit_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
         u.bitwiseOR(F.lit(1)).alias("set_lsb"),
         (F.shiftright(u, 4).bitwiseAND(F.lit(1)) == 1).alias("bit4_set"),
     )
+
+
+# ---------------------------------------------------------------------------
+# g20_codec_funcs — CH base64Encode/base64Decode/hex/unhex
+# ---------------------------------------------------------------------------
+
+_G20_ORACLE = """
+SELECT doc_id,
+       base64(encode(lang)) AS lang_b64,
+       decode(from_base64(base64(encode(lang)))) AS lang_roundtrip,
+       to_hex(encode(source)) AS source_hex,
+       upper(to_hex(encode(lang))) AS lang_hex_upper
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("g20_codec_funcs", oracle=_G20_ORACLE)
+def g20_codec_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH base64Encode / base64Decode / hex / unhex: the binary-codec
+    scalar family (ubiquitous in replication pipelines moving opaque
+    payloads through text transports). Round-trip asserted in-row
+    (encode→decode returns the original), hex emitted in both engines'
+    canonical casings. Map-only, codegen'd, zero shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    b64 = F.base64(F.col("lang").cast("binary"))
+    return docs.select(
+        "doc_id",
+        b64.alias("lang_b64"),
+        F.unbase64(b64).cast("string").alias("lang_roundtrip"),
+        F.lower(F.hex(F.col("source").cast("binary"))).alias("source_hex"),
+        F.hex(F.col("lang").cast("binary")).alias("lang_hex_upper"),
+    )

@@ -181,3 +181,35 @@ def s5_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _S5_SPARK_SQL.format(nation="s5_nation", customer="s5_customer")
     )
+
+
+_S6_ORACLE = """
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+WHERE s_acctbal >= ALL (SELECT c_acctbal FROM customer
+                        WHERE c_mktsegment = 'BUILDING')
+ORDER BY s_suppkey
+"""
+
+
+@register("s6_quantified_all", oracle=_S6_ORACLE)
+def s6_quantified_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified comparison — the oracle states ``>= ALL (subquery)``
+    verbatim; Spark SQL has no ALL/ANY quantifier, so the engine form
+    IS the decorrelation every optimizer applies to it: the subquery
+    collapses to one scalar aggregate (max over an empty set yielding
+    NULL must admit every row — hence the coalesce to -infinity)
+    broadcast against the outer relation. One tiny aggregate + one
+    broadcast cross join; never a per-outer-row re-execution."""
+    from pyspark.sql import functions as F
+
+    sup = load(spark, sf_dir, "supplier")
+    cust = load(spark, sf_dir, "customer")
+    mx = cust.filter(F.col("c_mktsegment") == "BUILDING").agg(
+        F.coalesce(F.max("c_acctbal"), F.lit(float("-inf"))).alias("_max_bal")
+    )
+    return (
+        sup.crossJoin(F.broadcast(mx))
+        .filter(F.col("s_acctbal") >= F.col("_max_bal"))
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )

@@ -213,3 +213,105 @@ def test_window_functions_differential(spark, rows):
         .toPandas()
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_forward_asof_window_trick_equals_bruteforce(spark):
+    """c17's union-marker window must equal brute-force per-view argmin
+    over purchases, including the tricky cases: same-instant
+    view/purchase (must NOT match — strict >), multiple purchases at
+    the same later instant (earliest event_id wins), interleaved
+    views."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    rows = []
+    eid = 0
+    for uid in range(6):
+        for _ in range(rng.randint(3, 25)):
+            t = rng.randint(0, 50)  # dense -> lots of ties
+            et = rng.choice(["view", "purchase"])
+            rows.append((eid, uid, t, et))
+            eid += 1
+    # planted adversarial cases: same-ts view+purchase; duplicate purchases
+    rows += [
+        (900, 77, 10, "view"), (901, 77, 10, "purchase"),
+        (902, 77, 12, "purchase"), (903, 77, 12, "purchase"),
+        (904, 78, 5, "view"),  # no purchase at all for user 78
+    ]
+
+    def brute():
+        out = {}
+        for e, u, t, et in rows:
+            if et != "view":
+                continue
+            cands = [
+                (t2, e2)
+                for (e2, u2, t2, et2) in rows
+                if u2 == u and et2 == "purchase" and t2 > t
+            ]
+            if cands:
+                out[e] = min(cands)[1]
+        return out
+
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, event_type string"
+    )
+    tagged = df.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        (F.col("event_type") == "view").cast("int").alias("d"),
+        F.when(F.col("event_type") == "purchase", F.col("event_id")).alias(
+            "p_id"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "d", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    got = {
+        r["event_id"]: r["nxt"]
+        for r in tagged.select(
+            "event_id",
+            "d",
+            F.first("p_id", ignorenulls=True).over(w).alias("nxt"),
+        )
+        .filter((F.col("d") == 1) & F.col("nxt").isNotNull())
+        .collect()
+    }
+    assert got == brute()
+
+
+def test_mann_whitney_u2_equals_pair_counting(spark):
+    """d32's collapsed-count 2U formula must equal the definitional
+    pair count 2*(#[a>b] + 0.5*#[a==b]) on randomized samples with
+    heavy ties."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = random.Random(21)
+    a = [float(rng.randint(0, 8)) for _ in range(200)]
+    b = [float(rng.randint(0, 8)) for _ in range(150)]
+    expected_2u = sum(
+        2 if x > y else (1 if x == y else 0) for x in a for y in b
+    )
+    rows = [(v, "a") for v in a] + [(v, "b") for v in b]
+    df = spark.createDataFrame(rows, "value double, grp string")
+    vc = df.groupBy("value").agg(
+        F.count(F.when(F.col("grp") == "a", 1)).alias("n_a"),
+        F.count(F.when(F.col("grp") == "b", 1)).alias("n_b"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    c = vc.select(
+        "n_a", "n_b", F.coalesce(F.sum("n_b").over(w), F.lit(0)).alias("cum_b")
+    )
+    got = c.agg(
+        F.sum(F.col("n_a") * (2 * F.col("cum_b") + F.col("n_b"))).alias("u2")
+    ).first()["u2"]
+    assert got == expected_2u
