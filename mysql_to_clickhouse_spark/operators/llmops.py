@@ -2266,3 +2266,110 @@ def i22_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             containment.alias("containment"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# i17c_topk_weighted — CH topKWeighted: Misra-Gries with weighted updates
+# ---------------------------------------------------------------------------
+
+_MGW_CAPACITY = 64
+_TOPK_USERS = 10
+
+
+def _mgw_partition_summaries(batches, capacity: int):
+    """Weighted Misra-Gries over one partition's (key, weight) stream:
+    insert at full capacity subtracts the minimum counter from ALL
+    counters (evicting zeros), so each surviving estimate undercounts
+    its true partition weight by at most W_part/(capacity+1) and never
+    overcounts. Integral weights keep every comparison exact."""
+    import pandas as pd
+
+    counters: dict[int, int] = {}
+    for pdf in batches:
+        for key, w in zip(pdf["key"], pdf["w"]):
+            key, w = int(key), int(w)
+            if w <= 0:
+                continue
+            if key in counters or len(counters) < capacity:
+                counters[key] = counters.get(key, 0) + w
+            else:
+                counters[key] = w
+                m = min(counters.values())
+                counters = {
+                    k: v - m for k, v in counters.items() if v > m
+                }
+    yield pd.DataFrame(
+        {"key": list(counters), "est": list(counters.values())}
+    )
+
+
+_I17C_ORACLE = f"""
+WITH w AS (
+  SELECT user_id, CAST(FLOOR(value * 10000.0) AS BIGINT) AS w_fp
+  FROM events WHERE event_type = 'purchase'
+), exact AS (
+  SELECT user_id, CAST(SUM(w_fp) AS BIGINT) AS exact_weight
+  FROM w GROUP BY user_id
+), ranked AS (
+  SELECT user_id, exact_weight,
+         ROW_NUMBER() OVER (ORDER BY exact_weight DESC, user_id) AS rk
+  FROM exact
+)
+SELECT user_id, exact_weight,
+       TRUE AS sketch_never_over, TRUE AS sketch_within_bound
+FROM ranked WHERE rk <= {_TOPK_USERS}
+ORDER BY exact_weight DESC, user_id
+"""
+
+
+@register("i17c_topk_weighted", oracle=_I17C_ORACLE)
+def i17c_topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``topKWeighted(10)(user_id, value)``: heaviest purchase users
+    by TOTAL SPEND, not occurrence count — the weighted Misra-Gries
+    sketch, surfaced SQL-checkably in i17b's style: the Spark side
+    computes the exact top-10 AND the per-partition sketch estimates,
+    then asserts the weighted-MG merge guarantees as booleans (est
+    never exceeds exact; exact − est ≤ total weight/(capacity+1) —
+    both hold for ANY partitioning, so the hash is partition-proof).
+    Weights ride as fixed-point bigints: every sketch comparison and
+    both bound checks are integer-exact. Shuffle carries ≤capacity
+    rows per partition — the mergeable-summary shape."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = ev.select(
+        F.col("user_id").alias("key"), fixed_point("value").alias("w")
+    )
+    exact = w.groupBy(F.col("key").alias("user_id")).agg(
+        F.sum("w").cast("bigint").alias("exact_weight")
+    )
+    wnd = Window.orderBy(F.desc("exact_weight"), "user_id")
+    topk = exact.select(
+        "user_id", "exact_weight", F.row_number().over(wnd).alias("rk")
+    ).filter(F.col("rk") <= _TOPK_USERS)
+
+    def summarize(batches):
+        yield from _mgw_partition_summaries(batches, _MGW_CAPACITY)
+
+    est = (
+        w.mapInPandas(summarize, schema="key long, est long")
+        .groupBy(F.col("key").alias("user_id"))
+        .agg(F.sum("est").alias("est_weight"))
+    )
+    total = w.agg(F.sum("w").alias("w_total"))
+    return (
+        topk.join(est, "user_id", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            "exact_weight",
+            (
+                F.coalesce("est_weight", F.lit(0)) <= F.col("exact_weight")
+            ).alias("sketch_never_over"),
+            (
+                F.col("exact_weight") - F.coalesce("est_weight", F.lit(0))
+                <= F.col("w_total") / (_MGW_CAPACITY + 1)
+            ).alias("sketch_within_bound"),
+        )
+        .orderBy(F.desc("exact_weight"), "user_id")
+    )

@@ -23,11 +23,13 @@ CARTESIAN_OK = {
     "i6_tfidf_keywords", # scalar doc-count cross join
     "i4d_ann_ivf",       # centroid-assignment cross vs 16 broadcast rows
     "i17b_topk_bound",   # scalar total-gram-count cross join (N for the bound)
+    "i17c_topk_weighted",  # scalar total-weight cross join (W for the bound)
     "x9_tpch_q22",       # scalar (1-row) mean-balance cross join
     "a19_zorder_layout", # scalar (1-row) min/max-bounds cross join
     "a20_ttl_rollup",    # scalar (1-row) max-ts age cutoff cross join
     "i20_mix_rebalance", # scalar (1-row) mixture-budget cross join
     "i21_source_divergence",  # scalar (1-row) global-total cross join
+    "s6_quantified_all",  # scalar (1-row) ALL-bound cross join (the decorrelation)
 }
 
 # queries whose side effects / streaming make a plain plan dump moot
