@@ -869,3 +869,87 @@ def h17_sequence_next_node(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.groupBy("user_id")
         .agg(F.min_by("next_node", "rn").alias("next_node"))
     )
+
+
+# ---------------------------------------------------------------------------
+# h18_dynamic_session — session_window with a PER-EVENT gap expression
+# ---------------------------------------------------------------------------
+
+# purchases hold a session open 45 min; views/clicks 10; everything else 20
+_H18_GAPS_US = {"purchase": 45 * _US_PER_MIN, "view": 10 * _US_PER_MIN,
+                "click": 10 * _US_PER_MIN}
+_H18_DEFAULT_US = 20 * _US_PER_MIN
+
+_H18_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, event_id, value,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         epoch_us(CAST(ts AS TIMESTAMP))
+           + CASE event_type
+               WHEN 'purchase' THEN {_H18_GAPS_US['purchase']}
+               WHEN 'view' THEN {_H18_GAPS_US['view']}
+               WHEN 'click' THEN {_H18_GAPS_US['click']}
+               ELSE {_H18_DEFAULT_US} END AS end_us
+  FROM events
+), m AS (
+  SELECT *, MAX(end_us) OVER (
+    PARTITION BY user_id ORDER BY ts_us, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+  FROM seq
+), flagged AS (
+  -- a session extends while the next event STARTS before the furthest
+  -- end reached so far (interval-overlap merge, Spark's semantics)
+  SELECT *, CASE WHEN prev_max_end IS NULL OR ts_us >= prev_max_end
+                 THEN 1 ELSE 0 END AS is_new
+  FROM m
+), numbered AS (
+  SELECT *, SUM(is_new) OVER (
+    PARTITION BY user_id ORDER BY ts_us, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts_us) AS session_start_us,
+       MAX(end_us) AS session_end_us,
+       COUNT(*) AS n_events,
+       {o_dsum('value')} AS session_value
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start_us
+"""
+
+
+@register("h18_dynamic_session", oracle=_H18_ORACLE)
+def h18_dynamic_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap sessionization via Spark's NATIVE
+    ``session_window(ts, gap_expression)``: each event keeps its
+    session alive for an event-type-dependent window (purchases 45 min,
+    views/clicks 10, else 20) — the engaged-user-session model a fixed
+    gap can't express. The oracle derives the same semantics from first
+    principles: per-event interval [ts, ts+gap), overlap-merge via a
+    running max of interval ends — new session iff the event starts at
+    or past the furthest end seen. Hash equality between Spark's
+    built-in merge machinery and that independent formulation is the
+    strongest check this family has. One shuffle on user_id (the
+    session merge is Catalyst's, map-side pre-merged); the streaming
+    twin of the same expression works unchanged under watermarks."""
+    ev = load(spark, sf_dir, "events")
+    gap = (
+        F.when(F.col("event_type") == "purchase", F.lit("45 minutes"))
+        .when(F.col("event_type").isin("view", "click"), F.lit("10 minutes"))
+        .otherwise(F.lit("20 minutes"))
+    )
+    return (
+        ev.groupBy("user_id", F.session_window(F.col("ts"), gap).alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            F.unix_micros(F.col("sw.end")).alias("session_end_us"),
+            "n_events",
+            "session_value",
+        )
+    )
