@@ -18,7 +18,7 @@ from mysql_to_clickhouse_spark.functions.tmputil import scratch_dir
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mysql_to_clickhouse_spark.functions.numeric import dsum, o_dsum
+from mysql_to_clickhouse_spark.functions.numeric import dsum, fixed_point, o_dsum
 from mysql_to_clickhouse_spark.registry import register
 from mysql_to_clickhouse_spark.sources.jdbc import chunk_ranges
 from mysql_to_clickhouse_spark.tables import load
@@ -978,3 +978,80 @@ def a20_ttl_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return recent.unionByName(old)
+
+
+# ---------------------------------------------------------------------------
+# a21_idempotent_sink — block-hash dedup on insert (CH insert_deduplicate)
+# ---------------------------------------------------------------------------
+
+_A21_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS BIGINT) AS sum_fp
+FROM events
+WHERE event_type IN ('purchase', 'click')
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("a21_idempotent_sink", oracle=_A21_ORACLE, tier="T3")
+def a21_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``insert_deduplicate`` / replicated-block dedup: a replayed
+    insert of an already-landed block is a silent no-op, which is what
+    makes at-least-once delivery into the sink exactly-once-per-block.
+    The sink keeps a manifest of content block hashes (order-proof:
+    each block's hash is an XOR fold of its row digests); an arriving
+    batch writes only blocks whose hash is absent. The test inserts
+    the same purchase batch TWICE (a simulated replay after an ack was
+    lost) plus a distinct click batch — the read-back must equal the
+    source exactly once, which is precisely what the oracle states.
+
+    Scale: the manifest is one tiny file per landed block (block
+    count, not row count); replay detection is a driver-side set probe,
+    and block hashing is a map-side aggregate — no shuffle beyond the
+    per-block digest fold."""
+    import json
+
+    ev = load(spark, sf_dir, "events")
+    sink = scratch_dir("a21_idem_sink_")
+    manifest_path = os.path.join(sink, "_manifest.json")
+
+    def block_hash(df) -> str:
+        # order-independent, overflow-free content digest: XOR fold of
+        # per-row xxhash64 (an int64 SUM would trip ANSI overflow)
+        h = df.select(
+            F.bit_xor(
+                F.xxhash64("event_id", "event_type", "value")
+            ).alias("h")
+        ).first()["h"]
+        return f"{h & 0xFFFFFFFFFFFFFFFF:016x}"
+
+    def insert(df, manifest: dict) -> bool:
+        """Write df as one block unless its content hash already
+        landed; returns whether a write happened."""
+        bh = block_hash(df)
+        if bh in manifest:
+            return False
+        df.write.parquet(os.path.join(sink, f"block_{bh}"))
+        manifest[bh] = True
+        with open(manifest_path, "w") as f:
+            json.dump(sorted(manifest), f)
+        return True
+
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "event_type", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "event_type", "value"
+    )
+    manifest: dict = {}
+    wrote_first = insert(purchases, manifest)
+    wrote_replay = insert(purchases, manifest)  # the lost-ack replay
+    wrote_clicks = insert(clicks, manifest)
+    assert wrote_first and wrote_clicks and not wrote_replay
+    back = spark.read.parquet(os.path.join(sink, "block_*"))
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(fixed_point("value")).cast("bigint").alias("sum_fp"),
+    )
