@@ -189,3 +189,50 @@ def f6_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.col("o_custkey").alias("custkey"))
 
     return year(1996).subtract(year(1997))
+
+
+# ---------------------------------------------------------------------------
+# f7_nulls_ordering — explicit NULLS FIRST / NULLS LAST sort semantics
+# ---------------------------------------------------------------------------
+
+_F7_ORACLE = """
+WITH t AS (
+  SELECT c_custkey, c_acctbal,
+         NULLIF(c_mktsegment, 'BUILDING') AS seg_n
+  FROM customer
+)
+SELECT CAST(ROW_NUMBER() OVER (
+         ORDER BY seg_n ASC NULLS FIRST, c_acctbal DESC NULLS LAST,
+                  c_custkey ASC
+       ) AS BIGINT) AS pos,
+       c_custkey, seg_n, c_acctbal
+FROM t
+ORDER BY pos
+"""
+
+
+@register("f7_nulls_ordering", oracle=_F7_ORACLE)
+def f7_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit null-placement sort semantics, exercised on REAL nulls
+    (BUILDING nulled via NULLIF so ~1/5 of keys are NULL): NULLS FIRST
+    on the ascending segment key, NULLS LAST on the descending balance
+    — both engines state the placement explicitly since their defaults
+    differ (Spark ASC=nulls-first, DuckDB ASC=nulls-last). Position is
+    materialized so the order-insensitive hash still proves the total
+    order."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_acctbal",
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_n"),
+    )
+    w = Window.orderBy(
+        F.col("seg_n").asc_nulls_first(),
+        F.col("c_acctbal").desc_nulls_last(),
+        F.col("c_custkey").asc(),
+    )
+    return cust.select(
+        F.row_number().over(w).cast("long").alias("pos"),
+        "c_custkey",
+        "seg_n",
+        "c_acctbal",
+    )
