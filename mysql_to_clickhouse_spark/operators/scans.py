@@ -1055,3 +1055,70 @@ def a21_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(fixed_point("value")).cast("bigint").alias("sum_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# a22_ddl_type_map — MySQL DDL → (ClickHouse, Spark) schema mapping
+# ---------------------------------------------------------------------------
+
+_A22_DDL = """CREATE TABLE shop_orders (
+  `id` BIGINT UNSIGNED NOT NULL,
+  `customer_id` INT NOT NULL,
+  `status` ENUM('new','paid','shipped') NOT NULL,
+  `amount` DECIMAL(12,2) NOT NULL,
+  `weight` FLOAT,
+  `note` TEXT,
+  `flags` TINYINT UNSIGNED,
+  `payload` JSON,
+  `created_at` DATETIME(6) NOT NULL,
+  `ship_date` DATE,
+  `raw_token` VARBINARY(32),
+  `is_gift` BOOLEAN NOT NULL,
+  PRIMARY KEY (`id`),
+  KEY idx_cust (`customer_id`)
+)"""
+
+_A22_ORACLE = """
+SELECT * FROM (VALUES
+  (1,  'id',          'bigint unsigned',  'UInt64',                        'decimal(20,0)', FALSE),
+  (2,  'customer_id', 'int',              'Int32',                         'int',           FALSE),
+  (3,  'status',      'enum',             'LowCardinality(String)',        'string',        FALSE),
+  (4,  'amount',      'decimal(12,2)',    'Decimal(12, 2)',                'decimal(12,2)', FALSE),
+  (5,  'weight',      'float',            'Nullable(Float32)',             'float',         TRUE),
+  (6,  'note',        'text',             'Nullable(String)',              'string',        TRUE),
+  (7,  'flags',       'tinyint unsigned', 'Nullable(UInt8)',               'smallint',      TRUE),
+  (8,  'payload',     'json',             'Nullable(String)',              'string',        TRUE),
+  (9,  'created_at',  'datetime(6)',      'DateTime64(6)',                 'timestamp',     FALSE),
+  (10, 'ship_date',   'date',             'Nullable(Date32)',              'date',          TRUE),
+  (11, 'raw_token',   'varbinary(32)',    'Nullable(String)',              'binary',        TRUE),
+  (12, 'is_gift',     'boolean',          'Int8',                          'tinyint',       FALSE)
+) AS t(position, col_name, mysql_type, ch_type, spark_type, is_nullable)
+ORDER BY position
+"""
+
+
+@register("a22_ddl_type_map", oracle=_A22_ORACLE, tier="T2")
+def a22_ddl_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The category's schema-replication step as a checked contract:
+    parse a MySQL CREATE TABLE (ints signed/unsigned, DECIMAL(p,s),
+    ENUM, temporal, TEXT/JSON/VARBINARY, BOOLEAN; index/constraint
+    lines skipped) through sources/ddl.py's documented
+    MaterializedMySQL-convention map and emit one row per column with
+    its MySQL, ClickHouse, and Spark types plus nullability. The
+    oracle pins the full expected mapping as a VALUES literal — any
+    drift in the type map breaks the hash. Driver-side only by nature
+    (schemas are metadata, not data); the rendered ReplacingMergeTree
+    DDL and StructType round-trip are unit-tested in
+    tests/test_sources.py."""
+    from mysql_to_clickhouse_spark.sources.ddl import parse_mysql_ddl
+
+    cols = parse_mysql_ddl(_A22_DDL)
+    rows = [
+        (i + 1, c.name, c.mysql_type, c.ch_type, c.spark_type, c.nullable)
+        for i, c in enumerate(cols)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "position int, col_name string, mysql_type string, ch_type string,"
+        " spark_type string, is_nullable boolean",
+    )

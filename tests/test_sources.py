@@ -313,3 +313,36 @@ def test_a19_zorder_prunes_both_dimensions(spark, tmp_path):
         # Z-order: each 16k-row-group covers a local square of the curve;
         # both dims must average well under half the global span
         assert avg_frac <= 0.5, (dim, avg_frac, spans[dim][:8])
+
+
+def test_ddl_map_renders_clickhouse_and_spark_schemas(spark):
+    """sources/ddl.py: the parsed mapping renders a valid
+    ReplacingMergeTree DDL and a Spark StructType that Spark accepts
+    for an actual DataFrame."""
+    from mysql_to_clickhouse_spark.operators.scans import _A22_DDL
+    from mysql_to_clickhouse_spark.sources.ddl import (
+        parse_mysql_ddl,
+        to_clickhouse_ddl,
+        to_spark_schema,
+    )
+
+    cols = parse_mysql_ddl(_A22_DDL)
+    assert [c.name for c in cols][:4] == ["id", "customer_id", "status", "amount"]
+    ddl = to_clickhouse_ddl("shop_orders", cols, order_by="id")
+    assert "ENGINE = ReplacingMergeTree ORDER BY id" in ddl
+    assert "`amount` Decimal(12, 2)" in ddl
+    assert "`weight` Nullable(Float32)" in ddl
+    schema = to_spark_schema(cols)
+    df = spark.createDataFrame([], schema)  # schema must be constructible
+    assert df.schema["id"].dataType.simpleString() == "decimal(20,0)"
+    assert df.schema["created_at"].dataType.simpleString() == "timestamp"
+    assert df.schema["weight"].nullable and not df.schema["id"].nullable
+
+
+def test_ddl_map_rejects_unknown_types():
+    from mysql_to_clickhouse_spark.sources.ddl import parse_mysql_ddl
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unmapped MySQL type"):
+        parse_mysql_ddl("CREATE TABLE t (\n  `g` GEOMETRY NOT NULL\n)")
