@@ -2373,3 +2373,72 @@ def i17c_topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_weight"), "user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# i23_bigram_surprisal — corpus-trained bigram LM perplexity proxy
+# ---------------------------------------------------------------------------
+
+_I23_ALPHA = 0.5  # add-alpha smoothing
+
+
+def _bigrams(col):
+    """Adjacent token pairs as 'w1 w2' strings (empty for 1-token docs)."""
+    toks = tokens(col)
+    return F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+@register("i23_bigram_surprisal", oracle=None, tier="T3")
+def i23_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring with a bigram LM trained on the
+    corpus itself (the classic KenLM-filter shape, minus the external
+    model): P(w2|w1) = (c(w1,w2)+α)/(c(w1)+α·V), and each document's
+    score is its mean bigram surprisal −log2 P — high surprisal =
+    unusual word sequences (noise/garble candidates for the quality
+    gate alongside i10/i18/i19).
+
+    Train and score are both relational: bigram/unigram/vocab counts
+    (two map-side-combinable exchanges over exploded tokens), then doc
+    bigrams join the model on the bigram key and aggregate per doc.
+    The model relation is vocabulary-sized — broadcast when small, an
+    ordinary shuffle join at web scale; nothing is ever collected.
+    Rows-only: log2 has no cross-engine bit guarantee (unlike sqrt),
+    so the oracle-free tier plus a reference-kernel tolerance test
+    (tests/test_llmops.py) is the honest check."""
+    docs = load(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(_bigrams("text")).alias("bg")
+    )
+    toks = docs.select(F.explode(tokens("text")).alias("w"))
+    big_c = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    uni_c = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    vocab = toks.agg(F.countDistinct("w").alias("v"))
+    model = (
+        big_c.withColumn("w1", F.split(F.col("bg"), " ")[0])
+        .join(uni_c, F.col("w1") == F.col("w"))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bg",
+            (
+                -F.log2(
+                    (F.col("c_bg") + F.lit(_I23_ALPHA))
+                    / (F.col("c_w") + F.lit(_I23_ALPHA) * F.col("v"))
+                )
+            ).alias("surprisal"),
+        )
+    )
+    return (
+        grams.join(model, "bg")  # every doc bigram exists in the model
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg("surprisal").alias("mean_surprisal"),
+        )
+    )

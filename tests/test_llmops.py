@@ -443,3 +443,47 @@ def test_components_pointer_jumping_beats_diameter(spark):
     pdf = labels.toPandas()
     assert (pdf["lbl"] == 0).all()
     assert rounds <= 12, f"pointer jumping should be O(log n); took {rounds}"
+
+
+def test_bigram_surprisal_matches_reference(spark):
+    """i23: distributed train+score equals a pure-Python bigram LM on
+    the same corpus (tolerance only for float-sum association)."""
+    import collections
+    import math
+
+    from mysql_to_clickhouse_spark.registry import all_queries
+    from mysql_to_clickhouse_spark.tables import load
+    from tests.conftest import SMOKE_SF_DIR
+
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load(spark, SMOKE_SF_DIR, "documents").collect()
+    }
+    big = collections.Counter()
+    uni = collections.Counter()
+    for toks in docs.values():
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    v = len(uni)
+    alpha = 0.5
+
+    def score(toks):
+        pairs = list(zip(toks, toks[1:]))
+        if not pairs:
+            return None
+        s = [
+            -math.log2((big[p] + alpha) / (uni[p[0]] + alpha * v))
+            for p in pairs
+        ]
+        return sum(s) / len(s)
+
+    expected = {d: score(t) for d, t in docs.items() if score(t) is not None}
+    got = {
+        r["doc_id"]: r["mean_surprisal"]
+        for r in all_queries()["i23_bigram_surprisal"]
+        .fn(spark, SMOKE_SF_DIR)
+        .collect()
+    }
+    assert set(got) == set(expected)
+    for d in expected:
+        assert abs(got[d] - expected[d]) < 1e-9, d
