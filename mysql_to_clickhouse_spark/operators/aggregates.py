@@ -1739,3 +1739,49 @@ def d32_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_b").cast("bigint").alias("n_b"),
         (F.sum("n_a") * F.sum("n_b")).cast("bigint").alias("u2_max_half"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d33_journey_concat — ordered groupConcat: the per-user event-path string
+# ---------------------------------------------------------------------------
+
+_D33_ORACLE = """
+SELECT user_id,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS journey,
+       COUNT(*) AS n_steps
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("d33_journey_concat", oracle=_D33_ORACLE)
+def d33_journey_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chronologically ORDERED string aggregation (CH groupConcat with
+    ORDER BY / MySQL GROUP_CONCAT): each user's full event-type path as
+    one 'view>click>purchase>...' string — the journey-analysis input
+    h10/h15's pattern matchers scan. Spark has no ordered string_agg,
+    so the canonical form is collect structs → array_sort (total
+    (ts, event_id) order makes ties deterministic) → transform →
+    array_join, all inside ONE aggregate — no window pass, one shuffle
+    on user_id, per-key state exactly the output string (same as any
+    engine's ordered concat)."""
+    ev = load(spark, sf_dir, "events")
+    journey = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.unix_micros("ts").alias("t"),
+                        "event_id",
+                        "event_type",
+                    )
+                )
+            ),
+            lambda s: s["event_type"],
+        ),
+        ">",
+    )
+    return ev.groupBy("user_id").agg(
+        journey.alias("journey"), F.count(F.lit(1)).alias("n_steps")
+    )
