@@ -30,6 +30,7 @@ CARTESIAN_OK = {
     "i20_mix_rebalance", # scalar (1-row) mixture-budget cross join
     "i21_source_divergence",  # scalar (1-row) global-total cross join
     "s6_quantified_all",  # scalar (1-row) ALL-bound cross join (the decorrelation)
+    "i23_bigram_surprisal",  # scalar (1-row) vocab-size cross join (smoothing V)
 }
 
 # queries whose side effects / streaming make a plain plan dump moot
