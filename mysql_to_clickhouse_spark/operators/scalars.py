@@ -811,3 +811,39 @@ def g20_codec_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower(F.hex(F.col("source").cast("binary"))).alias("source_hex"),
         F.hex(F.col("lang").cast("binary")).alias("lang_hex_upper"),
     )
+
+
+# ---------------------------------------------------------------------------
+# g21_array_join_left — CH LEFT ARRAY JOIN (empty arrays keep their row)
+# ---------------------------------------------------------------------------
+
+_G21_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), w -> length(w) >= 8) AS longw
+  FROM documents
+), u AS (
+  SELECT doc_id,
+         CASE WHEN len(longw) = 0 THEN [NULL] ELSE longw END AS words
+  FROM t
+)
+SELECT doc_id, UNNEST(words) AS word
+FROM u
+ORDER BY doc_id, word
+"""
+
+
+@register("g21_array_join_left", oracle=_G21_ORACLE)
+def g21_array_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``LEFT ARRAY JOIN`` semantics: unnesting must KEEP rows whose
+    array is empty (one row with a NULL element) — the variant plain
+    arrayJoin/explode silently drops, losing every document with no
+    long words from downstream per-doc joins. Spark spells it
+    explode_outer; DuckDB has no outer UNNEST, so the oracle states the
+    semantics from first principles (empty → [NULL]). Map-side only —
+    a Generate node, no shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    longw = F.filter(tokens("text"), lambda w: F.length(w) >= 8)
+    return docs.select(
+        "doc_id", F.explode_outer(longw).alias("word")
+    )
