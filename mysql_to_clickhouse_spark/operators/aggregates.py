@@ -1785,3 +1785,68 @@ def d33_journey_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").agg(
         journey.alias("journey"), F.count(F.lit(1)).alias("n_steps")
     )
+
+
+# ---------------------------------------------------------------------------
+# d34_minmax_map — CH minMap/maxMap: keyed element-wise min/max merge
+# ---------------------------------------------------------------------------
+
+_D34_ORACLE = """
+WITH per AS (
+  SELECT event_type,
+         (CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) // 3600000000) % 24
+           AS hour_utc,
+         CAST(MIN(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS BIGINT) AS v_min,
+         CAST(MAX(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS BIGINT) AS v_max
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT event_type,
+       string_agg(CAST(hour_utc AS VARCHAR) || ':' || CAST(v_min AS VARCHAR),
+                  ',' ORDER BY hour_utc) AS min_map,
+       string_agg(CAST(hour_utc AS VARCHAR) || ':' || CAST(v_max AS VARCHAR),
+                  ',' ORDER BY hour_utc) AS max_map
+FROM per
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("d34_minmax_map", oracle=_D34_ORACLE)
+def d34_minmax_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``minMap``/``maxMap``: d19's -Map combinator with min/max
+    merge instead of sum — per (group, hour) extrema assembled into
+    canonical sorted "k:v" strings (values fixed-pointed so the
+    extremum comparison is integral on both engines). Same two
+    map-side-combinable hash aggregates, same tiny second-stage
+    cardinality, no window."""
+    ev = load(spark, sf_dir, "events")
+    hour = F.expr("(unix_micros(ts) div 3600000000) % 24").alias("hour_utc")
+    per = (
+        ev.select("event_type", hour, fixed_point("value").alias("v_fp"))
+        .groupBy("event_type", "hour_utc")
+        .agg(
+            F.min("v_fp").cast("bigint").alias("v_min"),
+            F.max("v_fp").cast("bigint").alias("v_max"),
+        )
+    )
+
+    def kv_map(val_col: str):
+        return F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("hour_utc", val_col))
+                ),
+                lambda s: F.concat_ws(
+                    ":",
+                    s["hour_utc"].cast("string"),
+                    s[val_col].cast("string"),
+                ),
+            ),
+            ",",
+        )
+
+    return per.groupBy("event_type").agg(
+        kv_map("v_min").alias("min_map"),
+        kv_map("v_max").alias("max_map"),
+    )
