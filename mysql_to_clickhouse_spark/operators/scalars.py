@@ -847,3 +847,339 @@ def g21_array_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.explode_outer(longw).alias("word")
     )
+
+
+# ---------------------------------------------------------------------------
+# g22_string_search — CH position/countSubstrings/multiSearchAny family
+# ---------------------------------------------------------------------------
+
+_G22_ORACLE = """
+SELECT doc_id,
+       CAST(instr(text, 'an') AS BIGINT) AS pos_an,
+       CAST((length(text) - length(replace(text, 'er', ''))) / 2
+            AS BIGINT) AS cnt_er,
+       CAST(CASE WHEN contains(text, 'ing') OR contains(text, 'zzzz')
+                  OR contains(text, 'qu') THEN 1 ELSE 0 END
+            AS BIGINT) AS multi_any,
+       CAST(CASE WHEN text LIKE 'the %' THEN 1 ELSE 0 END
+            AS BIGINT) AS starts_the,
+       CAST(CASE WHEN text LIKE '%s' THEN 1 ELSE 0 END
+            AS BIGINT) AS ends_s
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("g22_string_search", oracle=_G22_ORACLE)
+def g22_string_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH string-search family: ``position`` (instr), ``countSubstrings``
+    (the length-difference identity — zero allocation, one pass),
+    ``multiSearchAny`` (OR of contains), ``startsWith``/``endsWith``.
+    All JVM builtins inside whole-stage codegen; map-only — the shape
+    that costs one scan at any size."""
+    docs = load(spark, sf_dir, "documents")
+    cnt_er = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("er"), F.lit(""))))
+        / 2
+    ).cast("long")
+    multi = (
+        F.col("text").contains("ing")
+        | F.col("text").contains("zzzz")
+        | F.col("text").contains("qu")
+    )
+    return docs.select(
+        "doc_id",
+        F.instr("text", "an").cast("long").alias("pos_an"),
+        cnt_er.alias("cnt_er"),
+        F.when(multi, 1).otherwise(0).cast("long").alias("multi_any"),
+        F.when(F.col("text").startswith("the "), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("starts_the"),
+        F.when(F.col("text").endswith("s"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("ends_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# g23_ipv4 — CH IPv4NumToString / IPv4StringToNum round trip
+# ---------------------------------------------------------------------------
+
+# A deterministic synthetic IPv4 per customer (Knuth multiplicative
+# hash mod 2^32) — pure int64 arithmetic, bit-identical by definition.
+_G23_ORACLE = """
+WITH ip AS (
+  SELECT c_custkey, (c_custkey * 2654435761) % 4294967296 AS ipnum
+  FROM customer
+), oct AS (
+  SELECT c_custkey, ipnum,
+         (ipnum // 16777216) % 256 AS b0,
+         (ipnum // 65536) % 256 AS b1,
+         (ipnum // 256) % 256 AS b2,
+         ipnum % 256 AS b3
+  FROM ip
+)
+SELECT c_custkey, ipnum,
+       concat(CAST(b0 AS VARCHAR), '.', CAST(b1 AS VARCHAR), '.',
+              CAST(b2 AS VARCHAR), '.', CAST(b3 AS VARCHAR)) AS ip_str,
+       CAST(b0 * 16777216 + b1 * 65536 + b2 * 256 + b3 AS BIGINT)
+         AS ipnum_roundtrip,
+       CAST(CASE WHEN ipnum >= 2886729728 AND ipnum < 2887778304
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_rfc1918_172
+FROM oct
+ORDER BY c_custkey
+"""
+
+
+@register("g23_ipv4", oracle=_G23_ORACLE)
+def g23_ipv4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``IPv4NumToString``/``IPv4StringToNum`` and a subnet test
+    (the 172.16.0.0/12 private range as a numeric band) — the network
+    scalar family, as pure int64 arithmetic + concat. Map-only."""
+    cust = load(spark, sf_dir, "customer")
+    ip = cust.select(
+        "c_custkey",
+        ((F.col("c_custkey") * F.lit(2654435761)) % F.lit(4294967296)).alias("ipnum"),
+    )
+    oct_ = ip.select(
+        "c_custkey",
+        "ipnum",
+        (F.expr("ipnum div 16777216") % 256).alias("b0"),
+        (F.expr("ipnum div 65536") % 256).alias("b1"),
+        (F.expr("ipnum div 256") % 256).alias("b2"),
+        (F.col("ipnum") % 256).alias("b3"),
+    )
+    return oct_.select(
+        "c_custkey",
+        "ipnum",
+        F.concat_ws(
+            ".",
+            F.col("b0").cast("string"),
+            F.col("b1").cast("string"),
+            F.col("b2").cast("string"),
+            F.col("b3").cast("string"),
+        ).alias("ip_str"),
+        (
+            F.col("b0") * 16777216 + F.col("b1") * 65536 + F.col("b2") * 256
+            + F.col("b3")
+        )
+        .cast("long")
+        .alias("ipnum_roundtrip"),
+        F.when(
+            (F.col("ipnum") >= 2886729728) & (F.col("ipnum") < 2887778304), 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("is_rfc1918_172"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# g24_transform_dict — CH transform(x, [from...], [to...], default)
+# ---------------------------------------------------------------------------
+
+_G24_ORACLE = """
+SELECT c_mktsegment,
+       CAST(CASE c_mktsegment
+            WHEN 'AUTOMOBILE' THEN 10
+            WHEN 'BUILDING' THEN 20
+            WHEN 'FURNITURE' THEN 30
+            ELSE 0 END AS BIGINT) AS tier,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register("g24_transform_dict", oracle=_G24_ORACLE, tier="T3")
+def g24_transform_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``transform(x, [from], [to], default)``: a literal value
+    remap with a default for unmapped keys. Engine form is a map
+    literal + element_at + coalesce (one codegen'd expression — not a
+    join); the oracle states the same mapping as a CASE. Map-only +
+    tiny hash agg."""
+    cust = load(spark, sf_dir, "customer")
+    mapping = F.create_map(
+        F.lit("AUTOMOBILE"), F.lit(10),
+        F.lit("BUILDING"), F.lit(20),
+        F.lit("FURNITURE"), F.lit(30),
+    )
+    tier = F.coalesce(F.element_at(mapping, F.col("c_mktsegment")), F.lit(0))
+    return (
+        cust.select("c_mktsegment", tier.cast("long").alias("tier"))
+        .groupBy("c_mktsegment", "tier")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select("c_mktsegment", "tier", "n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# g25_bar — CH bar(x, min, max, width): ASCII sparkline rendering
+# ---------------------------------------------------------------------------
+
+_G25_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events
+  GROUP BY event_type, day
+)
+SELECT event_type, CAST(day AS VARCHAR) AS day_str, cnt,
+       repeat('#', CAST(FLOOR(cnt / 10.0) AS INT)) AS bar
+FROM daily
+ORDER BY event_type, day_str
+"""
+
+
+@register("g25_bar", oracle=_G25_ORACLE, tier="T3")
+def g25_bar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``bar(x, 0, max, width)``: render a per-(type, day) activity
+    bar at 10 events per '#'. FLOOR (not round) so no half-way ties
+    exist; repeat() is a builtin on both engines. The render is a
+    map-only decoration over a small aggregate."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return daily.select(
+        "event_type",
+        F.col("day").cast("string").alias("day_str"),
+        "cnt",
+        F.repeat(F.lit("#"), F.floor(F.col("cnt") / 10.0).cast("int")).alias("bar"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# g26_geo_distance — CH greatCircleDistance (haversine)
+# ---------------------------------------------------------------------------
+
+# Coordinates are deterministic int-derived synthetics; the only
+# non-correctly-rounded IEEE ops (sin/cos/asin) are rounded at 9 digits
+# immediately (the i6/d41 precedent); sqrt and * / are exact-rounded.
+_G26_DEG2RAD = "0.017453292519943295"
+
+_G26_ORACLE = f"""
+WITH pts AS (
+  SELECT c_custkey,
+         CAST((c_custkey % 120) - 60 + 0.5 AS DOUBLE) AS lat1,
+         CAST(((c_custkey * 7) % 360) - 180 + 0.5 AS DOUBLE) AS lon1,
+         CAST((c_nationkey * 4) - 50 + 0.5 AS DOUBLE) AS lat2,
+         CAST(((c_nationkey * 29) % 360) - 180 + 0.5 AS DOUBLE) AS lon2
+  FROM customer
+), rad AS (
+  SELECT c_custkey, lat1, lon1, lat2, lon2,
+         ROUND(SIN((lat2 - lat1) * {_G26_DEG2RAD} / 2.0), 9) AS s_dlat,
+         ROUND(SIN((lon2 - lon1) * {_G26_DEG2RAD} / 2.0), 9) AS s_dlon,
+         ROUND(COS(lat1 * {_G26_DEG2RAD}), 9) AS c_lat1,
+         ROUND(COS(lat2 * {_G26_DEG2RAD}), 9) AS c_lat2
+  FROM pts
+), hav AS (
+  SELECT c_custkey, lat1, lon1, lat2, lon2,
+         s_dlat * s_dlat + c_lat1 * c_lat2 * s_dlon * s_dlon AS a
+  FROM rad
+)
+SELECT c_custkey, lat1, lon1, lat2, lon2,
+       2.0 * 6371.0 * ROUND(ASIN(SQRT(a)), 9) AS dist_km
+FROM hav
+ORDER BY c_custkey
+"""
+
+
+@register("g26_geo_distance", oracle=_G26_ORACLE)
+def g26_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``greatCircleDistance``: haversine km between two synthetic
+    points per customer (coordinates derived from keys by integer
+    arithmetic, so inputs are bit-identical on both engines). Each
+    transcendental is rounded at 9 digits the moment it is produced —
+    libm sin/cos/asin are not correctly rounded, sqrt and arithmetic
+    are. Map-only; one scan at any scale."""
+    cust = load(spark, sf_dir, "customer")
+    d2r = float(_G26_DEG2RAD)
+    pts = cust.select(
+        "c_custkey",
+        ((F.col("c_custkey") % 120) - 60 + 0.5).cast("double").alias("lat1"),
+        (((F.col("c_custkey") * 7) % 360) - 180 + 0.5).cast("double").alias("lon1"),
+        ((F.col("c_nationkey") * 4) - 50 + 0.5).cast("double").alias("lat2"),
+        (((F.col("c_nationkey") * 29) % 360) - 180 + 0.5)
+        .cast("double")
+        .alias("lon2"),
+    )
+    rad = pts.select(
+        "*",
+        F.round(F.sin((F.col("lat2") - F.col("lat1")) * d2r / 2.0), 9).alias("s_dlat"),
+        F.round(F.sin((F.col("lon2") - F.col("lon1")) * d2r / 2.0), 9).alias("s_dlon"),
+        F.round(F.cos(F.col("lat1") * d2r), 9).alias("c_lat1"),
+        F.round(F.cos(F.col("lat2") * d2r), 9).alias("c_lat2"),
+    )
+    a = (
+        F.col("s_dlat") * F.col("s_dlat")
+        + F.col("c_lat1") * F.col("c_lat2") * F.col("s_dlon") * F.col("s_dlon")
+    )
+    return rad.select(
+        "c_custkey",
+        "lat1",
+        "lon1",
+        "lat2",
+        "lon2",
+        (2.0 * 6371.0 * F.round(F.asin(F.sqrt(a)), 9)).alias("dist_km"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# g27_array_setops — CH arrayIntersect / arrayExcept / arrayUnion
+# ---------------------------------------------------------------------------
+
+_G27_ORACLE = """
+WITH w AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_filter(
+           string_split(text, ' '), x -> length(x) >= 6))) AS big_words,
+         list_sort(list_distinct(list_filter(
+           string_split(text, ' '), x -> contains(x, 'a')))) AS a_words
+  FROM documents
+)
+SELECT doc_id,
+       COALESCE(array_to_string(list_sort(list_intersect(big_words, a_words)),
+                       ','), '') AS both_sets,
+       COALESCE(array_to_string(list_sort(list_filter(big_words,
+                       x -> NOT list_contains(a_words, x))), ','), '') AS only_big,
+       CAST(length(list_distinct(list_concat(big_words, a_words)))
+            AS BIGINT) AS union_n
+FROM w
+ORDER BY doc_id
+"""
+
+
+@register("g27_array_setops", oracle=_G27_ORACLE)
+def g27_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``arrayIntersect``/``arrayExcept`` (via filter)/``arrayUnion``
+    set algebra over per-document word sets. Set results are sorted so
+    the element order both engines happen to produce is normalized out.
+    Higher-order builtins, map-only, no explode — the array never
+    leaves the row."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    big = F.array_sort(
+        F.array_distinct(F.filter(words, lambda w: F.length(w) >= 6))
+    )
+    aw = F.array_sort(
+        F.array_distinct(F.filter(words, lambda w: w.contains("a")))
+    )
+    w = docs.select("doc_id", big.alias("big_words"), aw.alias("a_words"))
+    return w.select(
+        "doc_id",
+        F.concat_ws(
+            ",", F.array_sort(F.array_intersect("big_words", "a_words"))
+        ).alias("both_sets"),
+        F.concat_ws(
+            ",", F.array_sort(F.array_except("big_words", "a_words"))
+        ).alias("only_big"),
+        F.size(F.array_distinct(F.concat("big_words", "a_words")))
+        .cast("long")
+        .alias("union_n"),
+    )

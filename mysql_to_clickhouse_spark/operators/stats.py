@@ -1,0 +1,502 @@
+"""§2.D extensions — ClickHouse statistical/behavioral aggregate analogs.
+
+The CH surface this module covers: ``retention()`` (cohort funnels),
+``histogram()`` (fixed-bin variant), ``entropy()``, ``avgWeighted()``,
+``simpleLinearRegression()``, ``cramersV()``, and
+``exponentialTimeDecayedAvg()``. Category grounding: these are the
+behavioral-analytics aggregates ClickHouse ships for exactly the
+replicated-events tables a MySQL→ClickHouse pipeline feeds (SURVEY.md
+§0 `[analog]`; the reference checkout is empty, so no file:line
+citation is possible — driver contract per SURVEY §0).
+
+Determinism design (SURVEY.md §5.4): every float reduction goes through
+``functions.numeric.dsum`` (fixed-point bigint, order-independent);
+transcendentals (LN/EXP) are rounded immediately after evaluation (the
+i6 tf-idf precedent) because libm log/exp are not correctly-rounded;
+sqrt IS correctly-rounded and used bare (d31 precedent). Post-aggregate
+arithmetic is stated once as a shared SQL fragment evaluated by BOTH
+engines in identical operation order.
+
+Scale notes per operator in the docstrings; the common shape is ONE
+scan → map-side-combinable hash aggregate → scalar/small-group
+arithmetic, i.e. a fold — no joins on the fact path, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mysql_to_clickhouse_spark.functions.numeric import (
+    dsum,
+    o_dsum,
+    epoch_us,
+    o_epoch_us,
+)
+from mysql_to_clickhouse_spark.registry import register
+from mysql_to_clickhouse_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# d35_retention — CH retention(cond1, ..., condN): cohort re-activity
+# ---------------------------------------------------------------------------
+
+# Cohort = active in the first 4 days; retained windows = week-1 and
+# week-2 revisit windows. CH semantics: r[0] = cond1; r[i] = cond1 AND
+# cond_i — later flags are gated on cohort membership.
+_D35_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN ts <  TIMESTAMP '2024-01-05' THEN 1 ELSE 0 END) AS c1,
+         MAX(CASE WHEN ts >= TIMESTAMP '2024-01-08'
+                   AND ts < TIMESTAMP '2024-01-12' THEN 1 ELSE 0 END) AS c2,
+         MAX(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+                   AND ts < TIMESTAMP '2024-01-19' THEN 1 ELSE 0 END) AS c3
+  FROM events
+  GROUP BY user_id
+)
+SELECT CAST(SUM(c1) AS BIGINT)      AS cohort,
+       CAST(SUM(c1 * c2) AS BIGINT) AS retained_w1,
+       CAST(SUM(c1 * c3) AS BIGINT) AS retained_w2,
+       CAST(COUNT(*) AS BIGINT)     AS users_total
+FROM per_user
+"""
+
+
+@register("d35_retention", oracle=_D35_ORACLE)
+def d35_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``retention(cond1, ..., condN)``: per user, flag whether the
+    cohort condition (active in the first 4 days) held and whether each
+    revisit window was hit; later flags are gated on the cohort flag
+    (CH's r[i] = cond1 AND cond_i semantics). The report row is the
+    column-wise sum — the classic retention funnel.
+
+    Scale: two chained map-side-combinable aggregates (events→user,
+    user→scalar) — the user-level state is 3 bits/user, the second
+    shuffle is a single row. No joins, no Python; at 100 TB the cost is
+    one fact scan."""
+    ev = load(spark, sf_dir, "events")
+
+    def win(lo: str, hi: str) -> F.Column:
+        return F.max(
+            F.when(
+                (F.col("ts") >= F.lit(lo).cast("timestamp"))
+                & (F.col("ts") < F.lit(hi).cast("timestamp")),
+                1,
+            ).otherwise(0)
+        )
+
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("ts") < F.lit("2024-01-05").cast("timestamp"), 1).otherwise(0)
+        ).alias("c1"),
+        win("2024-01-08", "2024-01-12").alias("c2"),
+        win("2024-01-15", "2024-01-19").alias("c3"),
+    )
+    return per_user.agg(
+        F.sum("c1").cast("long").alias("cohort"),
+        F.sum(F.col("c1") * F.col("c2")).cast("long").alias("retained_w1"),
+        F.sum(F.col("c1") * F.col("c3")).cast("long").alias("retained_w2"),
+        F.count(F.lit(1)).cast("long").alias("users_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# d36_histogram — CH histogram(): fixed-bin exact variant
+# ---------------------------------------------------------------------------
+
+# CH's histogram() is adaptive (streaming-merged centroids) and thus not
+# hash-portable; the engine ships the fixed-bin exact variant (bin width
+# 50 over value's documented [0, 500) domain). min/max per bin are exact
+# element picks — order-independent, hash-safe without fixed-point.
+_D36_ORACLE = """
+SELECT CAST(FLOOR(value / 50.0) AS BIGINT) AS bin,
+       CAST(FLOOR(value / 50.0) AS BIGINT) * 50.0 AS lo,
+       (CAST(FLOOR(value / 50.0) AS BIGINT) + 1) * 50.0 AS hi,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       MIN(value) AS v_min,
+       MAX(value) AS v_max
+FROM events
+GROUP BY bin
+ORDER BY bin
+"""
+
+
+@register("d36_histogram", oracle=_D36_ORACLE)
+def d36_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``histogram()`` analog, fixed-bin exact form: 50-wide bins
+    over events.value with per-bin count and exact min/max. (CH's
+    adaptive-centroid histogram is replaced by fixed bins because
+    centroid merge order is partition-dependent — undeterministic by
+    construction; the fixed-bin form is the hash-checkable contract.)
+
+    Scale: bin id is a map-only projection; the aggregate is a ≤10-group
+    hash agg with map-side combine — one scan, near-zero shuffle."""
+    ev = load(spark, sf_dir, "events")
+    bin_col = F.floor(F.col("value") / F.lit(50.0)).cast("long")
+    return (
+        ev.select(bin_col.alias("bin"), "value")
+        .groupBy("bin")
+        .agg(
+            (F.col("bin") * F.lit(50.0)).alias("lo"),
+            ((F.col("bin") + F.lit(1)) * F.lit(50.0)).alias("hi"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+        )
+        .select("bin", "lo", "hi", "cnt", "v_min", "v_max")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d37_entropy — CH entropy(): Shannon entropy of a value distribution
+# ---------------------------------------------------------------------------
+
+# Terms p·ln(p) are rounded to 6 digits right after LN (libm log is not
+# correctly rounded — d31/i6 precedent), then summed in exact fixed
+# point; the final /ln(2) uses one shared literal.
+_LN2 = "0.6931471805599453"
+
+_D37_ORACLE = f"""
+WITH cells AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events
+  GROUP BY event_type, k
+), withp AS (
+  SELECT event_type, c,
+         CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY event_type) AS p
+  FROM cells
+), typed AS (
+  SELECT event_type,
+         CAST(SUM(c) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS distinct_k,
+         {o_dsum("ROUND(p * LN(p), 6)", 6)} AS neg_ent_nats
+  FROM withp
+  GROUP BY event_type
+)
+SELECT event_type, n, distinct_k,
+       -neg_ent_nats / {_LN2} AS entropy_bits
+FROM typed
+ORDER BY event_type
+"""
+
+
+@register("d37_entropy", oracle=_D37_ORACLE)
+def d37_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``entropy(x)``: Shannon entropy (bits) of the props.k value
+    distribution within each event_type. Counts are exact; each p·ln(p)
+    term is rounded at 6 digits immediately after the non-correctly-
+    rounded LN, then fixed-point-summed so partition order cannot move
+    the result; the nats→bits division uses one shared ln(2) literal.
+
+    Scale: one (event_type, k) hash aggregate off the scan — the cell
+    table is |types|·|k| ≈ 500 rows regardless of fact size — then a
+    per-type window+fold over that tiny frame. A 100 TB events table
+    costs one map-side-combinable scan."""
+    ev = load(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type", "k")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = Window.partitionBy("event_type")
+    p = F.col("c").cast("double") / F.sum("c").over(w)
+    term = F.round(p * F.log(p), 6)
+    typed = (
+        cells.withColumn("term", term)
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("distinct_k"),
+            dsum("term", 6).alias("neg_ent_nats"),
+        )
+    )
+    return typed.select(
+        "event_type",
+        "n",
+        "distinct_k",
+        (-F.col("neg_ent_nats") / F.lit(float(_LN2))).alias("entropy_bits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# d38_avg_weighted — CH avgWeighted(x, w)
+# ---------------------------------------------------------------------------
+
+_D38_ORACLE = f"""
+SELECT l_returnflag,
+       {o_dsum("l_extendedprice * l_quantity")} AS wsum,
+       {o_dsum("l_quantity")} AS wtotal,
+       ({o_dsum("l_extendedprice * l_quantity")})
+         / ({o_dsum("l_quantity")}) AS wavg_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("d38_avg_weighted", oracle=_D38_ORACLE)
+def d38_avg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``avgWeighted(x, w)``: quantity-weighted mean price per
+    return flag. Both Σwx and Σw are exact fixed-point sums; the final
+    ratio is one IEEE division — bit-identical on any partitioning.
+
+    Scale: a 3-group map-side-combinable aggregate; one scan."""
+    li = load(spark, sf_dir, "lineitem")
+    wx = F.col("l_extendedprice") * F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            dsum(wx).alias("wsum"),
+            dsum("l_quantity").alias("wtotal"),
+            (dsum(wx) / dsum("l_quantity")).alias("wavg_price"),
+        )
+        .select("l_returnflag", "wsum", "wtotal", "wavg_price")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d39_simple_linreg — CH simpleLinearRegression(x, y)
+# ---------------------------------------------------------------------------
+
+# x = days since 2024-01-01 (integer µs diff → one division: exact
+# per-row); the five power sums are exact fixed-point; slope/intercept
+# are a shared fragment evaluated in identical order by both engines.
+_D39_X = "(CAST({ts} AS DOUBLE) - 1704067200000000.0) / 86400000000.0"
+
+_D39_MATH = """
+  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+  (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept
+"""
+
+_D39_ORACLE = f"""
+WITH pts AS (
+  SELECT event_type,
+         {_D39_X.format(ts=o_epoch_us("ts"))} AS x,
+         value AS y
+  FROM events
+), sums AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         {o_dsum("x", 6)} AS sx,
+         {o_dsum("y", 6)} AS sy,
+         {o_dsum("x * y", 6)} AS sxy,
+         {o_dsum("x * x", 6)} AS sxx
+  FROM pts
+  GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n, {_D39_MATH}
+FROM sums
+ORDER BY event_type
+"""
+
+
+@register("d39_simple_linreg", oracle=_D39_ORACLE)
+def d39_simple_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``simpleLinearRegression(x, y)``: per event_type, ordinary
+    least squares of value against time-in-days. The reduction is the
+    five power sums (n, Σx, Σy, Σxy, Σxx) in exact fixed point — the
+    d23/d31 determinism design — and slope/intercept are post-aggregate
+    arithmetic on five scalars, stated once for both engines.
+
+    Scale: a regression is a fold: one scan, one 5-group hash agg with
+    map-side combine, zero joins. The same plan at 100 TB."""
+    ev = load(spark, sf_dir, "events")
+    x = (epoch_us("ts").cast("double") - F.lit(1704067200000000.0)) / F.lit(
+        86400000000.0
+    )
+    pts = ev.select("event_type", x.alias("x"), F.col("value").alias("y"))
+    sums = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum("x", 6).alias("sx"),
+        dsum("y", 6).alias("sy"),
+        dsum(F.col("x") * F.col("y"), 6).alias("sxy"),
+        dsum(F.col("x") * F.col("x"), 6).alias("sxx"),
+    )
+    m = sums.selectExpr(
+        "event_type",
+        "CAST(n AS BIGINT) AS n",
+        *[frag.strip() for frag in _D39_MATH.strip().split(",\n")],
+    )
+    return m
+
+
+# ---------------------------------------------------------------------------
+# d40_cramers_v — CH cramersV(a, b): association of two categoricals
+# ---------------------------------------------------------------------------
+
+# χ² cell terms (o−e)²/e are deterministic per cell (o, r, c, n are
+# exact integers; e = r·c/n is a fixed two-op IEEE expression), rounded
+# at 6 digits and fixed-point-summed; the final sqrt is correctly
+# rounded, so bare sqrt is hash-safe (d31 precedent).
+_D40_ORACLE = """
+WITH obs AS (
+  SELECT event_type AS a,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS b,
+         CAST(COUNT(*) AS DOUBLE) AS o
+  FROM events
+  GROUP BY a, b
+), cells AS (
+  -- zero cells participate in chi2: (0-e)^2/e = e
+  SELECT ga.a, gb.b, COALESCE(obs.o, 0.0) AS o
+  FROM (SELECT DISTINCT a FROM obs) ga
+  CROSS JOIN (SELECT DISTINCT b FROM obs) gb
+  LEFT JOIN obs ON obs.a = ga.a AND obs.b = gb.b
+), tot AS (
+  SELECT a, b, o,
+         SUM(o) OVER (PARTITION BY a) AS r,
+         SUM(o) OVER (PARTITION BY b) AS c,
+         SUM(o) OVER () AS n,
+         COUNT(DISTINCT a) OVER () AS ra,
+         COUNT(DISTINCT b) OVER () AS cb
+  FROM cells
+), chi AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n,
+         CAST(MAX(ra) AS BIGINT) AS n_rows,
+         CAST(MAX(cb) AS BIGINT) AS n_cols,
+         CAST(SUM(CAST(FLOOR(
+           ROUND((o - r * c / n) * (o - r * c / n) / (r * c / n), 6)
+           * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS chi2
+  FROM tot
+)
+SELECT n, n_rows, n_cols, chi2,
+       sqrt(chi2 / (n * (CASE WHEN n_rows < n_cols THEN n_rows
+                              ELSE n_cols END - 1))) AS cramers_v
+FROM chi
+"""
+
+
+@register("d40_cramers_v", oracle=_D40_ORACLE)
+def d40_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``cramersV(a, b)``: association strength between event_type
+    and props.k (mod 10). Contingency counts are exact integers off one
+    scan; expected counts e = r·c/n and the χ² terms are fixed-order
+    IEEE expressions per cell, rounded then fixed-point summed; V is
+    one correctly-rounded sqrt.
+
+    Scale: the fact table collapses to a ≤|a|·|b| cell table (50 rows
+    here) in one map-side-combinable aggregate; everything after is
+    window arithmetic over that tiny frame. Same plan at 100 TB."""
+    ev = load(spark, sf_dir, "events")
+    obs = (
+        ev.select(
+            F.col("event_type").alias("a"),
+            (F.get_json_object("props", "$.k").cast("long") % 10).alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("double").alias("o"))
+    )
+    # densify to the full a x b grid: zero cells contribute (0-e)^2/e = e
+    grid = obs.select("a").distinct().crossJoin(obs.select("b").distinct())
+    cells = grid.join(obs, ["a", "b"], "left").select(
+        "a", "b", F.coalesce("o", F.lit(0.0)).alias("o")
+    )
+    tot = cells.select(
+        "a",
+        "b",
+        "o",
+        F.sum("o").over(Window.partitionBy("a")).alias("r"),
+        F.sum("o").over(Window.partitionBy("b")).alias("c"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+        F.size(F.collect_set("a").over(Window.partitionBy())).cast("long").alias("ra"),
+        F.size(F.collect_set("b").over(Window.partitionBy())).cast("long").alias("cb"),
+    )
+    e = F.col("r") * F.col("c") / F.col("n")
+    term = F.round((F.col("o") - e) * (F.col("o") - e) / e, 6)
+    chi = tot.withColumn("term", term).agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("ra").cast("long").alias("n_rows"),
+        F.max("cb").cast("long").alias("n_cols"),
+        dsum("term", 6).alias("chi2"),
+    )
+    dof = (
+        F.when(F.col("n_rows") < F.col("n_cols"), F.col("n_rows")).otherwise(
+            F.col("n_cols")
+        )
+        - 1
+    )
+    return chi.select(
+        "n",
+        "n_rows",
+        "n_cols",
+        "chi2",
+        F.sqrt(F.col("chi2") / (F.col("n") * dof)).alias("cramers_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# d41_exp_decay_avg — CH exponentialTimeDecayedAvg(x, t, τ)
+# ---------------------------------------------------------------------------
+
+# Weight w_i = exp((t_i − t_max)/τ) ∈ (0, 1]: the exponent is an exact
+# integer-µs difference over one literal division, EXP is rounded at 9
+# digits (libm exp is not correctly rounded), and both Σw·x and Σw are
+# fixed-point sums. τ = 3 days.
+_D41_TAU_US = "259200000000.0"
+
+_D41_ORACLE = f"""
+WITH t AS (
+  SELECT user_id, value,
+         {o_epoch_us("ts")} AS t_us,
+         MAX({o_epoch_us("ts")}) OVER (PARTITION BY user_id) AS t_max
+  FROM events
+), w AS (
+  SELECT user_id, value,
+         ROUND(EXP((CAST(t_us AS DOUBLE) - CAST(t_max AS DOUBLE))
+                   / {_D41_TAU_US}), 9) AS wgt
+  FROM t
+)
+SELECT user_id,
+       {o_dsum("wgt * value", 6)} AS num,
+       {o_dsum("wgt", 9)} AS den,
+       ({o_dsum("wgt * value", 6)}) / ({o_dsum("wgt", 9)}) AS decayed_avg
+FROM w
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("d41_exp_decay_avg", oracle=_D41_ORACLE)
+def d41_exp_decay_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``exponentialTimeDecayedAvg(v, t, τ)``: per user, the
+    recency-weighted mean of value with a 3-day half-life-scale decay
+    anchored at the user's latest event — the freshness-weighted user
+    score every behavioral pipeline computes. Weights are deterministic
+    (integer-µs exponent, EXP rounded at 9 digits); both sums are exact
+    fixed point; the ratio is one IEEE division.
+
+    Scale: one window-max and one aggregate, both partitioned by
+    user_id — a single shuffle on the natural key. No Python, no joins;
+    skewed users cost what any per-user window costs (AQE skew split
+    applies)."""
+    ev = load(spark, sf_dir, "events")
+    t_us = epoch_us("ts")
+    t = ev.select(
+        "user_id",
+        "value",
+        t_us.alias("t_us"),
+        F.max(t_us).over(Window.partitionBy("user_id")).alias("t_max"),
+    )
+    wgt = F.round(
+        F.exp(
+            (F.col("t_us").cast("double") - F.col("t_max").cast("double"))
+            / F.lit(float(_D41_TAU_US))
+        ),
+        9,
+    )
+    w = t.select("user_id", "value", wgt.alias("wgt"))
+    return (
+        w.groupBy("user_id")
+        .agg(
+            dsum(F.col("wgt") * F.col("value"), 6).alias("num"),
+            dsum("wgt", 9).alias("den"),
+            (dsum(F.col("wgt") * F.col("value"), 6) / dsum("wgt", 9)).alias(
+                "decayed_avg"
+            ),
+        )
+        .select("user_id", "num", "den", "decayed_avg")
+    )

@@ -55,6 +55,7 @@ _OPERATOR_MODULES = (
     "windows",
     "setops",
     "scalars",
+    "stats",
     "eventtime",
     "llmops",
     "matview",

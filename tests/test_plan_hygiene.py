@@ -31,6 +31,7 @@ CARTESIAN_OK = {
     "i21_source_divergence",  # scalar (1-row) global-total cross join
     "s6_quantified_all",  # scalar (1-row) ALL-bound cross join (the decorrelation)
     "i23_bigram_surprisal",  # scalar (1-row) vocab-size cross join (smoothing V)
+    "d40_cramers_v",     # contingency-grid densification cross join (|a|x|b| <= 50 post-agg rows)
 }
 
 # queries whose side effects / streaming make a plain plan dump moot

@@ -1,0 +1,185 @@
+"""Semantic tests for operators/stats.py (the CH statistical-aggregate
+analogs d35–d41) on planted data where the right answer is computable
+by hand — complementing the registry's DuckDB hash checks."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def _ts(day: int, hour: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, day, hour)
+
+
+def test_retention_gates_on_cohort(spark, tmp_path):
+    """A user active only in the revisit window (not the cohort window)
+    must NOT count as retained — CH's r[i] = cond1 AND cond_i."""
+    rows = [
+        # user 1: cohort + week-1 revisit -> retained_w1
+        Row(event_id=1, ts=_ts(2), user_id=1, event_type="view", value=1.0, props="{}"),
+        Row(event_id=2, ts=_ts(9), user_id=1, event_type="view", value=1.0, props="{}"),
+        # user 2: cohort only
+        Row(event_id=3, ts=_ts(3), user_id=2, event_type="view", value=1.0, props="{}"),
+        # user 3: week-1 activity but NO cohort -> not retained, not cohort
+        Row(event_id=4, ts=_ts(10), user_id=3, event_type="view", value=1.0, props="{}"),
+        # user 4: cohort + week-2 revisit -> retained_w2
+        Row(event_id=5, ts=_ts(1), user_id=4, event_type="view", value=1.0, props="{}"),
+        Row(event_id=6, ts=_ts(16), user_id=4, event_type="view", value=1.0, props="{}"),
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows).write.parquet(f"{sf}/events.parquet")
+
+    from mysql_to_clickhouse_spark.operators.stats import d35_retention
+
+    out = d35_retention(spark, sf).collect()[0]
+    assert out.cohort == 3  # users 1, 2, 4
+    assert out.retained_w1 == 1  # user 1 only (user 3 gated out)
+    assert out.retained_w2 == 1  # user 4
+    assert out.users_total == 4
+
+
+def test_histogram_bins_and_extrema(spark, tmp_path):
+    """Bin boundaries are half-open [lo, hi) and min/max are exact."""
+    vals = [0.5, 49.9, 50.0, 99.0, 250.1]
+    rows = [
+        Row(event_id=i, ts=_ts(1), user_id=1, event_type="view", value=v, props="{}")
+        for i, v in enumerate(vals)
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows).write.parquet(f"{sf}/events.parquet")
+
+    from mysql_to_clickhouse_spark.operators.stats import d36_histogram
+
+    got = {r.bin: r for r in d36_histogram(spark, sf).collect()}
+    assert got[0].cnt == 2 and got[0].v_min == 0.5 and got[0].v_max == 49.9
+    assert got[1].cnt == 2 and got[1].v_min == 50.0  # 50.0 lands in bin 1
+    assert got[5].cnt == 1 and got[5].lo == 250.0 and got[5].hi == 300.0
+
+
+def test_entropy_uniform_and_degenerate(spark, tmp_path):
+    """Uniform over 4 values -> 2 bits; single value -> 0 bits."""
+    rows = [
+        # 'view': uniform over k in {0,1,2,3} -> entropy 2 bits
+        *[
+            Row(event_id=i, ts=_ts(1), user_id=1, event_type="view",
+                value=1.0, props='{"k": %d}' % (i % 4))
+            for i in range(8)
+        ],
+        # 'click': all k=7 -> entropy 0
+        *[
+            Row(event_id=100 + i, ts=_ts(1), user_id=1, event_type="click",
+                value=1.0, props='{"k": 7}')
+            for i in range(5)
+        ],
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows).write.parquet(f"{sf}/events.parquet")
+
+    from mysql_to_clickhouse_spark.operators.stats import d37_entropy
+
+    got = {r.event_type: r for r in d37_entropy(spark, sf).collect()}
+    assert got["view"].distinct_k == 4
+    assert got["view"].entropy_bits == pytest.approx(2.0, abs=1e-5)
+    assert got["click"].entropy_bits == pytest.approx(0.0, abs=1e-9)
+
+
+def test_linreg_recovers_planted_line(spark, tmp_path):
+    """y = 3x + 10 exactly -> slope 3, intercept 10."""
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(event_id=i, ts=base + dt.timedelta(days=i), user_id=1,
+            event_type="view", value=3.0 * i + 10.0, props="{}")
+        for i in range(10)
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows).write.parquet(f"{sf}/events.parquet")
+
+    from mysql_to_clickhouse_spark.operators.stats import d39_simple_linreg
+
+    out = d39_simple_linreg(spark, sf).collect()[0]
+    assert out.slope == pytest.approx(3.0, abs=1e-4)
+    assert out.intercept == pytest.approx(10.0, abs=1e-3)
+
+
+def test_cramers_v_perfect_and_independent(spark, tmp_path):
+    """event_type == f(k): V = 1. Independent uniform grid: V = 0."""
+    # perfect association: type 'view' <-> k%10==0, 'click' <-> k%10==1
+    rows = []
+    for i in range(20):
+        t = "view" if i % 2 == 0 else "click"
+        k = 0 if t == "view" else 1
+        rows.append(
+            Row(event_id=i, ts=_ts(1), user_id=1, event_type=t,
+                value=1.0, props='{"k": %d}' % k)
+        )
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows).write.parquet(f"{sf}/events.parquet")
+
+    from mysql_to_clickhouse_spark.operators.stats import d40_cramers_v
+
+    out = d40_cramers_v(spark, sf).collect()[0]
+    assert out.cramers_v == pytest.approx(1.0, abs=1e-5)
+
+    # independence: every (type, k) cell equal count
+    rows2 = []
+    eid = 0
+    for t in ("view", "click"):
+        for k in (0, 1):
+            for _ in range(5):
+                rows2.append(
+                    Row(event_id=eid, ts=_ts(1), user_id=1, event_type=t,
+                        value=1.0, props='{"k": %d}' % k)
+                )
+                eid += 1
+    sf2 = str(tmp_path / "sf2")
+    spark.createDataFrame(rows2).write.parquet(f"{sf2}/events.parquet")
+    out2 = d40_cramers_v(spark, sf2).collect()[0]
+    assert out2.cramers_v == pytest.approx(0.0, abs=1e-5)
+
+
+def test_exp_decay_weights_latest_most(spark, tmp_path):
+    """The decayed avg must sit between min and max, strictly closer to
+    the latest value than the plain mean when the latest is extreme, and
+    equal the value exactly for a single-event user."""
+    rows = [
+        Row(event_id=0, ts=_ts(1), user_id=1, event_type="view", value=10.0, props="{}"),
+        Row(event_id=1, ts=_ts(10), user_id=1, event_type="view", value=10.0, props="{}"),
+        Row(event_id=2, ts=_ts(20), user_id=1, event_type="view", value=100.0, props="{}"),
+        Row(event_id=3, ts=_ts(5), user_id=2, event_type="view", value=42.0, props="{}"),
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows).write.parquet(f"{sf}/events.parquet")
+
+    from mysql_to_clickhouse_spark.operators.stats import d41_exp_decay_avg
+
+    got = {r.user_id: r for r in d41_exp_decay_avg(spark, sf).collect()}
+    mean = (10.0 + 10.0 + 100.0) / 3
+    assert 10.0 < got[1].decayed_avg <= 100.0
+    assert got[1].decayed_avg > mean  # recency-weighted toward the 100
+    assert got[2].decayed_avg == pytest.approx(42.0)
+    # anchor weight: the latest event has weight exactly 1
+    assert got[1].den >= 1.0
+
+
+def test_avg_weighted_hand_example(spark, tmp_path):
+    """avgWeighted((p,w)) = sum(p*w)/sum(w) on a 3-row hand example."""
+    rows = [
+        Row(l_orderkey=1, l_partkey=1, l_suppkey=1, l_linenumber=1,
+            l_quantity=2.0, l_extendedprice=10.0, l_discount=0.0, l_tax=0.0,
+            l_returnflag="A", l_linestatus="O", l_shipdate=_ts(1)),
+        Row(l_orderkey=2, l_partkey=1, l_suppkey=1, l_linenumber=1,
+            l_quantity=6.0, l_extendedprice=40.0, l_discount=0.0, l_tax=0.0,
+            l_returnflag="A", l_linestatus="O", l_shipdate=_ts(1)),
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows).write.parquet(f"{sf}/lineitem.parquet")
+
+    from mysql_to_clickhouse_spark.operators.stats import d38_avg_weighted
+
+    out = d38_avg_weighted(spark, sf).collect()[0]
+    assert out.wavg_price == pytest.approx((20.0 + 240.0) / 8.0)
