@@ -953,3 +953,67 @@ def h18_dynamic_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# h19_rolling_mau — 7-day rolling distinct active users per day
+# ---------------------------------------------------------------------------
+
+# Rolling COUNT(DISTINCT) over a sliding day window. The scalable form:
+# collapse to distinct (user, day), expand each to the ≤7 report days it
+# covers (a bounded ×7 generate — NOT a fact-table self-join), then one
+# exact distinct count per report day. The DuckDB oracle states the same
+# semantics as a range join against the day spine.
+_H19_ORACLE = """
+WITH user_days AS (
+  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+  FROM events
+), spine AS (
+  SELECT DISTINCT day FROM user_days
+)
+SELECT CAST(s.day AS VARCHAR) AS day_str,
+       CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS rolling_7d_users
+FROM spine s
+JOIN user_days u
+  ON u.day BETWEEN s.day - INTERVAL 6 DAY AND s.day
+GROUP BY s.day
+ORDER BY day_str
+"""
+
+
+@register("h19_rolling_mau", oracle=_H19_ORACLE)
+def h19_rolling_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling active users (the WAU/MAU family): for each
+    observed day, how many distinct users were active in the trailing
+    7-day window. A rolling distinct cannot use a plain window sum
+    (users overlap windows); the scale-safe plan is: dedupe to (user,
+    day) — map-side combinable —, explode each pair to the ≤7 report
+    days it covers (bounded ×7, proportional to distinct pairs, not
+    events), and run ONE exact distinct aggregate per report day. At
+    100 TB the fact table is touched once; everything after operates on
+    |users|·|days| pairs. Report days are restricted to days that exist
+    in the data (the oracle's spine join states the same)."""
+    ev = load(spark, sf_dir, "events")
+    user_days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    spine = user_days.select("day").distinct()
+    covered = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add(F.col("day"), 6), F.expr("INTERVAL 1 DAY")
+            )
+        ).alias("report_day"),
+    )
+    return (
+        covered.join(
+            F.broadcast(spine), covered["report_day"] == spine["day"], "inner"
+        )
+        .groupBy("report_day")
+        .agg(F.countDistinct("user_id").cast("long").alias("rolling_7d_users"))
+        .select(
+            F.col("report_day").cast("string").alias("day_str"),
+            "rolling_7d_users",
+        )
+    )

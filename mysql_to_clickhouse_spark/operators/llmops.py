@@ -2442,3 +2442,201 @@ def i23_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg("surprisal").alias("mean_surprisal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# i24_pii_redaction — regex PII scrubbing with audit counts
+# ---------------------------------------------------------------------------
+
+# The corpus has no real PII, so deterministic synthetic PII is planted
+# first (email for doc_id % 3 == 0, phone for doc_id % 5 == 0) — the
+# redaction+audit machinery is what's under test. The match count uses
+# the split identity (|split(s, re)| - 1), which both engines share;
+# DuckDB regexp_replace needs the 'g' flag to match Spark's
+# replace-all default.
+_I24_EMAIL_RE = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+_I24_PHONE_RE = "\\+1-[0-9]{3}-[0-9]{4}"
+
+_I24_ORACLE = f"""
+WITH planted AS (
+  SELECT doc_id, lang,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' reach me at user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR),
+                                             4, '0')
+                 ELSE '' END AS text_pii
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(string_split_regex(text_pii, '{_I24_EMAIL_RE}')) - 1
+            AS BIGINT) AS n_emails,
+       CAST(length(string_split_regex(text_pii, '{_I24_PHONE_RE}')) - 1
+            AS BIGINT) AS n_phones,
+       regexp_replace(regexp_replace(text_pii, '{_I24_EMAIL_RE}', '<EMAIL>',
+                                     'g'),
+                      '{_I24_PHONE_RE}', '<PHONE>', 'g') AS clean_text
+FROM planted
+ORDER BY doc_id
+"""
+
+
+@register("i24_pii_redaction", oracle=_I24_ORACLE)
+def i24_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data PII scrubbing: regex redaction of emails/phones to
+    typed placeholder tokens plus per-document audit counts (the
+    compliance evidence a corpus release needs). Counts use the split
+    identity |split(s, re)|-1 so no second regex engine pass differs
+    from the replace pass.
+
+    Scale: map-only — two codegen'd regex ops per row, no shuffle, no
+    Python. At 100 TB this is scan-bound, exactly like the C4/Gopher
+    cleaning stages (i18/i19) it composes with."""
+    docs = load(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" reach me at user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" call +1-555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(""),
+        ).alias("text_pii"),
+    )
+    n_emails = (F.size(F.split("text_pii", _I24_EMAIL_RE)) - 1).cast("long")
+    n_phones = (F.size(F.split("text_pii", _I24_PHONE_RE)) - 1).cast("long")
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("text_pii"), _I24_EMAIL_RE, "<EMAIL>"),
+        _I24_PHONE_RE,
+        "<PHONE>",
+    )
+    return planted.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        clean.alias("clean_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# i25_paragraph_dedup — C4-style cross-corpus paragraph dedup
+# ---------------------------------------------------------------------------
+
+# "Paragraph" = 10-word chunk (the corpus is unpunctuated word soup).
+# Every occurrence of a chunk except the globally-first one — ordered by
+# (doc_id, pos) — is dropped, INCLUDING repeats inside the same doc
+# (C4's rule), and surviving chunks are reassembled in order.
+_I25_ORACLE = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), chunks AS (
+  SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+         array_to_string(ws[(CAST(t.i AS INT) * 10 + 1)
+                           :(CAST(t.i AS INT) * 10 + 10)], ' ') AS chunk
+  FROM words,
+       UNNEST(range(CAST(ceil(length(ws) / 10.0) AS BIGINT))) AS t(i)
+), firsts AS (
+  SELECT chunk, MIN(doc_id) AS first_doc FROM chunks GROUP BY chunk
+), firsts2 AS (
+  SELECT c.chunk, f.first_doc, MIN(c.pos) AS first_pos
+  FROM chunks c JOIN firsts f
+    ON c.chunk = f.chunk AND c.doc_id = f.first_doc
+  GROUP BY c.chunk, f.first_doc
+), marked AS (
+  SELECT c.doc_id, c.pos, c.chunk,
+         CASE WHEN c.doc_id = f.first_doc AND c.pos = f.first_pos
+              THEN 1 ELSE 0 END AS keep
+  FROM chunks c JOIN firsts2 f ON c.chunk = f.chunk
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(keep) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(CASE WHEN keep = 1 THEN chunk END, ' '
+                           ORDER BY pos), '') AS clean_text
+FROM marked
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("i25_paragraph_dedup", oracle=_I25_ORACLE)
+def i25_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style paragraph-level exact dedup: chunk each document into
+    10-word paragraphs, drop every occurrence of a chunk except the
+    globally first one (ordered by (doc_id, pos) — in-document repeats
+    are dropped too), and reassemble the surviving text in order. The
+    document-level i1 dedup misses near-identical docs sharing
+    boilerplate paragraphs; this is the operator that removes the
+    boilerplate itself.
+
+    Scale: chunks explode ~n_words/10 rows per doc; the first-
+    occurrence pick is a groupBy(chunk) min — one hash-partitioned
+    exchange on the chunk key (hash the chunk to a 64-bit key to
+    shrink exchange width at 100 TB; kept as the raw string here for
+    oracle parity). Reassembly groups back on doc_id: second exchange.
+    Two shuffles total, no Python, no window over the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    n_chunks = F.ceil(F.size("ws") / F.lit(10.0)).cast("int")
+    chunks = words.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(F.slice("ws", i * 10 + 1, 10), " "),
+            )
+        ).alias("pos", "chunk"),
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "chunk")
+    firsts = chunks.groupBy("chunk").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    marked = chunks.join(firsts, "chunk").select(
+        "doc_id",
+        "pos",
+        "chunk",
+        F.when(
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("pos") == F.col("first.pos")),
+            1,
+        )
+        .otherwise(0)
+        .alias("keep"),
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum("keep").cast("long").alias("n_kept"),
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("keep") == 1, F.struct("pos", "chunk")
+                                )
+                            )
+                        ),
+                        lambda s: s["chunk"],
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            ).alias("clean_text"),
+        )
+        .select("doc_id", "n_chunks", "n_kept", "clean_text")
+    )

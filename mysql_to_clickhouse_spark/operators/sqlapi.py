@@ -213,3 +213,70 @@ def s6_quantified_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("s_acctbal") >= F.col("_max_bal"))
         .select("s_suppkey", "s_name", "s_acctbal")
     )
+
+
+# ---------------------------------------------------------------------------
+# s7_not_in_nulls — three-valued NOT IN vs null-safe anti join
+# ---------------------------------------------------------------------------
+
+# NOT IN against a set containing NULL is empty under SQL three-valued
+# logic (x <> NULL is UNKNOWN); the intended "not present" semantics is
+# the null-filtered anti join. This query surfaces BOTH counts so the
+# trap and its fix are pinned side by side. The planted NULL comes from
+# a LEFT JOIN miss (customers with no orders above the threshold).
+_S7_SPARK_SQL = """
+WITH probe AS (
+  SELECT n.n_nationkey AS k
+  FROM {nation} n
+), keyset AS (
+  -- nationkeys of customers with a huge-balance account, plus a NULL
+  -- (the classic accidental NULL from an outer-join-derived IN list)
+  SELECT c_nationkey AS k FROM {customer} WHERE c_acctbal > 9000
+  UNION ALL
+  SELECT CAST(NULL AS BIGINT) AS k
+)
+SELECT
+  (SELECT COUNT(*) FROM probe) AS n_probe,
+  (SELECT COUNT(*) FROM probe
+    WHERE k NOT IN (SELECT k FROM keyset)) AS not_in_with_null,
+  (SELECT COUNT(*) FROM probe
+    WHERE k NOT IN (SELECT k FROM keyset WHERE k IS NOT NULL))
+    AS anti_join_semantics
+"""
+
+_S7_ORACLE = """
+WITH probe AS (
+  SELECT n.n_nationkey AS k
+  FROM nation n
+), keyset AS (
+  SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9000
+  UNION ALL
+  SELECT CAST(NULL AS BIGINT) AS k
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM probe) AS n_probe,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM probe
+    WHERE k NOT IN (SELECT k FROM keyset)) AS not_in_with_null,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM probe
+    WHERE k NOT IN (SELECT k FROM keyset WHERE k IS NOT NULL))
+    AS anti_join_semantics
+"""
+
+
+@register("s7_not_in_nulls", oracle=_S7_ORACLE)
+def s7_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``NOT IN`` three-valued-logic semantics: a NULL in the subquery
+    list annihilates the whole predicate (0 rows), while the
+    null-filtered form gives the intended anti-join answer — both
+    counts surfaced, hash-checked against DuckDB's identical SQL.
+
+    Scale: Spark plans NOT IN as a null-aware anti join
+    (BroadcastNestedLoopJoin only when the build side might hold a
+    NULL); the null-filtered form degrades to a plain broadcast anti
+    join — exactly why pipelines should always write the filtered
+    form."""
+    load(spark, sf_dir, "nation").createOrReplaceTempView("s7_nation")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("s7_customer")
+    return spark.sql(
+        _S7_SPARK_SQL.format(nation="s7_nation", customer="s7_customer")
+    )

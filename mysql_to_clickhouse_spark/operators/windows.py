@@ -364,3 +364,123 @@ def e8_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("distinct_types_so_far"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e9_running_distinct — cumulative distinct users per type over days
+# ---------------------------------------------------------------------------
+
+# Running COUNT(DISTINCT) has no direct window form on either engine at
+# scale; the scalable identity: a user contributes on their FIRST day
+# only → running distinct = running sum of first-seen flags.
+_E9_ORACLE = """
+WITH user_first AS (
+  SELECT event_type, user_id,
+         MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS first_day
+  FROM events
+  GROUP BY event_type, user_id
+), daily_new AS (
+  SELECT event_type, first_day AS day,
+         CAST(COUNT(*) AS BIGINT) AS new_users
+  FROM user_first
+  GROUP BY event_type, first_day
+)
+SELECT event_type, CAST(day AS VARCHAR) AS day_str, new_users,
+       CAST(SUM(new_users) OVER (
+         PARTITION BY event_type ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_distinct_users
+FROM daily_new
+ORDER BY event_type, day_str
+"""
+
+
+@register("e9_running_distinct", oracle=_E9_ORACLE)
+def e9_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per event_type by day — the growth
+    curve. The naive form (COUNT(DISTINCT) OVER an expanding frame)
+    rescans per row; the scalable identity is first-seen-flag + running
+    sum: one (type, user) aggregate collapses the fact table, then the
+    window runs over |types|·|days| rows. At 100 TB the heavy step is a
+    map-side-combinable min — no O(n²) frame, no distinct-state
+    window."""
+    ev = load(spark, sf_dir, "events")
+    user_first = (
+        ev.select("event_type", "user_id", F.col("ts").cast("date").alias("day"))
+        .groupBy("event_type", "user_id")
+        .agg(F.min("day").alias("first_day"))
+    )
+    daily_new = user_first.groupBy("event_type", "first_day").agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("first_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily_new.select(
+        "event_type",
+        F.col("first_day").cast("string").alias("day_str"),
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_distinct_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# e10_nonneg_derivative — CH nonNegativeDerivative(v, t): per-second rate
+# ---------------------------------------------------------------------------
+
+_E10_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_id, value,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         LAG(value) OVER w AS prev_v,
+         LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS prev_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+)
+SELECT user_id, event_id, ts_us,
+       CASE
+         WHEN prev_us IS NULL OR ts_us = prev_us THEN NULL
+         WHEN value < prev_v THEN 0.0
+         ELSE (value - prev_v)
+              / (CAST(ts_us - prev_us AS DOUBLE) / 1000000.0)
+       END AS rate_per_s
+FROM seq
+ORDER BY user_id, ts_us, event_id
+"""
+
+
+@register("e10_nonneg_derivative", oracle=_E10_ORACLE)
+def e10_nonneg_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``nonNegativeDerivative(value, ts)``: per-user per-second
+    rate of change, clamped at zero on decreases (the counter-reset
+    idiom of monitoring pipelines); NULL for the first point and for
+    zero time deltas. The subtraction is on exact integer µs; the one
+    division per row is fixed-order IEEE — hash-safe with no rounding.
+
+    Scale: one lag window partitioned by the natural key — a single
+    shuffle, no Python."""
+    from mysql_to_clickhouse_spark.functions.numeric import epoch_us
+
+    ev = load(spark, sf_dir, "events")
+    ts_us = epoch_us("ts")
+    w = Window.partitionBy("user_id").orderBy(ts_us, "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        ts_us.alias("ts_us"),
+        F.lag("value").over(w).alias("prev_v"),
+        F.lag(ts_us).over(w).alias("prev_us"),
+    )
+    rate = (
+        F.when(F.col("prev_us").isNull() | (F.col("ts_us") == F.col("prev_us")), None)
+        .when(F.col("value") < F.col("prev_v"), F.lit(0.0))
+        .otherwise(
+            (F.col("value") - F.col("prev_v"))
+            / ((F.col("ts_us") - F.col("prev_us")).cast("double") / 1000000.0)
+        )
+    )
+    return seq.select("user_id", "event_id", "ts_us", rate.alias("rate_per_s"))

@@ -1,0 +1,114 @@
+"""Planted-data semantic tests for the r4 session-2 wave: e9/e10
+window ops, h19 rolling MAU, i24 PII redaction, i25 paragraph dedup."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+
+
+def _ts(day: int, hour: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, day, hour)
+
+
+def _ev(eid, ts, uid, et="view", value=1.0, props="{}"):
+    return Row(event_id=eid, ts=ts, user_id=uid, event_type=et,
+               value=value, props=props)
+
+
+def test_running_distinct_counts_each_user_once(spark, tmp_path):
+    rows = [
+        _ev(0, _ts(1), 1), _ev(1, _ts(1), 2),      # day1: users 1,2
+        _ev(2, _ts(2), 1), _ev(3, _ts(2), 3),      # day2: 1 again + new 3
+        _ev(4, _ts(3), 1), _ev(5, _ts(3), 2),      # day3: no new users
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows).write.parquet(f"{sf}/events.parquet")
+
+    from mysql_to_clickhouse_spark.operators.windows import e9_running_distinct
+
+    got = {r.day_str: r for r in e9_running_distinct(spark, sf).collect()}
+    assert got["2024-01-01"].cum_distinct_users == 2
+    assert got["2024-01-02"].cum_distinct_users == 3
+    assert "2024-01-03" not in got  # no new users -> no row for that day
+
+
+def test_nonneg_derivative_clamps_resets(spark, tmp_path):
+    rows = [
+        _ev(0, _ts(1, 0), 1, value=10.0),
+        _ev(1, _ts(1, 1), 1, value=46.0),   # +36 over 3600s -> 0.01/s
+        _ev(2, _ts(1, 2), 1, value=5.0),    # reset -> clamped to 0
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows).write.parquet(f"{sf}/events.parquet")
+
+    from mysql_to_clickhouse_spark.operators.windows import e10_nonneg_derivative
+
+    got = sorted(e10_nonneg_derivative(spark, sf).collect(),
+                 key=lambda r: r.ts_us)
+    assert got[0].rate_per_s is None
+    assert got[1].rate_per_s == pytest.approx(36.0 / 3600.0)
+    assert got[2].rate_per_s == 0.0
+
+
+def test_rolling_mau_window_coverage(spark, tmp_path):
+    rows = [
+        _ev(0, _ts(1), 1),
+        _ev(1, _ts(5), 2),
+        _ev(2, _ts(10), 1),
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows).write.parquet(f"{sf}/events.parquet")
+
+    from mysql_to_clickhouse_spark.operators.eventtime import h19_rolling_mau
+
+    got = {r.day_str: r.rolling_7d_users for r in h19_rolling_mau(spark, sf).collect()}
+    # day5 window [day-1..5] covers user1(day1) + user2(day5)
+    assert got["2024-01-05"] == 2
+    # day10 window [day4..10] covers user2(day5) + user1(day10)
+    assert got["2024-01-10"] == 2
+    assert got["2024-01-01"] == 1
+
+
+def _doc(doc_id, text, lang="en", source="src0"):
+    return Row(doc_id=doc_id, text=text, lang=lang, source=source,
+               n_chars=len(text))
+
+
+def test_pii_redaction_counts_and_replaces(spark, tmp_path):
+    docs = [_doc(3, "hello world"), _doc(15, "foo bar"), _doc(7, "clean text")]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(docs).write.parquet(f"{sf}/documents.parquet")
+
+    from mysql_to_clickhouse_spark.operators.llmops import i24_pii_redaction
+
+    got = {r.doc_id: r for r in i24_pii_redaction(spark, sf).collect()}
+    assert got[3].n_emails == 1 and got[3].n_phones == 0
+    assert "<EMAIL>" in got[3].clean_text and "@" not in got[3].clean_text
+    assert got[15].n_emails == 1 and got[15].n_phones == 1
+    assert "<PHONE>" in got[15].clean_text
+    assert got[7].n_emails == 0 and got[7].clean_text == "clean text"
+
+
+def test_paragraph_dedup_drops_boilerplate(spark, tmp_path):
+    boiler = " ".join(f"w{i}" for i in range(10))       # shared 10-word chunk
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_b = " ".join(f"b{i}" for i in range(10))
+    docs = [
+        _doc(1, boiler + " " + uniq_a),
+        _doc(2, boiler + " " + uniq_b),                  # boiler dropped here
+        _doc(3, uniq_b + " " + uniq_b),                  # in-doc repeat: 2nd dropped
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(docs).write.parquet(f"{sf}/documents.parquet")
+
+    from mysql_to_clickhouse_spark.operators.llmops import i25_paragraph_dedup
+
+    got = {r.doc_id: r for r in i25_paragraph_dedup(spark, sf).collect()}
+    assert got[1].n_chunks == 2 and got[1].n_kept == 2
+    assert got[1].clean_text == boiler + " " + uniq_a
+    assert got[2].n_kept == 1 and got[2].clean_text == uniq_b
+    # doc3: uniq_b already owned by doc2; both of doc3's chunks dropped
+    assert got[3].n_kept == 0 and got[3].clean_text == ""
