@@ -1183,3 +1183,146 @@ def g27_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("union_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# g28_format_readable — CH formatReadableSize: bytes → human string
+# ---------------------------------------------------------------------------
+
+# printf('%.2f') is NOT portable: n/2^k can land exactly on a decimal
+# tie (171136/1024 = 167.125 → Java HALF_UP says .13, C half-even says
+# .12 — measured). So the render is pure integer arithmetic: truncate
+# at 2 decimals via FLOOR(x·100) and typeset digits with lpad — no
+# float formatting anywhere.
+_G28_ORACLE = """
+WITH b AS (
+  SELECT c_custkey, c_custkey * 1337 AS n_bytes FROM customer
+), v AS (
+  SELECT c_custkey, n_bytes,
+         CASE
+           WHEN n_bytes < 1024 THEN CAST(n_bytes AS DOUBLE)
+           WHEN n_bytes < 1048576 THEN CAST(n_bytes AS DOUBLE) / 1024.0
+           WHEN n_bytes < 1073741824
+             THEN CAST(n_bytes AS DOUBLE) / 1048576.0
+           ELSE CAST(n_bytes AS DOUBLE) / 1073741824.0
+         END AS scaled,
+         CASE
+           WHEN n_bytes < 1024 THEN 'B'
+           WHEN n_bytes < 1048576 THEN 'KiB'
+           WHEN n_bytes < 1073741824 THEN 'MiB'
+           ELSE 'GiB'
+         END AS unit
+  FROM b
+), c AS (
+  SELECT c_custkey, n_bytes, unit,
+         CAST(FLOOR(scaled * 100.0) AS BIGINT) AS cents
+  FROM v
+)
+SELECT c_custkey, n_bytes,
+       concat(CAST(cents // 100 AS VARCHAR), '.',
+              lpad(CAST(cents % 100 AS VARCHAR), 2, '0'), ' ',
+              unit) AS readable
+FROM c
+ORDER BY c_custkey
+"""
+
+
+@register("g28_format_readable", oracle=_G28_ORACLE, tier="T3")
+def g28_format_readable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``formatReadableSize(x)``: render byte counts at the right
+    binary unit with two decimals. printf('%.2f') is runtime-dependent
+    on exact decimal ties (Java HALF_UP vs C half-even — n/2^k values
+    like 167.125 DO hit them), so the digits are typeset from an
+    integer FLOOR(x·100): truncation has no ties, lpad has no locale.
+    Map-only."""
+    cust = load(spark, sf_dir, "customer")
+    b = cust.select(
+        "c_custkey", (F.col("c_custkey") * 1337).alias("n_bytes")
+    )
+    nb = F.col("n_bytes").cast("double")
+    scaled = (
+        F.when(F.col("n_bytes") < 1024, nb)
+        .when(F.col("n_bytes") < 1048576, nb / 1024.0)
+        .when(F.col("n_bytes") < 1073741824, nb / 1048576.0)
+        .otherwise(nb / 1073741824.0)
+    )
+    unit = (
+        F.when(F.col("n_bytes") < 1024, F.lit("B"))
+        .when(F.col("n_bytes") < 1048576, F.lit("KiB"))
+        .when(F.col("n_bytes") < 1073741824, F.lit("MiB"))
+        .otherwise(F.lit("GiB"))
+    )
+    cents = F.floor(scaled * 100.0).cast("long")
+    readable = F.concat(
+        F.floor(cents / 100).cast("long").cast("string"),
+        F.lit("."),
+        F.lpad((cents % 100).cast("string"), 2, "0"),
+        F.lit(" "),
+        unit,
+    )
+    return b.select("c_custkey", "n_bytes", readable.alias("readable"))
+
+
+# ---------------------------------------------------------------------------
+# g29_point_in_polygon — CH pointInPolygon: ray-casting, one source of truth
+# ---------------------------------------------------------------------------
+
+# The polygon is ONE Python literal; both the Spark expression tree and
+# the oracle SQL are generated from it edge by edge, so the two engines
+# run the same crossing tests in the same order — they cannot drift.
+_G29_POLY = [(0, 0), (40, 0), (50, 30), (20, 50), (-10, 25)]
+
+
+def _g29_edge_sql(px: str, py: str) -> list[str]:
+    terms = []
+    n = len(_G29_POLY)
+    for i in range(n):
+        x1, y1 = _G29_POLY[i]
+        x2, y2 = _G29_POLY[(i + 1) % n]
+        terms.append(
+            f"(CASE WHEN (({y1} > {py}) <> ({y2} > {py})) AND "
+            f"(CAST({px} AS DOUBLE) < CAST({x2 - x1} AS DOUBLE) * "
+            f"({py} - {y1}) / {float(y2 - y1)!r} + {x1}) "
+            f"THEN 1 ELSE 0 END)"
+        )
+    return terms
+
+
+_G29_ORACLE = f"""
+WITH pts AS (
+  SELECT c_custkey,
+         (c_custkey * 13) % 80 - 15 AS px,
+         (c_custkey * 29) % 70 - 10 AS py
+  FROM customer
+)
+SELECT c_custkey, px, py,
+       CAST(({' + '.join(_g29_edge_sql('px', 'py'))}) % 2 AS BIGINT)
+         AS inside
+FROM pts
+ORDER BY c_custkey
+"""
+
+
+@register("g29_point_in_polygon", oracle=_G29_ORACLE)
+def g29_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``pointInPolygon((x,y), [...])``: ray-casting against a fixed
+    pentagon, unrolled edge by edge from a single polygon literal that
+    also generates the oracle SQL — the crossing parity is a sum of
+    integer CASE terms plus one fixed-order IEEE division per edge.
+
+    Scale: map-only, codegen'd — a k-vertex polygon costs k expression
+    terms per row, no join, no UDF. (A polygon table would instead
+    broadcast-join and aggregate the same terms.)"""
+    cust = load(spark, sf_dir, "customer")
+    pts = cust.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 13) % 80 - 15).alias("px"),
+        ((F.col("c_custkey") * 29) % 70 - 10).alias("py"),
+    )
+    crossing = " + ".join(_g29_edge_sql("px", "py"))
+    return pts.select(
+        "c_custkey",
+        "px",
+        "py",
+        F.expr(f"CAST(({crossing}) % 2 AS BIGINT)").alias("inside"),
+    )

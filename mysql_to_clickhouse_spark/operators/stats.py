@@ -500,3 +500,55 @@ def d41_exp_decay_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "num", "den", "decayed_avg")
     )
+
+
+# ---------------------------------------------------------------------------
+# d42_bitmap_ops — CH groupBitmap / bitmapAnd/Or/Andnot cardinalities
+# ---------------------------------------------------------------------------
+
+# CH materializes roaring bitmaps; the relational identity is per-user
+# membership flags folded once — AND = a·b, OR = sign(a+b) — so the
+# whole algebra is two chained map-side-combinable aggregates.
+_D42_ORACLE = """
+WITH flags AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS a,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+  FROM events
+  GROUP BY user_id
+)
+SELECT CAST(SUM(a) AS BIGINT) AS card_view,
+       CAST(SUM(b) AS BIGINT) AS card_purchase,
+       CAST(SUM(a * b) AS BIGINT) AS card_and,
+       CAST(SUM(CASE WHEN a + b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS card_or,
+       CAST(SUM(a * (1 - b)) AS BIGINT) AS card_andnot
+FROM flags
+"""
+
+
+@register("d42_bitmap_ops", oracle=_D42_ORACLE)
+def d42_bitmap_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH bitmap algebra (``groupBitmap``, ``bitmapAndCardinality``,
+    ``bitmapOrCardinality``, ``bitmapAndnotCardinality``) over the
+    view/purchase user sets — the audience-overlap primitive. Instead
+    of materialized roaring bitmaps, the engine folds per-user
+    membership flags: AND = a·b, OR = sign(a+b), ANDNOT = a·(1−b).
+
+    Scale: events → (user, 2 bits) is one map-side-combinable
+    aggregate; the set algebra is a single-row fold over it. The flag
+    vector generalizes to k sets at k bits per user — at 100 TB this
+    beats shipping bitmaps through a shuffle."""
+    ev = load(spark, sf_dir, "events")
+    flags = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("a"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("b"),
+    )
+    return flags.agg(
+        F.sum("a").cast("long").alias("card_view"),
+        F.sum("b").cast("long").alias("card_purchase"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("card_and"),
+        F.sum(F.when(F.col("a") + F.col("b") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("card_or"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("long").alias("card_andnot"),
+    )

@@ -183,3 +183,89 @@ def test_avg_weighted_hand_example(spark, tmp_path):
 
     out = d38_avg_weighted(spark, sf).collect()[0]
     assert out.wavg_price == pytest.approx((20.0 + 240.0) / 8.0)
+
+
+def test_bitmap_ops_identities(spark, tmp_path):
+    """AND + ANDNOT = card(A); OR = card(A)+card(B)-AND."""
+    rows = [
+        _mk_ev(0, 1, "view"), _mk_ev(1, 1, "purchase"),   # user1: both
+        _mk_ev(2, 2, "view"),                              # user2: view only
+        _mk_ev(3, 3, "purchase"),                          # user3: purchase only
+        _mk_ev(4, 4, "click"),                             # user4: neither
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows).write.parquet(f"{sf}/events.parquet")
+
+    from mysql_to_clickhouse_spark.operators.stats import d42_bitmap_ops
+
+    out = d42_bitmap_ops(spark, sf).collect()[0]
+    assert (out.card_view, out.card_purchase) == (2, 2)
+    assert out.card_and == 1 and out.card_andnot == 1
+    assert out.card_or == out.card_view + out.card_purchase - out.card_and == 3
+
+
+def _mk_ev(eid, uid, et):
+    import datetime as _dt
+    from pyspark.sql import Row as _Row
+
+    return _Row(event_id=eid, ts=_dt.datetime(2024, 1, 1), user_id=uid,
+                event_type=et, value=1.0, props="{}")
+
+
+def test_point_in_polygon_matches_reference_raycast():
+    """The generated edge-term SQL (evaluated in DuckDB) agrees with a
+    from-first-principles Python ray cast over a dense integer grid,
+    including points well inside, outside, and near edges."""
+    import duckdb
+
+    from mysql_to_clickhouse_spark.operators.scalars import (
+        _G29_POLY,
+        _g29_edge_sql,
+    )
+
+    def ref_inside(px, py):
+        n = len(_G29_POLY)
+        c = 0
+        for i in range(n):
+            x1, y1 = _G29_POLY[i]
+            x2, y2 = _G29_POLY[(i + 1) % n]
+            if (y1 > py) != (y2 > py) and px < (x2 - x1) * (py - y1) / (
+                y2 - y1
+            ) + x1:
+                c += 1
+        return c % 2
+
+    con = duckdb.connect()
+    expr = " + ".join(_g29_edge_sql("px", "py"))
+    got = con.sql(
+        f"SELECT px, py, ({expr}) % 2 AS inside "
+        "FROM (SELECT x AS px, y AS py FROM range(-20, 60, 4) t1(x), "
+        "range(-15, 60, 4) t2(y))"
+    ).fetchall()
+    assert len(got) == 20 * 19
+    for px, py, inside in got:
+        assert inside == ref_inside(px, py), (px, py)
+    # sanity anchors
+    assert ref_inside(20, 20) == 1
+    assert ref_inside(-15, 5) == 0
+
+
+def test_format_readable_tie_case(spark, tmp_path):
+    """171136 B = 167.125 KiB — the printf tie case — must render by
+    truncation as 167.12 KiB on the engine side."""
+    from pyspark.sql import Row
+
+    rows = [
+        Row(c_custkey=128, c_name="x", c_nationkey=0, c_acctbal=0.0,
+            c_mktsegment="BUILDING"),
+        Row(c_custkey=1, c_name="y", c_nationkey=0, c_acctbal=0.0,
+            c_mktsegment="BUILDING"),
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows).write.parquet(f"{sf}/customer.parquet")
+
+    from mysql_to_clickhouse_spark.operators.scalars import g28_format_readable
+
+    got = {r.c_custkey: r.readable for r in g28_format_readable(spark, sf).collect()}
+    assert got[128] == "167.12 KiB"   # 128*1337 = 171136 = 167.125 KiB
+    assert got[1] == "1.30 KiB"       # 1337 B = 1.30566... KiB
