@@ -2640,3 +2640,134 @@ def i25_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_chunks", "n_kept", "clean_text")
     )
+
+
+# ---------------------------------------------------------------------------
+# i26_pq_adc — product-quantization ANN with asymmetric distance (ADC)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8           # subspaces (64-dim -> 8 x 8-dim)
+_PQ_K = 16          # centroids per subspace (4-bit codes)
+_PQ_SAMPLE_CAP = 4096
+_PQ_ITERS = 8
+_PQ_QUERY_CAP = 64  # bounded query set (smallest xxhash64 ids)
+_PQ_TOPK = 3
+
+
+def _pq_codebooks(spark: SparkSession, emb: DataFrame):
+    """Train per-subspace codebooks with the same bounded deterministic
+    sampling discipline as _ivf_centroids: the _PQ_SAMPLE_CAP smallest-
+    xxhash64 vectors train M independent k-means (evenly-spaced init on
+    the hash order, fixed Lloyd rounds) — driver memory is capped at
+    sample x dim x 8 B regardless of table size. Returns an
+    (M, K, dim/M) float64 numpy array (~8 KiB at 64-dim/16-cent)."""
+    import numpy as np
+
+    rows = (
+        emb.select("vec_id", "embedding", F.xxhash64("vec_id").alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(_PQ_SAMPLE_CAP)
+        .collect()
+    )
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    n, dim = X.shape
+    dsub = dim // _PQ_M
+    books = np.zeros((_PQ_M, _PQ_K, dsub))
+    for m in range(_PQ_M):
+        S = X[:, m * dsub : (m + 1) * dsub]
+        k = min(_PQ_K, n)
+        cents = S[np.linspace(0, n - 1, num=k).round().astype(int)].copy()
+        for _ in range(_PQ_ITERS):
+            d2 = ((S[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for j in range(k):
+                members = S[assign == j]
+                if len(members):
+                    cents[j] = members.mean(axis=0)
+        books[m, :k] = cents
+    return books
+
+
+@register("i26_pq_adc", oracle=None, tier="T3")
+def i26_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the third scale path next to i4b LSH
+    and i4d IVF, and the one that shrinks the INDEX itself): every
+    vector compresses to M=8 4-bit-ish codes (32x smaller than the
+    float32 row), and queries score candidates with asymmetric distance
+    — per-subspace lookup tables built from the RAW query against the
+    codebooks, so candidate vectors are never decompressed.
+
+    Scale design: codebooks are trained on a bounded deterministic
+    driver sample (_pq_codebooks) and broadcast by closure (~8 KiB);
+    encoding is one Arrow-batched mapInPandas pass (no shuffle); the
+    query set is capped (_PQ_QUERY_CAP smallest-xxhash ids — at 100 TB
+    queries arrive as their own small table) and scored inside the same
+    mapInPandas pass via one numpy gather + partial top-k per batch;
+    the only exchange is the |queries| x topk-per-batch partial frame.
+    Approximate by construction -> rows-only; recall vs exact i4 is
+    unit-tested."""
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    books = _pq_codebooks(spark, emb)
+    q_rows = (
+        emb.select("vec_id", "embedding", F.xxhash64("vec_id").alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(_PQ_QUERY_CAP)
+        .collect()
+    )
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    n_q, dim = Q.shape
+    dsub = dim // _PQ_M
+    # ADC tables: adc[q, m, k] = <Q[q, sub m], books[m, k]>
+    adc = np.einsum("qmd,mkd->qmk", Q.reshape(n_q, _PQ_M, dsub), books)
+
+    def score_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy("int64")
+            X = np.array(list(pdf["embedding"]), dtype=np.float64)
+            X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            # encode the batch: per subspace nearest centroid
+            codes = np.stack(
+                [
+                    np.argmin(
+                        ((X[:, m * dsub : (m + 1) * dsub][:, None, :]
+                          - books[m][None, :, :]) ** 2).sum(axis=2),
+                        axis=1,
+                    )
+                    for m in range(_PQ_M)
+                ],
+                axis=1,
+            )  # (B, M)
+            # approx score of every query vs every batch row: gather+sum
+            approx = adc[:, np.arange(_PQ_M)[None, :], codes].sum(axis=2)
+            out = {"query_id": [], "neighbor_id": [], "approx_score": []}
+            kk = min(_PQ_TOPK + 1, approx.shape[1])
+            for qi in range(n_q):
+                row = approx[qi]
+                sel = np.argpartition(-row, kk - 1)[:kk]
+                for bi in sel:
+                    if ids[bi] == q_ids[qi]:
+                        continue
+                    out["query_id"].append(int(q_ids[qi]))
+                    out["neighbor_id"].append(int(ids[bi]))
+                    out["approx_score"].append(float(row[bi]))
+            yield pd.DataFrame(out)
+
+    partials = emb.mapInPandas(
+        score_batches,
+        schema="query_id long, neighbor_id long, approx_score double",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_score"), F.asc("neighbor_id")
+    )
+    return (
+        partials.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _PQ_TOPK)
+    )

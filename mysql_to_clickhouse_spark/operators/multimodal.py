@@ -285,3 +285,107 @@ def m4_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("byte_len").alias("byte_len"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# m5_cdc_chunking — content-defined chunking (rolling-hash boundaries)
+# ---------------------------------------------------------------------------
+
+_CDC_WINDOW = 16
+_CDC_MASK_BITS = 6   # boundary when low 6 bits of the window hash are 0 (~64 B avg)
+_CDC_MIN = 32
+_CDC_MAX = 256
+
+
+def _cdc_byte_table() -> list[int]:
+    """Fixed 256-entry random-looking 64-bit table (md5-derived, no RNG
+    state) — the buzhash byte mixing table, identical everywhere."""
+    import hashlib
+
+    return [
+        int.from_bytes(hashlib.md5(bytes([b])).digest()[:8], "big")
+        for b in range(256)
+    ]
+
+
+def cdc_boundaries(data: bytes, table: list[int]) -> list[int]:
+    """Pure-function chunk boundaries: buzhash (cyclic-shift rolling
+    hash) over a _CDC_WINDOW-byte window; a position ends a chunk when
+    the window hash's low _CDC_MASK_BITS bits are zero, subject to
+    min/max chunk bounds. Returns end offsets (exclusive), always
+    ending with len(data)."""
+    mask = (1 << _CDC_MASK_BITS) - 1
+    u64 = (1 << 64) - 1
+
+    def rol(x: int, r: int) -> int:
+        r %= 64
+        return ((x << r) | (x >> (64 - r))) & u64
+
+    ends = []
+    start = 0
+    h = 0
+    for i, byte in enumerate(data):
+        h = (rol(h, 1) ^ table[byte]) & u64
+        if i - start + 1 >= _CDC_WINDOW:
+            out_idx = i - _CDC_WINDOW
+            if out_idx >= start:
+                h ^= rol(table[data[out_idx]], _CDC_WINDOW)
+        size = i - start + 1
+        if size >= _CDC_MAX or (size >= _CDC_MIN and (h & mask) == 0):
+            ends.append(i + 1)
+            start = i + 1
+            h = 0
+    if start < len(data) or not data:
+        ends.append(len(data))
+    return ends
+
+
+@register("m5_cdc_chunking", oracle=None, tier="T3")
+def m5_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking over binary payloads (the rsync/
+    restic/LBFS trick): chunk boundaries come from a rolling hash of
+    the CONTENT, so inserting bytes near the front shifts only the
+    chunks it touches — all later chunks keep their identity and
+    dedupe, which fixed-offset blocking (m3) structurally cannot do.
+    This is the storage-dedup primitive for 100 TB multimodal blob
+    lakes.
+
+    Scale: mapInPandas, map-only — each payload chunks independently,
+    no shuffle; the downstream dedup (m4's md5 groupBy) operates on
+    ~64 B-average chunks. Rows-only (no SQL analog of a rolling hash);
+    the shift-resilience property is unit-tested."""
+    import hashlib
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    table = _cdc_byte_table()
+
+    def chunk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "chunk_idx": [],
+                "offset": [],
+                "chunk_len": [],
+                "chunk_md5": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                prev = 0
+                for idx, end in enumerate(cdc_boundaries(data, table)):
+                    out["doc_id"].append(doc_id)
+                    out["chunk_idx"].append(idx)
+                    out["offset"].append(prev)
+                    out["chunk_len"].append(end - prev)
+                    out["chunk_md5"].append(
+                        hashlib.md5(data[prev:end]).hexdigest()
+                    )
+                    prev = end
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, chunk_idx long, offset long, chunk_len long, "
+        "chunk_md5 string"
+    )
+    return docs.mapInPandas(chunk_batches, schema=schema)

@@ -487,3 +487,54 @@ def test_bigram_surprisal_matches_reference(spark):
     assert set(got) == set(expected)
     for d in expected:
         assert abs(got[d] - expected[d]) < 1e-9, d
+
+
+def test_pq_adc_recall_vs_exact(spark):
+    """i26 (product-quantization ADC) must rank true neighbors well:
+    for each capped query, the approx top-3 should recover a real share
+    of the exact top-3 edges, and scores must be finite and ordered."""
+    import numpy as np
+
+    from mysql_to_clickhouse_spark.registry import all_queries
+    from tests.conftest import SMOKE_SF_DIR
+
+    approx = all_queries()["i26_pq_adc"].fn(spark, SMOKE_SF_DIR).toPandas()
+    assert (approx["rk"] <= 3).all()
+    assert (approx["query_id"] != approx["neighbor_id"]).all()
+    assert np.isfinite(approx["approx_score"]).all()
+    # per-query scores are non-increasing in rank
+    for _, g in approx.groupby("query_id"):
+        s = g.sort_values("rk")["approx_score"].to_numpy()
+        assert (np.diff(s) <= 1e-12).all()
+
+    exact = (
+        all_queries()["i4_topk_similar"]
+        .fn(spark, SMOKE_SF_DIR)
+        .filter(F.col("rk") <= 3)
+        .select("id_a", "id_b")
+        .toPandas()
+    )
+    qids = set(approx["query_id"])
+    exact_edges = {
+        (a, b) for a, b in map(tuple, exact.values) if a in qids
+    }
+    approx_edges = set(map(tuple, approx[["query_id", "neighbor_id"]].values))
+    recall = len(exact_edges & approx_edges) / max(len(exact_edges), 1)
+    # 8x16 codebooks on random-ish 64-dim vectors: coarse but must be
+    # far above chance (chance ~ 3/500 per edge)
+    assert recall >= 0.2, f"PQ-ADC recall collapsed: {recall:.3f}"
+
+
+def test_pq_codebooks_deterministic(spark):
+    """Two trainings on the same table are bit-identical (seedless,
+    hash-ordered sample, fixed iteration count)."""
+    import numpy as np
+
+    from mysql_to_clickhouse_spark.operators.llmops import _pq_codebooks
+    from mysql_to_clickhouse_spark.tables import load
+    from tests.conftest import SMOKE_SF_DIR
+
+    emb = load(spark, SMOKE_SF_DIR, "embeddings").select("vec_id", "embedding")
+    b1 = _pq_codebooks(spark, emb)
+    b2 = _pq_codebooks(spark, emb)
+    np.testing.assert_array_equal(b1, b2)

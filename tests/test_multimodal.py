@@ -109,3 +109,86 @@ class TestDecodeGate:
         sup = codec_support()
         assert set(sup) == {"image", "audio"}
         assert all(isinstance(v, bool) for v in sup.values())
+
+
+def test_cdc_boundaries_respect_bounds_and_cover():
+    """Chunk sizes stay within [min, max] (last chunk may be short) and
+    boundaries tile the input exactly."""
+    import hashlib
+
+    from mysql_to_clickhouse_spark.operators.multimodal import (
+        _CDC_MAX,
+        _CDC_MIN,
+        _cdc_byte_table,
+        cdc_boundaries,
+    )
+
+    table = _cdc_byte_table()
+    data = hashlib.sha256(b"seed").digest() * 40  # 1280 deterministic bytes
+    ends = cdc_boundaries(data, table)
+    assert ends[-1] == len(data)
+    prev = 0
+    for e in ends[:-1]:
+        assert _CDC_MIN <= e - prev <= _CDC_MAX
+        prev = e
+    assert ends == sorted(set(ends))
+
+
+def test_cdc_chunks_survive_prefix_insertion():
+    """Inserting bytes at the front must leave the tail chunks
+    identical (content-defined identity) — the property fixed-offset
+    blocking lacks."""
+    import hashlib
+
+    from mysql_to_clickhouse_spark.operators.multimodal import (
+        _cdc_byte_table,
+        cdc_boundaries,
+    )
+
+    table = _cdc_byte_table()
+    # non-periodic pseudo-random bytes (periodic content would make
+    # phase-shifted chunks hash differently by construction)
+    base = b"".join(
+        hashlib.sha256(str(i).encode()).digest() for i in range(80)
+    )  # 2560 bytes
+    shifted = b"XYZ123" + base
+
+    def chunk_hashes(data):
+        out, prev = [], 0
+        for e in cdc_boundaries(data, table):
+            out.append(hashlib.md5(data[prev:e]).hexdigest())
+            prev = e
+        return out
+
+    h1, h2 = chunk_hashes(base), chunk_hashes(shifted)
+    # all but the first few chunks realign: strong overlap required
+    common = set(h1) & set(h2)
+    assert len(common) >= len(h1) - 2
+    # and the final chunks are identical in order
+    assert h1[-3:] == h2[-3:]
+
+
+def test_cdc_operator_reassembles(spark):
+    """Engine-level: per-doc chunk lengths sum to payload length and
+    offsets are consistent."""
+    from mysql_to_clickhouse_spark.operators.multimodal import m5_cdc_chunking
+    from tests.conftest import SMOKE_SF_DIR
+
+    import pyspark.sql.functions as F
+
+    out = m5_cdc_chunking(spark, SMOKE_SF_DIR)
+    per_doc = out.groupBy("doc_id").agg(
+        F.sum("chunk_len").alias("total"),
+        F.max(F.col("offset") + F.col("chunk_len")).alias("max_end"),
+        F.count("*").alias("n"),
+    )
+    from mysql_to_clickhouse_spark.tables import load
+
+    docs = load(spark, SMOKE_SF_DIR, "documents").select(
+        "doc_id", F.length(F.encode("text", "UTF-8")).alias("blen")
+    )
+    joined = per_doc.join(docs, "doc_id")
+    bad = joined.filter(
+        (F.col("total") != F.col("blen")) | (F.col("max_end") != F.col("blen"))
+    )
+    assert bad.count() == 0
