@@ -1017,3 +1017,88 @@ def h19_rolling_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rolling_7d_users",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# h20_strict_funnel — CH windowFunnel(..., 'strict_order')
+# ---------------------------------------------------------------------------
+
+# Strict-order funnel: a step only counts if it IMMEDIATELY follows the
+# previous step — any intervening event of any type breaks the chain.
+# With each event rendered as one character in per-user time order, the
+# k-step strict funnel is exactly "the k-initial substring appears
+# consecutively": a contains() test both engines share.
+_H20_ORACLE = """
+WITH seq AS (
+  SELECT user_id,
+         string_agg(CASE event_type
+                    WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                    WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                    ELSE 'e' END, ''
+                    ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+           AS journey
+  FROM events
+  GROUP BY user_id
+)
+SELECT user_id,
+       CAST(CASE
+         WHEN contains(journey, 'vcp') THEN 3
+         WHEN contains(journey, 'vc') THEN 2
+         WHEN contains(journey, 'v') THEN 1
+         ELSE 0 END AS BIGINT) AS strict_level,
+       CAST(length(journey) AS BIGINT) AS n_events
+FROM seq
+ORDER BY user_id
+"""
+
+
+@register("h20_strict_funnel", oracle=_H20_ORACLE)
+def h20_strict_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``windowFunnel(w, 'strict_order')``: the funnel level a user
+    reaches when ANY intervening event voids the next step (h6/h14
+    allow gaps; strict_order does not). Each user's history packs into
+    a character journey in one aggregate, and the strict chain is a
+    consecutive-substring test — the same collapse h15/h17 use, so the
+    whole operator is one groupBy(user) + map-only scan of strings.
+
+    Scale: one shuffle on user_id; journey strings are |user events|
+    chars (bounded by per-user activity, the natural funnel state);
+    the level test is codegen'd contains — no Python, no joins."""
+    ev = load(spark, sf_dir, "events")
+    initial = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+    )
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.unix_micros("ts").alias("ts_us"),
+                F.col("event_id").alias("event_id"),
+                initial.alias("ch"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda s: s["ch"]
+                ),
+                "",
+            ).alias("journey")
+        )
+    )
+    level = (
+        F.when(F.col("journey").contains("vcp"), 3)
+        .when(F.col("journey").contains("vc"), 2)
+        .when(F.col("journey").contains("v"), 1)
+        .otherwise(0)
+    )
+    return seq.select(
+        "user_id",
+        level.cast("long").alias("strict_level"),
+        F.length("journey").cast("long").alias("n_events"),
+    )

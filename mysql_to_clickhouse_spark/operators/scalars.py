@@ -15,7 +15,7 @@ probe, not assumed):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mysql_to_clickhouse_spark.functions.text import tokens
@@ -1325,4 +1325,47 @@ def g29_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         "px",
         "py",
         F.expr(f"CAST(({crossing}) % 2 AS BIGINT)").alias("inside"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# g30_array_enumerate — CH arrayEnumerateUniq: per-element occurrence index
+# ---------------------------------------------------------------------------
+
+_G30_ORACLE = """
+WITH u AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos, word,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id, word ORDER BY pos)
+            AS BIGINT) AS occ_idx
+FROM u
+ORDER BY doc_id, pos
+"""
+
+
+@register("g30_array_enumerate", oracle=_G30_ORACLE)
+def g30_array_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``arrayEnumerateUniq``: for every token position, its
+    occurrence ordinal among equal tokens so far (1st 'the', 2nd
+    'the', ...) — the primitive behind de-duplicating repeated
+    n-grams while keeping first occurrences.
+
+    Scale: posexplode + one window partitioned by (doc, word) — the
+    shuffle key is fine-grained, so skew is bounded by the hottest
+    single token within one document, not corpus-wide."""
+    docs = load(spark, sf_dir, "documents")
+    u = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos0", "word"),
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "word")
+    w = Window.partitionBy("doc_id", "word").orderBy("pos")
+    return u.select(
+        "doc_id",
+        "pos",
+        "word",
+        F.row_number().over(w).cast("long").alias("occ_idx"),
     )

@@ -112,3 +112,70 @@ def test_paragraph_dedup_drops_boilerplate(spark, tmp_path):
     assert got[2].n_kept == 1 and got[2].clean_text == uniq_b
     # doc3: uniq_b already owned by doc2; both of doc3's chunks dropped
     assert got[3].n_kept == 0 and got[3].clean_text == ""
+
+
+def test_strict_funnel_broken_by_interference(spark, tmp_path):
+    """view->click->purchase counts only when consecutive: an
+    interfering event between view and click voids the strict chain."""
+    rows = [
+        # user 1: v c p consecutive -> level 3
+        _ev(0, _ts(1, 0), 1, "view"), _ev(1, _ts(1, 1), 1, "click"),
+        _ev(2, _ts(1, 2), 1, "purchase"),
+        # user 2: v e c -> error interferes -> level 1
+        _ev(3, _ts(1, 0), 2, "view"), _ev(4, _ts(1, 1), 2, "error"),
+        _ev(5, _ts(1, 2), 2, "click"),
+        # user 3: c v c p -> the later consecutive run still counts
+        _ev(6, _ts(1, 0), 3, "click"), _ev(7, _ts(1, 1), 3, "view"),
+        _ev(8, _ts(1, 2), 3, "click"), _ev(9, _ts(1, 3), 3, "purchase"),
+        # user 4: never views -> 0
+        _ev(10, _ts(1, 0), 4, "purchase"),
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows).write.parquet(f"{sf}/events.parquet")
+
+    from mysql_to_clickhouse_spark.operators.eventtime import h20_strict_funnel
+
+    got = {r.user_id: r.strict_level for r in h20_strict_funnel(spark, sf).collect()}
+    assert got == {1: 3, 2: 1, 3: 3, 4: 0}
+
+
+def test_paragraph_dedup_matches_bruteforce_random(spark, tmp_path):
+    """Property test: i25 equals a direct Python implementation of
+    'first global occurrence by (doc_id, pos) wins' on a randomized
+    small corpus with heavy chunk sharing."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(12)]
+    docs = []
+    for d in range(12):
+        n_words = rng.choice([10, 20, 30, 25])
+        words = [rng.choice(vocab) for _ in range(n_words)]
+        docs.append((d, " ".join(words)))
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [Row(doc_id=d, text=t, lang="en", source="s", n_chars=len(t))
+         for d, t in docs]
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    # brute force
+    first_owner: dict[str, tuple] = {}
+    chunks_of: dict[int, list] = {}
+    for d, t in docs:
+        ws = t.split(" ")
+        cs = [" ".join(ws[i:i + 10]) for i in range(0, len(ws), 10)]
+        chunks_of[d] = cs
+        for p, c in enumerate(cs):
+            if c not in first_owner or (d, p) < first_owner[c]:
+                first_owner[c] = (d, p)
+    expected = {}
+    for d, t in docs:
+        kept = [c for p, c in enumerate(chunks_of[d])
+                if first_owner[c] == (d, p)]
+        expected[d] = (len(chunks_of[d]), len(kept), " ".join(kept))
+
+    from mysql_to_clickhouse_spark.operators.llmops import i25_paragraph_dedup
+
+    got = {r.doc_id: (r.n_chunks, r.n_kept, r.clean_text)
+           for r in i25_paragraph_dedup(spark, sf).collect()}
+    assert got == expected
