@@ -927,3 +927,91 @@ def x17_replication_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("latest_value_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x18_dashboard — the replication-health dashboard composite
+# ---------------------------------------------------------------------------
+
+_X18_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         event_type, user_id, value
+  FROM events
+), per_type AS (
+  SELECT day, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM daily GROUP BY day, event_type
+), top_type AS (
+  SELECT day, event_type AS top_event_type
+  FROM (
+    SELECT day, event_type,
+           ROW_NUMBER() OVER (PARTITION BY day
+                              ORDER BY cnt DESC, event_type) AS rn
+    FROM per_type
+  ) WHERE rn = 1
+)
+SELECT CAST(d.day AS VARCHAR) AS day_str,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS n_users,
+       {o_dsum('d.value')} AS revenue,
+       CAST(SUM(CASE WHEN d.event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchases,
+       CAST(SUM(CASE WHEN d.event_type = 'view' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_views,
+       MAX(t.top_event_type) AS top_event_type
+FROM daily d JOIN top_type t ON d.day = t.day
+GROUP BY d.day
+ORDER BY day_str
+"""
+
+
+@register("x18_dashboard", oracle=_X18_ORACLE, tier="T2")
+def x18_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The replication-health dashboard a MySQL→ClickHouse operator
+    actually watches: per ingest day — event volume, distinct users,
+    exact revenue, purchase/view counts (CH ``countIf``), and the
+    dominant event type (CH ``topK(1)``/argMax) — one composite over a
+    single fact scan.
+
+    Scale: the daily grain aggregate is map-side-combinable off one
+    scan; the dominant-type pick runs over the tiny (day, type) frame
+    and broadcast-joins back. The distinct-user count is the only
+    expensive aggregate (exact distinct per day) — at 100 TB swap in
+    d4's HLL sketch for it; the exact form is kept here because the
+    dashboard is the correctness gate for the sketch."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.select(
+        F.col("ts").cast("date").alias("day"), "event_type", "user_id", "value"
+    )
+    per_type = daily.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = Window.partitionBy("day").orderBy(F.desc("cnt"), F.asc("event_type"))
+    top_type = (
+        per_type.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("day", F.col("event_type").alias("top_event_type"))
+    )
+    agg = daily.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        dsum("value").alias("revenue"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchases"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("n_views"),
+    )
+    return (
+        agg.join(F.broadcast(top_type), "day")
+        .select(
+            F.col("day").cast("string").alias("day_str"),
+            "n_events",
+            "n_users",
+            "revenue",
+            "n_purchases",
+            "n_views",
+            "top_event_type",
+        )
+    )

@@ -733,3 +733,85 @@ def c17_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_us",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# c18_asof_tolerance — as-of join with a max-staleness bound
+# ---------------------------------------------------------------------------
+
+_C18_TOL_US = 3_600_000_000  # 1 hour
+
+_C18_ORACLE = f"""
+WITH tagged AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         event_type, value
+  FROM events
+  WHERE event_type IN ('view', 'purchase')
+), chained AS (
+  SELECT user_id, event_id, ts_us, event_type, value,
+         MAX(CASE WHEN event_type = 'view' THEN ts_us END) OVER (
+           PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS last_view_us
+  FROM tagged
+)
+SELECT event_id, user_id, ts_us,
+       CAST(CASE WHEN last_view_us IS NOT NULL
+                  AND ts_us - last_view_us <= {_C18_TOL_US}
+                 THEN last_view_us ELSE -1 END AS BIGINT) AS matched_view_us,
+       CAST(CASE WHEN last_view_us IS NOT NULL
+                  AND ts_us - last_view_us <= {_C18_TOL_US}
+                 THEN ts_us - last_view_us ELSE -1 END AS BIGINT)
+         AS staleness_us,
+       value
+FROM chained
+WHERE event_type = 'purchase'
+ORDER BY event_id
+"""
+
+
+@register("c18_asof_tolerance", oracle=_C18_ORACLE, tier="T3")
+def c18_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a tolerance bound (pandas ``merge_asof
+    tolerance=`` / QuestDB ``ASOF JOIN TOLERANCE``): each purchase
+    matches its latest preceding view ONLY if that view is at most 1
+    hour stale — older context is considered expired and reported as
+    unmatched (-1). Same single union+running-max window shuffle as c9;
+    the tolerance is a post-window comparison, so bounding staleness
+    costs nothing extra at any scale. The staleness itself is surfaced
+    for latency-distribution audits."""
+    ev = load(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("view", "purchase")).select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    chained = tagged.withColumn(
+        "last_view_us",
+        F.max(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(w),
+    )
+    ok = F.col("last_view_us").isNotNull() & (
+        (F.col("ts_us") - F.col("last_view_us")) <= _C18_TOL_US
+    )
+    return (
+        chained.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            F.when(ok, F.col("last_view_us")).otherwise(-1)
+            .cast("long")
+            .alias("matched_view_us"),
+            F.when(ok, F.col("ts_us") - F.col("last_view_us")).otherwise(-1)
+            .cast("long")
+            .alias("staleness_us"),
+            "value",
+        )
+    )

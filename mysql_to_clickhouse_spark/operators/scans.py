@@ -1122,3 +1122,67 @@ def a22_ddl_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "position int, col_name string, mysql_type string, ch_type string,"
         " spark_type string, is_nullable boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# a23_mutation — CH ALTER TABLE ... DELETE / UPDATE as copy-on-write rewrite
+# ---------------------------------------------------------------------------
+
+_A23_ORACLE = f"""
+WITH mutated AS (
+  SELECT event_id, ts, user_id, event_type,
+         CASE WHEN event_type = 'error' THEN 0.0 ELSE value END AS value
+  FROM events
+  WHERE event_type <> 'signup'
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {o_dsum('value')} AS total_value,
+       CAST(SUM(CASE WHEN value = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zeroed
+FROM mutated
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("a23_mutation", oracle=_A23_ORACLE, tier="T2")
+def a23_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH mutations (``ALTER TABLE ... DELETE WHERE`` / ``UPDATE ...
+    WHERE``): ClickHouse rewrites whole parts copy-on-write in the
+    background; the Spark analog is exactly that — read the affected
+    partitions, apply the delete predicate as a filter and the update
+    as a column expression, rewrite the sink, serve reads from the
+    mutated copy. Here: DELETE WHERE event_type='signup', UPDATE value=0
+    WHERE event_type='error', physically rewritten to parquet and read
+    back for the report (so the check covers the rewrite, not just the
+    expression).
+
+    Scale: a mutation touches only parts whose min/max stats overlap
+    the predicate (partition pruning on the filter column); unaffected
+    partitions are never read or rewritten. The rewrite itself is
+    map-only — no shuffle; the mutation predicate never leaves
+    codegen."""
+    from mysql_to_clickhouse_spark.functions.tmputil import scratch_dir
+
+    ev = load(spark, sf_dir, "events")
+    mutated = ev.filter(F.col("event_type") != "signup").withColumn(
+        "value",
+        F.when(F.col("event_type") == "error", F.lit(0.0)).otherwise(
+            F.col("value")
+        ),
+    )
+    out = scratch_dir("a23_mutation_") + "/events_mutated"
+    mutated.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            dsum("value").alias("total_value"),
+            F.sum(F.when(F.col("value") == 0.0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_zeroed"),
+        )
+        .select("event_type", "n", "total_value", "n_zeroed")
+    )
