@@ -24,7 +24,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mysql_to_clickhouse_spark.functions.numeric import fixed_point, o_fixed_point
+from mysql_to_clickhouse_spark.functions.numeric import (
+    fixed_point,
+    o_dsum,
+    o_fixed_point,
+)
 from mysql_to_clickhouse_spark.functions.text import (
     distinct_shingles,
     o_distinct_shingles,
@@ -2770,4 +2774,119 @@ def i26_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         partials.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= _PQ_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# i27_heaps_law — vocabulary-growth (Heaps' law) corpus diagnostic
+# ---------------------------------------------------------------------------
+
+# V(N) ~ k·N^beta: regress ln(cum_vocab) on ln(cum_tokens) over
+# doc-batch checkpoints. Counts are exact integers (first-seen-batch
+# trick); only ln is transcendental -> rounded at 6 (i6 precedent);
+# the OLS arithmetic is the d39 shared fragment on five exact sums.
+_I27_BATCH = 100  # docs per checkpoint
+
+_I27_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id // {_I27_BATCH} AS batch,
+         unnest(string_split(text, ' ')) AS word
+  FROM documents
+), tok AS (
+  SELECT batch, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM words GROUP BY batch
+), first_seen AS (
+  SELECT word, MIN(batch) AS fb FROM words GROUP BY word
+), vocab AS (
+  SELECT fb AS batch, CAST(COUNT(*) AS BIGINT) AS new_words
+  FROM first_seen GROUP BY fb
+), curve AS (
+  SELECT t.batch,
+         SUM(t.n_tokens) OVER (ORDER BY t.batch
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+         SUM(COALESCE(v.new_words, 0)) OVER (ORDER BY t.batch
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_vocab
+  FROM tok t LEFT JOIN vocab v ON v.batch = t.batch
+), pts AS (
+  SELECT ROUND(LN(CAST(cum_tokens AS DOUBLE)), 6) AS x,
+         ROUND(LN(CAST(cum_vocab AS DOUBLE)), 6) AS y
+  FROM curve
+), sums AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         {o_dsum('x', 6)} AS sx, {o_dsum('y', 6)} AS sy,
+         {o_dsum('x * y', 6)} AS sxy, {o_dsum('x * x', 6)} AS sxx
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_checkpoints,
+       (SELECT CAST(MAX(cum_tokens) AS BIGINT) FROM curve) AS total_tokens,
+       (SELECT CAST(MAX(cum_vocab) AS BIGINT) FROM curve) AS total_vocab,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS heaps_beta
+FROM sums
+"""
+
+
+@register("i27_heaps_law", oracle=_I27_ORACLE)
+def i27_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit over the corpus: V(N) ≈ k·N^β estimated by OLS on
+    ln/ln cumulative (tokens, vocabulary) checkpoints every 100 docs —
+    the growth diagnostic that tells a training-data pipeline whether
+    a source keeps contributing novel vocabulary or has saturated
+    (β→0). Vocabulary-so-far uses the first-seen-batch identity (e9's
+    trick lifted to words): one (word → min batch) aggregate, never a
+    per-checkpoint distinct over history.
+
+    Scale: tokens explode once; the two aggregates are map-side
+    combinable on word/batch keys; the curve and regression run over
+    |batches| rows. At 100 TB the vocabulary table is the only large
+    intermediate and it shuffles once."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        F.expr(f"doc_id div {_I27_BATCH}").alias("batch"),
+        F.explode(F.split("text", " ")).alias("word"),
+    )
+    tok = words.groupBy("batch").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    vocab = (
+        words.groupBy("word")
+        .agg(F.min("batch").alias("fb"))
+        .groupBy("fb")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_words"))
+        .withColumnRenamed("fb", "batch")
+    )
+    wspec = Window.orderBy("batch").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = (
+        tok.join(vocab, "batch", "left")
+        .select(
+            "batch",
+            F.sum("n_tokens").over(wspec).alias("cum_tokens"),
+            F.sum(F.coalesce("new_words", F.lit(0))).over(wspec).alias("cum_vocab"),
+        )
+    )
+    pts = curve.select(
+        F.round(F.log(F.col("cum_tokens").cast("double")), 6).alias("x"),
+        F.round(F.log(F.col("cum_vocab").cast("double")), 6).alias("y"),
+    )
+    from mysql_to_clickhouse_spark.functions.numeric import dsum as _dsum
+
+    sums = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        _dsum("x", 6).alias("sx"),
+        _dsum("y", 6).alias("sy"),
+        _dsum(F.col("x") * F.col("y"), 6).alias("sxy"),
+        _dsum(F.col("x") * F.col("x"), 6).alias("sxx"),
+    )
+    totals = curve.agg(
+        F.max("cum_tokens").cast("long").alias("total_tokens"),
+        F.max("cum_vocab").cast("long").alias("total_vocab"),
+    )
+    return (
+        sums.crossJoin(totals)
+        .selectExpr(
+            "CAST(n AS BIGINT) AS n_checkpoints",
+            "total_tokens",
+            "total_vocab",
+            "(n * sxy - sx * sy) / (n * sxx - sx * sx) AS heaps_beta",
+        )
     )

@@ -315,3 +315,56 @@ def k5_partition_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_fp").cast("bigint").alias("sum_fp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k6_mv_cascade — MV feeding MV (hourly partials -> daily rollup)
+# ---------------------------------------------------------------------------
+
+_K6_ORACLE = f"""
+SELECT CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS VARCHAR) AS day_str,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {o_dsum('value')} AS total_value
+FROM events
+GROUP BY day_str, event_type
+ORDER BY day_str, event_type
+"""
+
+
+@register("k6_mv_cascade", oracle=_K6_ORACLE, tier="T2")
+def k6_mv_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascaded materialized views (CH MV-reading-from-MV): the fact
+    stream feeds an HOURLY partial-state MV, and the DAILY report view
+    is maintained from the hourly partials alone — the raw table is
+    never touched after the first hop. The driver hash against a
+    direct daily recompute proves the cascade is lossless: partial
+    states (count, fixed-point sum) are associative, so re-aggregating
+    hour→day partials equals aggregating raw→day.
+
+    Scale: the cascade is the cost structure that matters at 100 TB —
+    the hourly hop is the only scan of raw data; every further grain
+    (day/week/month) aggregates |hours|·|types| partial rows, i.e. the
+    report hierarchy costs ~zero marginal IO. Both hops are map-side-
+    combinable hash aggregates."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("p_count"),
+        F.sum(fixed_point("value")).alias("p_sum_fp"),
+    )
+    daily = hourly.groupBy(
+        F.col("hour").cast("date").alias("day"), "event_type"
+    ).agg(
+        F.sum("p_count").cast("long").alias("n"),
+        (F.sum("p_sum_fp").cast("double") / F.lit(float(10**SUM_SCALE))).alias(
+            "total_value"
+        ),
+    )
+    return daily.select(
+        F.col("day").cast("string").alias("day_str"),
+        "event_type",
+        "n",
+        "total_value",
+    )

@@ -32,6 +32,7 @@ CARTESIAN_OK = {
     "s6_quantified_all",  # scalar (1-row) ALL-bound cross join (the decorrelation)
     "i23_bigram_surprisal",  # scalar (1-row) vocab-size cross join (smoothing V)
     "d40_cramers_v",     # contingency-grid densification cross join (|a|x|b| <= 50 post-agg rows)
+    "i27_heaps_law",     # scalar (1-row) totals cross join onto the OLS sums row
 }
 
 # queries whose side effects / streaming make a plain plan dump moot
