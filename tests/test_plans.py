@@ -240,3 +240,47 @@ def test_x14_q21_no_triple_lineitem_scan(spark):
     schemas = scan_read_schemas(df)
     li_scans = [s for s in schemas if "l_suppkey" in s and "l_orderkey" in s]
     assert 1 <= len(li_scans) <= 2, schemas
+
+
+def test_i25_paragraph_dedup_two_shuffles(spark):
+    """C4 paragraph dedup must cost exactly the chunk-key and doc-key
+    exchanges — no window over the corpus, no extra repartition."""
+    df = QUERIES["i25_paragraph_dedup"].fn(spark, TEST_SF_DIR)
+    assert num_shuffles(df) <= 2, plan_of(df, "simple")
+
+
+def test_h19_rolling_mau_bounded_generate(spark):
+    """The rolling-distinct plan explodes a bounded 7-day sequence
+    (Generate over sequence(...)), never a fact-table range self-join:
+    no cartesian, no BroadcastNestedLoop."""
+    df = QUERIES["h19_rolling_mau"].fn(spark, TEST_SF_DIR)
+    plan = plan_of(df, "simple")
+    assert "Generate explode(sequence" in plan, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_e9_running_distinct_no_expanding_distinct(spark):
+    """Running distinct uses the first-seen identity: the plan contains
+    plain hash aggregates + one window sum — no distinct aggregate
+    inside a window frame (which would rescan per row)."""
+    df = QUERIES["e9_running_distinct"].fn(spark, TEST_SF_DIR)
+    plan = plan_of(df, "simple")
+    assert "Window" in plan, plan
+    # the distinct work happens in groupBy aggregates before the window
+    assert num_shuffles(df) <= 3, plan
+
+
+def test_d42_bitmap_single_row_fold(spark):
+    """Bitmap algebra is two chained folds: at most the user-key
+    exchange plus the single-row merge."""
+    df = QUERIES["d42_bitmap_ops"].fn(spark, TEST_SF_DIR)
+    assert num_shuffles(df) <= 2, plan_of(df, "simple")
+
+
+def test_k6_cascade_both_hops_partial_merge(spark):
+    """The MV cascade aggregates raw->hour->day: two hash-agg exchanges
+    and nothing else (no join, no window)."""
+    df = QUERIES["k6_mv_cascade"].fn(spark, TEST_SF_DIR)
+    plan = plan_of(df, "simple")
+    assert num_shuffles(df) <= 2, plan
+    assert "Join" not in plan and "Window" not in plan, plan
