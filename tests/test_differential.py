@@ -315,3 +315,121 @@ def test_mann_whitney_u2_equals_pair_counting(spark):
         F.sum(F.col("n_a") * (2 * F.col("cum_b") + F.col("n_b"))).alias("u2")
     ).first()["u2"]
     assert got == expected_2u
+
+
+def test_asof_tolerance_matches_pandas_merge_asof(spark, tmp_path):
+    """c18 == pandas merge_asof(tolerance=1h, direction='backward') on
+    a randomized event stream (the library implementation of the same
+    semantics, matching on the full view/purchase interleaving)."""
+    import datetime as dt
+    import random
+
+    import pandas as pd
+    from pyspark.sql import Row
+
+    rng = random.Random(99)
+    rows = []
+    eid = 0
+    for uid in range(6):
+        t = dt.datetime(2024, 1, 1)
+        for _ in range(rng.randint(5, 25)):
+            t = t + dt.timedelta(minutes=rng.randint(1, 200))
+            et = rng.choice(["view", "purchase", "click"])
+            rows.append(Row(event_id=eid, ts=t, user_id=uid, event_type=et,
+                            value=float(rng.randint(1, 100)), props="{}"))
+            eid += 1
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows).write.parquet(f"{sf}/events.parquet")
+
+    from mysql_to_clickhouse_spark.operators.joins import c18_asof_tolerance
+
+    got = (
+        c18_asof_tolerance(spark, sf)
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+    pdf = pd.DataFrame([r.asDict() for r in rows])
+    pdf["ts_us"] = pdf["ts"].astype("datetime64[us]").astype("int64")
+    views = pdf[pdf.event_type == "view"][["user_id", "ts_us"]].rename(
+        columns={"ts_us": "view_us"}
+    ).sort_values("view_us")
+    purch = pdf[pdf.event_type == "purchase"].sort_values("ts_us")
+    merged = pd.merge_asof(
+        purch,
+        views,
+        left_on="ts_us",
+        right_on="view_us",
+        by="user_id",
+        direction="backward",
+        tolerance=3_600_000_000,
+    ).sort_values("event_id").reset_index(drop=True)
+
+    assert len(got) == len(merged)
+    for g, (_, m) in zip(got.itertuples(index=False), merged.iterrows()):
+        expected = int(m["view_us"]) if pd.notna(m["view_us"]) else -1
+        assert g.matched_view_us == expected, (g.event_id, expected)
+
+
+def test_exp_decay_avg_matches_numpy_reference(spark, tmp_path):
+    """d41 == a direct numpy evaluation of the documented formula
+    (weights exp((t-tmax)/tau) rounded at 9, fixed-point sums)."""
+    import datetime as dt
+    import random
+
+    import numpy as np
+    from pyspark.sql import Row
+
+    rng = random.Random(5)
+    rows = []
+    eid = 0
+    for uid in range(5):
+        t = dt.datetime(2024, 1, 1)
+        for _ in range(rng.randint(3, 15)):
+            t = t + dt.timedelta(hours=rng.randint(1, 48))
+            rows.append(Row(event_id=eid, ts=t, user_id=uid, event_type="view",
+                            value=round(rng.uniform(0.01, 490.0), 2), props="{}"))
+            eid += 1
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows).write.parquet(f"{sf}/events.parquet")
+
+    from mysql_to_clickhouse_spark.operators.stats import d41_exp_decay_avg
+
+    got = {r.user_id: r.decayed_avg for r in d41_exp_decay_avg(spark, sf).collect()}
+
+    import pandas as pd
+
+    pdf = pd.DataFrame([r.asDict() for r in rows])
+    pdf["t_us"] = pdf["ts"].astype("datetime64[us]").astype("int64")
+    tau = 259200000000.0
+    for uid, g in pdf.groupby("user_id"):
+        w = np.round(np.exp((g["t_us"] - g["t_us"].max()) / tau), 9)
+        num = np.floor(w * g["value"] * 1e6).astype("int64").sum() / 1e6
+        den = np.floor(w * 1e9).astype("int64").sum() / 1e9
+        assert got[uid] == num / den, uid
+
+
+def test_geo_distance_matches_python_haversine(spark):
+    """g26 distances agree with a plain-python haversine (same rounding
+    discipline) on the real customer table, and known geometry holds:
+    zero distance for identical points, symmetry under swap."""
+    import math
+
+    from mysql_to_clickhouse_spark.operators.scalars import g26_geo_distance
+    from tests.conftest import TEST_SF_DIR
+
+    got = g26_geo_distance(spark, TEST_SF_DIR).limit(200).collect()
+
+    def ref(lat1, lon1, lat2, lon2):
+        d2r = 0.017453292519943295
+        s_dlat = round(math.sin((lat2 - lat1) * d2r / 2.0), 9)
+        s_dlon = round(math.sin((lon2 - lon1) * d2r / 2.0), 9)
+        c1, c2 = round(math.cos(lat1 * d2r), 9), round(math.cos(lat2 * d2r), 9)
+        a = s_dlat * s_dlat + c1 * c2 * s_dlon * s_dlon
+        return 2.0 * 6371.0 * round(math.asin(math.sqrt(a)), 9)
+
+    for r in got:
+        assert r.dist_km == ref(r.lat1, r.lon1, r.lat2, r.lon2), r.c_custkey
+        assert ref(r.lat1, r.lon1, r.lat1, r.lon1) == 0.0
+        assert ref(r.lat2, r.lon2, r.lat1, r.lon1) == r.dist_km
