@@ -1186,3 +1186,111 @@ def a23_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "n", "total_value", "n_zeroed")
     )
+
+
+# ---------------------------------------------------------------------------
+# a24_atomic_publish — all-or-nothing multi-table batch publish
+# ---------------------------------------------------------------------------
+
+_A24_ORACLE = f"""
+WITH latest AS (
+  SELECT user_id,
+         MAX_BY(event_type,
+                (epoch_us(CAST(ts AS TIMESTAMP)) - 1704067200000000)
+                  * 1000000 + event_id) AS last_type
+  FROM events GROUP BY user_id
+), totals AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, {o_dsum('value')} AS total
+  FROM events GROUP BY event_type
+)
+SELECT t.event_type, t.n, t.total,
+       CAST((SELECT COUNT(*) FROM latest WHERE last_type = t.event_type)
+            AS BIGINT) AS users_ending_here
+FROM totals t
+ORDER BY t.event_type
+"""
+
+
+def atomic_publish(
+    spark: SparkSession,
+    base: str,
+    frames: dict[str, DataFrame],
+    version: int,
+    fail_before_publish: bool = False,
+) -> None:
+    """Write every table of a batch under ``base/v_<version>/<name>``,
+    then — only after ALL writes finished — atomically flip the
+    ``CURRENT`` pointer file. A crash before the flip leaves readers on
+    the previous version with no torn state (the MySQL-transaction →
+    ClickHouse atomic-batch guarantee a replicator must provide across
+    multiple destination tables)."""
+    import os
+
+    for name, df in frames.items():
+        df.write.mode("overwrite").parquet(f"{base}/v_{version}/{name}")
+    if fail_before_publish:
+        raise RuntimeError("simulated crash between sink writes and publish")
+    tmp = f"{base}/CURRENT.tmp"
+    with open(tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(tmp, f"{base}/CURRENT")  # atomic on POSIX
+
+
+def read_published(spark: SparkSession, base: str, name: str) -> DataFrame:
+    with open(f"{base}/CURRENT") as fh:
+        version = int(fh.read().strip())
+    return spark.read.parquet(f"{base}/v_{version}/{name}")
+
+
+@register("a24_atomic_publish", oracle=_A24_ORACLE, tier="T2")
+def a24_atomic_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic multi-table publish: one CDC batch materializes TWO
+    destination tables (per-user latest state and per-type totals) and
+    readers may only ever observe both-or-neither — staging dirs plus
+    one atomically-renamed version pointer (the parquet-lake analog of
+    applying a MySQL transaction to several ClickHouse tables with
+    exactly-once visibility). The report joins the two READ-BACK tables
+    so the hash covers the publish path, not just the expressions; the
+    crash-between-writes case is unit-tested (pointer stays on the old
+    version).
+
+    Scale: publishing is metadata-only (one rename) regardless of data
+    size; each table write is the usual partitioned sink. Readers pin a
+    version — no torn reads during long queries, and rollback is
+    repointing."""
+    from mysql_to_clickhouse_spark.functions.tmputil import scratch_dir
+
+    ev = load(spark, sf_dir, "events")
+    latest = ev.groupBy("user_id").agg(
+        F.max_by(
+            "event_type",
+            (F.unix_micros("ts") - F.lit(1704067200000000)) * 1000000
+            + F.col("event_id"),
+        ).alias("last_type")
+    )
+    totals = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum("value").alias("total"),
+    )
+    base = scratch_dir("a24_publish_")
+    atomic_publish(spark, base, {"latest": latest, "totals": totals}, version=1)
+    t = read_published(spark, base, "totals")
+    l = read_published(spark, base, "latest")
+    ending = l.groupBy("last_type").agg(
+        F.count(F.lit(1)).cast("long").alias("users_ending_here")
+    )
+    return (
+        t.join(
+            F.broadcast(ending),
+            t["event_type"] == ending["last_type"],
+            "left",
+        )
+        .select(
+            "event_type",
+            "n",
+            "total",
+            F.coalesce("users_ending_here", F.lit(0))
+            .cast("long")
+            .alias("users_ending_here"),
+        )
+    )

@@ -484,3 +484,122 @@ def e10_nonneg_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return seq.select("user_id", "event_id", "ts_us", rate.alias("rate_per_s"))
+
+
+# ---------------------------------------------------------------------------
+# e11_interpolate — CH WITH FILL ... INTERPOLATE (linear)
+# ---------------------------------------------------------------------------
+
+# Hourly grid per user between first and last activity; missing hours
+# get linearly interpolated values between the neighboring real points.
+# All inputs to the interpolation arithmetic are exact (integer hour
+# indexes, fixed 2-decimal values), and the expression order is shared.
+_E11_ORACLE = """
+WITH pts AS (
+  SELECT user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+         MAX(value) AS v
+  FROM events
+  WHERE event_type = 'purchase'
+  GROUP BY user_id, hr
+), spine AS (
+  SELECT p.user_id, g.hr
+  FROM (SELECT user_id, MIN(hr) AS h0, MAX(hr) AS h1
+        FROM pts GROUP BY user_id) p,
+       LATERAL (SELECT unnest(range(p.h0, p.h1 + 1)) AS hr) g
+), joined AS (
+  SELECT s.user_id, s.hr, p.v,
+         CAST(s.hr AS DOUBLE) AS x
+  FROM spine s LEFT JOIN pts p ON p.user_id = s.user_id AND p.hr = s.hr
+), walls AS (
+  SELECT user_id, hr, v, x,
+         MAX(CASE WHEN v IS NOT NULL THEN x END) OVER (
+           PARTITION BY user_id ORDER BY hr
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS x0,
+         MIN(CASE WHEN v IS NOT NULL THEN x END) OVER (
+           PARTITION BY user_id ORDER BY hr
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS x1,
+         LAST_VALUE(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY hr
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v0,
+         FIRST_VALUE(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY hr
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1
+  FROM joined
+)
+SELECT user_id, CAST(hr AS BIGINT) AS hr,
+       CAST(CASE WHEN v IS NOT NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS interpolated,
+       CASE WHEN v IS NOT NULL THEN v
+            ELSE v0 + (v1 - v0) * (x - x0) / (x1 - x0) END AS value_filled
+FROM walls
+ORDER BY user_id, hr
+"""
+
+
+@register("e11_interpolate", oracle=_E11_ORACLE, tier="T2")
+def e11_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``WITH FILL ... INTERPOLATE``: densify each user's purchase
+    series to an hourly grid and LINEARLY interpolate the gaps between
+    neighboring real points (h12 fills with constants; this is the
+    value-interpolating variant every monitoring UI wants). Neighbor
+    lookup is last/first_value IGNORE NULLS over the dense spine; the
+    interpolation arithmetic runs in one shared expression order on
+    exact inputs.
+
+    Scale: the spine explodes ≤ activity-span hours per user (bounded
+    sequence Generate, proportional to the report, not the facts); two
+    window passes over the spine partitioned by user — one shuffle. The
+    grid never touches the raw fact table beyond the first
+    aggregate."""
+    ev = load(spark, sf_dir, "events")
+    pts = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.expr("unix_micros(ts) div 3600000000").alias("hr"),
+            "value",
+        )
+        .groupBy("user_id", "hr")
+        .agg(F.max("value").alias("v"))
+    )
+    span = pts.groupBy("user_id").agg(
+        F.min("hr").alias("h0"), F.max("hr").alias("h1")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("hr"),
+    )
+    joined = spine.join(pts, ["user_id", "hr"], "left").select(
+        "user_id", "hr", "v", F.col("hr").cast("double").alias("x")
+    )
+    back = Window.partitionBy("user_id").orderBy("hr").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    fwd = Window.partitionBy("user_id").orderBy("hr").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    real_x = F.when(F.col("v").isNotNull(), F.col("x"))
+    walls = joined.select(
+        "user_id",
+        "hr",
+        "v",
+        "x",
+        F.max(real_x).over(back).alias("x0"),
+        F.min(real_x).over(fwd).alias("x1"),
+        F.last("v", ignorenulls=True).over(back).alias("v0"),
+        F.first("v", ignorenulls=True).over(fwd).alias("v1"),
+    )
+    interp = F.col("v0") + (F.col("v1") - F.col("v0")) * (
+        F.col("x") - F.col("x0")
+    ) / (F.col("x1") - F.col("x0"))
+    return walls.select(
+        "user_id",
+        F.col("hr").cast("long").alias("hr"),
+        F.when(F.col("v").isNotNull(), 0).otherwise(1).cast("long").alias(
+            "interpolated"
+        ),
+        F.when(F.col("v").isNotNull(), F.col("v")).otherwise(interp).alias(
+            "value_filled"
+        ),
+    )

@@ -346,3 +346,55 @@ def test_ddl_map_rejects_unknown_types():
 
     with _pytest.raises(ValueError, match="unmapped MySQL type"):
         parse_mysql_ddl("CREATE TABLE t (\n  `g` GEOMETRY NOT NULL\n)")
+
+
+def test_atomic_publish_crash_leaves_old_version(spark, tmp_path):
+    """a24's guarantee: a crash after writing staging tables but before
+    the pointer flip leaves readers on the previous version — no torn
+    multi-table state."""
+    import pytest as _pytest
+
+    from mysql_to_clickhouse_spark.operators.scans import (
+        atomic_publish,
+        read_published,
+    )
+
+    base = str(tmp_path / "pub")
+    df_v1 = spark.range(5).withColumnRenamed("id", "k")
+    atomic_publish(spark, base, {"t": df_v1}, version=1)
+    assert read_published(spark, base, "t").count() == 5
+
+    df_v2 = spark.range(50).withColumnRenamed("id", "k")
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        atomic_publish(
+            spark, base, {"t": df_v2}, version=2, fail_before_publish=True
+        )
+    # reader still pinned to v1 even though v2 staging files exist
+    assert read_published(spark, base, "t").count() == 5
+
+    # completing the publish flips visibility atomically
+    atomic_publish(spark, base, {"t": df_v2}, version=2)
+    assert read_published(spark, base, "t").count() == 50
+
+
+def test_interpolate_linear_hand_example(spark, tmp_path):
+    """e11: a gap of 2 hours between v=10 and v=40 interpolates to
+    20 and 30 at the missing hours."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    rows = [
+        Row(event_id=0, ts=dt.datetime(2024, 1, 1, 0), user_id=1,
+            event_type="purchase", value=10.0, props="{}"),
+        Row(event_id=1, ts=dt.datetime(2024, 1, 1, 3), user_id=1,
+            event_type="purchase", value=40.0, props="{}"),
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows).write.parquet(f"{sf}/events.parquet")
+
+    from mysql_to_clickhouse_spark.operators.windows import e11_interpolate
+
+    got = sorted(e11_interpolate(spark, sf).collect(), key=lambda r: r.hr)
+    assert [r.value_filled for r in got] == [10.0, 20.0, 30.0, 40.0]
+    assert [r.interpolated for r in got] == [0, 1, 1, 0]
