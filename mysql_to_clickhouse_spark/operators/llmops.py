@@ -2709,8 +2709,9 @@ def i26_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries arrive as their own small table) and scored inside the same
     mapInPandas pass via one numpy gather + partial top-k per batch;
     the only exchange is the |queries| x topk-per-batch partial frame.
-    Approximate by construction -> rows-only; recall vs exact i4 is
-    unit-tested."""
+    Approximate by construction -> rows-only; compensating tests:
+    tests/test_llmops.py::test_pq_adc_recall_vs_exact and
+    ::test_pq_codebooks_deterministic."""
     import numpy as np
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")

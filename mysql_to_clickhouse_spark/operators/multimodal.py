@@ -353,7 +353,9 @@ def m5_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: mapInPandas, map-only — each payload chunks independently,
     no shuffle; the downstream dedup (m4's md5 groupBy) operates on
     ~64 B-average chunks. Rows-only (no SQL analog of a rolling hash);
-    the shift-resilience property is unit-tested."""
+    compensating tests: tests/test_multimodal.py::
+    test_cdc_chunks_survive_prefix_insertion, ::test_cdc_boundaries_
+    respect_bounds_and_cover, ::test_cdc_operator_reassembles."""
     import hashlib
 
     docs = load(spark, sf_dir, "documents").select(
