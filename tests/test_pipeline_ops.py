@@ -179,3 +179,53 @@ def test_paragraph_dedup_matches_bruteforce_random(spark, tmp_path):
     got = {r.doc_id: (r.n_chunks, r.n_kept, r.clean_text)
            for r in i25_paragraph_dedup(spark, sf).collect()}
     assert got == expected
+
+
+def test_paragraph_dedup_hot_chunk_skew(spark, tmp_path):
+    """Adversarial skew: the SAME chunk appears in every document (the
+    groupBy(chunk) hot key). Correctness must hold: exactly one global
+    survivor, every other occurrence dropped."""
+    boiler = " ".join(f"h{i}" for i in range(10))
+    docs = [
+        _doc(d, boiler + " " + " ".join(f"u{d}_{i}" for i in range(10)))
+        for d in range(40)
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(docs).write.parquet(f"{sf}/documents.parquet")
+
+    from mysql_to_clickhouse_spark.operators.llmops import i25_paragraph_dedup
+
+    got = {r.doc_id: r for r in i25_paragraph_dedup(spark, sf).collect()}
+    keepers = [d for d, r in got.items() if boiler in r.clean_text]
+    assert keepers == [0]                       # min doc_id owns the hot chunk
+    assert all(got[d].n_kept == 1 for d in range(1, 40))
+    assert all(got[d].n_chunks == 2 for d in range(40))
+
+
+def test_cdc_boundaries_properties_random():
+    """Hypothesis-style property sweep: for random byte strings, the
+    boundaries tile the input, respect min/max (except the tail), and
+    are a pure function (same input -> same output)."""
+    import random
+
+    from mysql_to_clickhouse_spark.operators.multimodal import (
+        _CDC_MAX,
+        _CDC_MIN,
+        _cdc_byte_table,
+        cdc_boundaries,
+    )
+
+    table = _cdc_byte_table()
+    rng = random.Random(123)
+    for trial in range(25):
+        n = rng.randint(0, 1200)
+        data = bytes(rng.getrandbits(8) for _ in range(n))
+        ends = cdc_boundaries(data, table)
+        assert ends == cdc_boundaries(data, table)     # deterministic
+        assert ends[-1] == len(data)
+        assert ends == sorted(set(ends)) or data == b""
+        prev = 0
+        for e in ends[:-1]:
+            assert _CDC_MIN <= e - prev <= _CDC_MAX, (trial, e - prev)
+            prev = e
+        assert ends[-1] - prev <= _CDC_MAX
