@@ -552,3 +552,111 @@ def d42_bitmap_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("card_or"),
         F.sum(F.col("a") * (1 - F.col("b"))).cast("long").alias("card_andnot"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d43_sum_distinct — the -Distinct combinator (sumDistinct / avgDistinct)
+# ---------------------------------------------------------------------------
+
+# Distinct-then-fixed-point-sum: the built-in sum_distinct accumulates
+# doubles in partition order (non-deterministic across engines), so the
+# engine form dedupes first and folds exactly.
+_D43_ORACLE = f"""
+WITH d AS (
+  SELECT DISTINCT event_type, value FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_values,
+       {o_dsum('value')} AS sum_distinct,
+       ({o_dsum('value')}) / COUNT(*) AS avg_distinct
+FROM d
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("d43_sum_distinct", oracle=_D43_ORACLE, tier="T3")
+def d43_sum_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``sumDistinct``/``avgDistinct`` (the -Distinct combinator):
+    fold each distinct value once. The engine dedupes (a map-side-
+    combinable distinct on (group, value)) and then runs the exact
+    fixed-point fold — the built-in sum_distinct would accumulate
+    doubles in partition order and break cross-engine parity.
+
+    Scale: distinct state is |group|·|distinct values| — for a measure
+    column this is the value-collapse that also powers d8d; one
+    exchange."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.select("event_type", "value").distinct()
+    return (
+        d.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_values"),
+            dsum("value").alias("sum_distinct"),
+            (dsum("value") / F.count(F.lit(1))).alias("avg_distinct"),
+        )
+        .select("event_type", "n_distinct_values", "sum_distinct", "avg_distinct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d44_mad — median absolute deviation (robust dispersion)
+# ---------------------------------------------------------------------------
+
+# Exactness discipline: medians run over integer cents (2-decimal value
+# domain x100), where linear interpolation lands on exact .0/.5 — the
+# d8 trick — so both engines' interpolation formulas agree bit-for-bit;
+# the final /100 rescale is one shared division.
+_D44_ORACLE = """
+WITH cents AS (
+  SELECT event_type, CAST(ROUND(value * 100.0) AS BIGINT) AS c
+  FROM events
+), med AS (
+  SELECT event_type, quantile_cont(c, 0.5) AS m_c
+  FROM cents GROUP BY event_type
+), dev AS (
+  SELECT c.event_type, ABS(CAST(c.c AS DOUBLE) - m.m_c) AS adev
+  FROM cents c JOIN med m ON c.event_type = m.event_type
+)
+SELECT d.event_type,
+       MAX(m.m_c) / 100.0 AS median_value,
+       quantile_cont(d.adev, 0.5) / 100.0 AS mad_value
+FROM dev d JOIN med m ON d.event_type = m.event_type
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+
+@register("d44_mad", oracle=_D44_ORACLE)
+def d44_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per event_type — the robust spread
+    statistic (CH medianExact composed twice). Two exact-percentile
+    passes over integer cents: median of values, then median of
+    absolute deviations from it; a broadcast join carries the per-group
+    median back to the rows.
+
+    Scale: like all exact percentiles this materializes each group's
+    values for the sort-based percentile (d8's caveat) — at 100 TB
+    substitute the d8b sketch for both passes; the exact form is the
+    correctness anchor the sketch is tested against. The join is
+    broadcast (|groups| rows); two exchanges total."""
+    ev = load(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_type", F.round(F.col("value") * 100.0).cast("long").alias("c")
+    )
+    med = cents.groupBy("event_type").agg(
+        F.expr("percentile(c, 0.5)").alias("m_c")
+    )
+    dev = cents.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "m_c",
+        F.abs(F.col("c").cast("double") - F.col("m_c")).alias("adev"),
+    )
+    return (
+        dev.groupBy("event_type")
+        .agg(
+            (F.max("m_c") / 100.0).alias("median_value"),
+            (F.expr("percentile(adev, 0.5)") / 100.0).alias("mad_value"),
+        )
+        .select("event_type", "median_value", "mad_value")
+    )

@@ -269,3 +269,43 @@ def test_format_readable_tie_case(spark, tmp_path):
     got = {r.c_custkey: r.readable for r in g28_format_readable(spark, sf).collect()}
     assert got[128] == "167.12 KiB"   # 128*1337 = 171136 = 167.125 KiB
     assert got[1] == "1.30 KiB"       # 1337 B = 1.30566... KiB
+
+
+def test_sum_distinct_folds_each_value_once(spark, tmp_path):
+    rows = [
+        _mk_ev(0, 1, "view"), _mk_ev(1, 2, "view"), _mk_ev(2, 3, "view"),
+    ]
+    # give duplicated values: 5.0, 5.0, 7.5
+    rows[0] = rows[0].asDict(); rows[0]["value"] = 5.0
+    rows[1] = rows[1].asDict(); rows[1]["value"] = 5.0
+    rows[2] = rows[2].asDict(); rows[2]["value"] = 7.5
+    from pyspark.sql import Row as R
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame([R(**r) for r in rows]).write.parquet(
+        f"{sf}/events.parquet"
+    )
+
+    from mysql_to_clickhouse_spark.operators.stats import d43_sum_distinct
+
+    out = d43_sum_distinct(spark, sf).collect()[0]
+    assert out.n_distinct_values == 2
+    assert out.sum_distinct == 12.5
+    assert out.avg_distinct == 6.25
+
+
+def test_mad_hand_example(spark, tmp_path):
+    """values 1,2,3,4,100 -> median 3, deviations 2,1,0,1,97 -> MAD 1."""
+    vals = [1.0, 2.0, 3.0, 4.0, 100.0]
+    rows = [
+        Row(event_id=i, ts=_ts(1), user_id=1, event_type="view",
+            value=v, props="{}")
+        for i, v in enumerate(vals)
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows).write.parquet(f"{sf}/events.parquet")
+
+    from mysql_to_clickhouse_spark.operators.stats import d44_mad
+
+    out = d44_mad(spark, sf).collect()[0]
+    assert out.median_value == 3.0
+    assert out.mad_value == 1.0
