@@ -2891,3 +2891,80 @@ def i27_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(n * sxy - sx * sy) / (n * sxx - sx * sx) AS heaps_beta",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# i28_semantic_decontam — embedding-level eval-set decontamination
+# ---------------------------------------------------------------------------
+
+_I28_THRESH = 0.25
+
+_I28_ORACLE = f"""
+WITH ev AS (
+  SELECT vec_id AS eval_id, embedding AS e FROM embeddings
+  WHERE vec_id % 37 = 0
+), corpus AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 37 <> 0
+), scored AS (
+  SELECT c.vec_id, ev.eval_id,
+         {o_cosine('c.embedding', 'ev.e')} AS cos_sim
+  FROM corpus c CROSS JOIN ev
+), best AS (
+  SELECT vec_id,
+         MAX_BY(eval_id, CAST(FLOOR(cos_sim * 1000000000000.0) AS BIGINT)
+                * 100000 - eval_id) AS nearest_eval_id,
+         MAX(cos_sim) AS max_cos
+  FROM scored GROUP BY vec_id
+)
+SELECT vec_id, nearest_eval_id, max_cos,
+       CAST(CASE WHEN max_cos >= {_I28_THRESH} THEN 1 ELSE 0 END AS BIGINT)
+         AS contaminated
+FROM best
+ORDER BY vec_id
+"""
+
+
+@register("i28_semantic_decontam", oracle=_I28_ORACLE, tier="T2")
+def i28_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level benchmark decontamination (the semantic
+    complement of i14's k-gram overlap): flag every corpus vector whose
+    max cosine against the held-out eval set clears a threshold, with
+    the nearest eval neighbor surfaced for audit. Cosine uses the
+    fixed-point quantized arithmetic (functions/vectors.py) so the
+    score — and therefore the contamination VERDICT — is bit-identical
+    on both engines; a float-ulp verdict flip is exactly the bug this
+    discipline exists to prevent.
+
+    Scale: the eval set is small by construction (benchmarks are
+    thousands of rows, the corpus is billions) → broadcast it; the scan
+    is corpus × |eval| with per-row argmax folded map-side — no
+    shuffle of the corpus at all. Above broadcast size, route through
+    i4's blocked cogroup instead (same dispatch as i3/i4)."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ev = emb.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("e")
+    )
+    corpus = emb.filter(F.col("vec_id") % 37 != 0)
+    scored = corpus.join(F.broadcast(ev)).select(
+        "vec_id",
+        "eval_id",
+        cosine("embedding", "e").alias("cos_sim"),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max_by(
+            "eval_id",
+            F.floor(F.col("cos_sim") * 1000000000000.0).cast("long")
+            * 100000
+            - F.col("eval_id"),
+        ).alias("nearest_eval_id"),
+        F.max("cos_sim").alias("max_cos"),
+    )
+    return best.select(
+        "vec_id",
+        "nearest_eval_id",
+        "max_cos",
+        F.when(F.col("max_cos") >= _I28_THRESH, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("contaminated"),
+    )
