@@ -1102,3 +1102,92 @@ def h20_strict_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         level.cast("long").alias("strict_level"),
         F.length("journey").cast("long").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# h21_incremental_bitmap — micro-batch-maintained audience bitmap state
+# ---------------------------------------------------------------------------
+
+# The streaming twin of d42: per-user membership flags maintained as
+# mergeable state across 6 replayed micro-batches (flag merge = MAX —
+# associative, idempotent), report derived from state only. The
+# driver's hash against the batch SQL proves stream == batch.
+_H21_ORACLE = """
+WITH flags AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS a,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+  FROM events
+  GROUP BY user_id
+)
+SELECT CAST(SUM(a) AS BIGINT) AS card_view,
+       CAST(SUM(b) AS BIGINT) AS card_purchase,
+       CAST(SUM(a * b) AS BIGINT) AS card_and,
+       CAST(SUM(CASE WHEN a + b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS card_or,
+       CAST(COUNT(*) AS BIGINT) AS n_users_in_state
+FROM flags
+"""
+
+
+@register("h21_incremental_bitmap", oracle=_H21_ORACLE, tier="T3")
+def h21_incremental_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained audience bitmaps: the d42 flag state
+    kept current across 6 time-sliced micro-batches — each batch folds
+    to per-user flags and merges into state by MAX (associative AND
+    idempotent, so replayed batches are harmless: at-least-once
+    delivery still converges). The final report is computed from state
+    alone and hash-matches the one-shot batch SQL — the stream==batch
+    proof, k1's IVM claim lifted to the streaming apply loop.
+
+    Scale: state is bits-per-user (the smallest possible keyed state);
+    each merge shuffles |active users in batch| rows, never history.
+    The same fold runs under foreachBatch in production; the slicing
+    here is the deterministic replay harness (h7's pattern)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_type"
+    )
+    bounds = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+    lo, hi = int(bounds[0]), int(bounds[1]) + 1
+    step = (hi - lo) // 6 + 1
+
+    def batch_flags(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.max(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).alias("a"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("b"),
+        )
+
+    state: DataFrame | None = None
+    for i in range(6):
+        batch = ev.filter(
+            (F.col("ts_us") >= lo + i * step)
+            & (F.col("ts_us") < lo + (i + 1) * step)
+        )
+        delta = batch_flags(batch)
+        if state is None:
+            state = delta
+        else:
+            state = (
+                state.unionByName(delta)
+                .groupBy("user_id")
+                .agg(F.max("a").alias("a"), F.max("b").alias("b"))
+            )
+        # replay batch 3 a second time: idempotence under at-least-once
+        if i == 3:
+            state = (
+                state.unionByName(batch_flags(batch))
+                .groupBy("user_id")
+                .agg(F.max("a").alias("a"), F.max("b").alias("b"))
+            )
+    return state.agg(
+        F.sum("a").cast("long").alias("card_view"),
+        F.sum("b").cast("long").alias("card_purchase"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("card_and"),
+        F.sum(F.when(F.col("a") + F.col("b") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("card_or"),
+        F.count(F.lit(1)).cast("long").alias("n_users_in_state"),
+    )
