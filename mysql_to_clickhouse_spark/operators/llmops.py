@@ -2968,3 +2968,72 @@ def i28_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("contaminated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# i29_padding_waste — sequence-length bucketing / padding efficiency
+# ---------------------------------------------------------------------------
+
+_I29_ORACLE = """
+WITH lens AS (
+  SELECT doc_id, lang,
+         CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), bucketed AS (
+  SELECT lang, n_tokens,
+         CAST(POWER(2.0, GREATEST(
+                CEIL(LN(CAST(n_tokens AS DOUBLE) - 0.5) / LN(2.0)), 0))
+              AS BIGINT) AS bucket
+  FROM lens
+)
+SELECT lang, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS real_tokens,
+       CAST(SUM(bucket) AS BIGINT) AS padded_tokens,
+       CAST(SUM(bucket) - SUM(n_tokens) AS BIGINT) AS wasted_tokens
+FROM bucketed
+GROUP BY lang, bucket
+ORDER BY lang, bucket
+"""
+
+
+@register("i29_padding_waste", oracle=_I29_ORACLE)
+def i29_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing diagnostics: documents binned to
+    power-of-two token buckets (the static-shape batching strategy) and
+    the padding waste each (lang, bucket) cell would cost — the number
+    that justifies i13's concat-and-chunk packing over naive padding.
+    The bucket exponent uses CEIL(log2(n - 0.5)): the half-offset
+    keeps exact powers of two a finite distance from the CEIL
+    boundary, so a last-ulp libm difference can never bump a 128-token
+    doc into the 256 bucket (bare CEIL(log2(n)) can).
+
+    Scale: map-only projection + small hash agg; one scan."""
+    docs = load(spark, sf_dir, "documents")
+    lens = docs.select(
+        "lang", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    bucket = F.pow(
+        2.0,
+        F.greatest(
+            F.ceil(
+                F.log(F.col("n_tokens").cast("double") - 0.5)
+                / F.log(F.lit(2.0))
+            ),
+            F.lit(0),
+        ),
+    ).cast("long")
+    b = lens.withColumn("bucket", bucket)
+    return (
+        b.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("real_tokens"),
+            F.sum("bucket").cast("long").alias("padded_tokens"),
+            (F.sum("bucket") - F.sum("n_tokens")).cast("long").alias(
+                "wasted_tokens"
+            ),
+        )
+        .select("lang", "bucket", "n_docs", "real_tokens", "padded_tokens",
+                "wasted_tokens")
+    )

@@ -1294,3 +1294,65 @@ def a24_atomic_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("users_ending_here"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# a25_partition_overwrite — dynamic partition overwrite (backfill one day)
+# ---------------------------------------------------------------------------
+
+_A25_ORACLE = f"""
+WITH final_state AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
+         CASE WHEN CAST(CAST(ts AS TIMESTAMP) AS DATE) = DATE '2024-01-05'
+              THEN value * 2.0 ELSE value END AS value
+  FROM events
+)
+SELECT CAST(day AS VARCHAR) AS day_str,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {o_dsum('value')} AS total_value
+FROM final_state
+GROUP BY day_str
+ORDER BY day_str
+"""
+
+
+@register("a25_partition_overwrite", oracle=_A25_ORACLE, tier="T2")
+def a25_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the backfill primitive: rewrite
+    ONE day's partition (here: 2024-01-05 re-derived with corrected
+    values, x2) while every other partition's files stay untouched.
+    Spark's ``partitionOverwriteMode=dynamic`` replaces exactly the
+    partitions present in the written frame; the report reads the
+    whole corrected sink back, so the hash proves both the overwrite
+    and the non-interference.
+
+    Scale: a backfill touches |affected partitions| of data — never a
+    full-table rewrite; with day-partitioned 100 TB sinks this is the
+    difference between a minutes-long fix and a cluster-day."""
+    from mysql_to_clickhouse_spark.functions.tmputil import scratch_dir
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    out = scratch_dir("a25_overwrite_") + "/events_by_day"
+    ev.write.partitionBy("day").mode("overwrite").parquet(out)
+
+    fixed = (
+        ev.filter(F.col("day") == F.lit("2024-01-05").cast("date"))
+        .withColumn("value", F.col("value") * 2.0)
+    )
+    (
+        fixed.write.partitionBy("day")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy(F.col("day").cast("string").alias("day_str"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            dsum("value").alias("total_value"),
+        )
+        .select("day_str", "n", "total_value")
+    )

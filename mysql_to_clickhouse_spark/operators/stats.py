@@ -660,3 +660,44 @@ def d44_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "median_value", "mad_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# d45_geometric_mean — exp of the exact mean of rounded logs
+# ---------------------------------------------------------------------------
+
+_D45_ORACLE = f"""
+WITH lv AS (
+  SELECT event_type, ROUND(LN(value), 9) AS lnv
+  FROM events WHERE value > 0
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(EXP(({o_dsum('lnv', 9)}) / COUNT(*)), 9) AS geo_mean
+FROM lv
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("d45_geometric_mean", oracle=_D45_ORACLE, tier="T3")
+def d45_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean per event_type — exp(mean(ln x)), the right
+    average for multiplicative quantities. Both transcendentals are
+    rounded at production (LN at 9 before the exact fixed-point sum,
+    EXP at 9 after the single division), so partition order cannot
+    shift the result. One map-side-combinable aggregate."""
+    ev = load(spark, sf_dir, "events")
+    lv = ev.filter(F.col("value") > 0).select(
+        "event_type", F.round(F.log("value"), 9).alias("lnv")
+    )
+    return (
+        lv.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(
+                F.exp(dsum("lnv", 9) / F.count(F.lit(1))), 9
+            ).alias("geo_mean"),
+        )
+        .select("event_type", "n", "geo_mean")
+    )
