@@ -398,3 +398,49 @@ def test_interpolate_linear_hand_example(spark, tmp_path):
     got = sorted(e11_interpolate(spark, sf).collect(), key=lambda r: r.hr)
     assert [r.value_filled for r in got] == [10.0, 20.0, 30.0, 40.0]
     assert [r.interpolated for r in got] == [0, 1, 1, 0]
+
+
+def test_partition_overwrite_leaves_other_partitions_files_untouched(
+    spark, tmp_path
+):
+    """Dynamic overwrite must rewrite ONLY the targeted partition:
+    other partitions' file paths (and contents) survive identically."""
+    import glob
+    import os
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Row
+    import datetime as dt
+
+    rows = [
+        Row(k=i, day=dt.date(2024, 1, 1 + (i % 3)), v=float(i))
+        for i in range(30)
+    ]
+    out = str(tmp_path / "sink")
+    df = spark.createDataFrame(rows)
+    df.write.partitionBy("day").mode("overwrite").parquet(out)
+
+    def files_of(day):
+        return sorted(
+            os.path.basename(p)
+            for p in glob.glob(f"{out}/day={day}/*.parquet")
+        )
+
+    before_d2, before_d3 = files_of("2024-01-02"), files_of("2024-01-03")
+    fixed = df.filter(F.col("day") == dt.date(2024, 1, 1)).withColumn(
+        "v", F.col("v") * 10
+    )
+    (
+        fixed.write.partitionBy("day")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(out)
+    )
+    assert files_of("2024-01-02") == before_d2
+    assert files_of("2024-01-03") == before_d3
+    back = spark.read.parquet(out)
+    assert back.filter("day = '2024-01-01'").agg(
+        F.min("v")
+    ).first()[0] == 0.0  # 0*10
+    assert back.filter("day = '2024-01-01'").agg(F.max("v")).first()[0] == 270.0
+    assert back.count() == 30
