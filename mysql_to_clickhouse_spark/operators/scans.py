@@ -1356,3 +1356,60 @@ def a25_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("day_str", "n", "total_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# a26_malformed_csv — ingestion robustness: PERMISSIVE parse + quarantine
+# ---------------------------------------------------------------------------
+
+# Bad rows are planted deterministically in the CSV text itself; the
+# oracle states the expected post-quarantine relation directly from the
+# clean source rows (nation is tiny, so the whole exercise is explicit).
+_A26_ORACLE = """
+SELECT n_nationkey, n_name, n_regionkey
+FROM nation
+WHERE n_nationkey % 7 <> 3
+ORDER BY n_nationkey
+"""
+
+
+@register("a26_malformed_csv", oracle=_A26_ORACLE, tier="T3")
+def a26_malformed_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input ingestion (every replication pipeline's 3 a.m.
+    page): a CSV feed where some rows are corrupted (wrong arity /
+    non-numeric keys — planted for rows with n_nationkey % 7 == 3) is
+    read in PERMISSIVE mode with a ``_corrupt_record`` column; corrupt
+    rows are quarantined (not dropped silently, not fatal) and the
+    clean relation is served. The oracle states the expected survivors,
+    so the hash proves the quarantine caught exactly the bad rows.
+
+    Scale: schema-on-read with a corrupt-record sink is map-only; the
+    quarantine table is the dead-letter queue a 100 TB feed needs
+    (FAILFAST aborts the world, DROPMALFORMED lies about coverage)."""
+    from mysql_to_clickhouse_spark.functions.tmputil import scratch_dir
+
+    nat = load(spark, sf_dir, "nation")
+    rows = nat.select("n_nationkey", "n_name", "n_regionkey").collect()
+    path = scratch_dir("a26_csv_") + "/feed.csv"
+    with open(path, "w") as fh:
+        fh.write("n_nationkey,n_name,n_regionkey\n")
+        for r in rows:
+            if r.n_nationkey % 7 == 3:
+                fh.write(f"XX_not_a_key,{r.n_name}\n")  # corrupt: arity+type
+            else:
+                fh.write(f"{r.n_nationkey},{r.n_name},{r.n_regionkey}\n")
+    parsed = (
+        spark.read.option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(
+            "n_nationkey long, n_name string, n_regionkey long, "
+            "_corrupt_record string"
+        )
+        .csv(path)
+    )
+    parsed = parsed.cache()  # one parse feeds clean + quarantine branches
+    clean = parsed.filter(F.col("_corrupt_record").isNull()).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    return clean

@@ -701,3 +701,70 @@ def d45_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "n", "geo_mean")
     )
+
+
+# ---------------------------------------------------------------------------
+# d46_group_array_intersect — CH groupArrayIntersect: common set per group
+# ---------------------------------------------------------------------------
+
+_D46_ORACLE = """
+WITH doc_words AS (
+  SELECT DISTINCT lang, doc_id, unnest(string_split(text, ' ')) AS word
+  FROM documents
+), lang_docs AS (
+  SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM doc_words GROUP BY lang
+), word_reach AS (
+  SELECT lang, word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS in_docs
+  FROM doc_words GROUP BY lang, word
+)
+SELECT w.lang,
+       MAX(l.n_docs) AS n_docs,
+       CAST(SUM(CASE WHEN w.in_docs = l.n_docs THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_common_words,
+       COALESCE(array_to_string(list_sort(list(
+         CASE WHEN w.in_docs = l.n_docs THEN w.word END)), ','), '')
+         AS common_words
+FROM word_reach w JOIN lang_docs l ON w.lang = l.lang
+GROUP BY w.lang
+ORDER BY w.lang
+"""
+
+
+@register("d46_group_array_intersect", oracle=_D46_ORACLE, tier="T3")
+def d46_group_array_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``groupArrayIntersect``: the words present in EVERY document
+    of a language — aggregate set intersection. The scalable identity:
+    a word is in the intersection iff its distinct-doc reach equals the
+    group's doc count, so the whole operator is two counting aggregates
+    — no pairwise array intersection, no accumulating set state that a
+    single straggler row could blow up.
+
+    Scale: explode once, two map-side-combinable aggregates on
+    (lang, word) and (lang); the intersection itself is a filter."""
+    docs = load(spark, sf_dir, "documents")
+    doc_words = docs.select(
+        "lang", "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).distinct()
+    lang_docs = doc_words.groupBy("lang").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    word_reach = doc_words.groupBy("lang", "word").agg(
+        F.countDistinct("doc_id").cast("long").alias("in_docs")
+    )
+    j = word_reach.join(F.broadcast(lang_docs), "lang")
+    common = F.when(F.col("in_docs") == F.col("n_docs"), F.col("word"))
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.sum(F.when(F.col("in_docs") == F.col("n_docs"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_common_words"),
+            F.coalesce(
+                F.array_join(F.array_sort(F.collect_list(common)), ","),
+                F.lit(""),
+            ).alias("common_words"),
+        )
+        .select("lang", "n_docs", "n_common_words", "common_words")
+    )

@@ -444,3 +444,21 @@ def test_partition_overwrite_leaves_other_partitions_files_untouched(
     ).first()[0] == 0.0  # 0*10
     assert back.filter("day = '2024-01-01'").agg(F.max("v")).first()[0] == 270.0
     assert back.count() == 30
+
+
+def test_malformed_csv_quarantine_counts(spark):
+    """a26: corrupt rows land in _corrupt_record (quarantine), clean
+    rows parse; nothing is silently dropped."""
+    from mysql_to_clickhouse_spark.registry import all_queries
+    from mysql_to_clickhouse_spark.tables import load
+    from tests.conftest import TEST_SF_DIR
+
+    clean = all_queries()["a26_malformed_csv"].fn(spark, TEST_SF_DIR)
+    n_nat = load(spark, TEST_SF_DIR, "nation").count()
+    n_bad = sum(
+        1
+        for r in load(spark, TEST_SF_DIR, "nation").select("n_nationkey").collect()
+        if r.n_nationkey % 7 == 3
+    )
+    assert clean.count() == n_nat - n_bad
+    assert clean.filter("n_nationkey IS NULL").count() == 0
