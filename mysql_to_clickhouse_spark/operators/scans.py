@@ -1413,3 +1413,55 @@ def a26_malformed_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey", "n_name", "n_regionkey"
     )
     return clean
+
+
+# ---------------------------------------------------------------------------
+# a27_codec_matrix — sink compression codecs preserve content exactly
+# ---------------------------------------------------------------------------
+
+_A27_ORACLE = f"""
+WITH base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+         {o_dsum('value')} AS total_value
+  FROM events
+)
+SELECT codec, n, n_users, total_value
+FROM base, (VALUES ('gzip'), ('snappy'), ('zstd')) AS c(codec)
+ORDER BY codec
+"""
+
+
+@register("a27_codec_matrix", oracle=_A27_ORACLE, tier="T3")
+def a27_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CH column-codec story (ZSTD/LZ4/...) on the parquet sink:
+    the same relation written under gzip, snappy, and zstd, read back,
+    and reduced to the same exact aggregate — one output row per codec,
+    all three hash-identical to the source-of-truth SQL, proving codecs
+    change bytes-on-disk and NEVER logical content.
+
+    Scale: codec choice is a pure write-path knob (zstd ~2-3x smaller
+    than snappy at mild CPU cost — the 100 TB storage-bill lever);
+    nothing downstream changes, which is exactly what this operator
+    certifies."""
+    from mysql_to_clickhouse_spark.functions.tmputil import scratch_dir
+
+    ev = load(spark, sf_dir, "events")
+    base = scratch_dir("a27_codecs_")
+    out = []
+    for codec in ("gzip", "snappy", "zstd"):
+        path = f"{base}/{codec}"
+        ev.write.mode("overwrite").option("compression", codec).parquet(path)
+        back = spark.read.parquet(path)
+        out.append(
+            back.agg(
+                F.lit(codec).alias("codec"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.countDistinct("user_id").cast("long").alias("n_users"),
+                dsum("value").alias("total_value"),
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res.select("codec", "n", "n_users", "total_value")
