@@ -1015,3 +1015,94 @@ def x18_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_event_type",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x19_switchover_check — migration-completion validation (CHECKSUM TABLE)
+# ---------------------------------------------------------------------------
+
+# Row digest = first 12 hex chars of md5 over a canonical row rendering,
+# parsed to int48 and XOR-folded: order-independent, overflow-free, and
+# computable identically by both engines (Spark conv(); DuckDB 0x-cast).
+_X19_ORACLE = """
+WITH o_src AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         bit_xor(CAST(concat('0x', substr(md5(
+           concat_ws('|', CAST(o_orderkey AS VARCHAR),
+                     CAST(o_custkey AS VARCHAR), o_orderpriority)
+         ), 1, 12)) AS BIGINT)) AS digest
+  FROM orders
+), c_src AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         bit_xor(CAST(concat('0x', substr(md5(
+           concat_ws('|', CAST(c_custkey AS VARCHAR), c_mktsegment)
+         ), 1, 12)) AS BIGINT)) AS digest
+  FROM customer
+)
+SELECT 'customer' AS table_name, n AS src_rows, digest AS src_digest,
+       n AS sink_rows, digest AS sink_digest,
+       CAST(1 AS BIGINT) AS rows_match, CAST(1 AS BIGINT) AS digest_match
+FROM c_src
+UNION ALL
+SELECT 'orders', n, digest, n, digest, CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+FROM o_src
+ORDER BY table_name
+"""
+
+
+@register("x19_switchover_check", oracle=_X19_ORACLE, tier="T2")
+def x19_switchover_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The migration-completion gate every MySQL→ClickHouse cutover
+    runs (CHECKSUM TABLE on both ends): row counts and an
+    order-independent content digest computed on the SOURCE and on the
+    replicated SINK (here: a real write+read round trip), with equality
+    surfaced per table. The digest is an XOR fold of per-row truncated
+    md5 over a canonical column rendering — partition- and
+    insertion-order-proof, overflow-free, and cheap enough to run on
+    every sync cycle.
+
+    Scale: the digest is a map-side fold (one scalar per side per
+    table); validation cost is one scan of each end — at 100 TB run it
+    per partition instead and compare the partition-digest vectors to
+    localize any mismatch to one partition."""
+    from mysql_to_clickhouse_spark.functions.tmputil import scratch_dir
+
+    base = scratch_dir("x19_sink_")
+
+    def digest(df: DataFrame, cols: list[str]):
+        canon = F.concat_ws(
+            "|", *[F.col(c).cast("string") for c in cols]
+        )
+        row_h = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("long")
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.bit_xor(row_h).alias("digest"),
+        )
+
+    out = []
+    for name, cols in (
+        ("customer", ["c_custkey", "c_mktsegment"]),
+        ("orders", ["o_orderkey", "o_custkey", "o_orderpriority"]),
+    ):
+        src = load(spark, sf_dir, name).select(*cols)
+        path = f"{base}/{name}"
+        src.write.mode("overwrite").parquet(path)   # the "migration"
+        sink = spark.read.parquet(path)
+        s = digest(src, cols).first()
+        k = digest(sink, cols).first()
+        out.append(
+            (
+                name,
+                s["n"],
+                s["digest"],
+                k["n"],
+                k["digest"],
+                1 if s["n"] == k["n"] else 0,
+                1 if s["digest"] == k["digest"] else 0,
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "table_name string, src_rows long, src_digest long, sink_rows long,"
+        " sink_digest long, rows_match long, digest_match long",
+    )

@@ -1369,3 +1369,50 @@ def g30_array_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "word",
         F.row_number().over(w).cast("long").alias("occ_idx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# g31_hamming_fingerprint — bitHammingDistance over content fingerprints
+# ---------------------------------------------------------------------------
+
+_G31_ORACLE = """
+WITH fp AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(text), 1, 12)) AS BIGINT) AS fingerprint
+  FROM documents
+), seq AS (
+  SELECT doc_id, fingerprint,
+         LAG(fingerprint) OVER (ORDER BY doc_id) AS prev_fp
+  FROM fp
+)
+SELECT doc_id, fingerprint,
+       CAST(CASE WHEN prev_fp IS NULL THEN -1
+                 ELSE bit_count(xor(fingerprint, prev_fp)) END AS BIGINT)
+         AS hamming_prev
+FROM seq
+ORDER BY doc_id
+"""
+
+
+@register("g31_hamming_fingerprint", oracle=_G31_ORACLE, tier="T3")
+def g31_hamming_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``bitHammingDistance`` (the tupleHammingDistance/simhash
+    comparison primitive) on md5-derived 48-bit content fingerprints:
+    XOR then popcount, here between consecutive documents — the
+    building block i2c's simhash dedup uses with xxhash fingerprints
+    (rows-only there; this states the same algebra hash-checkably).
+
+    Scale: fingerprinting is map-only; the demo lag is one global-order
+    window over doc ids (fine for a catalog; pair generation at corpus
+    scale goes through i2c's banded buckets instead)."""
+    docs = load(spark, sf_dir, "documents")
+    fp = F.conv(F.substring(F.md5("text"), 1, 12), 16, 10).cast("long")
+    seq = docs.select("doc_id", fp.alias("fingerprint")).withColumn(
+        "prev_fp", F.lag("fingerprint").over(Window.orderBy("doc_id"))
+    )
+    ham = F.when(F.col("prev_fp").isNull(), F.lit(-1)).otherwise(
+        F.bit_count(F.expr("fingerprint ^ prev_fp"))
+    )
+    return seq.select(
+        "doc_id", "fingerprint", ham.cast("long").alias("hamming_prev")
+    )
