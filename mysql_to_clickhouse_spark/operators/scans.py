@@ -1465,3 +1465,50 @@ def a27_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in out[1:]:
         res = res.unionByName(o)
     return res.select("codec", "n", "n_users", "total_value")
+
+
+# ---------------------------------------------------------------------------
+# a28_parts_catalog — system.parts analog: per-file stats for pruning
+# ---------------------------------------------------------------------------
+
+
+@register("a28_parts_catalog", oracle=None, tier="T3")
+def a28_parts_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CH ``system.parts`` view for a parquet sink: per physical
+    file — row count and min/max of the sort key (ts). These are
+    exactly the zone-map stats parquet row groups carry and the
+    pruning catalog a lakehouse query planner consults; surfacing them
+    as a relation makes 'which parts would this predicate touch'
+    answerable in SQL (the a19 Z-order test asserts pruning against
+    the same stats). Rows-only: file names/splits are deployment
+    -specific by nature; the invariants (counts sum to the table, min
+    <= max, per-file disjoint day ranges after a sorted write) are
+    unit-tested instead (tests/test_sources.py).
+
+    Scale: input_file_name() is a zero-cost virtual column; the stats
+    aggregate is map-side per file — metadata scans stay proportional
+    to file count, not data size."""
+    from mysql_to_clickhouse_spark.functions.tmputil import scratch_dir
+
+    ev = load(spark, sf_dir, "events")
+    out = scratch_dir("a28_parts_") + "/events_sorted"
+    (
+        ev.repartitionByRange(4, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy(
+            F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1).alias(
+                "part_file"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.unix_micros(F.min("ts")).alias("min_ts_us"),
+            F.unix_micros(F.max("ts")).alias("max_ts_us"),
+        )
+        .select("part_file", "n_rows", "min_ts_us", "max_ts_us")
+    )

@@ -462,3 +462,19 @@ def test_malformed_csv_quarantine_counts(spark):
     )
     assert clean.count() == n_nat - n_bad
     assert clean.filter("n_nationkey IS NULL").count() == 0
+
+
+def test_parts_catalog_invariants(spark):
+    """a28: per-part stats cover the table exactly; ranges are ordered
+    and (after a range-partitioned sorted write) pairwise disjoint."""
+    from mysql_to_clickhouse_spark.registry import all_queries
+    from mysql_to_clickhouse_spark.tables import load
+    from tests.conftest import TEST_SF_DIR
+
+    parts = all_queries()["a28_parts_catalog"].fn(spark, TEST_SF_DIR).collect()
+    total = load(spark, TEST_SF_DIR, "events").count()
+    assert sum(p.n_rows for p in parts) == total
+    assert all(p.min_ts_us <= p.max_ts_us for p in parts)
+    spans = sorted((p.min_ts_us, p.max_ts_us) for p in parts)
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # disjoint after range partitioning
