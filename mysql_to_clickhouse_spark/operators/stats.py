@@ -768,3 +768,136 @@ def d46_group_array_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("lang", "n_docs", "n_common_words", "common_words")
     )
+
+
+# ---------------------------------------------------------------------------
+# d47_group_bit — CH groupBitAnd / groupBitOr / groupBitXor
+# ---------------------------------------------------------------------------
+
+_D47_ORACLE = """
+WITH k AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv
+  FROM events
+)
+SELECT event_type,
+       CAST(bit_and(kv) AS BIGINT) AS k_and,
+       CAST(bit_or(kv) AS BIGINT) AS k_or,
+       CAST(bit_xor(kv) AS BIGINT) AS k_xor,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM k
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("d47_group_bit", oracle=_D47_ORACLE, tier="T3")
+def d47_group_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``groupBitAnd/groupBitOr/groupBitXor``: bitwise folds over a
+    group — flag-mask accumulation (which feature bits were ever set /
+    always set / set an odd number of times). All three are
+    associative+commutative integer folds: map-side-combinable, exact,
+    order-independent by construction. One scan."""
+    ev = load(spark, sf_dir, "events")
+    k = ev.select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("kv"),
+    )
+    return (
+        k.groupBy("event_type")
+        .agg(
+            F.bit_and("kv").cast("long").alias("k_and"),
+            F.bit_or("kv").cast("long").alias("k_or"),
+            F.bit_xor("kv").cast("long").alias("k_xor"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select("event_type", "k_and", "k_or", "k_xor", "n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d48_rank_corr — CH rankCorr: Spearman rank correlation
+# ---------------------------------------------------------------------------
+
+# Average ranks (ties -> .5 fractions) are exact multiples of 0.5, and
+# their products exact multiples of 0.25 -> fixed-point at scale 2
+# captures every sum exactly; the Pearson-on-ranks fragment is shared.
+_D48_MATH = """
+  (n * sxy - sx * sy)
+    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS rank_corr
+"""
+
+_D48_ORACLE = f"""
+WITH pts AS (
+  SELECT event_type, value,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv
+  FROM events
+), rn AS (
+  SELECT event_type, value, kv,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY value) AS DOUBLE) AS rnx,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY kv) AS DOUBLE) AS rny
+  FROM pts
+), ranked AS (
+  SELECT event_type,
+         AVG(rnx) OVER (PARTITION BY event_type, value) AS rx,
+         AVG(rny) OVER (PARTITION BY event_type, kv) AS ry
+  FROM rn
+), sums AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         {o_dsum('rx', 2)} AS sx, {o_dsum('ry', 2)} AS sy,
+         {o_dsum('rx * ry', 2)} AS sxy,
+         {o_dsum('rx * rx', 2)} AS sxx, {o_dsum('ry * ry', 2)} AS syy
+  FROM ranked
+  GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n, {_D48_MATH}
+FROM sums
+ORDER BY event_type
+"""
+
+
+@register("d48_rank_corr", oracle=_D48_ORACLE)
+def d48_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``rankCorr(x, y)``: Spearman correlation between value and
+    props.k per event_type — Pearson on average ranks (ties get the
+    standard midrank, an exact .5 fraction, so every sum is exact in
+    scale-2 fixed point). Monotone-robust association for pipelines
+    where Pearson's linearity assumption lies.
+
+    Scale: ranking is two windows partitioned by (type) — the same
+    shuffle a sort-based rank costs anywhere; the reduction is five
+    exact sums, map-side-combinable. Same plan at any size (window
+    skew = hottest single group, the usual AQE lever)."""
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").cast("long").alias("kv"),
+    )
+    def midrank(col: str):
+        rn = F.row_number().over(
+            Window.partitionBy("event_type").orderBy(col)
+        ).cast("double")
+        return F.avg(rn).over(Window.partitionBy("event_type", col))
+
+    ranked = pts.select(
+        "event_type",
+        midrank("value").alias("rx"),
+        midrank("kv").alias("ry"),
+    )
+    sums = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum("rx", 2).alias("sx"),
+        dsum("ry", 2).alias("sy"),
+        dsum(F.col("rx") * F.col("ry"), 2).alias("sxy"),
+        dsum(F.col("rx") * F.col("rx"), 2).alias("sxx"),
+        dsum(F.col("ry") * F.col("ry"), 2).alias("syy"),
+    )
+    return sums.selectExpr(
+        "event_type",
+        "CAST(n AS BIGINT) AS n",
+        _D48_MATH.strip().rstrip(","),
+    )

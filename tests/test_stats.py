@@ -309,3 +309,25 @@ def test_mad_hand_example(spark, tmp_path):
     out = d44_mad(spark, sf).collect()[0]
     assert out.median_value == 3.0
     assert out.mad_value == 1.0
+
+
+def test_rank_corr_monotone_extremes(spark, tmp_path):
+    """Spearman is +1 under any monotone map, -1 under anti-monotone,
+    regardless of nonlinearity."""
+    rows = []
+    for i in range(20):
+        # 'view': kv increases with value (nonlinearly) -> rho = 1
+        rows.append(Row(event_id=i, ts=_ts(1), user_id=1, event_type="view",
+                        value=float(i), props='{"k": %d}' % (i * i)))
+        # 'click': kv decreases with value -> rho = -1
+        rows.append(Row(event_id=100 + i, ts=_ts(1), user_id=1,
+                        event_type="click", value=float(i),
+                        props='{"k": %d}' % (400 - i * i)))
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows).write.parquet(f"{sf}/events.parquet")
+
+    from mysql_to_clickhouse_spark.operators.stats import d48_rank_corr
+
+    got = {r.event_type: r.rank_corr for r in d48_rank_corr(spark, sf).collect()}
+    assert got["view"] == pytest.approx(1.0, abs=1e-9)
+    assert got["click"] == pytest.approx(-1.0, abs=1e-9)
