@@ -901,3 +901,96 @@ def d48_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(n AS BIGINT) AS n",
         _D48_MATH.strip().rstrip(","),
     )
+
+
+# ---------------------------------------------------------------------------
+# d49_theils_u — CH theilsU: uncertainty coefficient U(X|Y)
+# ---------------------------------------------------------------------------
+
+# U(X|Y) = (H(X) − H(X|Y)) / H(X), with H terms as rounded-ln
+# fixed-point sums (the d37 discipline): H(X) folds marginal cells,
+# H(X|Y) folds joint cells against the Y-marginal.
+_D49_ORACLE = f"""
+WITH cells AS (
+  SELECT event_type AS x,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS y,
+         CAST(COUNT(*) AS DOUBLE) AS cxy
+  FROM events GROUP BY x, y
+), tot AS (
+  SELECT x, y, cxy,
+         SUM(cxy) OVER (PARTITION BY x) AS cx,
+         SUM(cxy) OVER (PARTITION BY y) AS cy,
+         SUM(cxy) OVER () AS n
+  FROM cells
+), terms AS (
+  SELECT ROUND((cxy / n) * LN(cxy / cy), 9) AS hcond_term
+  FROM tot
+), hx AS (
+  SELECT {o_dsum("ROUND((cx / n) * LN(cx / n), 9)", 9)} AS neg_hx
+  FROM (SELECT DISTINCT x, MAX(cx) AS cx, MAX(n) AS n
+        FROM tot GROUP BY x)
+), hcond AS (
+  SELECT {o_dsum('hcond_term', 9)} AS neg_hcond FROM terms
+)
+SELECT (-hx.neg_hx) AS h_x,
+       (-hcond.neg_hcond) AS h_x_given_y,
+       ((-hx.neg_hx) - (-hcond.neg_hcond)) / (-hx.neg_hx) AS theils_u
+FROM hx CROSS JOIN hcond
+"""
+
+
+@register("d49_theils_u", oracle=_D49_ORACLE, tier="T3")
+def d49_theils_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``theilsU``: the asymmetric uncertainty coefficient — what
+    fraction of event_type's entropy is explained by knowing props.k
+    (mod 10). Completes the association trio next to d40 cramersV
+    (symmetric) and d48 rankCorr (ordinal). Every entropy term is
+    rounded at 9 right after LN and fixed-point summed; the final
+    three-scalar arithmetic is shared.
+
+    Scale: one (x, y) cell aggregate off the scan (≤50 cells); all
+    entropy work happens on that tiny frame."""
+    ev = load(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            F.col("event_type").alias("x"),
+            (F.get_json_object("props", "$.k").cast("long") % 10).alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("double").alias("cxy"))
+    )
+    tot = cells.select(
+        "x",
+        "y",
+        "cxy",
+        F.sum("cxy").over(Window.partitionBy("x")).alias("cx"),
+        F.sum("cxy").over(Window.partitionBy("y")).alias("cy"),
+        F.sum("cxy").over(Window.partitionBy()).alias("n"),
+    )
+    hx_cells = tot.groupBy("x").agg(
+        F.max("cx").alias("cx"), F.max("n").alias("n")
+    )
+    hx = hx_cells.agg(
+        dsum(F.round((F.col("cx") / F.col("n")) * F.log(F.col("cx") / F.col("n")), 9), 9).alias(
+            "neg_hx"
+        )
+    )
+    hcond = tot.agg(
+        dsum(
+            F.round(
+                (F.col("cxy") / F.col("n")) * F.log(F.col("cxy") / F.col("cy")),
+                9,
+            ),
+            9,
+        ).alias("neg_hcond")
+    )
+    return (
+        hx.crossJoin(hcond)
+        .select(
+            (-F.col("neg_hx")).alias("h_x"),
+            (-F.col("neg_hcond")).alias("h_x_given_y"),
+            (
+                ((-F.col("neg_hx")) - (-F.col("neg_hcond"))) / (-F.col("neg_hx"))
+            ).alias("theils_u"),
+        )
+    )

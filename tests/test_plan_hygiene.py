@@ -34,6 +34,7 @@ CARTESIAN_OK = {
     "d40_cramers_v",     # contingency-grid densification cross join (|a|x|b| <= 50 post-agg rows)
     "i27_heaps_law",     # scalar (1-row) totals cross join onto the OLS sums row
     "i28_semantic_decontam",  # corpus x broadcast eval-set scan (eval sets are small by construction)
+    "d49_theils_u",      # scalar (1-row x 1-row) entropy-terms cross join
 }
 
 # queries whose side effects / streaming make a plain plan dump moot

@@ -331,3 +331,34 @@ def test_rank_corr_monotone_extremes(spark, tmp_path):
     got = {r.event_type: r.rank_corr for r in d48_rank_corr(spark, sf).collect()}
     assert got["view"] == pytest.approx(1.0, abs=1e-9)
     assert got["click"] == pytest.approx(-1.0, abs=1e-9)
+
+
+def test_theils_u_extremes(spark, tmp_path):
+    """U = 1 when Y determines X exactly; U = 0 under independence."""
+    rows = []
+    for i in range(24):
+        t = "view" if i % 2 == 0 else "click"
+        k = 0 if t == "view" else 1          # Y determines X
+        rows.append(Row(event_id=i, ts=_ts(1), user_id=1, event_type=t,
+                        value=1.0, props='{"k": %d}' % k))
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows).write.parquet(f"{sf}/events.parquet")
+
+    from mysql_to_clickhouse_spark.operators.stats import d49_theils_u
+
+    out = d49_theils_u(spark, sf).collect()[0]
+    assert out.theils_u == pytest.approx(1.0, abs=1e-6)
+
+    rows2 = []
+    eid = 0
+    for t in ("view", "click"):
+        for k in (0, 1):
+            for _ in range(6):               # uniform grid: independent
+                rows2.append(Row(event_id=eid, ts=_ts(1), user_id=1,
+                                 event_type=t, value=1.0,
+                                 props='{"k": %d}' % k))
+                eid += 1
+    sf2 = str(tmp_path / "sf2")
+    spark.createDataFrame(rows2).write.parquet(f"{sf2}/events.parquet")
+    out2 = d49_theils_u(spark, sf2).collect()[0]
+    assert out2.theils_u == pytest.approx(0.0, abs=1e-6)
