@@ -994,3 +994,77 @@ def d49_theils_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("theils_u"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d50_auc — CH arrayAUC analog: exact ROC-AUC by the rank-sum identity
+# ---------------------------------------------------------------------------
+
+# AUC = (Σ midrank(positives) − P(P+1)/2) / (P·N): midranks are exact
+# .5 fractions (scale-2 fixed point, the d48 discipline), so the AUC is
+# exact rational arithmetic evaluated in one shared order.
+_D50_ORACLE = f"""
+WITH pts AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
+         value AS score
+  FROM events
+  WHERE event_type IN ('purchase', 'click')
+), rn AS (
+  SELECT label, score,
+         CAST(ROW_NUMBER() OVER (ORDER BY score) AS DOUBLE) AS rnk
+  FROM pts
+), ranked AS (
+  SELECT label, AVG(rnk) OVER (PARTITION BY score) AS r
+  FROM rn
+), sums AS (
+  SELECT CAST(SUM(label) AS DOUBLE) AS p,
+         CAST(SUM(1 - label) AS DOUBLE) AS nneg,
+         {o_dsum('CASE WHEN label = 1 THEN r ELSE 0.0 END', 2)} AS pos_rank_sum
+  FROM ranked
+)
+SELECT CAST(p AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg,
+       (pos_rank_sum - p * (p + 1.0) / 2.0) / (p * nneg) AS auc
+FROM sums
+"""
+
+
+@register("d50_auc", oracle=_D50_ORACLE)
+def d50_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``arrayAUC`` as a relational aggregate: the exact ROC-AUC of
+    'value predicts purchase-vs-click' via the Mann-Whitney rank-sum
+    identity (ties get midranks — exact .5 fractions, summed in
+    scale-2 fixed point; d32's U statistic divided through, stated as
+    one shared expression). The model-quality gate a training pipeline
+    runs on every scored batch.
+
+    Scale: one global rank window (sort-based — same cost as any
+    global ordering; per-day or per-model partitions in practice) and
+    one three-scalar fold."""
+    ev = load(spark, sf_dir, "events")
+    pts = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+        F.col("value").alias("score"),
+    )
+    rn = pts.select(
+        "label",
+        "score",
+        F.row_number().over(Window.orderBy("score")).cast("double").alias("rnk"),
+    )
+    ranked = rn.select(
+        "label", F.avg("rnk").over(Window.partitionBy("score")).alias("r")
+    )
+    sums = ranked.agg(
+        F.sum("label").cast("double").alias("p"),
+        F.sum(1 - F.col("label")).cast("double").alias("nneg"),
+        dsum(
+            F.when(F.col("label") == 1, F.col("r")).otherwise(0.0), 2
+        ).alias("pos_rank_sum"),
+    )
+    return sums.select(
+        F.col("p").cast("long").alias("n_pos"),
+        F.col("nneg").cast("long").alias("n_neg"),
+        (
+            (F.col("pos_rank_sum") - F.col("p") * (F.col("p") + 1.0) / 2.0)
+            / (F.col("p") * F.col("nneg"))
+        ).alias("auc"),
+    )

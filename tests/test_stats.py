@@ -362,3 +362,37 @@ def test_theils_u_extremes(spark, tmp_path):
     spark.createDataFrame(rows2).write.parquet(f"{sf2}/events.parquet")
     out2 = d49_theils_u(spark, sf2).collect()[0]
     assert out2.theils_u == pytest.approx(0.0, abs=1e-6)
+
+
+def test_auc_perfect_random_and_sklearn_free_reference(spark, tmp_path):
+    """Perfect separation -> AUC 1; anti-separation -> 0; a tied/mixed
+    hand example matches the brute-force pair-counting definition."""
+    def build(sf_dir, pairs):
+        rows = [
+            Row(event_id=i, ts=_ts(1), user_id=1,
+                event_type=("purchase" if lab == 1 else "click"),
+                value=float(s), props="{}")
+            for i, (lab, s) in enumerate(pairs)
+        ]
+        spark.createDataFrame(rows).write.parquet(f"{sf_dir}/events.parquet")
+
+    from mysql_to_clickhouse_spark.operators.stats import d50_auc
+
+    sf1 = str(tmp_path / "a")
+    build(sf1, [(1, 10), (1, 9), (0, 2), (0, 1)])
+    assert d50_auc(spark, sf1).collect()[0].auc == 1.0
+
+    sf2 = str(tmp_path / "b")
+    build(sf2, [(0, 10), (0, 9), (1, 2), (1, 1)])
+    assert d50_auc(spark, sf2).collect()[0].auc == 0.0
+
+    # mixed with ties: brute-force pair counting
+    pairs = [(1, 5), (1, 3), (0, 5), (0, 2), (1, 2), (0, 4)]
+    sf3 = str(tmp_path / "c")
+    build(sf3, pairs)
+    pos = [s for l, s in pairs if l == 1]
+    neg = [s for l, s in pairs if l == 0]
+    brute = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg
+    ) / (len(pos) * len(neg))
+    assert d50_auc(spark, sf3).collect()[0].auc == brute
