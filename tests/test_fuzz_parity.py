@@ -118,3 +118,70 @@ def test_random_query_parity(spark, duck, i):
     duck_pdf = duck.sql(sql).df()
     res = compare_frames(spark_pdf, duck_pdf)
     assert res.ok, f"divergence on:\n{sql}\n{res.detail}"
+
+
+# ---------------------------------------------------------------------------
+# join + HAVING fuzz: random star-fragment joins in the shared subset
+# ---------------------------------------------------------------------------
+
+JOINS = [
+    ("customer", "orders", "c_custkey = o_custkey",
+     ["c_mktsegment", "c_nationkey % 4"],
+     ["o_totalprice", "c_acctbal", "o_orderkey"]),
+    ("orders", "lineitem", "o_orderkey = l_orderkey",
+     ["o_orderpriority", "l_returnflag"],
+     ["l_extendedprice", "l_quantity", "o_totalprice"]),
+    ("nation", "customer", "n_nationkey = c_nationkey",
+     ["n_name", "c_mktsegment"],
+     ["c_acctbal", "c_custkey"]),
+]
+
+N_JOIN_QUERIES = 20
+
+
+def _gen_join_query(rng: random.Random) -> str:
+    left, right, cond, cats, nums = rng.choice(JOINS)
+    jtype = rng.choice(["JOIN", "LEFT JOIN"])
+
+    preds = []
+    for _ in range(rng.randint(0, 2)):
+        c = rng.choice(nums)
+        v = f"{rng.uniform(0, 100000):.2f}" if c != "l_quantity" else str(
+            rng.randint(1, 50)
+        )
+        preds.append(f"({c} {rng.choice(CMP)} {v})")
+    where = f"WHERE {' AND '.join(preds)}" if preds else ""
+
+    key = rng.choice(cats)
+    mcol = rng.choice(nums)
+    having = (
+        f"HAVING COUNT(*) {rng.choice(['>', '>='])} {rng.randint(0, 20)}"
+        if rng.random() < 0.5
+        else ""
+    )
+    return (
+        f"SELECT CAST({key} AS STRING) AS k, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(MIN({mcol}) AS DOUBLE) AS mn, "
+        f"CAST(SUM(CAST(FLOOR(CAST({mcol} AS DOUBLE) * 10000.0) AS BIGINT))"
+        f" AS DOUBLE) / 10000.0 AS fsum "
+        f"FROM {left} {jtype} {right} ON {cond} {where} "
+        f"GROUP BY k {having}"
+    )
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _join_views(spark):
+    from mysql_to_clickhouse_spark.tables import load
+
+    for name in ("nation", "customer", "orders", "lineitem"):
+        load(spark, TEST_SF_DIR, name).createOrReplaceTempView(name)
+
+
+@pytest.mark.parametrize("i", range(N_JOIN_QUERIES))
+def test_random_join_parity(spark, duck, i):
+    rng = random.Random(SEED * 7 + i)
+    sql = _gen_join_query(rng)
+    spark_pdf = spark.sql(sql).toPandas()
+    duck_pdf = duck.sql(sql).df()
+    res = compare_frames(spark_pdf, duck_pdf)
+    assert res.ok, f"divergence on:\n{sql}\n{res.detail}"
