@@ -185,3 +185,59 @@ def test_random_join_parity(spark, duck, i):
     duck_pdf = duck.sql(sql).df()
     res = compare_frames(spark_pdf, duck_pdf)
     assert res.ok, f"divergence on:\n{sql}\n{res.detail}"
+
+
+# ---------------------------------------------------------------------------
+# window-function fuzz: ranking/offset/frame shapes over a total order
+# ---------------------------------------------------------------------------
+
+N_WINDOW_QUERIES = 15
+
+WTABLES = {
+    "events": ("user_id", "event_id", ["value", "event_id"], "event_type"),
+    "orders": ("o_custkey", "o_orderkey", ["o_totalprice"], "o_orderpriority"),
+    "customer": ("c_nationkey", "c_custkey", ["c_acctbal"], "c_mktsegment"),
+}
+
+
+def _gen_window_query(rng: random.Random) -> str:
+    table = rng.choice(list(WTABLES))
+    part, pk, nums, cat = WTABLES[table]
+    mcol = rng.choice(nums)
+    direction = rng.choice(["ASC", "DESC"])
+    # every ORDER BY ends in the PK: total order -> deterministic
+    order = f"{mcol} {direction}, {pk} ASC"
+    fn = rng.choice(
+        [
+            "CAST(ROW_NUMBER() OVER w AS BIGINT)",
+            "CAST(RANK() OVER w AS BIGINT)",
+            "CAST(DENSE_RANK() OVER w AS BIGINT)",
+            f"CAST(LAG({pk}) OVER w AS BIGINT)",
+            f"CAST(LEAD({pk}) OVER w AS BIGINT)",
+            # running fixed-point sum over an exact frame
+            f"CAST(SUM(CAST(FLOOR(CAST({mcol} AS DOUBLE) * 100.0) AS BIGINT))"
+            f" OVER (PARTITION BY {part} ORDER BY {order}"
+            f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)",
+            f"CAST(NTILE({rng.randint(2, 5)}) OVER w AS BIGINT)",
+        ]
+    )
+    keep = rng.randint(1, 4)
+    return (
+        f"SELECT * FROM ("
+        f"SELECT CAST({pk} AS BIGINT) AS pk, CAST({cat} AS STRING) AS c, "
+        f"{fn} AS wv, "
+        f"CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn "
+        f"FROM {table} "
+        f"WINDOW w AS (PARTITION BY {part} ORDER BY {order})"
+        f") WHERE rn <= {keep}"
+    )
+
+
+@pytest.mark.parametrize("i", range(N_WINDOW_QUERIES))
+def test_random_window_parity(spark, duck, i):
+    rng = random.Random(SEED * 13 + i)
+    sql = _gen_window_query(rng)
+    spark_pdf = spark.sql(sql).toPandas()
+    duck_pdf = duck.sql(sql).df()
+    res = compare_frames(spark_pdf, duck_pdf)
+    assert res.ok, f"divergence on:\n{sql}\n{res.detail}"
