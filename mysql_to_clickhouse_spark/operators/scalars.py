@@ -1416,3 +1416,51 @@ def g31_hamming_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seq.select(
         "doc_id", "fingerprint", ham.cast("long").alias("hamming_prev")
     )
+
+
+# ---------------------------------------------------------------------------
+# g32_time_bucket — CH toStartOfInterval(ts, INTERVAL 15 MINUTE)
+# ---------------------------------------------------------------------------
+
+_G32_ORACLE = """
+WITH b AS (
+  SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 900000000) * 900000000
+           AS bucket_us,
+         event_type, value
+  FROM events
+)
+SELECT bucket_us, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(value) AS v_min, MAX(value) AS v_max
+FROM b
+GROUP BY bucket_us, event_type
+ORDER BY bucket_us, event_type
+"""
+
+
+@register("g32_time_bucket", oracle=_G32_ORACLE)
+def g32_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``toStartOfInterval(ts, INTERVAL 15 MINUTE)`` / ``
+    toStartOfFifteenMinutes``: arbitrary-width time bucketing by pure
+    integer µs arithmetic (div·mul) — no calendar library involved, so
+    the bucket edge is engine- and timezone-proof by construction (the
+    calendar truncations are g4's). The 15-min grain aggregate is the
+    monitoring-dashboard workhorse between g4's hour and h1's windows.
+
+    Scale: map-only bucket id + map-side-combinable aggregate; the
+    bucket expression is also the natural sink partition key for a
+    telemetry table."""
+    ev = load(spark, sf_dir, "events")
+    bucket = (F.expr("unix_micros(ts) div 900000000") * 900000000).alias(
+        "bucket_us"
+    )
+    return (
+        ev.select(bucket, "event_type", "value")
+        .groupBy("bucket_us", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+        )
+        .select("bucket_us", "event_type", "n", "v_min", "v_max")
+    )

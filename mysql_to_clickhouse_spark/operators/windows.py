@@ -603,3 +603,79 @@ def e11_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_filled"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# e12_running_concurrency — CH runningConcurrency: open sessions per event
+# ---------------------------------------------------------------------------
+
+# Sessions = [ts, ts + 30 min) per event; concurrency at a start = open
+# intervals at that instant. Same +1/-1 sweep as d27, but emitted per
+# start event instead of folded to the max.
+_E12_ORACLE = """
+WITH iv AS (
+  SELECT event_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+         epoch_us(CAST(ts AS TIMESTAMP)) + 1800000000 AS e
+  FROM events WHERE event_type = 'view'
+), pts AS (
+  SELECT event_id, s AS t, 1 AS delta, 0 AS is_end FROM iv
+  UNION ALL
+  SELECT event_id, e AS t, -1 AS delta, 1 AS is_end FROM iv
+), swept AS (
+  SELECT event_id, t, delta, is_end,
+         CAST(SUM(delta) OVER (
+           ORDER BY t, is_end, delta DESC, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS open_now
+  FROM pts
+)
+SELECT event_id, t AS ts_us, open_now AS concurrency
+FROM swept
+WHERE is_end = 0
+ORDER BY event_id
+"""
+
+
+@register("e12_running_concurrency", oracle=_E12_ORACLE, tier="T3")
+def e12_running_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``runningConcurrency(begin, end)``: for every session start,
+    how many sessions are open at that instant (30-min sessions from
+    view events). The d27 sweep-line emitted per start event: union the
+    ±1 endpoints, one ordered running sum, keep the starts. Ends sort
+    before starts at equal timestamps (half-open intervals), matching
+    d27's tie order.
+
+    Scale: 2× row union + one window — the demo uses a global order
+    (the CH function's own semantics); at 100 TB concurrency is
+    computed per partition key (user/shard) with the identical
+    expression partitioned by it."""
+    ev = load(spark, sf_dir, "events")
+    iv = ev.filter(F.col("event_type") == "view").select(
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + 1800000000).alias("e"),
+    )
+    starts = iv.select(
+        "event_id", F.col("s").alias("t"), F.lit(1).alias("delta"),
+        F.lit(0).alias("is_end"),
+    )
+    ends = iv.select(
+        "event_id", F.col("e").alias("t"), F.lit(-1).alias("delta"),
+        F.lit(1).alias("is_end"),
+    )
+    pts = starts.unionByName(ends)
+    w = (
+        Window.orderBy("t", "is_end", F.desc("delta"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = pts.withColumn(
+        "open_now", F.sum("delta").over(w).cast("long")
+    )
+    return (
+        swept.filter(F.col("is_end") == 0)
+        .select(
+            "event_id", F.col("t").alias("ts_us"),
+            F.col("open_now").alias("concurrency"),
+        )
+    )
