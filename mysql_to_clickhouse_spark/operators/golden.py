@@ -1106,3 +1106,57 @@ def x19_switchover_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "table_name string, src_rows long, src_digest long, sink_rows long,"
         " sink_digest long, rows_match long, digest_match long",
     )
+
+
+# ---------------------------------------------------------------------------
+# x20_mom_report — month-over-month revenue deltas (the BI staple)
+# ---------------------------------------------------------------------------
+
+_X20_ORACLE = f"""
+WITH monthly AS (
+  SELECT o_orderpriority AS segment,
+         strftime(o_orderdate, '%Y-%m') AS ym,
+         {o_dsum('o_totalprice')} AS revenue
+  FROM orders
+  GROUP BY segment, ym
+)
+SELECT segment, ym, revenue,
+       LAG(revenue) OVER (PARTITION BY segment ORDER BY ym) AS prev_revenue,
+       CASE WHEN LAG(revenue) OVER (PARTITION BY segment ORDER BY ym)
+                 IS NULL THEN NULL
+            ELSE ROUND((revenue - LAG(revenue) OVER (
+                   PARTITION BY segment ORDER BY ym))
+                 / LAG(revenue) OVER (PARTITION BY segment ORDER BY ym)
+                 * 100.0, 6)
+       END AS mom_pct
+FROM monthly
+ORDER BY segment, ym
+"""
+
+
+@register("x20_mom_report", oracle=_X20_ORACLE, tier="T2")
+def x20_mom_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue report per order priority — the
+    composite every BI tool generates (monthly rollup + lag + percent
+    delta). Revenue is the exact fixed-point sum; the division is one
+    fixed-order IEEE expression rounded at 6 on both engines.
+
+    Scale: the monthly grain collapses the fact table first
+    (map-side-combinable); the lag window runs over |segments|·|months|
+    rows — the window never sees raw facts."""
+    orders = load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.col("o_orderpriority").alias("segment"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    ).agg(dsum("o_totalprice").alias("revenue"))
+    w = Window.partitionBy("segment").orderBy("ym")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "segment",
+        "ym",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.when(prev.isNull(), None)
+        .otherwise(F.round((F.col("revenue") - prev) / prev * 100.0, 6))
+        .alias("mom_pct"),
+    )

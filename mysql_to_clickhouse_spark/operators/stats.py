@@ -1068,3 +1068,65 @@ def d50_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("p") * F.col("nneg"))
         ).alias("auc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d51_or_default — CH -OrDefault / -OrNull combinators on empty groups
+# ---------------------------------------------------------------------------
+
+_D51_ORACLE = """
+WITH rich AS (
+  SELECT c_nationkey, c_acctbal FROM customer WHERE c_acctbal > 9990
+)
+SELECT n.n_nationkey, n.n_name,
+       CAST(COUNT(r.c_acctbal) AS BIGINT) AS n_rich,
+       MAX(r.c_acctbal) AS max_bal_or_null,
+       COALESCE(MAX(r.c_acctbal), 0.0) AS max_bal_or_default,
+       CAST(CASE WHEN COUNT(r.c_acctbal) = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS group_was_empty
+FROM nation n LEFT JOIN rich r ON r.c_nationkey = n.n_nationkey
+GROUP BY n.n_nationkey, n.n_name
+ORDER BY n.n_nationkey
+"""
+
+
+@register("d51_or_default", oracle=_D51_ORACLE, tier="T3")
+def d51_or_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``maxOrNull``/``maxOrDefault`` combinator semantics: groups
+    that exist in the dimension but match NOTHING after the filter
+    must still appear — aggregate-over-empty yields NULL (the -OrNull
+    contract) or the type default under COALESCE (-OrDefault). A plain
+    GROUP BY over the filtered fact silently drops those nations; the
+    LEFT JOIN from the dimension is what preserves them, and this
+    query pins both behaviors side by side.
+
+    Scale: dimension-driven LEFT JOIN with the filtered fact broadcast
+    when small (here) or shuffled on the key — either way the empty
+    groups cost |dimension| rows, not a scan."""
+    nat = load(spark, sf_dir, "nation")
+    rich = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9990)
+        .select("c_nationkey", "c_acctbal")
+    )
+    j = nat.join(
+        rich, rich["c_nationkey"] == nat["n_nationkey"], "left"
+    )
+    return (
+        j.groupBy("n_nationkey", "n_name")
+        .agg(
+            F.count("c_acctbal").cast("long").alias("n_rich"),
+            F.max("c_acctbal").alias("max_bal_or_null"),
+            F.coalesce(F.max("c_acctbal"), F.lit(0.0)).alias(
+                "max_bal_or_default"
+            ),
+            F.when(F.count("c_acctbal") == 0, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("group_was_empty"),
+        )
+        .select(
+            "n_nationkey", "n_name", "n_rich", "max_bal_or_null",
+            "max_bal_or_default", "group_was_empty",
+        )
+    )
