@@ -264,3 +264,54 @@ def j6_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", "embedding").mapInArrow(
         comp_sums, "vec_id long, comp_sum_fp long, dim int"
     )
+
+
+# ---------------------------------------------------------------------------
+# j7_python_udtf — user-defined TABLE function (Spark 4 @udtf)
+# ---------------------------------------------------------------------------
+
+_J7_ORACLE = """
+WITH w AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos, word,
+       CAST(length(word) AS BIGINT) AS word_len,
+       CAST(CASE WHEN length(word) >= 6 THEN 1 ELSE 0 END AS BIGINT) AS is_long
+FROM w
+ORDER BY doc_id, pos
+"""
+
+
+@register("j7_python_udtf", oracle=_J7_ORACLE, tier="T3")
+def j7_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4's table-function escape hatch): one input
+    row expands to N output rows with computed columns — the tokenizer
+    shape, restated by the oracle with pure SQL unnest so the UDTF
+    boundary is proven lossless. Completes the §2.J matrix: scalar
+    (j1), vectorized scalar (j2), UDAF (j3), grouped-map (j4),
+    SQL-registered (j5), Arrow map (j6), and now table-valued.
+
+    Scale: UDTFs run row-at-a-time in Python workers — like j1 this is
+    the LAST resort; the identical logic stays JVM-side as
+    posexplode(split()) (g30). The op exists to prove the boundary,
+    not to recommend it."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="pos bigint, word string, word_len bigint, is_long bigint")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, w in enumerate(text.split(" ")):
+                yield i + 1, w, len(w), 1 if len(w) >= 6 else 0
+
+    spark.udtf.register("j7_tokenize", Tokenize)
+    docs = load(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("j7_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.word, t.word_len, t.is_long
+        FROM j7_docs d, LATERAL j7_tokenize(d.text) t
+        """
+    )
