@@ -3037,3 +3037,60 @@ def i29_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "bucket", "n_docs", "real_tokens", "padded_tokens",
                 "wasted_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# i30_sketch_quality — precision/recall accounting for the LSH dedup path
+# ---------------------------------------------------------------------------
+
+
+@register("i30_sketch_quality", oracle=None, tier="T3")
+def i30_sketch_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Measure, don't guess' as a first-class operator: the quality
+    report for i2's MinHash-LSH dedup path against the exact-Jaccard
+    ground truth (i2b at the same >= 0.5 threshold) — emitted pairs,
+    true pairs, hits, precision, recall. At 100 TB nobody can eyeball
+    whether the banding parameters are right; this relation is the
+    dashboard a dedup pipeline watches when it tunes bands/rows.
+
+    Rows-only (MinHash has no SQL analog); the planted-duplicate recall
+    test (tests/test_llmops.py) pins behavior on known ground truth,
+    and the full pipeline is exercised here end to end.
+
+    Scale: both sides are the already-bucketed pipelines; the
+    comparison joins pair keys — |candidates| rows, never all-pairs."""
+    approx = (
+        i2_minhash_neardup(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .distinct()
+        .withColumn("emitted", F.lit(1))
+    )
+    exact = (
+        i2b_jaccard_exact(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+        .distinct()
+        .withColumn("truth", F.lit(1))
+    )
+    j = approx.join(exact, ["doc_a", "doc_b"], "full")
+    agg = j.agg(
+        F.sum(F.coalesce("emitted", F.lit(0))).cast("long").alias("n_emitted"),
+        F.sum(F.coalesce("truth", F.lit(0))).cast("long").alias("n_true"),
+        F.sum(
+            F.coalesce("emitted", F.lit(0)) * F.coalesce("truth", F.lit(0))
+        )
+        .cast("long")
+        .alias("n_hit"),
+    )
+    return agg.select(
+        "n_emitted",
+        "n_true",
+        "n_hit",
+        F.when(
+            F.col("n_emitted") > 0,
+            F.col("n_hit") / F.col("n_emitted").cast("double"),
+        ).alias("precision"),
+        F.when(
+            F.col("n_true") > 0, F.col("n_hit") / F.col("n_true").cast("double")
+        ).alias("recall"),
+    )

@@ -538,3 +538,29 @@ def test_pq_codebooks_deterministic(spark):
     b1 = _pq_codebooks(spark, emb)
     b2 = _pq_codebooks(spark, emb)
     np.testing.assert_array_equal(b1, b2)
+
+
+def test_sketch_quality_on_planted_dups(spark, tmp_path):
+    """i30: with planted near-duplicates, the quality report must show
+    perfect recall (the planted pair is found) and sane precision
+    bounds (0 < p <= 1)."""
+    from pyspark.sql import Row
+
+    base = " ".join(f"w{i}" for i in range(40))
+    near = base.replace("w39", "x39")        # jaccard >> 0.5
+    docs = [
+        Row(doc_id=1, text=base, lang="en", source="s0", n_chars=len(base)),
+        Row(doc_id=2, text=near, lang="en", source="s0", n_chars=len(near)),
+        Row(doc_id=3, text=" ".join(f"z{i}" for i in range(40)), lang="en",
+            source="s0", n_chars=10),
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(docs).write.parquet(f"{sf}/documents.parquet")
+
+    from mysql_to_clickhouse_spark.operators.llmops import i30_sketch_quality
+
+    out = i30_sketch_quality(spark, sf).collect()[0]
+    assert out.n_true == 1          # exactly the planted pair
+    assert out.n_hit == 1           # ...and LSH found it
+    assert out.recall == 1.0
+    assert 0.0 < out.precision <= 1.0
