@@ -241,3 +241,66 @@ def test_random_window_parity(spark, duck, i):
     duck_pdf = duck.sql(sql).df()
     res = compare_frames(spark_pdf, duck_pdf)
     assert res.ok, f"divergence on:\n{sql}\n{res.detail}"
+
+
+# ---------------------------------------------------------------------------
+# date/calendar fuzz — truncations + parts over events.ts / o_orderdate
+# ---------------------------------------------------------------------------
+
+N_DATE_QUERIES = 12
+
+
+def _gen_date_query(rng: random.Random) -> str:
+    table, ts = rng.choice(
+        [("events", "CAST(ts AS TIMESTAMP)"), ("orders", "o_orderdate")]
+    )
+    grain = rng.choice(["hour", "day", "month", "year"])
+    part = rng.choice(["year", "month", "day", "hour"])
+    return (
+        f"SELECT CAST(date_trunc('{grain}', {ts}) AS TIMESTAMP) AS g, "
+        f"CAST(EXTRACT({part} FROM {ts}) AS BIGINT) AS p, "
+        f"CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM {table} GROUP BY g, p"
+    )
+
+
+@pytest.mark.parametrize("i", range(N_DATE_QUERIES))
+def test_random_date_parity(spark, duck, i):
+    rng = random.Random(SEED * 31 + i)
+    sql = _gen_date_query(rng)
+    spark_pdf = spark.sql(sql).toPandas()
+    duck_pdf = duck.sql(sql).df()
+    res = compare_frames(spark_pdf, duck_pdf)
+    assert res.ok, f"divergence on:\n{sql}\n{res.detail}"
+
+
+# ---------------------------------------------------------------------------
+# set-operation fuzz — UNION / INTERSECT / EXCEPT with ALL variants
+# ---------------------------------------------------------------------------
+
+N_SETOP_QUERIES = 10
+
+
+def _gen_setop_query(rng: random.Random) -> str:
+    op = rng.choice(
+        ["UNION", "UNION ALL", "INTERSECT", "EXCEPT"]
+    )
+    lo1, hi1 = sorted((rng.randint(0, 1500), rng.randint(0, 1500)))
+    lo2, hi2 = sorted((rng.randint(0, 1500), rng.randint(0, 1500)))
+    return (
+        f"SELECT CAST(c_custkey AS BIGINT) AS k, c_mktsegment AS s "
+        f"FROM customer WHERE c_custkey BETWEEN {lo1} AND {hi1} "
+        f"{op} "
+        f"SELECT CAST(c_custkey AS BIGINT) AS k, c_mktsegment AS s "
+        f"FROM customer WHERE c_custkey BETWEEN {lo2} AND {hi2}"
+    )
+
+
+@pytest.mark.parametrize("i", range(N_SETOP_QUERIES))
+def test_random_setop_parity(spark, duck, i):
+    rng = random.Random(SEED * 53 + i)
+    sql = _gen_setop_query(rng)
+    spark_pdf = spark.sql(sql).toPandas()
+    duck_pdf = duck.sql(sql).df()
+    res = compare_frames(spark_pdf, duck_pdf)
+    assert res.ok, f"divergence on:\n{sql}\n{res.detail}"
