@@ -3094,3 +3094,126 @@ def i30_sketch_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_true") > 0, F.col("n_hit") / F.col("n_true").cast("double")
         ).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# i31_filter_pipeline — the end-to-end keep/drop gate with reason bitmask
+# ---------------------------------------------------------------------------
+
+_I31_ORACLE = """
+WITH t AS (
+  SELECT doc_id, n_chars, md5(text) AS h, string_split(text, ' ') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, n_chars, h,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(toks, w -> length(w))) AS BIGINT)
+           AS n_word_chars,
+         CAST(len(list_filter(toks, w -> length(w) <= 2)) AS BIGINT) AS n_tiny,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         CAST(len(toks) - 2 AS BIGINT) AS n_tri,
+         CAST(len(list_distinct(list_transform(
+           range(1, GREATEST(len(toks) - 1, 1)),
+           i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])))
+           AS BIGINT) AS n_tri_uniq
+  FROM t
+), keepers AS (
+  SELECT h, MIN(doc_id) AS keeper FROM s GROUP BY h
+), flags AS (
+  SELECT s.doc_id,
+         CASE WHEN NOT ((s.n_words BETWEEN 5 AND 100000)
+              AND (CAST(s.n_word_chars AS DOUBLE) / s.n_words
+                   BETWEEN 3.0 AND 12.0)
+              AND (CAST(s.n_tiny AS DOUBLE) / s.n_words <= 0.4)
+              AND (CAST(s.n_distinct AS DOUBLE) / s.n_words >= 0.2))
+              THEN 1 ELSE 0 END AS f_gopher,
+         CASE WHEN s.n_tri > 0 AND
+                   CAST(s.n_tri - s.n_tri_uniq AS DOUBLE) / s.n_tri > 0.2
+              THEN 2 ELSE 0 END AS f_repet,
+         CASE WHEN s.doc_id <> k.keeper THEN 4 ELSE 0 END AS f_dup,
+         CASE WHEN s.n_chars < 50 OR s.n_chars > 5000 THEN 8 ELSE 0 END
+           AS f_len
+  FROM s JOIN keepers k ON s.h = k.h
+)
+SELECT doc_id,
+       CAST(f_gopher + f_repet + f_dup + f_len AS BIGINT) AS reason_mask,
+       CAST(CASE WHEN f_gopher + f_repet + f_dup + f_len = 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM flags
+ORDER BY doc_id
+"""
+
+
+@register("i31_filter_pipeline", oracle=_I31_ORACLE, tier="T2")
+def i31_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The assembled training-data filter gate — what actually runs in
+    front of a 100 TB tokenization job: Gopher rule bundle (bit 1) +
+    duplicated-trigram repetition cap (bit 2) + exact-dup keeper rule
+    (bit 4, min-doc_id wins) + length band (bit 8), combined into a
+    reason BITMASK per document so rejected data is auditable by cause
+    (the 'why was my doc dropped' question), and keep = mask == 0.
+
+    Scale: every per-doc statistic folds map-side in one scan; the only
+    exchange is the md5 keeper-group (i1's shape). Reason accounting is
+    free — it's the same flags the filters already compute, kept
+    instead of discarded."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_words = F.size(toks).cast("long")
+    n_word_chars = F.aggregate(
+        F.transform(toks, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    n_tiny = F.size(F.filter(toks, lambda w: F.length(w) <= 2)).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    tris = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    s = docs.select(
+        "doc_id",
+        "n_chars",
+        F.md5("text").alias("h"),
+        n_words.alias("n_words"),
+        n_word_chars.alias("n_word_chars"),
+        n_tiny.alias("n_tiny"),
+        n_distinct.alias("n_distinct"),
+        (F.size(toks) - 2).cast("long").alias("n_tri"),
+        F.size(F.array_distinct(tris)).cast("long").alias("n_tri_uniq"),
+    )
+    keepers = s.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    mean_wl = F.col("n_word_chars").cast("double") / F.col("n_words")
+    gopher_ok = (
+        F.col("n_words").between(5, 100000)
+        & mean_wl.between(3.0, 12.0)
+        & (F.col("n_tiny").cast("double") / F.col("n_words") <= 0.4)
+        & (F.col("n_distinct").cast("double") / F.col("n_words") >= 0.2)
+    )
+    f_gopher = F.when(~gopher_ok, 1).otherwise(0)
+    f_repet = F.when(
+        (F.col("n_tri") > 0)
+        & (
+            (F.col("n_tri") - F.col("n_tri_uniq")).cast("double")
+            / F.col("n_tri")
+            > 0.2
+        ),
+        2,
+    ).otherwise(0)
+    f_dup = F.when(F.col("doc_id") != F.col("keeper"), 4).otherwise(0)
+    f_len = F.when(
+        (F.col("n_chars") < 50) | (F.col("n_chars") > 5000), 8
+    ).otherwise(0)
+    flags = s.join(keepers, "h").select(
+        "doc_id", (f_gopher + f_repet + f_dup + f_len).alias("mask")
+    )
+    return flags.select(
+        "doc_id",
+        F.col("mask").cast("long").alias("reason_mask"),
+        F.when(F.col("mask") == 0, 1).otherwise(0).cast("long").alias("keep"),
+    )

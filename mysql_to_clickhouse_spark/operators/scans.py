@@ -1512,3 +1512,51 @@ def a28_parts_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("part_file", "n_rows", "min_ts_us", "max_ts_us")
     )
+
+
+# ---------------------------------------------------------------------------
+# a29_pseudonymize — GDPR-style key pseudonymization on ingest
+# ---------------------------------------------------------------------------
+
+_A29_ORACLE = """
+WITH p AS (
+  SELECT sha256(concat('corpus-salt-v1:', CAST(user_id AS VARCHAR)))
+           AS surrogate,
+         event_type, value
+  FROM events
+)
+SELECT surrogate,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+FROM p
+GROUP BY surrogate
+ORDER BY surrogate
+"""
+
+
+@register("a29_pseudonymize", oracle=_A29_ORACLE, tier="T2")
+def a29_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudonymization-on-ingest (the GDPR replication requirement):
+    the natural key is replaced by a salted sha256 surrogate BEFORE the
+    data lands, deterministically — so the surrogate still groups and
+    joins exactly like the original key (the grouped report here is
+    the proof: per-surrogate activity equals per-user activity), while
+    the raw identifier never reaches the sink. Salt rotation = new
+    surrogate universe (re-keying is a rewrite, which is the point).
+
+    Scale: one codegen'd hash per row, map-only; grouping/joining on
+    the surrogate shuffles exactly as the raw key would — cardinality
+    and distribution are preserved by construction."""
+    ev = load(spark, sf_dir, "events")
+    surrogate = F.sha2(
+        F.concat(F.lit("corpus-salt-v1:"), F.col("user_id").cast("string")), 256
+    )
+    return (
+        ev.select(surrogate.alias("surrogate"), "event_type")
+        .groupBy("surrogate")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("event_type").cast("long").alias("n_types"),
+        )
+        .select("surrogate", "n_events", "n_types")
+    )

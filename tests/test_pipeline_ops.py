@@ -229,3 +229,49 @@ def test_cdc_boundaries_properties_random():
             assert _CDC_MIN <= e - prev <= _CDC_MAX, (trial, e - prev)
             prev = e
         assert ends[-1] - prev <= _CDC_MAX
+
+
+def test_filter_pipeline_reason_bits(spark, tmp_path):
+    """Each rejection reason sets its own bit; duplicates keep exactly
+    one copy; a clean doc passes with mask 0."""
+    good = " ".join(f"w{i}" for i in range(30))
+    tiny_words = " ".join(["a"] * 30)                 # gopher: tiny-word cap
+    repet = " ".join(["x y z"] * 20)                  # trigram repetition
+    docs = [
+        _doc(1, good),
+        _doc(2, good),                                # exact dup of 1 -> bit 4
+        _doc(3, tiny_words),                          # bit 1 (+ maybe others)
+        _doc(4, repet),                               # bit 2
+        _doc(5, "short words only"),                  # len < 50 -> bit 8
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(docs).write.parquet(f"{sf}/documents.parquet")
+
+    from mysql_to_clickhouse_spark.operators.llmops import i31_filter_pipeline
+
+    got = {r.doc_id: r for r in i31_filter_pipeline(spark, sf).collect()}
+    assert got[1].keep == 1 and got[1].reason_mask == 0
+    assert got[2].reason_mask & 4                     # dropped as duplicate
+    assert got[3].reason_mask & 1                     # gopher fail
+    assert got[4].reason_mask & 2                     # repetition fail
+    assert got[5].reason_mask & 8                     # length fail
+    assert all(r.keep == 0 for d, r in got.items() if d != 1)
+
+
+def test_pseudonymize_preserves_grouping(spark, tmp_path):
+    """a29: the surrogate key groups exactly like the raw key —
+    cardinality and per-group sizes preserved."""
+    rows = [
+        _ev(0, _ts(1), 1), _ev(1, _ts(2), 1), _ev(2, _ts(1), 2),
+        _ev(3, _ts(1), 3, "purchase"),
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows).write.parquet(f"{sf}/events.parquet")
+
+    from mysql_to_clickhouse_spark.operators.scans import a29_pseudonymize
+
+    got = a29_pseudonymize(spark, sf).collect()
+    assert len(got) == 3                              # 3 users -> 3 surrogates
+    assert sorted(r.n_events for r in got) == [1, 1, 2]
+    assert all(len(r.surrogate) == 64 for r in got)   # sha256 hex
+    assert all("1" != r.surrogate for r in got)       # raw key absent
