@@ -234,7 +234,7 @@ def test_cdc_boundaries_properties_random():
 def test_filter_pipeline_reason_bits(spark, tmp_path):
     """Each rejection reason sets its own bit; duplicates keep exactly
     one copy; a clean doc passes with mask 0."""
-    good = " ".join(f"w{i}" for i in range(30))
+    good = " ".join(f"word{i}" for i in range(30))
     tiny_words = " ".join(["a"] * 30)                 # gopher: tiny-word cap
     repet = " ".join(["x y z"] * 20)                  # trigram repetition
     docs = [
