@@ -368,3 +368,84 @@ def k6_mv_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# k7_watermarked_mv — IVM with a lateness watermark (frozen vs open parts)
+# ---------------------------------------------------------------------------
+
+_K7_ORACLE = f"""
+WITH anchored AS (
+  SELECT event_type,
+         CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         value,
+         (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) FROM events)
+           - 432000000000 AS wm_us,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+  FROM events
+)
+SELECT CAST(day AS VARCHAR) AS day_str, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {o_dsum('value')} AS total_value,
+       CAST(MAX(CASE WHEN ts_us < wm_us THEN 1 ELSE 0 END) AS BIGINT)
+         AS has_frozen_rows,
+       CAST(MAX(CASE WHEN ts_us >= wm_us THEN 1 ELSE 0 END) AS BIGINT)
+         AS has_open_rows
+FROM anchored
+GROUP BY day_str, event_type
+ORDER BY day_str, event_type
+"""
+
+
+@register("k7_watermarked_mv", oracle=_K7_ORACLE, tier="T2")
+def k7_watermarked_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM under a lateness watermark: partitions older than the
+    watermark (MAX(ts) − 5 days) are FROZEN — their partial states are
+    computed once and never revisited — while open partitions
+    re-aggregate on every refresh. The refresh result is the merge of
+    frozen + open partials, and the driver hash against the one-shot
+    recompute proves the freeze loses nothing (provided no row violates
+    the watermark — the flags surface which side each group drew from,
+    so a violation is visible data, not silence).
+
+    Scale: this is THE cost model of streaming MV maintenance at
+    100 TB — refresh work is proportional to the open window (days),
+    not history (years); the frozen state is read-only parquet."""
+    ev = load(spark, sf_dir, "events")
+    wm = ev.agg(F.max(F.unix_micros("ts"))).first()[0] - 432000000000
+    base = ev.select(
+        F.col("ts").cast("date").alias("day"),
+        "event_type",
+        "value",
+        (F.unix_micros("ts") < F.lit(wm)).alias("frozen"),
+    )
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("day", "event_type").agg(
+            F.count(F.lit(1)).alias("p_n"),
+            F.sum(fixed_point("value")).alias("p_sum_fp"),
+            F.max(F.when(F.col("frozen"), 1).otherwise(0)).alias("p_frozen"),
+            F.max(F.when(~F.col("frozen"), 1).otherwise(0)).alias("p_open"),
+        )
+
+    frozen_state = partials(base.filter(F.col("frozen")))   # computed once
+    open_state = partials(base.filter(~F.col("frozen")))    # per refresh
+    merged = (
+        frozen_state.unionByName(open_state)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("p_n").cast("long").alias("n"),
+            (F.sum("p_sum_fp").cast("double") / F.lit(float(10**SUM_SCALE)))
+            .alias("total_value"),
+            F.max("p_frozen").cast("long").alias("has_frozen_rows"),
+            F.max("p_open").cast("long").alias("has_open_rows"),
+        )
+    )
+    return merged.select(
+        F.col("day").cast("string").alias("day_str"),
+        "event_type",
+        "n",
+        "total_value",
+        "has_frozen_rows",
+        "has_open_rows",
+    )

@@ -1464,3 +1464,44 @@ def g32_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("bucket_us", "event_type", "n", "v_min", "v_max")
     )
+
+
+# ---------------------------------------------------------------------------
+# g33_iso_week — CH toISOWeek/toISOYear (the week-boundary minefield)
+# ---------------------------------------------------------------------------
+
+_G33_ORACLE = """
+SELECT o_orderkey,
+       CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+       CAST(isoyear(o_orderdate) AS BIGINT) AS iso_year,
+       concat(CAST(isoyear(o_orderdate) AS VARCHAR), '-W',
+              lpad(CAST(weekofyear(o_orderdate) AS VARCHAR), 2, '0'))
+         AS iso_label
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+@register("g33_iso_week", oracle=_G33_ORACLE, tier="T3")
+def g33_iso_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``toISOWeek``/``toISOYear``: ISO-8601 week numbering, where
+    Jan 1 can belong to week 52 of the PREVIOUS iso-year — the
+    week-boundary minefield every weekly report steps on. Both engines
+    implement ISO semantics (verified by probe: 2023-01-01 → 2022-W52
+    on both); the composite label is the partition key a weekly rollup
+    sinks under.
+
+    Scale: map-only calendar arithmetic in codegen."""
+    orders = load(spark, sf_dir, "orders")
+    iso_week = F.weekofyear("o_orderdate").cast("long")
+    iso_year = F.expr("extract(YEAROFWEEK FROM o_orderdate)").cast("long")
+    return orders.select(
+        "o_orderkey",
+        iso_week.alias("iso_week"),
+        iso_year.alias("iso_year"),
+        F.concat(
+            iso_year.cast("string"),
+            F.lit("-W"),
+            F.lpad(iso_week.cast("string"), 2, "0"),
+        ).alias("iso_label"),
+    )
