@@ -288,3 +288,39 @@ def b8_sample_by(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("users_sampled"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# b9_tuple_in — composite-key IN list ((a,b) IN ((..),(..)))
+# ---------------------------------------------------------------------------
+
+_B9_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus
+FROM lineitem
+WHERE (l_returnflag, l_linestatus) IN (('A', 'F'), ('N', 'O'))
+  AND (l_suppkey % 10, l_linenumber) IN ((1, 1), (2, 2), (3, 1))
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@register("b9_tuple_in", oracle=_B9_ORACLE, tier="T3")
+def b9_tuple_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key IN membership — CH tuple-IN / the multi-column
+    routing predicate of replication filter configs. Both engines parse
+    the row-value IN list natively; Spark compiles it to an OR-of-ANDs
+    that pushes to the scan like any other predicate (asserted by the
+    b-family pushdown tests' machinery).
+
+    Scale: map-only; at large IN-lists switch to a broadcast semi join
+    (c4) — same semantics, hash-build instead of expression tree."""
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("b9_lineitem")
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus
+        FROM b9_lineitem
+        WHERE (l_returnflag, l_linestatus) IN (('A', 'F'), ('N', 'O'))
+          AND (CAST(l_suppkey % 10 AS INT), l_linenumber)
+              IN ((1, 1), (2, 2), (3, 1))
+        """
+    )

@@ -236,3 +236,54 @@ def f7_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seg_n",
         "c_acctbal",
     )
+
+
+# ---------------------------------------------------------------------------
+# f8_pagination — stable keyset + offset pagination
+# ---------------------------------------------------------------------------
+
+_F8_ORACLE = """
+WITH ordered AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS pos
+  FROM customer
+)
+SELECT pos, c_custkey, c_mktsegment, c_acctbal,
+       CAST(CASE WHEN pos > 40 THEN 1 ELSE 0 END AS BIGINT) AS via_keyset
+FROM ordered
+WHERE pos BETWEEN 41 AND 60
+ORDER BY pos
+"""
+
+
+@register("f8_pagination", oracle=_F8_ORACLE, tier="T3")
+def f8_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable pagination (page 3 at 20 rows/page) over a total order —
+    the API-backend pattern, done the way that scales: materialized
+    position from row_number over (sort key, PK tie-break), sliced by
+    position range. OFFSET/LIMIT without a total order returns
+    arbitrary pages; with the keyset position the page is deterministic
+    and the driver hash can prove it.
+
+    Scale: TakeOrdered-style evaluation — per-partition top-(offset+
+    limit) heaps then one driver merge; at deep offsets switch to
+    keyset continuation (WHERE (bal, key) < last_seen), which this
+    layout makes a pure filter."""
+    cust = load(spark, sf_dir, "customer")
+    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    ordered = cust.select(
+        F.row_number().over(w).cast("long").alias("pos"),
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+    )
+    return ordered.filter(F.col("pos").between(41, 60)).select(
+        "pos",
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.when(F.col("pos") > 40, 1).otherwise(0).cast("long").alias(
+            "via_keyset"
+        ),
+    )

@@ -32,6 +32,7 @@ from mysql_to_clickhouse_spark.functions.numeric import (
     o_dsum,
     epoch_us,
     o_epoch_us,
+    fixed_point,
 )
 from mysql_to_clickhouse_spark.registry import register
 from mysql_to_clickhouse_spark.tables import load
@@ -1129,4 +1130,75 @@ def d51_or_default(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_nationkey", "n_name", "n_rich", "max_bal_or_null",
             "max_bal_or_default", "group_was_empty",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# d52_avg_map — CH avgMap: keyed mean merge (closes the -Map family)
+# ---------------------------------------------------------------------------
+
+# Keyed partial states (count, fixed-point sum) merge associatively;
+# the mean renders per key at the end — same canonical "k:v" string
+# assembly as d34 so the map value is hash-portable.
+_D52_ORACLE = """
+WITH per AS (
+  SELECT event_type,
+         (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS hour_utc,
+         CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS BIGINT) AS s_fp
+  FROM events
+  GROUP BY event_type, hour_utc
+), rendered AS (
+  SELECT event_type, hour_utc,
+         concat(CAST(hour_utc AS VARCHAR), ':',
+                CAST(ROUND(CAST(s_fp AS DOUBLE) / 10000.0 / c, 6)
+                     AS VARCHAR)) AS kv
+  FROM per
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       array_to_string(list_sort(list(kv)), ',') AS avg_map
+FROM rendered
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("d52_avg_map", oracle=_D52_ORACLE, tier="T3")
+def d52_avg_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``avgMap``: per-key means merged across rows — the missing
+    member next to sumMap (d19) and minMap/maxMap (d34). The mergeable
+    state per key is (count, fixed-point sum); the mean is rendered
+    once at the end (ROUND 6 — a ratio of exact integers, identical on
+    both engines) into the canonical sorted k:v string.
+
+    Scale: two map-side-combinable hash aggregates; second-stage
+    cardinality is |groups|·|keys|."""
+    ev = load(spark, sf_dir, "events")
+    hour = F.expr("(unix_micros(ts) div 3600000000) % 24").alias("hour_utc")
+    per = (
+        ev.select("event_type", hour, fixed_point("value").alias("v_fp"))
+        .groupBy("event_type", "hour_utc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.sum("v_fp").cast("long").alias("s_fp"),
+        )
+    )
+    mean_str = F.round(
+        F.col("s_fp").cast("double") / 10000.0 / F.col("c"), 6
+    ).cast("string")
+    rendered = per.select(
+        "event_type",
+        "hour_utc",
+        F.concat_ws(":", F.col("hour_utc").cast("string"), mean_str).alias("kv"),
+    )
+    return (
+        rendered.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.array_join(F.array_sort(F.collect_list("kv")), ",").alias(
+                "avg_map"
+            ),
+        )
+        .select("event_type", "n_keys", "avg_map")
     )
