@@ -324,3 +324,90 @@ def b9_tuple_in(spark: SparkSession, sf_dir: str) -> DataFrame:
               IN ((1, 1), (2, 2), (3, 1))
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# b10_null_torture — null propagation discipline, pinned cross-engine
+# ---------------------------------------------------------------------------
+
+# Known cross-engine traps pinned here: Spark concat() returns NULL if
+# ANY argument is NULL while DuckDB's skips them -> portable queries
+# must use concat_ws (null-skipping on both). Aggregates over all-NULL
+# groups return NULL (not 0) on both; COUNT(col) skips NULLs while
+# COUNT(*) doesn't.
+_B10_ORACLE = """
+WITH t AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END AS p,
+         CASE WHEN o_orderkey % 5 = 0 THEN NULL
+              ELSE o_orderpriority END AS pri,
+         o_orderkey % 7 AS g
+  FROM orders
+)
+SELECT g,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(p) AS BIGINT) AS n_nonnull,
+       MIN(p) AS min_p,
+       COALESCE(MIN(p), -1.0) AS min_p_default,
+       CAST(SUM(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       concat_ws('/', CAST(g AS STRING), 'x') AS tag,
+       CAST(SUM(CASE WHEN p + 1.0 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS arith_null_propagates,
+       CAST(SUM(CASE WHEN concat_ws('-', pri, 'suffix') IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS concat_ws_never_null
+FROM t
+GROUP BY g
+ORDER BY g
+"""
+
+
+@register("b10_null_torture", oracle=_B10_ORACLE, tier="T2")
+def b10_null_torture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics discipline, pinned: COUNT(*) vs COUNT(col),
+    aggregate-over-NULLs, arithmetic propagation (x + 1 stays NULL),
+    and the concat trap — Spark's concat() NULLs out on any NULL input
+    while DuckDB's skips, so the engine-portable spelling is concat_ws
+    (null-skipping on BOTH, proven by the always-zero
+    concat_ws_never_null column). The replication category lives on
+    nullable MySQL columns; these are the rules that keep reports
+    honest."""
+    orders = load(spark, sf_dir, "orders")
+    t = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("p"),
+        F.when(F.col("o_orderkey") % 5 == 0, None)
+        .otherwise(F.col("o_orderpriority"))
+        .alias("pri"),
+        (F.col("o_orderkey") % 7).alias("g"),
+    )
+    return (
+        t.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count("p").cast("long").alias("n_nonnull"),
+            F.min("p").alias("min_p"),
+            F.coalesce(F.min("p"), F.lit(-1.0)).alias("min_p_default"),
+            F.sum(F.when(F.col("p").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null"),
+            F.sum(F.when((F.col("p") + 1.0).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("arith_null_propagates"),
+            F.sum(
+                F.when(
+                    F.concat_ws("-", F.col("pri"), F.lit("suffix")).isNull(), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("concat_ws_never_null"),
+        )
+        .withColumn(
+            "tag", F.concat_ws("/", F.col("g").cast("string"), F.lit("x"))
+        )
+        .select(
+            "g", "n_rows", "n_nonnull", "min_p", "min_p_default", "n_null",
+            "tag", "arith_null_propagates", "concat_ws_never_null",
+        )
+    )

@@ -1202,3 +1202,38 @@ def d52_avg_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "n_keys", "avg_map")
     )
+
+
+# ---------------------------------------------------------------------------
+# d53_bool_aggs — bool_and / bool_or / count_if
+# ---------------------------------------------------------------------------
+
+_D53_ORACLE = """
+SELECT event_type,
+       bool_and(value > 1.0) AS all_above_1,
+       bool_or(value > 400.0) AS any_above_400,
+       CAST(count_if(value > 100.0) AS BIGINT) AS n_above_100,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("d53_bool_aggs", oracle=_D53_ORACLE, tier="T3")
+def d53_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate folds — ``bool_and``/``bool_or`` (universal /
+    existential quantifiers as aggregates) and ``count_if`` (CH countIf
+    by its portable name). All map-side-combinable single-bit states —
+    the cheapest aggregates there are."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.bool_and(F.col("value") > 1.0).alias("all_above_1"),
+            F.bool_or(F.col("value") > 400.0).alias("any_above_400"),
+            F.count_if(F.col("value") > 100.0).cast("long").alias("n_above_100"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select("event_type", "all_above_1", "any_above_400", "n_above_100", "n")
+    )
