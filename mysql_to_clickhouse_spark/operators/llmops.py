@@ -3217,3 +3217,56 @@ def i31_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mask").cast("long").alias("reason_mask"),
         F.when(F.col("mask") == 0, 1).otherwise(0).cast("long").alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# i34_curriculum_order — quality-ordered curriculum staging
+# ---------------------------------------------------------------------------
+
+# Proxy quality = lexical diversity (distinct/total tokens) — exact
+# int/int, no float discipline needed; stage = quartile over the
+# per-lang quality order (ntile, PK tie-broken).
+_I34_ORACLE = """
+WITH q AS (
+  SELECT doc_id, lang,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS quality
+  FROM documents
+)
+SELECT doc_id, lang, quality,
+       CAST(NTILE(4) OVER (PARTITION BY lang
+                           ORDER BY quality, doc_id) AS BIGINT) AS stage,
+       CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                               ORDER BY quality, doc_id) AS BIGINT)
+         AS curriculum_pos
+FROM q
+ORDER BY lang, curriculum_pos
+"""
+
+
+@register("i34_curriculum_order", oracle=_I34_ORACLE)
+def i34_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging: order each language's corpus from easy/noisy
+    to high-quality (lexical-diversity proxy, exact int/int ratio) and
+    cut it into 4 training stages (ntile) plus the within-stage
+    position — the deterministic ordering manifest a curriculum
+    training run consumes. Ties break on doc_id so the schedule is
+    reproducible down to the row.
+
+    Scale: one window per language partition — the shuffle is the
+    manifest's natural shard key; quality is map-only."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    quality = (
+        F.size(F.array_distinct(toks)).cast("double")
+        / F.size(toks).cast("double")
+    )
+    q = docs.select("doc_id", "lang", quality.alias("quality"))
+    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    return q.select(
+        "doc_id",
+        "lang",
+        "quality",
+        F.ntile(4).over(w).cast("long").alias("stage"),
+        F.row_number().over(w).cast("long").alias("curriculum_pos"),
+    )

@@ -1237,3 +1237,49 @@ def d53_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "all_above_1", "any_above_400", "n_above_100", "n")
     )
+
+
+# ---------------------------------------------------------------------------
+# d54_covariance — covarPop/covarSamp from exact moment sums
+# ---------------------------------------------------------------------------
+
+_D54_MATH = """
+  (sxy - sx * sy / n) / n AS covar_pop,
+  (sxy - sx * sy / n) / (n - 1) AS covar_samp
+"""
+
+_D54_ORACLE = f"""
+WITH sums AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         {o_dsum('l_quantity')} AS sx,
+         {o_dsum('l_extendedprice')} AS sy,
+         {o_dsum('l_quantity * l_extendedprice')} AS sxy
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n, {_D54_MATH}
+FROM sums
+ORDER BY l_returnflag
+"""
+
+
+@register("d54_covariance", oracle=_D54_ORACLE, tier="T3")
+def d54_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``covarPop``/``covarSamp`` from exact fixed-point moment sums
+    (n, Σx, Σy, Σxy) — the d12/d23 determinism design applied to the
+    one moment statistic that family didn't surface explicitly. One
+    map-side-combinable aggregate; the covariances are post-aggregate
+    arithmetic stated once for both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum("l_quantity").alias("sx"),
+        dsum("l_extendedprice").alias("sy"),
+        dsum(F.col("l_quantity") * F.col("l_extendedprice")).alias("sxy"),
+    )
+    return sums.selectExpr(
+        "l_returnflag",
+        "CAST(n AS BIGINT) AS n",
+        *[f.strip().rstrip(",") for f in _D54_MATH.strip().split(",\n")],
+    )
