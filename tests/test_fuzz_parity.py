@@ -304,3 +304,45 @@ def test_random_setop_parity(spark, duck, i):
     duck_pdf = duck.sql(sql).df()
     res = compare_frames(spark_pdf, duck_pdf)
     assert res.ok, f"divergence on:\n{sql}\n{res.detail}"
+
+
+# ---------------------------------------------------------------------------
+# string-function fuzz — upper/substr/replace/length/trim shared subset
+# ---------------------------------------------------------------------------
+
+N_STRING_QUERIES = 12
+
+
+def _gen_string_query(rng: random.Random) -> str:
+    col, table = rng.choice(
+        [("c_mktsegment", "customer"), ("o_orderpriority", "orders"),
+         ("event_type", "events"), ("l_returnflag", "lineitem")]
+    )
+    start = rng.randint(1, 4)
+    ln = rng.randint(1, 6)
+    needle = rng.choice(["A", "E", "I", "L", "U", "R"])
+    exprs = [
+        f"upper({col}) AS e1",
+        f"lower({col}) AS e2",
+        f"substring({col}, {start}, {ln}) AS e3",
+        f"replace({col}, '{needle}', '_') AS e4",
+        f"CAST(length({col}) AS BIGINT) AS e5",
+        f"concat_ws('|', {col}, reverse({col})) AS e6",
+        f"trim(concat_ws('', '  ', {col}, ' ')) AS e7",
+        f"CAST(instr({col}, '{needle}') AS BIGINT) AS e8",
+    ]
+    picked = rng.sample(exprs, rng.randint(3, 6))
+    return (
+        f"SELECT {', '.join(sorted(picked))}, CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM {table} GROUP BY {', '.join(sorted(e.rsplit(' AS ', 1)[1] for e in picked))}"
+    )
+
+
+@pytest.mark.parametrize("i", range(N_STRING_QUERIES))
+def test_random_string_parity(spark, duck, i):
+    rng = random.Random(SEED * 97 + i)
+    sql = _gen_string_query(rng)
+    spark_pdf = spark.sql(sql).toPandas()
+    duck_pdf = duck.sql(sql).df()
+    res = compare_frames(spark_pdf, duck_pdf)
+    assert res.ok, f"divergence on:\n{sql}\n{res.detail}"
