@@ -92,3 +92,27 @@ def o_epoch_us(expr: str) -> str:
     # DuckDB reads ns parquet as TIMESTAMP_NS; cast to µs TIMESTAMP first
     # (truncation — same as Spark's read-time behavior for positive epochs).
     return f"epoch_us(CAST(({expr}) AS TIMESTAMP))"
+
+
+def dsum_wide(col: Column | str, scale: int = SUM_SCALE) -> Column:
+    """dsum with a DECIMAL(38,0) sum carrier instead of bigint — for
+    summands that GROW with n (ranks, positions), where the int64
+    budget n·max(x)·10^s overflows long before the data stops fitting
+    a cluster. Found by scripts/stress.py at 10M rows: d48's midrank
+    products grow ~n³ and blew int64; decimal(38) holds ~1e38.
+
+    Determinism: FLOOR(x·10^s) is an exact integer-valued double; the
+    double→decimal cast of an integer value is exact on both engines
+    (the tie-breaking hazard only exists for fractional casts); the
+    decimal sum is exact; the final decimal→double cast is correctly
+    rounded of the same exact value on both engines. Still map-side
+    combinable (decimal sum partials)."""
+    q = F.floor(_c(col) * F.lit(float(10**scale))).cast("decimal(38,0)")
+    return F.sum(q).cast("double") / F.lit(float(10**scale))
+
+
+def o_dsum_wide(expr: str, scale: int = SUM_SCALE) -> str:
+    return (
+        f"CAST(SUM(CAST(FLOOR(({expr}) * {float(10 ** scale)!r})"
+        f" AS DECIMAL(38,0))) AS DOUBLE) / {float(10 ** scale)!r}"
+    )

@@ -29,7 +29,9 @@ from pyspark.sql import functions as F
 
 from mysql_to_clickhouse_spark.functions.numeric import (
     dsum,
+    dsum_wide,
     o_dsum,
+    o_dsum_wide,
     epoch_us,
     o_epoch_us,
     fixed_point,
@@ -848,9 +850,10 @@ WITH pts AS (
 ), sums AS (
   SELECT event_type,
          CAST(COUNT(*) AS DOUBLE) AS n,
-         {o_dsum('rx', 2)} AS sx, {o_dsum('ry', 2)} AS sy,
-         {o_dsum('rx * ry', 2)} AS sxy,
-         {o_dsum('rx * rx', 2)} AS sxx, {o_dsum('ry * ry', 2)} AS syy
+         {o_dsum_wide('rx', 2)} AS sx, {o_dsum_wide('ry', 2)} AS sy,
+         {o_dsum_wide('rx * ry', 2)} AS sxy,
+         {o_dsum_wide('rx * rx', 2)} AS sxx,
+         {o_dsum_wide('ry * ry', 2)} AS syy
   FROM ranked
   GROUP BY event_type
 )
@@ -865,7 +868,9 @@ def d48_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CH ``rankCorr(x, y)``: Spearman correlation between value and
     props.k per event_type — Pearson on average ranks (ties get the
     standard midrank, an exact .5 fraction, so every sum is exact in
-    scale-2 fixed point). Monotone-robust association for pipelines
+    scale-2 fixed point over a DECIMAL(38) carrier — rank products
+    grow ~n³ and overflow int64 near 1M rows/group, found by
+    scripts/stress.py and fixed with dsum_wide). Monotone-robust association for pipelines
     where Pearson's linearity assumption lies.
 
     Scale: ranking is two windows partitioned by (type) — the same
@@ -891,11 +896,11 @@ def d48_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sums = ranked.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        dsum("rx", 2).alias("sx"),
-        dsum("ry", 2).alias("sy"),
-        dsum(F.col("rx") * F.col("ry"), 2).alias("sxy"),
-        dsum(F.col("rx") * F.col("rx"), 2).alias("sxx"),
-        dsum(F.col("ry") * F.col("ry"), 2).alias("syy"),
+        dsum_wide("rx", 2).alias("sx"),
+        dsum_wide("ry", 2).alias("sy"),
+        dsum_wide(F.col("rx") * F.col("ry"), 2).alias("sxy"),
+        dsum_wide(F.col("rx") * F.col("rx"), 2).alias("sxx"),
+        dsum_wide(F.col("ry") * F.col("ry"), 2).alias("syy"),
     )
     return sums.selectExpr(
         "event_type",

@@ -93,6 +93,8 @@ def value_hash(pdf) -> str:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=1_000_000)
+    ap.add_argument("--queries", default=None,
+                    help="comma-separated subset of QUERIES to run")
     args = ap.parse_args()
 
     import tempfile
@@ -116,6 +118,9 @@ def main() -> None:
     )
 
     qs = all_queries()
+    to_run = (
+        [q.strip() for q in args.queries.split(",")] if args.queries else QUERIES
+    )
     lines = [
         "# STRESS — 10x-sf0.1 synthetic evidence (generated)",
         "",
@@ -131,7 +136,7 @@ def main() -> None:
         "|---|---|---|---|---|",
     ]
     all_ok = True
-    for name in QUERIES:
+    for name in to_run:
         q = qs[name]
         t0 = time.time()
         spdf = q.fn(spark, sf_dir).toPandas()
@@ -161,7 +166,7 @@ def main() -> None:
     ]
     with open(
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                     "docs", "STRESS.md"),
+                     "docs", f"STRESS_{args.rows}.md"),
         "w",
     ) as fh:
         fh.write("\n".join(lines) + "\n")
