@@ -1025,7 +1025,8 @@ WITH pts AS (
 ), sums AS (
   SELECT CAST(SUM(label) AS DOUBLE) AS p,
          CAST(SUM(1 - label) AS DOUBLE) AS nneg,
-         {o_dsum('CASE WHEN label = 1 THEN r ELSE 0.0 END', 2)} AS pos_rank_sum
+         {o_dsum_wide('CASE WHEN label = 1 THEN r ELSE 0.0 END', 2)}
+           AS pos_rank_sum
   FROM ranked
 )
 SELECT CAST(p AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg,
@@ -1062,7 +1063,7 @@ def d50_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums = ranked.agg(
         F.sum("label").cast("double").alias("p"),
         F.sum(1 - F.col("label")).cast("double").alias("nneg"),
-        dsum(
+        dsum_wide(
             F.when(F.col("label") == 1, F.col("r")).otherwise(0.0), 2
         ).alias("pos_rank_sum"),
     )
