@@ -107,12 +107,26 @@ def dsum_wide(col: Column | str, scale: int = SUM_SCALE) -> Column:
     decimal sum is exact; the final decimal→double cast is correctly
     rounded of the same exact value on both engines. Still map-side
     combinable (decimal sum partials)."""
-    q = F.floor(_c(col) * F.lit(float(10**scale))).cast("decimal(38,0)")
-    return F.sum(q).cast("double") / F.lit(float(10**scale))
+    # FLOOR(double) returns BIGINT on both engines -- the very overflow
+    # this carrier avoids -- so floor is computed IN DOUBLE SPACE via
+    # the exact IEEE remainder (x - x % 1.0, corrected for negatives),
+    # and only the integer-valued double is cast to decimal.
+    xs = _c(col) * F.lit(float(10**scale))
+    fl = xs - (xs % F.lit(1.0))
+    fl = F.when((xs < 0) & ((xs % F.lit(1.0)) != 0), fl - 1).otherwise(fl)
+    return F.sum(fl.cast("decimal(38,0)")).cast("double") / F.lit(
+        float(10**scale)
+    )
 
 
 def o_dsum_wide(expr: str, scale: int = SUM_SCALE) -> str:
+    xs = f"(({expr}) * {float(10 ** scale)!r})"
+    fl = f"({xs} - ({xs} % 1.0))"
+    floor = (
+        f"(CASE WHEN {xs} < 0 AND ({xs} % 1.0) <> 0"
+        f" THEN {fl} - 1 ELSE {fl} END)"
+    )
     return (
-        f"CAST(SUM(CAST(FLOOR(({expr}) * {float(10 ** scale)!r})"
-        f" AS DECIMAL(38,0))) AS DOUBLE) / {float(10 ** scale)!r}"
+        f"CAST(SUM(CAST({floor} AS DECIMAL(38,0))) AS DOUBLE)"
+        f" / {float(10 ** scale)!r}"
     )

@@ -94,3 +94,28 @@ def test_money_render_sign_parity_with_duckdb(spark):
     con.close()
     assert got == want
     assert got[-12345] == "-123.45" and got[-5] == "-0.05" and got[0] == "0.00"
+
+
+def test_dsum_wide_survives_int64_overflow(spark):
+    """dsum_wide handles sums past the int64 budget (the d48 stress
+    lesson); plain dsum raises ANSI ARITHMETIC_OVERFLOW on the same
+    input; both agree on small data."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from mysql_to_clickhouse_spark.functions.numeric import dsum, dsum_wide
+
+    small = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+    a = small.agg(dsum("x").alias("v")).first()["v"]
+    b = small.agg(dsum_wide("x").alias("v")).first()["v"]
+    assert a == b == sum(range(100))
+
+    # 50 rows of 1e16: scaled at 1e4 -> 1e20 per row; int64 sum overflows
+    big = spark.createDataFrame([(1e16,) for _ in range(50)], "x double")
+    from pyspark.errors.exceptions.captured import ArithmeticException
+
+    with _pytest.raises(Exception):
+        big.agg(dsum("x").alias("v")).first()
+    v = big.agg(dsum_wide("x").alias("v")).first()["v"]
+    assert v == 50 * 1e16
