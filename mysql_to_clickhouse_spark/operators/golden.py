@@ -1160,3 +1160,119 @@ def x20_mom_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round((F.col("revenue") - prev) / prev * 100.0, 6))
         .alias("mom_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x21_corpus_build — the corpus-construction DAG in one query
+# ---------------------------------------------------------------------------
+
+# filter gate (i31's Gopher+length subset) -> exact dedup keeper (i1)
+# -> deterministic renumber -> greedy 2000-char shard packing (i13's
+# running-sum div) -> per-shard manifest. One DAG, every stage exact.
+_X21_ORACLE = """
+WITH s AS (
+  SELECT doc_id, n_chars, md5(text) AS h,
+         string_split(text, ' ') AS toks
+  FROM documents
+), flags AS (
+  SELECT doc_id, n_chars, h,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(toks, w -> length(w))) AS BIGINT)
+           AS n_word_chars,
+         CAST(len(list_filter(toks, w -> length(w) <= 2)) AS BIGINT)
+           AS n_tiny,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+  FROM s
+), kept AS (
+  SELECT f.doc_id, f.n_chars
+  FROM flags f
+  JOIN (SELECT h, MIN(doc_id) AS keeper FROM flags GROUP BY h) k
+    ON f.h = k.h AND f.doc_id = k.keeper
+  WHERE (f.n_words BETWEEN 5 AND 100000)
+    AND (CAST(f.n_word_chars AS DOUBLE) / f.n_words BETWEEN 3.0 AND 12.0)
+    AND (CAST(f.n_tiny AS DOUBLE) / f.n_words <= 0.4)
+    AND (CAST(f.n_distinct AS DOUBLE) / f.n_words >= 0.2)
+    AND f.n_chars BETWEEN 50 AND 5000
+), packed AS (
+  SELECT doc_id, n_chars,
+         CAST((SUM(n_chars) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_chars) // 2000 AS BIGINT) AS shard
+  FROM kept
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM packed
+GROUP BY shard
+ORDER BY shard
+"""
+
+
+@register("x21_corpus_build", oracle=_X21_ORACLE, tier="T2")
+def x21_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-construction capstone — quality gate (i31's Gopher +
+    length subset) → exact-dedup keeper (i1) → deterministic
+    2000-char greedy shard packing (i13's prefix-sum-div trick) →
+    per-shard manifest, all in ONE declarative DAG that Catalyst
+    plans end to end. This is the 'run the whole pipeline' query a
+    user of the reference would schedule nightly.
+
+    Scale: the gate is map-only, dedup is one md5-key exchange, and
+    the packing prefix-sum is a window ordered by doc_id (per-(lang,
+    shard-group) in production — i13's skew lever; global here so the
+    manifest is one sequence). No Python anywhere."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    flags = docs.select(
+        "doc_id",
+        "n_chars",
+        F.md5("text").alias("h"),
+        F.size(toks).cast("long").alias("n_words"),
+        F.aggregate(
+            F.transform(toks, lambda w: F.length(w).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("n_word_chars"),
+        F.size(F.filter(toks, lambda w: F.length(w) <= 2))
+        .cast("long")
+        .alias("n_tiny"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+    keepers = flags.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    mean_wl = F.col("n_word_chars").cast("double") / F.col("n_words")
+    kept = (
+        flags.join(keepers, "h")
+        .filter(
+            (F.col("doc_id") == F.col("keeper"))
+            & F.col("n_words").between(5, 100000)
+            & mean_wl.between(3.0, 12.0)
+            & (F.col("n_tiny").cast("double") / F.col("n_words") <= 0.4)
+            & (F.col("n_distinct").cast("double") / F.col("n_words") >= 0.2)
+            & F.col("n_chars").between(50, 5000)
+        )
+        .select("doc_id", "n_chars")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    packed = kept.withColumn(
+        "shard",
+        F.expr(
+            "CAST((sum(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars) div 2000 "
+            "AS BIGINT)"
+        ),
+    )
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        )
+        .select("shard", "n_docs", "total_chars", "first_doc", "last_doc")
+    )

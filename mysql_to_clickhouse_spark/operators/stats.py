@@ -1289,3 +1289,69 @@ def d54_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(n AS BIGINT) AS n",
         *[f.strip().rstrip(",") for f in _D54_MATH.strip().split(",\n")],
     )
+
+
+# ---------------------------------------------------------------------------
+# d55_moving_avg_array — CH groupArrayMovingAvg
+# ---------------------------------------------------------------------------
+
+# d26's moving-SUM trajectory with the mean rendered per position; the
+# divisor is LEAST(pos, k) so the warm-up window is exact, and the
+# division is one fixed-order IEEE op on exact fixed-point sums.
+_D55_K = 3
+
+_D55_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, event_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         CAST(FLOOR(value * 10000.0) AS BIGINT) AS v_fp
+  FROM events WHERE event_type = 'purchase'
+), win AS (
+  SELECT user_id, event_id,
+         CAST(ROW_NUMBER() OVER w AS BIGINT) AS pos,
+         SUM(v_fp) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS BETWEEN {_D55_K - 1} PRECEDING AND CURRENT ROW) AS s_fp
+  FROM seq
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+)
+SELECT user_id, event_id, pos,
+       CAST(s_fp AS DOUBLE) / 10000.0
+         / LEAST(pos, {_D55_K}) AS moving_avg
+FROM win
+ORDER BY user_id, pos
+"""
+
+
+@register("d55_moving_avg_array", oracle=_D55_ORACLE, tier="T3")
+def d55_moving_avg_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``groupArrayMovingAvg(k)``: the k-window moving MEAN
+    trajectory per user (d26 ships the moving sum) — warm-up positions
+    divide by the actual window fill (LEAST(pos, k)), so the first
+    points are true prefixes, not zero-padded. Fixed-point sums keep
+    the window sum exact under any frame evaluation order; one window
+    shuffle on user_id."""
+    ev = load(spark, sf_dir, "events")
+    seq = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        fixed_point("value").alias("v_fp"),
+    )
+    order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    frame = order.rowsBetween(-(_D55_K - 1), Window.currentRow)
+    win = seq.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(order).cast("long").alias("pos"),
+        F.sum("v_fp").over(frame).alias("s_fp"),
+    )
+    return win.select(
+        "user_id",
+        "event_id",
+        "pos",
+        (
+            F.col("s_fp").cast("double")
+            / 10000.0
+            / F.least(F.col("pos"), F.lit(_D55_K))
+        ).alias("moving_avg"),
+    )
