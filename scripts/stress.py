@@ -19,13 +19,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 QUERIES = [
     "d35_retention",
+    "d36_histogram",
+    "d37_entropy",
+    "d41_exp_decay_avg",
+    "d42_bitmap_ops",
+    "d44_mad",
     "d48_rank_corr",
     "e9_running_distinct",
+    "e10_nonneg_derivative",
     "e11_interpolate",
+    "e12_running_concurrency",
+    "g32_time_bucket",
     "h19_rolling_mau",
     "h20_strict_funnel",
+    "h21_incremental_bitmap",
     "k6_mv_cascade",
-    "d37_entropy",
+    "k7_watermarked_mv",
 ]
 
 
