@@ -815,3 +815,75 @@ def c18_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# c19_cidr_enrich — IP-to-block enrichment as an arithmetic equi join
+# ---------------------------------------------------------------------------
+
+# 32 regular /5 blocks (width 2^27) over the IPv4 space; with regular
+# blocks the BETWEEN lookup is block_id = ipnum div 2^27 — an EQUI
+# join against the broadcast dim instead of an inequality join (the
+# non-equi form plans BroadcastNestedLoop, which detonates at scale).
+_C19_ORACLE = """
+WITH ip AS (
+  SELECT c_custkey, (c_custkey * 2654435761) % 4294967296 AS ipnum
+  FROM customer
+), blocks AS (
+  SELECT i AS block_id,
+         i * 134217728 AS lo,
+         (i + 1) * 134217728 - 1 AS hi,
+         concat('net-', lpad(CAST(i AS VARCHAR), 2, '0')) AS block_name
+  FROM (SELECT unnest(range(32)) AS i)
+)
+SELECT b.block_name,
+       CAST(b.lo AS BIGINT) AS lo,
+       CAST(COUNT(*) AS BIGINT) AS n_ips,
+       CAST(MIN(ip.ipnum) AS BIGINT) AS min_ip,
+       CAST(MAX(ip.ipnum) AS BIGINT) AS max_ip
+FROM ip JOIN blocks b ON ip.ipnum // 134217728 = b.block_id
+GROUP BY b.block_name, b.lo
+ORDER BY b.block_name
+"""
+
+
+@register("c19_cidr_enrich", oracle=_C19_ORACLE, tier="T3")
+def c19_cidr_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IP→network-block enrichment (the GeoIP/CIDR lookup every event
+    pipeline runs): each address joins its covering block. The naive
+    spelling is a BETWEEN range join — a BroadcastNestedLoop that
+    detonates at scale; with regular blocks the lookup collapses to
+    block_id = ipnum div width, a broadcast EQUI join (for irregular
+    CIDR tables: explode each prefix to its covering fixed-width
+    buckets once, then the same equi join). Plan: one broadcast hash
+    join, zero fact-side shuffle before the aggregate."""
+    cust = load(spark, sf_dir, "customer")
+    ip = cust.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 2654435761) % 4294967296).alias("ipnum"),
+    )
+    blocks = spark.range(32).select(
+        F.col("id").alias("block_id"),
+        (F.col("id") * 134217728).alias("lo"),
+        F.concat(
+            F.lit("net-"), F.lpad(F.col("id").cast("string"), 2, "0")
+        ).alias("block_name"),
+    )
+    j = ip.withColumn("block_id", F.expr("ipnum div 134217728")).join(
+        F.broadcast(blocks), "block_id"
+    )
+    return (
+        j.groupBy("block_name", "lo")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ips"),
+            F.min("ipnum").cast("long").alias("min_ip"),
+            F.max("ipnum").cast("long").alias("max_ip"),
+        )
+        .select(
+            "block_name",
+            F.col("lo").cast("long").alias("lo"),
+            "n_ips",
+            "min_ip",
+            "max_ip",
+        )
+    )
