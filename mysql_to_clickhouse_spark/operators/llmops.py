@@ -3270,3 +3270,162 @@ def i34_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).cast("long").alias("stage"),
         F.row_number().over(w).cast("long").alias("curriculum_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# i35_canonical_keeper — near-dup clusters with best-copy retention
+# ---------------------------------------------------------------------------
+
+_I35_THETA = 0.5
+# Same role as i16's bound: keeps the ORACLE's O(n²) shingle self-join
+# affordable at any SF (sf0.01's 500 docs all lie inside it); the Spark
+# path has no bound.
+_I35_MAX_ID = 2000
+
+_I35_ORACLE = f"""
+WITH RECURSIVE
+nodes AS (
+  SELECT doc_id, n_chars FROM documents WHERE doc_id < {_I35_MAX_ID}
+),
+sh AS (
+  SELECT doc_id, source, {o_distinct_shingles('text')} AS shingles
+  FROM documents WHERE doc_id < {_I35_MAX_ID}
+),
+edges AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+    AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / CAST(len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        >= {_I35_THETA}
+),
+bidir AS (
+  SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges
+),
+reach(v, lbl) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT b.dst, r.lbl FROM reach r JOIN bidir b ON b.src = r.v
+),
+comp AS (SELECT v AS doc_id, MIN(lbl) AS component_id FROM reach GROUP BY v)
+SELECT n.doc_id, c.component_id,
+       COUNT(*) OVER (PARTITION BY c.component_id) AS comp_size,
+       n.n_chars,
+       ROW_NUMBER() OVER (
+         PARTITION BY c.component_id
+         ORDER BY n.n_chars DESC, n.doc_id) = 1 AS is_keeper
+FROM comp c JOIN nodes n ON n.doc_id = c.doc_id
+ORDER BY n.doc_id
+"""
+
+
+@register("i35_canonical_keeper", oracle=_I35_ORACLE, tier="T3")
+def i35_canonical_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup with BEST-copy retention: i2b's exact-Jaccard
+    pairs (θ=0.5, source-blocked) become clusters via
+    ``connected_components``, and within each cluster the keeper is
+    the LONGEST document (n_chars, tie → min doc_id) — the 'keep the
+    most complete copy' policy corpus builds actually want, vs i16's
+    min-id keeper. Checked against a DuckDB recursive-CTE closure with
+    the same keeper window.
+
+    Scale: candidate pairs come from the source-blocked shingle join
+    (never all-pairs); components shuffle |E|+|V| rows per O(log n)
+    round; the keeper choice is one window over components. The
+    keeper-join is on the component label — co-partitioned with the
+    window that follows it."""
+    edges = (
+        i2b_jaccard_exact(spark, sf_dir)
+        .filter(
+            (F.col("jaccard") >= _I35_THETA)
+            & (F.col("doc_a") < _I35_MAX_ID)
+            & (F.col("doc_b") < _I35_MAX_ID)
+        )
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _I35_MAX_ID)
+        .select("doc_id", "n_chars")
+    )
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    labels, _ = connected_components(nodes, edges)
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("comp_size"))
+    keeper_w = Window.partitionBy("component_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        labels.join(sizes, "lbl")
+        .join(docs, labels.id == docs.doc_id)
+        .select(
+            "doc_id",
+            F.col("lbl").alias("component_id"),
+            "comp_size",
+            "n_chars",
+        )
+        .withColumn("is_keeper", F.row_number().over(keeper_w) == 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# i36_token_budget — sample each source down to a token budget
+# ---------------------------------------------------------------------------
+
+_I36_BUDGET = 5_000  # whitespace tokens per source
+
+_I36_ORACLE = f"""
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len({o_tokens('text')}) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), c AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS cum_tokens
+  FROM t
+)
+SELECT source, doc_id, n_tokens, cum_tokens
+FROM c
+WHERE cum_tokens <= {_I36_BUDGET}
+ORDER BY source, cum_tokens
+"""
+
+
+@register("i36_token_budget", oracle=_I36_ORACLE, tier="T3")
+def i36_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sampling: cap every source at {_I36_BUDGET}
+    whitespace tokens by walking its documents in md5(doc_id) order
+    (i15's seedless deterministic shuffle) and keeping the prefix whose
+    running token total fits the budget. This is how a mixture spec
+    ('50 B tokens of source X') turns into a concrete document list —
+    by TOKENS, not documents, which is what the training run actually
+    consumes. The prefix rule (stop at the first overflow) keeps the
+    cut deterministic and rerun-stable.
+
+    Scale: one window per source partition, integer running sums —
+    the same shuffle the final shard-write needs anyway. No Python,
+    no collect; the budget constant is the only driver-side state."""
+    docs = load(spark, sf_dir, "documents")
+    h = F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8"))
+    t = docs.select(
+        "source",
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+        h.alias("h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.select(
+            "source",
+            "doc_id",
+            "n_tokens",
+            F.sum("n_tokens").over(w).alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= _I36_BUDGET)
+    )

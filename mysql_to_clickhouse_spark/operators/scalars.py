@@ -1505,3 +1505,49 @@ def g33_iso_week(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lpad(iso_week.cast("string"), 2, "0"),
         ).alias("iso_label"),
     )
+
+
+# ---------------------------------------------------------------------------
+# g34_edit_distance — CH editDistance/levenshteinDistance
+# ---------------------------------------------------------------------------
+
+_G34_ORACLE = """
+SELECT a.n_name AS name_a, b.n_name AS name_b,
+       CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS edit_dist,
+       CAST(CASE WHEN levenshtein(a.n_name, b.n_name) <= 3
+                 THEN levenshtein(a.n_name, b.n_name) ELSE -1 END
+            AS BIGINT) AS bounded_dist,
+       levenshtein(a.n_name, b.n_name) <= 3 AS is_near
+FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+ORDER BY name_a, name_b
+"""
+
+
+@register("g34_edit_distance", oracle=_G34_ORACLE, tier="T3")
+def g34_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``editDistance(a, b)`` (levenshteinDistance): pairwise edit
+    distance over nation-name pairs, plus the BOUNDED form — Spark 4's
+    3-arg ``levenshtein(a, b, k)`` returns -1 past the threshold and
+    stops filling the DP band, the fuzzy-match idiom (CH users pair
+    editDistance with a <= k filter; the bounded kernel is how that
+    filter should execute). The oracle states the bounded form as the
+    equivalent CASE.
+
+    Scale: the pair generator here is a bounded self-join on a tiny
+    dim; in a real fuzzy-dedup the pair source is a blocked candidate
+    set (i2's LSH), and this scalar is the per-pair verifier — map-side
+    codegen, O(k·min(len)) per pair for the banded form."""
+    nation = load(spark, sf_dir, "nation")
+    a = nation.select(F.col("n_nationkey").alias("ka"), F.col("n_name").alias("name_a"))
+    b = nation.select(F.col("n_nationkey").alias("kb"), F.col("n_name").alias("name_b"))
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, F.col("ka") < F.col("kb"))
+        .select(
+            "name_a",
+            "name_b",
+            dist.cast("long").alias("edit_dist"),
+            F.levenshtein("name_a", "name_b", 3).cast("long").alias("bounded_dist"),
+            (dist <= 3).alias("is_near"),
+        )
+    )

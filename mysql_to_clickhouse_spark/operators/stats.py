@@ -1355,3 +1355,185 @@ def d55_moving_avg_array(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.least(F.col("pos"), F.lit(_D55_K))
         ).alias("moving_avg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d56_ks_test — CH kolmogorovSmirnovTest: exact two-sample KS statistic
+# ---------------------------------------------------------------------------
+
+# The statistic is computed entirely in int64: at each distinct value v,
+# the scaled ECDF gap is |ca(v)*nb - cb(v)*na| (an integer); D is the
+# max gap divided once by na*nb. Overflow budget: the gap is bounded by
+# na*nb, so int64 holds to ~3e9 rows per sample — document past that,
+# switch the product to a DECIMAL(38) carrier (the d48 lesson).
+_D56_MATH = """
+  CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS ks_d
+"""
+
+_D56_ORACLE = f"""
+WITH pts AS (
+  SELECT value,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+         CASE WHEN event_type = 'view'  THEN 1 ELSE 0 END AS b
+  FROM events WHERE event_type IN ('click', 'view')
+), g AS (
+  SELECT value, CAST(SUM(a) AS BIGINT) AS ca, CAST(SUM(b) AS BIGINT) AS cb
+  FROM pts GROUP BY value
+), c AS (
+  SELECT SUM(ca) OVER (ORDER BY value) AS cca,
+         SUM(cb) OVER (ORDER BY value) AS ccb,
+         SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+  FROM g
+), s AS (
+  SELECT CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+         CAST(MAX(ABS(cca * nb - ccb * na)) AS BIGINT) AS d_num
+  FROM c
+)
+SELECT n_a, n_b, d_num, {_D56_MATH.strip().rstrip(',')}
+FROM s
+"""
+
+
+@register("d56_ks_test", oracle=_D56_ORACLE, tier="T3")
+def d56_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``kolmogorovSmirnovTest(x, grp)``: exact two-sample KS
+    statistic between the 'click' and 'view' value distributions.
+    D = max_v |F_a(v) - F_b(v)| is evaluated as the INTEGER
+    ``|ca(v)·nb - cb(v)·na|`` at every distinct value, so the whole
+    computation is order-independent int64 arithmetic; the single
+    final division is the shared fragment. The distribution-shift
+    alarm for a replication pipeline (did the migrated column drift?)
+    and for training-data source monitoring.
+
+    Scale: the ECDF prefix sum is NOT a single-partition window — the
+    distinct values are range-repartitioned, each partition computes a
+    local running sum, and per-partition totals (one row per
+    partition, collected and broadcast) provide the offsets: the
+    textbook two-phase parallel prefix sum. Everything else is
+    map-side-combinable aggregation; driver traffic is <= #partitions
+    rows."""
+    ev = load(spark, sf_dir, "events")
+    pts = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "value",
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("a"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("b"),
+    )
+    g = pts.groupBy("value").agg(
+        F.sum("a").cast("long").alias("ca"), F.sum("b").cast("long").alias("cb")
+    )
+    n_range = 32
+    ranged = g.repartitionByRange(n_range, "value").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    wloc = (
+        Window.partitionBy("pid")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    loc = ranged.select(
+        "pid",
+        "value",
+        F.sum("ca").over(wloc).alias("la"),
+        F.sum("cb").over(wloc).alias("lb"),
+    ).localCheckpoint()  # pin partition ids before the two downstream uses
+    # per-partition totals -> exclusive running offsets (tiny: one row/pid)
+    totals = sorted(
+        loc.groupBy("pid")
+        .agg(F.max("la").alias("ta"), F.max("lb").alias("tb"))
+        .collect(),
+        key=lambda r: r["pid"],
+    )
+    offs, oa, ob = [], 0, 0
+    for r in totals:
+        offs.append((r["pid"], oa, ob))
+        oa += r["ta"]
+        ob += r["tb"]
+    na, nb = oa, ob
+    off_df = F.broadcast(
+        spark.createDataFrame(offs, "pid int, off_a long, off_b long")
+    )
+    gaps = loc.join(off_df, "pid").select(
+        F.abs(
+            (F.col("la") + F.col("off_a")) * F.lit(nb)
+            - (F.col("lb") + F.col("off_b")) * F.lit(na)
+        ).alias("gap")
+    )
+    s = gaps.agg(F.max("gap").cast("long").alias("d_num")).select(
+        F.lit(na).cast("long").alias("n_a"),
+        F.lit(nb).cast("long").alias("n_b"),
+        "d_num",
+    )
+    return s.selectExpr("n_a", "n_b", "d_num", _D56_MATH.strip().rstrip(","))
+
+
+# ---------------------------------------------------------------------------
+# d57_anova_f — CH analysisOfVariance (anova): one-way ANOVA F statistic
+# ---------------------------------------------------------------------------
+
+# Per-group exact sums (scale-4 fixed point; value domain [0, 500) keeps
+# value^2 sums inside int64 past 1e9 rows/group), then the group-level
+# term s_g^2/n_g re-enters a second fixed-point fold so the cross-group
+# reduction is order-independent too. The F arithmetic is one shared
+# fragment evaluated in identical IEEE order by both engines.
+_D57_MATH = """
+  (t - st * st / n) AS ss_between,
+  (sst - t) AS ss_within,
+  ((t - st * st / n) / (kk - 1.0)) / ((sst - t) / (n - kk)) AS f_stat
+"""
+
+_D57_ORACLE = f"""
+WITH per_group AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n_g,
+         {o_dsum('value')} AS s_g,
+         {o_dsum('value * value')} AS ss_g
+  FROM events
+  GROUP BY event_type
+), sums AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS kk,
+         SUM(CAST(n_g AS BIGINT)) AS n_i,
+         {o_dsum('(s_g * s_g) / n_g')} AS t,
+         {o_dsum('s_g')} AS st,
+         {o_dsum('ss_g')} AS sst
+  FROM per_group
+)
+SELECT CAST(kk AS BIGINT) AS k_groups, CAST(n_i AS BIGINT) AS n_rows,
+       {', '.join(f.strip() for f in _D57_MATH.strip().split(',' + chr(10)))}
+FROM (SELECT kk, CAST(n_i AS DOUBLE) AS n, n_i, t, st, sst FROM sums)
+"""
+
+
+@register("d57_anova_f", oracle=_D57_ORACLE, tier="T3")
+def d57_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``analysisOfVariance(value, group)``: one-way ANOVA F
+    statistic across the event_type groups. SSB/SSW come from the
+    per-group power sums (SSB = Σ s_g²/n_g − S²/N; SSW = Σ ss_g − Σ
+    s_g²/n_g); every float reduction — including the cross-group fold
+    of the s_g²/n_g terms — goes through fixed point, so the result is
+    bit-identical under any partitioning. The final F arithmetic is a
+    shared fragment.
+
+    Scale: two chained map-side-combinable hash aggregates (fact →
+    group, group → scalar), zero joins, zero Python — one fact scan at
+    any size."""
+    ev = load(spark, sf_dir, "events")
+    per_group = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n_g"),
+        dsum("value").alias("s_g"),
+        dsum(F.col("value") * F.col("value")).alias("ss_g"),
+    )
+    sums = per_group.agg(
+        F.count(F.lit(1)).cast("double").alias("kk"),
+        F.sum(F.col("n_g").cast("long")).alias("n_i"),
+        dsum(F.col("s_g") * F.col("s_g") / F.col("n_g")).alias("t"),
+        dsum("s_g").alias("st"),
+        dsum("ss_g").alias("sst"),
+    )
+    prepared = sums.selectExpr(
+        "kk", "CAST(n_i AS DOUBLE) AS n", "n_i", "t", "st", "sst"
+    )
+    return prepared.selectExpr(
+        "CAST(kk AS BIGINT) AS k_groups",
+        "CAST(n_i AS BIGINT) AS n_rows",
+        *[f.strip().rstrip(",") for f in _D57_MATH.strip().split(",\n")],
+    )

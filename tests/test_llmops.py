@@ -564,3 +564,67 @@ def test_sketch_quality_on_planted_dups(spark, tmp_path):
     assert out.n_hit == 1           # ...and LSH found it
     assert out.recall == 1.0
     assert 0.0 < out.precision <= 1.0
+
+
+def _docs_sf(spark, tmp_path, rows):
+    """Write a minimal documents.parquet fixture (full schema)."""
+    df = spark.createDataFrame(
+        [
+            (i, t, "en", src, len(t))
+            for (i, t, src) in rows
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "sf")
+    df.write.parquet(f"{sf}/documents.parquet")
+    return sf
+
+
+def test_canonical_keeper_keeps_longest(spark, tmp_path):
+    """i35 must keep the LONGEST cluster member even when it has the
+    HIGHER doc_id — the policy that distinguishes it from i16's
+    min-label keeper."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the afternoon sun"
+    )
+    longer = base + " during a long golden evening hour"
+    lone = "completely unrelated text about rivers mountains and storms"
+    sf = _docs_sf(
+        spark, tmp_path, [(10, base, "web"), (20, longer, "web"), (30, lone, "web")]
+    )
+
+    from mysql_to_clickhouse_spark.operators.llmops import i35_canonical_keeper
+
+    out = {r.doc_id: r for r in i35_canonical_keeper(spark, sf).collect()}
+    assert out[10].component_id == out[20].component_id
+    assert out[10].comp_size == 2 and out[20].comp_size == 2
+    assert out[20].is_keeper and not out[10].is_keeper  # longest wins
+    assert out[30].is_keeper and out[30].comp_size == 1
+
+
+def test_token_budget_exact_prefix(spark, tmp_path):
+    """i36's kept set must be exactly the maximal md5-order prefix
+    whose token total fits the budget, recomputed independently in
+    Python."""
+    import hashlib
+
+    rows = [(i, " ".join(["w"] * (400 + 137 * (i % 7))), "web") for i in range(30)]
+    sf = _docs_sf(spark, tmp_path, rows)
+
+    from mysql_to_clickhouse_spark.operators.llmops import (
+        _I36_BUDGET,
+        i36_token_budget,
+    )
+
+    got = {r.doc_id: r.cum_tokens for r in i36_token_budget(spark, sf).collect()}
+    order = sorted(
+        rows, key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0])
+    )
+    expect, cum = {}, 0
+    for doc_id, text, _src in order:
+        cum += len(text.split(" "))
+        if cum <= _I36_BUDGET:
+            expect[doc_id] = cum
+    assert got == expect
+    assert expect  # budget must actually admit a non-empty prefix

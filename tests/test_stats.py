@@ -396,3 +396,85 @@ def test_auc_perfect_random_and_sklearn_free_reference(spark, tmp_path):
         1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg
     ) / (len(pos) * len(neg))
     assert d50_auc(spark, sf3).collect()[0].auc == brute
+
+
+def _ev_row(i, user, etype, value, day=2):
+    return Row(
+        event_id=i, ts=_ts(day), user_id=user, event_type=etype,
+        value=value, props="{}",
+    )
+
+
+def test_ks_test_matches_brute_force(spark, tmp_path):
+    """d56's integer-path D must equal a brute-force two-sample KS
+    computed pointwise in Python (exact: both sides are integers until
+    the single final division)."""
+    a_vals = [1.0, 2.5, 2.5, 7.0, 9.0, 12.0, 3.25]
+    b_vals = [0.5, 2.5, 4.0, 4.0, 8.0, 15.0, 15.0, 20.0]
+    rows = [
+        _ev_row(i, 1, "click", v) for i, v in enumerate(a_vals)
+    ] + [
+        _ev_row(100 + i, 2, "view", v) for i, v in enumerate(b_vals)
+    ] + [_ev_row(999, 3, "purchase", 5.0)]  # other types must be ignored
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows).write.parquet(f"{sf}/events.parquet")
+
+    from mysql_to_clickhouse_spark.operators.stats import d56_ks_test
+
+    out = d56_ks_test(spark, sf).collect()[0]
+    na, nb = len(a_vals), len(b_vals)
+    d_num = max(
+        abs(sum(x <= v for x in a_vals) * nb - sum(x <= v for x in b_vals) * na)
+        for v in set(a_vals) | set(b_vals)
+    )
+    assert out.n_a == na and out.n_b == nb
+    assert out.d_num == d_num
+    assert out.ks_d == d_num / (float(na) * float(nb))
+
+
+def test_ks_test_identical_samples_zero(spark, tmp_path):
+    """Identical click/view distributions -> D = 0 exactly."""
+    rows = []
+    for i, v in enumerate([1.0, 2.0, 2.0, 3.5, 8.0]):
+        rows.append(_ev_row(i, 1, "click", v))
+        rows.append(_ev_row(100 + i, 2, "view", v))
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows).write.parquet(f"{sf}/events.parquet")
+
+    from mysql_to_clickhouse_spark.operators.stats import d56_ks_test
+
+    out = d56_ks_test(spark, sf).collect()[0]
+    assert out.d_num == 0 and out.ks_d == 0.0
+
+
+def test_anova_f_matches_reference(spark, tmp_path):
+    """d57's F statistic vs a plain-Python one-way ANOVA on values that
+    are exact at fixed-point scale 4 (no truncation error)."""
+    groups = {
+        "click": [1.0, 2.0, 3.0, 4.0],
+        "view": [2.5, 3.5, 4.5],
+        "purchase": [10.0, 11.0, 12.0, 13.0, 14.0],
+    }
+    rows, i = [], 0
+    for et, vs in groups.items():
+        for v in vs:
+            rows.append(_ev_row(i, 1, et, v))
+            i += 1
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows).write.parquet(f"{sf}/events.parquet")
+
+    from mysql_to_clickhouse_spark.operators.stats import d57_anova_f
+
+    out = d57_anova_f(spark, sf).collect()[0]
+    all_v = [v for vs in groups.values() for v in vs]
+    n, k = len(all_v), len(groups)
+    grand = sum(all_v) / n
+    ssb = sum(len(vs) * (sum(vs) / len(vs) - grand) ** 2 for vs in groups.values())
+    ssw = sum(
+        (v - sum(vs) / len(vs)) ** 2 for vs in groups.values() for v in vs
+    )
+    f_ref = (ssb / (k - 1)) / (ssw / (n - k))
+    assert out.k_groups == k and out.n_rows == n
+    assert math.isclose(out.ss_between, ssb, rel_tol=1e-9)
+    assert math.isclose(out.ss_within, ssw, rel_tol=1e-9)
+    assert math.isclose(out.f_stat, f_ref, rel_tol=1e-9)
