@@ -1850,3 +1850,121 @@ def d34_minmax_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         kv_map("v_min").alias("min_map"),
         kv_map("v_max").alias("max_map"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d58_quantiles_multi — CH quantiles(...)(x): the multi-level combinator
+# ---------------------------------------------------------------------------
+
+# One sort-based aggregate evaluates EVERY level (CH's quantiles()
+# plural vs N separate quantile() calls); levels surface as columns so
+# the hash check is dtype-portable. Interpolation parity with DuckDB's
+# quantile_cont is the established d8 discipline.
+_D58_ORACLE = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS p25,
+       quantile_cont(l_quantity, 0.50) AS p50,
+       quantile_cont(l_quantity, 0.75) AS p75,
+       quantile_cont(l_quantity, 0.90) AS p90,
+       quantile_cont(l_quantity, 0.99) AS p99,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("d58_quantiles_multi", oracle=_D58_ORACLE, tier="T3")
+def d58_quantiles_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``quantiles(0.25, ..., 0.99)(x)`` — the plural combinator:
+    ALL levels from ONE sort-based aggregate (Spark's array-fraction
+    ``percentile`` sorts the group once; five scalar calls would sort
+    five times). Levels unpack into columns.
+
+    Scale note: same caveat as d8 — exact quantiles materialize each
+    group; the sketch path (d8b) is the 100 TB default, this is the
+    small-group exact tool."""
+    li = load(spark, sf_dir, "lineitem")
+    qs = F.percentile(
+        "l_quantity", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.9, 0.99)])
+    )
+    agg = li.groupBy("l_returnflag").agg(
+        qs.alias("q"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return agg.select(
+        "l_returnflag",
+        F.col("q")[0].alias("p25"),
+        F.col("q")[1].alias("p50"),
+        F.col("q")[2].alias("p75"),
+        F.col("q")[3].alias("p90"),
+        F.col("q")[4].alias("p99"),
+        "n",
+    )
+
+
+# ---------------------------------------------------------------------------
+# d59_student_ttest — CH studentTTest: pooled-variance two-sample t
+# ---------------------------------------------------------------------------
+
+# Same six scalars as d31 (n, Σx, Σx² per sample, exact fixed point);
+# only the final arithmetic differs: pooled variance and n_a+n_b-2
+# degrees of freedom. Fragments shared verbatim between engines.
+_D59_MATH = """
+  (a_s1 / a_n) AS mean_a,
+  (b_s1 / b_n) AS mean_b,
+  ((a_s2 - (a_s1 / a_n) * a_s1) + (b_s2 - (b_s1 / b_n) * b_s1))
+    / (a_n + b_n - 2) AS pooled_var
+"""
+
+_D59_FINAL = """
+  (mean_a - mean_b) / sqrt(pooled_var * (1.0 / a_n + 1.0 / b_n)) AS t_stat,
+  (a_n + b_n - 2) AS df
+"""
+
+_D59_ORACLE = f"""
+WITH a AS (
+  SELECT {_D31_SUMS_SQL} FROM events WHERE event_type = 'purchase'
+), b AS (
+  SELECT {_D31_SUMS_SQL} FROM events WHERE event_type = 'click'
+), s AS (
+  SELECT a.n AS a_n, a.s1 AS a_s1, a.s2 AS a_s2,
+         b.n AS b_n, b.s1 AS b_s1, b.s2 AS b_s2
+  FROM a CROSS JOIN b
+), m AS (
+  SELECT a_n, b_n, {_D59_MATH} FROM s
+)
+SELECT a_n, b_n, mean_a, mean_b, pooled_var, {_D59_FINAL}
+FROM m
+"""
+
+
+@register("d59_student_ttest", oracle=_D59_ORACLE, tier="T3")
+def d59_student_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``studentTTest(value, group)``: the equal-variance companion
+    to d31's Welch test — pooled variance, n_a+n_b−2 degrees of
+    freedom. Same one-scan two-conditional-partials shape; the entire
+    statistic is post-aggregate scalar arithmetic stated once and
+    evaluated in identical order by both engines.
+
+    Scale: a fold — one fact scan, a single-row merge, no joins."""
+    ev = load(spark, sf_dir, "events")
+
+    def sums(tag: str, etype: str):
+        cond = F.col("event_type") == etype
+        v = F.when(cond, F.col("value"))
+        return [
+            F.count(v).alias(f"{tag}_n"),
+            (F.sum(fixed_point(v)).cast("double") / 10000.0).alias(f"{tag}_s1"),
+            (
+                F.sum(fixed_point(v * F.col("value"))).cast("double") / 10000.0
+            ).alias(f"{tag}_s2"),
+        ]
+
+    s = ev.agg(*sums("a", "purchase"), *sums("b", "click"))
+    m = s.selectExpr(
+        "a_n", "b_n", *[frag.strip() for frag in _D59_MATH.strip().split(",\n")]
+    )
+    return m.selectExpr(
+        "a_n", "b_n", "mean_a", "mean_b", "pooled_var",
+        *[frag.strip() for frag in _D59_FINAL.strip().split(",\n")],
+    )

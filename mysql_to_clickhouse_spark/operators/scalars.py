@@ -1551,3 +1551,115 @@ def g34_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dist <= 3).alias("is_near"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# g35_readable_timedelta — CH formatReadableTimeDelta
+# ---------------------------------------------------------------------------
+
+# All-integer div/mod decomposition + string assembly; singular/plural
+# via CASE. Nothing float touches the hash.
+_G35_ORACLE = """
+WITH d AS (
+  SELECT event_id,
+         (epoch_us(CAST(ts AS TIMESTAMP))
+          - epoch_us(TIMESTAMP '2024-01-01')) // 1000000 AS secs
+  FROM events
+), p AS (
+  SELECT event_id, secs,
+         secs // 86400 AS dd, (secs % 86400) // 3600 AS hh,
+         (secs % 3600) // 60 AS mm, secs % 60 AS ss
+  FROM d
+)
+SELECT event_id, secs,
+       concat(
+         CAST(dd AS VARCHAR), CASE WHEN dd = 1 THEN ' day, ' ELSE ' days, ' END,
+         CAST(hh AS VARCHAR), CASE WHEN hh = 1 THEN ' hour, ' ELSE ' hours, ' END,
+         CAST(mm AS VARCHAR),
+         CASE WHEN mm = 1 THEN ' minute, ' ELSE ' minutes, ' END,
+         CAST(ss AS VARCHAR), CASE WHEN ss = 1 THEN ' second' ELSE ' seconds' END
+       ) AS readable
+FROM p
+ORDER BY event_id
+"""
+
+
+@register("g35_readable_timedelta", oracle=_G35_ORACLE, tier="T3")
+def g35_readable_timedelta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``formatReadableTimeDelta(sec)``: seconds-since-epoch-start
+    rendered as '3 days, 4 hours, 5 minutes, 6 seconds', with proper
+    singular forms — the ops-dashboard 'replication lag' renderer.
+    Pure integer div/mod plus string concat; no float ever enters the
+    output, so the hash is trivially portable.
+
+    Scale: map-only codegen."""
+    ev = load(spark, sf_dir, "events")
+    secs = F.expr(
+        "(unix_micros(ts) - unix_micros(CAST('2024-01-01' AS TIMESTAMP)))"
+        " div 1000000"
+    )
+    p = ev.select("event_id", secs.alias("secs")).selectExpr(
+        "event_id",
+        "secs",
+        "secs div 86400 AS dd",
+        "(secs % 86400) div 3600 AS hh",
+        "(secs % 3600) div 60 AS mm",
+        "secs % 60 AS ss",
+    )
+
+    def unit(col: str, name: str, tail: str = ", ") -> F.Column:
+        return F.concat(
+            F.col(col).cast("string"),
+            F.when(F.col(col) == 1, f" {name}{tail}").otherwise(f" {name}s{tail}"),
+        )
+
+    return p.select(
+        "event_id",
+        "secs",
+        F.concat(
+            unit("dd", "day"),
+            unit("hh", "hour"),
+            unit("mm", "minute"),
+            unit("ss", "second", tail=""),
+        ).alias("readable"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# g36_date_names — CH monthName/dateName (weekday names)
+# ---------------------------------------------------------------------------
+
+_G36_ORACLE = """
+SELECT o_orderkey,
+       monthname(o_orderdate) AS month_name,
+       dayname(o_orderdate) AS day_name,
+       concat(dayname(o_orderdate), ', ',
+              monthname(o_orderdate), ' ',
+              CAST(EXTRACT(day FROM o_orderdate) AS VARCHAR)) AS pretty
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+@register("g36_date_names", oracle=_G36_ORACLE, tier="T3")
+def g36_date_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``monthName``/``dateName('weekday', ...)``: English calendar
+    names (both engines' defaults are English month/day names — probed,
+    not assumed) plus the composed report label. The session TZ is
+    pinned UTC at load(), so the instant→calendar mapping matches the
+    oracle's naive timestamps under any host TZ.
+
+    Scale: map-only calendar formatting in codegen."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "MMMM").alias("month_name"),
+        F.date_format("o_orderdate", "EEEE").alias("day_name"),
+        F.concat(
+            F.date_format("o_orderdate", "EEEE"),
+            F.lit(", "),
+            F.date_format("o_orderdate", "MMMM"),
+            F.lit(" "),
+            F.dayofmonth("o_orderdate").cast("string"),
+        ).alias("pretty"),
+    )
