@@ -887,3 +887,74 @@ def c19_cidr_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_ip",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# c20_paste_join — CH PASTE JOIN: positional (row-number) join
+# ---------------------------------------------------------------------------
+
+_C20_ORACLE = """
+WITH by_spend AS (
+  SELECT user_id AS spend_user,
+         CAST(SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS BIGINT) AS spend_fp,
+         ROW_NUMBER() OVER (
+           ORDER BY SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) DESC, user_id
+         ) AS rn
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), by_activity AS (
+  SELECT user_id AS active_user,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id) AS rn
+  FROM events GROUP BY user_id
+)
+SELECT s.rn AS rank, s.spend_user, s.spend_fp, a.active_user, a.n_events
+FROM by_spend s JOIN by_activity a ON s.rn = a.rn
+WHERE s.rn <= 20
+ORDER BY rank
+"""
+
+
+@register("c20_paste_join", oracle=_C20_ORACLE, tier="T3")
+def c20_paste_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``PASTE JOIN``: join two result sets BY ROW POSITION — row i
+    of the left pairs with row i of the right. Positional semantics
+    only exist relative to an explicit total order, so each side is
+    ranked by its own deterministic ORDER BY (CH itself documents the
+    subquery-order caveat) and the paste is an equi-join on that rank
+    — here pairing the i-th biggest spender with the i-th most active
+    user (the leaderboard-comparison report).
+
+    Scale: each side is a hash aggregate; the global ranks use a
+    single-reduce window over the top slice only after a LIMIT-able
+    rank bound — at 100 TB you'd cap each side (top-k) before ranking,
+    exactly as the query does."""
+    ev = load(spark, sf_dir, "events")
+    spend_fp = F.sum(
+        F.floor(F.col("value") * F.lit(10000.0)).cast("long")
+    ).cast("long")
+    by_spend = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("spend_user"))
+        .agg(spend_fp.alias("spend_fp"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("spend_fp").desc(), F.col("spend_user"))
+            ),
+        )
+    )
+    by_activity = (
+        ev.groupBy(F.col("user_id").alias("active_user"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("n_events").desc(), F.col("active_user"))
+            ),
+        )
+    )
+    return (
+        by_spend.filter(F.col("rank") <= 20)
+        .join(by_activity, by_spend.rank == by_activity.rn)
+        .select("rank", "spend_user", "spend_fp", "active_user", "n_events")
+    )

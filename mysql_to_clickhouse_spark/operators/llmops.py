@@ -3429,3 +3429,86 @@ def i36_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cum_tokens") <= _I36_BUDGET)
     )
+
+
+# ---------------------------------------------------------------------------
+# i37_epoch_schedule — quality-weighted repetition (epoch) manifest
+# ---------------------------------------------------------------------------
+
+# Epochs per quality quartile: the standard "repeat high-quality data,
+# see low-quality data once" schedule. Quality is i34's exact int/int
+# lexical-diversity ratio; quartiles are per-language ntiles.
+_I37_EPOCHS = {1: 1, 2: 1, 3: 2, 4: 3}  # stage -> epochs (stage 4 = best)
+
+_I37_ORACLE = f"""
+WITH q AS (
+  SELECT doc_id, lang,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS quality,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), staged AS (
+  SELECT doc_id, lang, quality, n_tokens,
+         NTILE(4) OVER (PARTITION BY lang ORDER BY quality, doc_id) AS stage
+  FROM q
+), sched AS (
+  SELECT doc_id, lang, CAST(stage AS BIGINT) AS stage,
+         CAST(CASE stage WHEN 1 THEN {_I37_EPOCHS[1]} WHEN 2 THEN {_I37_EPOCHS[2]}
+              WHEN 3 THEN {_I37_EPOCHS[3]} ELSE {_I37_EPOCHS[4]} END
+              AS BIGINT) AS epochs,
+         n_tokens
+  FROM staged
+)
+SELECT lang, stage, epochs,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS raw_tokens,
+       CAST(SUM(n_tokens * epochs) AS BIGINT) AS effective_tokens
+FROM sched
+GROUP BY lang, stage, epochs
+ORDER BY lang, stage
+"""
+
+
+@register("i37_epoch_schedule", oracle=_I37_ORACLE, tier="T3")
+def i37_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted repetition schedule: per language, rank docs by
+    lexical diversity (i34's exact ratio), cut into quartiles, and
+    assign epochs 1/1/2/3 from noisiest to best — 'repeat the good
+    data, see the rest once', the standard mixing lever when a corpus
+    is token-bounded. The report is the per-(lang, stage) token
+    budget: raw vs effective (epoch-multiplied) tokens, which is what
+    a training-run planner consumes.
+
+    Scale: one window per language + one hash aggregate; integer token
+    arithmetic end-to-end."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ", -1)
+    q = docs.select(
+        "doc_id",
+        "lang",
+        (
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks).cast("double")
+        ).alias("quality"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    staged = q.withColumn("stage", F.ntile(4).over(w).cast("long"))
+    epochs = (
+        F.when(F.col("stage") == 1, _I37_EPOCHS[1])
+        .when(F.col("stage") == 2, _I37_EPOCHS[2])
+        .when(F.col("stage") == 3, _I37_EPOCHS[3])
+        .otherwise(_I37_EPOCHS[4])
+        .cast("long")
+    )
+    sched = staged.withColumn("epochs", epochs)
+    return (
+        sched.groupBy("lang", "stage", "epochs")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("raw_tokens"),
+            F.sum(F.col("n_tokens") * F.col("epochs"))
+            .cast("long")
+            .alias("effective_tokens"),
+        )
+    )

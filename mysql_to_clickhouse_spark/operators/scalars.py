@@ -1663,3 +1663,53 @@ def g36_date_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.dayofmonth("o_orderdate").cast("string"),
         ).alias("pretty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# g37_multi_array_join — CH ARRAY JOIN arr1, arr2 (lockstep expansion)
+# ---------------------------------------------------------------------------
+
+# Both arrays derive from the same token list, so lengths are equal by
+# construction and the lockstep (not cartesian) semantics are the whole
+# point: position i of each array lands on the same output row.
+_G37_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         string_split(text, ' ')[1:8] AS toks,
+         list_transform(string_split(text, ' ')[1:8], s -> length(s)) AS lens
+  FROM documents
+)
+SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       toks[i] AS token, CAST(lens[i] AS BIGINT) AS token_len
+FROM t, unnest(generate_series(1, len(toks))) AS u(i)
+ORDER BY doc_id, pos
+"""
+
+
+@register("g37_multi_array_join", oracle=_G37_ORACLE, tier="T3")
+def g37_multi_array_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``ARRAY JOIN arr1, arr2``: expand two same-length arrays in
+    LOCKSTEP (position i with position i), not as a cartesian — the
+    semantics CH users reach for when a row carries parallel arrays
+    (values + their attributes). Spark: ``posexplode(arrays_zip(...))``
+    keeps the pairing inside one generator; the oracle iterates an
+    index series over both lists.
+
+    Scale: map-side generator, output is Σ len(arr) rows — same
+    row-explosion cost as any ARRAY JOIN; no shuffle introduced."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.slice(F.split("text", " ", -1), 1, 8)
+    t = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.transform(toks, lambda s: F.length(s)).alias("lens"),
+    )
+    return t.select(
+        "doc_id",
+        F.posexplode(F.arrays_zip("toks", "lens")).alias("pos0", "z"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        F.col("z.toks").alias("token"),
+        F.col("z.lens").cast("long").alias("token_len"),
+    )
