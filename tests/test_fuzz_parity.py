@@ -346,3 +346,61 @@ def test_random_string_parity(spark, duck, i):
     duck_pdf = duck.sql(sql).df()
     res = compare_frames(spark_pdf, duck_pdf)
     assert res.ok, f"divergence on:\n{sql}\n{res.detail}"
+
+
+# ---------------------------------------------------------------------------
+# nested-aggregation fuzz: aggregate OVER an aggregate (two GROUP BY
+# levels) — hunts second-level type promotion (BIGINT sums re-summed),
+# empty-inner-group propagation, and between-level filter semantics.
+# ---------------------------------------------------------------------------
+
+N_NESTED_QUERIES = 15
+
+
+def _gen_nested_query(rng: random.Random) -> str:
+    table = rng.choice(list(TABLES))
+    spec = TABLES[table]
+    k1, k2 = rng.sample(spec["cat"], 2) if len(spec["cat"]) >= 2 else (
+        spec["cat"][0], spec["cat"][0]
+    )
+    mcol = rng.choice(spec["num"])
+    pred = ""
+    if rng.random() < 0.5:
+        c = rng.choice(spec["num"])
+        v = f"{rng.uniform(0, 1000):.2f}"
+        pred = f"WHERE CAST({c} AS DOUBLE) {rng.choice(CMP)} {v}"
+    inner = (
+        f"SELECT CAST({k1} AS STRING) AS g1, CAST({k2} AS STRING) AS g2, "
+        f"CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(SUM(CAST(FLOOR(CAST({mcol} AS DOUBLE) * 10000.0) AS BIGINT))"
+        f" AS DOUBLE) / 10000.0 AS fsum "
+        f"FROM {table} {pred} GROUP BY g1, g2"
+    )
+    between = ""
+    if rng.random() < 0.5:
+        between = f"WHERE n >= {rng.randint(1, 5)}"
+    outer_aggs = [
+        "CAST(COUNT(*) AS BIGINT) AS n_groups",
+        "CAST(MIN(n) AS BIGINT) AS min_n",
+        "CAST(MAX(n) AS BIGINT) AS max_n",
+        # re-fold the already-fixed-point fsum through the same FLOOR form
+        "CAST(SUM(CAST(FLOOR(fsum * 10000.0) AS BIGINT)) AS DOUBLE)"
+        " / 10000.0 AS total",
+        "CAST(MAX(fsum) AS DOUBLE) AS biggest",
+    ]
+    if rng.random() < 0.5:
+        return (
+            f"SELECT g1, {', '.join(outer_aggs)} "
+            f"FROM ({inner}) t {between} GROUP BY g1"
+        )
+    return f"SELECT {', '.join(outer_aggs)} FROM ({inner}) t {between}"
+
+
+@pytest.mark.parametrize("i", range(N_NESTED_QUERIES))
+def test_random_nested_agg_parity(spark, duck, i):
+    rng = random.Random(SEED * 131 + i)
+    sql = _gen_nested_query(rng)
+    spark_pdf = spark.sql(sql).toPandas()
+    duck_pdf = duck.sql(sql).df()
+    res = compare_frames(spark_pdf, duck_pdf)
+    assert res.ok, f"divergence on:\n{sql}\n{res.detail}"

@@ -284,3 +284,37 @@ def test_k6_cascade_both_hops_partial_merge(spark):
     plan = plan_of(df, "simple")
     assert num_shuffles(df) <= 2, plan
     assert "Join" not in plan and "Window" not in plan, plan
+
+
+def test_d56_ks_two_phase_prefix_shape(spark):
+    """The KS ECDF never runs a single-partition global window: the
+    cumsum stage (range-repartition + pid-partitioned local window) is
+    materialized behind a localCheckpoint, so the FINAL plan must show
+    only the cheap tail — a broadcast hash join against the ≤32-row
+    offsets frame and a two-level global max — and no Window at all
+    (a global-window formulation would surface here as
+    SinglePartition→Window)."""
+    df = QUERIES["d56_ks_test"].fn(spark, TEST_SF_DIR)
+    plan = plan_of(df, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_c20_paste_join_rank_bound_before_join(spark):
+    """The positional join filters to the top-20 ranks BEFORE joining,
+    so the join sides are bounded; and the join itself is broadcastable
+    (no sort-merge of two full fact aggregates)."""
+    df = QUERIES["c20_paste_join"].fn(spark, TEST_SF_DIR)
+    plan = plan_of(df, "simple")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_i36_token_budget_single_window_shuffle(spark):
+    """Token-budget sampling is one window per source partition: one
+    exchange on source, no joins, no Python."""
+    df = QUERIES["i36_token_budget"].fn(spark, TEST_SF_DIR)
+    plan = plan_of(df, "simple")
+    assert "Window" in plan, plan
+    assert num_shuffles(df) <= 1, plan_of(df, "simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
