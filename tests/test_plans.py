@@ -318,3 +318,42 @@ def test_i36_token_budget_single_window_shuffle(spark):
     assert "Window" in plan, plan
     assert num_shuffles(df) <= 1, plan_of(df, "simple")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_aqe_splits_planted_skew_join(spark):
+    """The 100 TB skew story, executed not just configured: a planted
+    80%-hot-key fact⋈fact join (broadcast disabled) must come out of
+    AQE with the hot partition SPLIT — the executed plan shows
+    ``SortMergeJoin(skew=true)`` over a skewed AQEShuffleRead. This is
+    the runtime half of the salting strategy (c13 is the manual half):
+    per-key hot spots that would stall one reducer are subdivided by
+    the framework."""
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    ]
+    old = {k: spark.conf.get(k) for k in keys}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "65536",
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        left = spark.range(300_000).select(
+            F.when(F.col("id") % 10 < 8, 0).otherwise(F.col("id") % 1000).alias("k"),
+            F.concat(F.lit("payload-"), F.col("id"), F.lit("-" * 40)).alias("pl"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), F.concat(F.lit("r-"), F.col("id")).alias("pr")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) == 300_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
