@@ -3512,3 +3512,103 @@ def i37_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("effective_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# i38_incremental_ingest — dedup a NEW batch against the existing corpus
+# ---------------------------------------------------------------------------
+
+# Batch = every 5th doc_id (scale-independent, non-degenerate at every
+# SF); the rest is the standing corpus. Verdict precedence: exact dup
+# beats near dup beats keep. Only batch-vs-corpus comparisons — batch-
+# internal duplicates are x21/i1's job at the next full compaction.
+_I38_THETA = 0.5
+
+_I38_ORACLE = f"""
+WITH batch AS (
+  SELECT doc_id, source, md5(text) AS h, {o_distinct_shingles('text')} AS sh
+  FROM documents WHERE doc_id % 5 = 0
+), corpus AS (
+  SELECT doc_id, source, md5(text) AS h, {o_distinct_shingles('text')} AS sh
+  FROM documents WHERE doc_id % 5 <> 0
+), exact AS (
+  SELECT b.doc_id, MIN(c.doc_id) AS exact_of
+  FROM batch b JOIN corpus c ON b.h = c.h
+  GROUP BY b.doc_id
+), near AS (
+  SELECT b.doc_id, MIN(c.doc_id) AS near_of
+  FROM batch b JOIN corpus c
+    ON b.source = c.source
+  WHERE len(list_intersect(b.sh, c.sh)) > 0
+    AND CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
+        / CAST(len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh))
+               AS DOUBLE) >= {_I38_THETA}
+  GROUP BY b.doc_id
+)
+SELECT b.doc_id,
+       CASE WHEN e.exact_of IS NOT NULL THEN 'exact'
+            WHEN n.near_of IS NOT NULL THEN 'near'
+            ELSE 'keep' END AS verdict,
+       COALESCE(e.exact_of, n.near_of, -1) AS dup_of
+FROM batch b
+LEFT JOIN exact e ON e.doc_id = b.doc_id
+LEFT JOIN near n ON n.doc_id = b.doc_id
+ORDER BY b.doc_id
+"""
+
+
+@register("i38_incremental_ingest", oracle=_I38_ORACLE, tier="T3")
+def i38_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus ingestion — the production mode of x21's
+    one-shot build: a NEW document batch is admitted only if it is
+    neither an exact duplicate (content hash) nor a near duplicate
+    (source-blocked shingle Jaccard ≥ θ) of the STANDING corpus. Each
+    batch doc gets a verdict and, for rejects, the minimum matching
+    corpus doc_id as audit evidence — exact-dup precedence over
+    near-dup, the same reason-coded gate style as i31.
+
+    Scale: the exact check is a hash equi-join (batch ≪ corpus →
+    broadcast the batch side's digests); the near check reuses i2's
+    blocked candidate shape — never batch × corpus all-pairs. Both
+    reduce to one MIN per batch doc; the batch table never shuffles
+    more than twice."""
+    docs = load(spark, sf_dir, "documents")
+    with_h = docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        distinct_shingles("text").alias("sh"),
+    )
+    batch = with_h.filter(F.col("doc_id") % 5 == 0)
+    corpus = with_h.filter(F.col("doc_id") % 5 != 0)
+    b, c = batch.alias("b"), corpus.alias("c")
+    exact = (
+        b.join(c, F.col("b.h") == F.col("c.h"))
+        .groupBy(F.col("b.doc_id").alias("doc_id"))
+        .agg(F.min(F.col("c.doc_id")).alias("exact_of"))
+    )
+    inter = F.size(F.array_intersect(F.col("b.sh"), F.col("c.sh")))
+    nb, nc = F.size(F.col("b.sh")), F.size(F.col("c.sh"))
+    near = (
+        b.join(c, F.col("b.source") == F.col("c.source"))
+        .filter(inter > 0)
+        .filter(
+            inter.cast("double") / (nb + nc - inter).cast("double")
+            >= _I38_THETA
+        )
+        .groupBy(F.col("b.doc_id").alias("doc_id"))
+        .agg(F.min(F.col("c.doc_id")).alias("near_of"))
+    )
+    return (
+        batch.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_of").isNotNull(), "exact")
+            .when(F.col("near_of").isNotNull(), "near")
+            .otherwise("keep")
+            .alias("verdict"),
+            F.coalesce("exact_of", "near_of", F.lit(-1)).alias("dup_of"),
+        )
+    )

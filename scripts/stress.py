@@ -104,14 +104,19 @@ def main() -> None:
     ap.add_argument("--rows", type=int, default=1_000_000)
     ap.add_argument("--queries", default=None,
                     help="comma-separated subset of QUERIES to run")
+    ap.add_argument("--sf-dir", default=None,
+                    help="reuse an existing synthesized dir (skip synthesis)")
     args = ap.parse_args()
 
     import tempfile
 
-    sf_dir = tempfile.mkdtemp(prefix="stress_sf_")
-    t0 = time.time()
-    synth_events(f"{sf_dir}/events.parquet", args.rows)
-    gen_s = time.time() - t0
+    if args.sf_dir:
+        sf_dir, gen_s = args.sf_dir, 0.0
+    else:
+        sf_dir = tempfile.mkdtemp(prefix="stress_sf_")
+        t0 = time.time()
+        synth_events(f"{sf_dir}/events.parquet", args.rows)
+        gen_s = time.time() - t0
 
     from mysql_to_clickhouse_spark.registry import all_queries
     from mysql_to_clickhouse_spark.session import build_session

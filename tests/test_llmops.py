@@ -628,3 +628,36 @@ def test_token_budget_exact_prefix(spark, tmp_path):
             expect[doc_id] = cum
     assert got == expect
     assert expect  # budget must actually admit a non-empty prefix
+
+
+def test_incremental_ingest_verdicts(spark, tmp_path):
+    """Planted batch-vs-corpus cases: an exact dup (same text), a near
+    dup (one word changed), a clean keeper — and exact precedence when
+    both kinds of match exist."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the afternoon sun"
+    )
+    near = base.replace("afternoon", "evening")
+    rows = [
+        # corpus (doc_id % 5 != 0)
+        (1, base, "web"),
+        (2, "totally unrelated corpus text about rivers and storms", "web"),
+        # batch (doc_id % 5 == 0)
+        (5, base, "web"),        # exact dup of 1 (also near of 1 -> exact wins)
+        (10, near, "web"),       # near dup of 1
+        (15, "fresh new content words nobody wrote before today", "web"),
+        (20, base, "books"),     # same text, DIFFERENT source: exact match
+                                 # is source-agnostic (hash join), near is
+                                 # source-blocked
+    ]
+    sf = _docs_sf(spark, tmp_path, rows)
+
+    from mysql_to_clickhouse_spark.operators.llmops import i38_incremental_ingest
+
+    out = {r.doc_id: r for r in i38_incremental_ingest(spark, sf).collect()}
+    assert out[5].verdict == "exact" and out[5].dup_of == 1
+    assert out[10].verdict == "near" and out[10].dup_of == 1
+    assert out[15].verdict == "keep" and out[15].dup_of == -1
+    assert out[20].verdict == "exact" and out[20].dup_of == 1
+    assert set(out) == {5, 10, 15, 20}
