@@ -136,7 +136,7 @@ def main() -> None:
         [q.strip() for q in args.queries.split(",")] if args.queries else QUERIES
     )
     lines = [
-        "# STRESS — 10x-sf0.1 synthetic evidence (generated)",
+        f"# STRESS — {args.rows // 100_000}x-sf0.1 synthetic evidence (generated)",
         "",
         f"Synthetic events table: **{args.rows:,} rows** (deterministic",
         "hash-counter synthesis at the FIXTURES.md schema/domains,",
