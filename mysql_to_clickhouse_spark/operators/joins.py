@@ -958,3 +958,49 @@ def c20_paste_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(by_activity, by_spend.rank == by_activity.rn)
         .select("rank", "spend_user", "spend_fp", "active_user", "n_events")
     )
+
+
+# ---------------------------------------------------------------------------
+# c21_or_key_join — OR-of-keys join decomposed to a union of equi-joins
+# ---------------------------------------------------------------------------
+
+# The oracle states the join the way a user writes it (ON a OR b) —
+# which a naive planner executes as a nested loop. The engine ships the
+# rewrite: one equi-join per disjunct, UNION ALL (the disjuncts are
+# mutually exclusive by construction: a key cannot equal both x and
+# x-1000), proven semantics-preserving by the driver hash.
+_C21_ORACLE = """
+SELECT o.o_orderkey, c.c_custkey,
+       CASE WHEN c.c_custkey = o.o_custkey THEN 'direct'
+            ELSE 'legacy' END AS match_via
+FROM orders o JOIN customer c
+  ON c.c_custkey = o.o_custkey OR c.c_custkey = o.o_custkey - 1000
+ORDER BY o_orderkey, c_custkey
+"""
+
+
+@register("c21_or_key_join", oracle=_C21_ORACLE, tier="T3")
+def c21_or_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-reconciliation join during a migration: an order matches a
+    customer by the CURRENT key (o_custkey) OR by a LEGACY id offset —
+    the ``ON a OR b`` join every cutover validation writes. Written
+    literally, both Spark and ClickHouse plan a nested loop over
+    fact×dim; the engine decomposes it into one broadcast equi-join
+    per disjunct and UNION ALLs the branches (disjuncts are mutually
+    exclusive here, so no pair dedup is needed — the general rewrite
+    adds a distinct on the pair key). The driver hash against the
+    verbatim OR form proves the rewrite.
+
+    Scale: two broadcast probes of the same fact scan instead of a
+    BroadcastNestedLoopJoin that compares every (order, customer)
+    pair — the difference between O(|fact|) and O(|fact|·|dim|);
+    plan-asserted in tests/test_plans.py."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    direct = orders.join(
+        F.broadcast(cust), cust.c_custkey == orders.o_custkey
+    ).select("o_orderkey", "c_custkey", F.lit("direct").alias("match_via"))
+    legacy = orders.join(
+        F.broadcast(cust), cust.c_custkey == orders.o_custkey - 1000
+    ).select("o_orderkey", "c_custkey", F.lit("legacy").alias("match_via"))
+    return direct.unionAll(legacy)

@@ -357,3 +357,13 @@ def test_aqe_splits_planted_skew_join(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_c21_or_join_no_nested_loop(spark):
+    """The OR-of-keys join must execute as two broadcast equi-joins,
+    never the BroadcastNestedLoopJoin the literal ON-a-OR-b form
+    plans."""
+    df = QUERIES["c21_or_key_join"].fn(spark, TEST_SF_DIR)
+    plan = plan_of(df, "simple")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
