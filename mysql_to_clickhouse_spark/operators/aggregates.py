@@ -1968,3 +1968,46 @@ def d59_student_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a_n", "b_n", "mean_a", "mean_b", "pooled_var",
         *[frag.strip() for frag in _D59_FINAL.strip().split(",\n")],
     )
+
+
+# ---------------------------------------------------------------------------
+# d60_group_array_sorted — CH groupArraySorted(k): smallest-k as array
+# ---------------------------------------------------------------------------
+
+# The array is string-joined (d7's portability discipline: list dtypes
+# hash differently across engines; a joined string is dtype-stable).
+_D60_K = 5
+
+_D60_ORACLE = f"""
+SELECT l_returnflag,
+       array_to_string(list_sort(list(l_quantity))[1:{_D60_K}], ',')
+         AS smallest_qty,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("d60_group_array_sorted", oracle=_D60_ORACLE, tier="T3")
+def d60_group_array_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``groupArraySorted(k)(x)``: the k smallest values per group,
+    as an ordered array (string-joined for hash portability, the d7
+    discipline). CH keeps a bounded heap per group; Spark's
+    collect+sort+slice is semantically identical — for large groups at
+    100 TB prefer the d13 window form (partial WindowGroupLimit prunes
+    map-side) over materializing each group's full list.
+
+    Scale note: collect_list carries the whole group through the
+    aggregate; acceptable for bounded groups (the CH function is
+    documented for small k over modest groups), and the plan stays one
+    hash aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    arr = F.slice(F.sort_array(F.collect_list("l_quantity")), 1, _D60_K)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.array_join(arr, ",").alias("smallest_qty"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )

@@ -287,3 +287,62 @@ def f8_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
             "via_keyset"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# f9_bag_setops — INTERSECT ALL / EXCEPT ALL (multiplicity-preserving)
+# ---------------------------------------------------------------------------
+
+# Bag semantics matter precisely when the rows are NOT distinct: a
+# (user, type) pair occurring 5x early and 3x late must survive
+# INTERSECT ALL exactly 3x and EXCEPT ALL exactly 2x. The distinct
+# variants (f5/f6) erase that arithmetic.
+_F9_ORACLE = """
+WITH early AS (
+  SELECT user_id, event_type FROM events
+  WHERE ts < TIMESTAMP '2024-01-11'
+), late AS (
+  SELECT user_id, event_type FROM events
+  WHERE ts >= TIMESTAMP '2024-01-21'
+), both_all AS (
+  SELECT 'both' AS tag, user_id, event_type
+  FROM (SELECT * FROM early INTERSECT ALL SELECT * FROM late)
+), only_early AS (
+  SELECT 'only_early' AS tag, user_id, event_type
+  FROM (SELECT * FROM early EXCEPT ALL SELECT * FROM late)
+)
+SELECT tag, user_id, event_type FROM both_all
+UNION ALL
+SELECT tag, user_id, event_type FROM only_early
+ORDER BY tag, user_id, event_type
+"""
+
+
+@register("f9_bag_setops", oracle=_F9_ORACLE, tier="T3")
+def f9_bag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI bag-semantics set ops — ``INTERSECT ALL`` (min of the two
+    multiplicities survives) and ``EXCEPT ALL`` (count difference
+    survives) between the early and late (user, type) activity bags.
+    Spark's ``intersectAll``/``exceptAll`` plan these as a count
+    aggregate per side + a generate — no row-by-row matching — and the
+    driver hash proves the multiplicity arithmetic against DuckDB's
+    native INTERSECT ALL / EXCEPT ALL.
+
+    Scale: each side reduces to (row-key, count) — one hash aggregate
+    per side, one join on the row key, then a bounded sequence
+    Generate; the shuffle carries distinct rows + counts, not the raw
+    bags."""
+    ev = load(spark, sf_dir, "events")
+    early = ev.filter(
+        F.col("ts") < F.lit("2024-01-11").cast("timestamp")
+    ).select("user_id", "event_type")
+    late = ev.filter(
+        F.col("ts") >= F.lit("2024-01-21").cast("timestamp")
+    ).select("user_id", "event_type")
+    both = early.intersectAll(late).select(
+        F.lit("both").alias("tag"), "user_id", "event_type"
+    )
+    only_early = early.exceptAll(late).select(
+        F.lit("only_early").alias("tag"), "user_id", "event_type"
+    )
+    return both.unionAll(only_early)

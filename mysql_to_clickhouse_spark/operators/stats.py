@@ -1537,3 +1537,77 @@ def d57_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(n_i AS BIGINT) AS n_rows",
         *[f.strip().rstrip(",") for f in _D57_MATH.strip().split(",\n")],
     )
+
+
+# ---------------------------------------------------------------------------
+# d61_corr_matrix — CH corrMatrix: all pairwise correlations, ONE scan
+# ---------------------------------------------------------------------------
+
+# Ten exact sums give every pairwise Pearson r. Second-order price
+# terms ride the DECIMAL(38) carrier (price^2 ~ 1e10 -> scale-4 sums
+# pass int64 at ~1e5 rows/group — the d48 overflow lesson, applied
+# up front). The Pearson fragment is shared verbatim, three times.
+def _d61_r(a: str, b: str) -> str:
+    return (
+        f"(n * s{a}{b} - s{a} * s{b})"
+        f" / sqrt((n * s{a}{a} - s{a} * s{a}) * (n * s{b}{b} - s{b} * s{b}))"
+    )
+
+
+_D61_MATH = f"""
+  {_d61_r('x', 'y')} AS corr_qty_price,
+  {_d61_r('x', 'z')} AS corr_qty_disc,
+  {_d61_r('y', 'z')} AS corr_price_disc
+"""
+
+_D61_ORACLE = f"""
+WITH sums AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         {o_dsum_wide('l_quantity')} AS sx,
+         {o_dsum_wide('l_extendedprice')} AS sy,
+         {o_dsum_wide('l_discount')} AS sz,
+         {o_dsum_wide('l_quantity * l_quantity')} AS sxx,
+         {o_dsum_wide('l_extendedprice * l_extendedprice')} AS syy,
+         {o_dsum_wide('l_discount * l_discount')} AS szz,
+         {o_dsum_wide('l_quantity * l_extendedprice')} AS sxy,
+         {o_dsum_wide('l_quantity * l_discount')} AS sxz,
+         {o_dsum_wide('l_extendedprice * l_discount')} AS syz
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n, {_D61_MATH}
+FROM sums
+ORDER BY l_returnflag
+"""
+
+
+@register("d61_corr_matrix", oracle=_D61_ORACLE, tier="T3")
+def d61_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``corrMatrix(x, y, z)``: EVERY pairwise Pearson correlation
+    from ONE scan — ten exact power sums per group, then the shared
+    Pearson fragment evaluated three times in identical IEEE order.
+    N separate corr() calls would scan N(N-1)/2 times; the matrix form
+    is how feature-correlation audits run over wide fact tables.
+
+    Scale: one map-side-combinable hash aggregate (ten bigdecimal
+    lanes), zero joins; post-aggregate arithmetic on |groups| rows."""
+    li = load(spark, sf_dir, "lineitem")
+    q, p, d = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum_wide(q).alias("sx"),
+        dsum_wide(p).alias("sy"),
+        dsum_wide(d).alias("sz"),
+        dsum_wide(q * q).alias("sxx"),
+        dsum_wide(p * p).alias("syy"),
+        dsum_wide(d * d).alias("szz"),
+        dsum_wide(q * p).alias("sxy"),
+        dsum_wide(q * d).alias("sxz"),
+        dsum_wide(p * d).alias("syz"),
+    )
+    return sums.selectExpr(
+        "l_returnflag",
+        "CAST(n AS BIGINT) AS n",
+        *[f.strip().rstrip(",") for f in _D61_MATH.strip().split(",\n")],
+    )
