@@ -1191,3 +1191,52 @@ def h21_incremental_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("card_or"),
         F.count(F.lit(1)).cast("long").alias("n_users_in_state"),
     )
+
+
+# ---------------------------------------------------------------------------
+# h22_stream_full_outer — stream-stream FULL OUTER interval join
+# ---------------------------------------------------------------------------
+
+_H22_ORACLE = """
+WITH v AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+  FROM events WHERE event_type = 'view'
+), p AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT COALESCE(v.user_id, p.user_id) AS user_id,
+       COALESCE(v.event_id, -1) AS view_event_id,
+       COALESCE(p.event_id, -1) AS purchase_event_id,
+       COALESCE(v.ts_us, -1) AS view_us,
+       COALESCE(p.ts_us, -1) AS purchase_us
+FROM v FULL JOIN p
+  ON v.user_id = p.user_id
+ AND p.ts_us > v.ts_us
+ AND p.ts_us <= v.ts_us + 3600000000
+ORDER BY user_id, view_us, purchase_us, view_event_id, purchase_event_id
+"""
+
+
+@register("h22_stream_full_outer", oracle=_H22_ORACLE, tier="T3")
+def h22_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — completes the outer
+    family (h11 inner, h16 left): views with no purchase AND purchases
+    with no preceding view both emit, each only when the OTHER side's
+    watermark has passed its interval bound. The replay's far-future
+    sentinel slice advances both watermarks at end-of-stream so every
+    pending outer row on either side flushes; the drained append-mode
+    result hash-equals the batch FULL JOIN the oracle states. This is
+    the audit topology: attribution (matched pairs) plus BOTH
+    exception lists (unconverted views, unattributed purchases) from
+    one operator.
+
+    Scale: per-key buffered state is bounded by interval length x
+    arrival rate on each side — the condition bounds each side
+    relative to the other, so watermark eviction applies to both; no
+    unbounded state anywhere."""
+    from mysql_to_clickhouse_spark.streaming.joins import (
+        stream_view_purchase_full_join,
+    )
+
+    return stream_view_purchase_full_join(spark, sf_dir)

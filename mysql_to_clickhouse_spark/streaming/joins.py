@@ -193,3 +193,82 @@ def stream_view_purchase_left_join(spark: SparkSession, sf_dir: str) -> DataFram
     name = f"ssljoin_{uuid.uuid4().hex[:8]}"
     run_stream_to_memory(joined, name, output_mode="append")
     return spark.table(name).filter(F.col("view_event_id") >= 0)
+
+
+def stream_view_purchase_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join: unmatched rows emit from
+    BOTH sides once the opposite watermark proves no match can arrive.
+    Same end-of-stream flush discipline as the left join (a far-future
+    sentinel slice advances both watermarks); sentinel-derived rows all
+    carry user_id = -1 (the sentinel user) and are filtered out, so the
+    drained append-mode result equals the batch FULL JOIN oracle.
+    Null markers stay integral (-1) for hash portability."""
+    import datetime
+    import os
+
+    from pyspark.sql import Row
+
+    replay_dir, ev = write_replay_slices(spark, sf_dir)
+    hi = ev.agg(F.max("ts")).first()[0]
+    flush_ts = hi + datetime.timedelta(hours=4)
+    sentinel = spark.createDataFrame(
+        [
+            Row(
+                event_id=-1,
+                ts=flush_ts,
+                user_id=-1,
+                event_type=et,
+                value=0.0,
+                props="{}",
+            )
+            for et in ("view", "purchase")
+        ],
+        schema=ev.schema,
+    )
+    sentinel.coalesce(1).write.parquet(os.path.join(replay_dir, "slice_flush"))
+
+    def src() -> DataFrame:
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(replay_dir)
+        )
+
+    views = (
+        src()
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_event_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "10 seconds")
+    )
+    purchases = (
+        src()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 seconds")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        "full_outer",
+    ).select(
+        F.coalesce("v_user", "p_user").alias("user_id"),
+        F.coalesce("view_event_id", F.lit(-1)).alias("view_event_id"),
+        F.coalesce("purchase_event_id", F.lit(-1)).alias("purchase_event_id"),
+        F.coalesce(F.unix_micros("v_ts"), F.lit(-1)).alias("view_us"),
+        F.coalesce(F.unix_micros("p_ts"), F.lit(-1)).alias("purchase_us"),
+    )
+    name = f"ssfjoin_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(joined, name, output_mode="append")
+    return spark.table(name).filter(F.col("user_id") >= 0)
