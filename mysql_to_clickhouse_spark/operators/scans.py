@@ -1560,3 +1560,63 @@ def a29_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("surrogate", "n_events", "n_types")
     )
+
+
+# ---------------------------------------------------------------------------
+# a30_observe_metrics — CH system.query_log / ProfileEvents analog
+# ---------------------------------------------------------------------------
+
+_A30_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS rows_scanned,
+       CAST(SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS BIGINT)
+         AS value_sum_fp,
+       CAST(COUNT(CASE WHEN value > 400.0 THEN 1 END) AS BIGINT)
+         AS hot_rows,
+       CAST(COUNT(CASE WHEN value IS NULL THEN 1 END) AS BIGINT)
+         AS null_values
+FROM events
+"""
+
+
+@register("a30_observe_metrics", oracle=_A30_ORACLE, tier="T3")
+def a30_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability — the ClickHouse ``system.query_log`` /
+    ProfileEvents habit, Spark-first: ``df.observe()`` attaches named
+    aggregate metrics to a flowing DataFrame and the EXECUTED job
+    reports them for free, without a second scan. Here the replication
+    batch runs through a noop sink (the action a real pipeline's write
+    would be) and the observation — rows scanned, fixed-point value
+    sum, hot-row and null counters — is surfaced as the result row,
+    hash-checked against direct aggregation. This is how a production
+    sync job gets its row-count/quality telemetry without doubling its
+    I/O.
+
+    Scale: metrics are map-side-merged accumulators riding the
+    existing job — zero extra passes, zero extra shuffles, constant
+    driver traffic."""
+    from pyspark.sql import Observation
+
+    ev = load(spark, sf_dir, "events")
+    obs = Observation("ingest_metrics")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.sum(fixed_point("value")).alias("value_sum_fp"),
+        F.count(F.when(F.col("value") > 400.0, 1)).alias("hot_rows"),
+        F.count(F.when(F.col("value").isNull(), 1)).alias("null_values"),
+    )
+    # the pipeline's real action: ship the batch to a sink (noop here —
+    # the metrics ride whatever action the job already performs)
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["rows_scanned"]),
+                int(m["value_sum_fp"]),
+                int(m["hot_rows"]),
+                int(m["null_values"]),
+            )
+        ],
+        "rows_scanned long, value_sum_fp long, hot_rows long, null_values long",
+    )

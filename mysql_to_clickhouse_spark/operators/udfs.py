@@ -315,3 +315,74 @@ def j7_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM j7_docs d, LATERAL j7_tokenize(d.text) t
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# j8_apply_in_arrow — grouped-map over raw Arrow tables (Spark 4)
+# ---------------------------------------------------------------------------
+
+_J8_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(value) AS v_min,
+       MAX(value) AS v_max,
+       CAST(SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS BIGINT) AS vsum_fp
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("j8_apply_in_arrow", oracle=_J8_ORACLE, tier="T3")
+def j8_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``applyInArrow``: the grouped-map twin of j6 — each group
+    arrives as ONE pyarrow.Table (no pandas materialization on either
+    edge) and the kernel runs vectorized pyarrow.compute. Completes
+    the §2.J escape-hatch matrix: row UDF (j1), pandas scalar (j2),
+    pandas agg (j3), grouped pandas (j4), SQL-registered (j5), Arrow
+    iterator (j6), UDTF (j7), grouped Arrow (j8). The min/max/count
+    are exact; the sum is fixed-pointed INSIDE the kernel (int64
+    floor-scale) so the Python path obeys the same determinism
+    contract as the JVM path.
+
+    Scale: one shuffle on the group key, one Python worker call per
+    group with zero-copy Arrow buffers — but a SKEWED group arrives
+    whole (no partial aggregation), so this is the demonstrator; the
+    production spelling of THIS particular query is d1's JVM
+    aggregate."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def per_group(table: "pa.Table") -> "pa.Table":
+        v = table.column("value")
+        vsum = pc.sum(
+            pc.floor(pc.multiply(pc.cast(v, pa.float64()), 10000.0))
+        ).as_py()
+        return pa.Table.from_pydict(
+            {
+                "event_type": [table.column("event_type")[0].as_py()],
+                "n": [table.num_rows],
+                "v_min": [pc.min(v).as_py()],
+                "v_max": [pc.max(v).as_py()],
+                "vsum_fp": [int(vsum)],
+            },
+            schema=pa.schema(
+                [
+                    ("event_type", pa.string()),
+                    ("n", pa.int64()),
+                    ("v_min", pa.float64()),
+                    ("v_max", pa.float64()),
+                    ("vsum_fp", pa.int64()),
+                ]
+            ),
+        )
+
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", "value")
+        .groupBy("event_type")
+        .applyInArrow(
+            per_group,
+            "event_type string, n long, v_min double, v_max double, vsum_fp long",
+        )
+    )
