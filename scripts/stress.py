@@ -35,6 +35,8 @@ QUERIES = [
     "h21_incremental_bitmap",
     "k6_mv_cascade",
     "k7_watermarked_mv",
+    "d56_ks_test",
+    "d57_anova_f",
 ]
 
 

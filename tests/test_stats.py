@@ -478,3 +478,29 @@ def test_anova_f_matches_reference(spark, tmp_path):
     assert math.isclose(out.ss_between, ssb, rel_tol=1e-9)
     assert math.isclose(out.ss_within, ssw, rel_tol=1e-9)
     assert math.isclose(out.f_stat, f_ref, rel_tol=1e-9)
+
+
+def test_observe_metrics_counts_nulls_and_hot(spark, tmp_path):
+    """a30's observation must report the planted hot-row and NULL
+    counters exactly (the fixtures carry no NULL values, so this is
+    the only place the null lane is exercised)."""
+    rows = [
+        _ev_row(1, 1, "view", 450.0),
+        _ev_row(2, 1, "view", 10.0),
+        _ev_row(3, 2, "click", None),
+        _ev_row(4, 2, "click", 401.5),
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{sf}/events.parquet")
+
+    from mysql_to_clickhouse_spark.operators.scans import a30_observe_metrics
+
+    out = a30_observe_metrics(spark, sf).collect()[0]
+    assert out.rows_scanned == 4
+    assert out.hot_rows == 2
+    assert out.null_values == 1
+    assert out.value_sum_fp == int(450.0 * 10000) + 100000 + 4015000
