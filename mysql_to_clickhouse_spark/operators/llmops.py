@@ -3612,3 +3612,87 @@ def i38_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("exact_of", "near_of", F.lit(-1)).alias("dup_of"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# i39_leakage_free_split — near-dup-aware train/validation split
+# ---------------------------------------------------------------------------
+
+# Split unit = the near-dup COMPONENT, not the document: a doc and its
+# near-copy must land on the same side or the validation set leaks
+# training data. Side = hash of the component label (ascii of the
+# first md5 hex char, mod 5 — ~80/20), portable to both engines.
+_I39_ORACLE = f"""
+WITH RECURSIVE
+nodes AS (
+  SELECT doc_id FROM documents WHERE doc_id < {_I35_MAX_ID}
+),
+sh AS (
+  SELECT doc_id, source, {o_distinct_shingles('text')} AS shingles
+  FROM documents WHERE doc_id < {_I35_MAX_ID}
+),
+edges AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+    AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / CAST(len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        >= {_I35_THETA}
+),
+bidir AS (
+  SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges
+),
+reach(v, lbl) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT b.dst, r.lbl FROM reach r JOIN bidir b ON b.src = r.v
+),
+comp AS (SELECT v AS doc_id, MIN(lbl) AS component_id FROM reach GROUP BY v)
+SELECT doc_id, component_id,
+       CASE WHEN ascii(substring(md5(CAST(component_id AS VARCHAR)), 1, 1))
+                 % 5 = 0
+            THEN 'validation' ELSE 'train' END AS split
+FROM comp
+ORDER BY doc_id
+"""
+
+
+@register("i39_leakage_free_split", oracle=_I39_ORACLE, tier="T3")
+def i39_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/validation split: the split unit is the
+    NEAR-DUP COMPONENT (i35's clusters), so a document and its
+    near-copies always land on the same side — the eval-integrity
+    requirement a doc-level random split silently violates (val docs
+    whose near-twins sit in train measure memorization, not
+    generalization). Side assignment hashes the component label
+    (md5-derived, seedless, rerun-stable, ~80/20).
+
+    Scale: components as in i16/i35 (O(log n) rounds over |E|+|V|);
+    the side assignment is one map-only expression on the label — no
+    extra shuffle beyond the component computation itself."""
+    edges = (
+        i2b_jaccard_exact(spark, sf_dir)
+        .filter(
+            (F.col("jaccard") >= _I35_THETA)
+            & (F.col("doc_a") < _I35_MAX_ID)
+            & (F.col("doc_b") < _I35_MAX_ID)
+        )
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    nodes = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _I35_MAX_ID)
+        .select(F.col("doc_id").alias("id"))
+    )
+    labels, _ = connected_components(nodes, edges)
+    side = F.when(
+        F.ascii(F.substring(F.md5(F.col("lbl").cast("string")), 1, 1)) % 5
+        == 0,
+        "validation",
+    ).otherwise("train")
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("lbl").alias("component_id"),
+        side.alias("split"),
+    )

@@ -661,3 +661,24 @@ def test_incremental_ingest_verdicts(spark, tmp_path):
     assert out[15].verdict == "keep" and out[15].dup_of == -1
     assert out[20].verdict == "exact" and out[20].dup_of == 1
     assert set(out) == {5, 10, 15, 20}
+
+
+def test_leakage_free_split_keeps_neardups_together(spark, tmp_path):
+    """A near-dup pair must NEVER straddle the train/validation
+    boundary — the property that makes the split leakage-free."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the afternoon sun"
+    )
+    near = base.replace("afternoon", "evening")
+    rows = [(i, f"unique filler text number {i} about topic {i}", "web")
+            for i in range(3, 20)]
+    rows += [(0, base, "web"), (1, near, "web")]
+    sf = _docs_sf(spark, tmp_path, rows)
+
+    from mysql_to_clickhouse_spark.operators.llmops import i39_leakage_free_split
+
+    out = {r.doc_id: r for r in i39_leakage_free_split(spark, sf).collect()}
+    assert out[0].component_id == out[1].component_id
+    assert out[0].split == out[1].split
+    assert set(r.split for r in out.values()) <= {"train", "validation"}
