@@ -404,3 +404,46 @@ def test_random_nested_agg_parity(spark, duck, i):
     duck_pdf = duck.sql(sql).df()
     res = compare_frames(spark_pdf, duck_pdf)
     assert res.ok, f"divergence on:\n{sql}\n{res.detail}"
+
+
+# ---------------------------------------------------------------------------
+# outer-join fuzz: FULL/LEFT joins where unmatched-side NULLs flow into
+# aggregates and COALESCE — the three-valued-logic corner the inner-join
+# axis never reaches.
+# ---------------------------------------------------------------------------
+
+N_OUTER_QUERIES = 10
+
+OUTER_JOINS = [
+    ("customer", "orders", "c_custkey = o_custkey",
+     "c_mktsegment", "o_totalprice", "c_acctbal"),
+    ("nation", "customer", "n_nationkey = c_nationkey",
+     "n_name", "c_acctbal", "n_regionkey"),
+]
+
+
+def _gen_outer_query(rng: random.Random) -> str:
+    left, right, cond, cat, rnum, lnum = rng.choice(OUTER_JOINS)
+    jtype = rng.choice(["FULL JOIN", "LEFT JOIN"])
+    # a selective right-side filter manufactures unmatched left rows
+    sel = f"{rnum} < {rng.uniform(0, 50000):.2f}"
+    return (
+        f"SELECT COALESCE(CAST({cat} AS STRING), '<none>') AS k, "
+        f"CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        f"CAST(COUNT({rnum}) AS BIGINT) AS n_matched, "
+        f"CAST(SUM(CASE WHEN {rnum} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_unmatched, "
+        f"CAST(MIN(COALESCE({rnum}, -1.0)) AS DOUBLE) AS mn "
+        f"FROM {left} {jtype} (SELECT * FROM {right} WHERE {sel}) r "
+        f"ON {cond} GROUP BY k"
+    )
+
+
+@pytest.mark.parametrize("i", range(N_OUTER_QUERIES))
+def test_random_outer_join_parity(spark, duck, i):
+    rng = random.Random(SEED * 173 + i)
+    sql = _gen_outer_query(rng)
+    spark_pdf = spark.sql(sql).toPandas()
+    duck_pdf = duck.sql(sql).df()
+    res = compare_frames(spark_pdf, duck_pdf)
+    assert res.ok, f"divergence on:\n{sql}\n{res.detail}"
