@@ -90,6 +90,47 @@ def synth_events(path: str, n_rows: int) -> None:
     pq.write_table(table, path)
 
 
+def synth_events_spark(spark, path: str, n_rows: int) -> None:
+    """Distributed synthesis for row counts where single-core numpy is
+    impractical (1e9+): the same schema/domains as synth_events, but
+    generated inside Spark from ``spark.range`` with xxhash64-derived
+    columns — deterministic (pure function of event_id), written once.
+    NOTE the value streams differ from synth_events' murmur-style
+    counter (different hash family); that is irrelevant to the
+    harness, which compares Spark vs DuckDB on the SAME file."""
+    from pyspark.sql import functions as F
+
+    base_us = 1704067200000000  # 2024-01-01
+    span_us = 30 * 86400000000
+    ids = spark.range(n_rows).withColumnRenamed("id", "event_id")
+
+    def h(seed: int):
+        return F.abs(F.xxhash64(F.col("event_id"), F.lit(seed)))
+
+    df = ids.select(
+        "event_id",
+        F.timestamp_micros(
+            F.lit(base_us)
+            + F.col("event_id") * F.lit(span_us // n_rows)
+            + h(1) % F.lit(60000000)
+        ).alias("ts"),
+        (h(2) % F.lit(1500)).alias("user_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in
+                      ("view", "view", "click", "purchase", "signup",
+                       "error", "view", "view", "click", "view")]),
+            (h(3) % F.lit(10) + 1).cast("int"),
+        ).alias("event_type"),
+        F.round(
+            F.lit(0.01) + (h(4) % F.lit(4900100)).cast("double") / 10000.0, 2
+        ).alias("value"),
+        F.concat(
+            F.lit('{"k": '), (h(5) % F.lit(100)).cast("string"), F.lit("}")
+        ).alias("props"),
+    )
+    df.write.mode("overwrite").parquet(path)
+
+
 def value_hash(pdf) -> str:
     import pandas as pd
 
@@ -108,12 +149,17 @@ def main() -> None:
                     help="comma-separated subset of QUERIES to run")
     ap.add_argument("--sf-dir", default=None,
                     help="reuse an existing synthesized dir (skip synthesis)")
+    ap.add_argument("--synth-spark", action="store_true",
+                    help="synthesize with Spark (distributed; for 1e9+ rows)")
     args = ap.parse_args()
 
     import tempfile
 
     if args.sf_dir:
         sf_dir, gen_s = args.sf_dir, 0.0
+    elif args.synth_spark:
+        sf_dir = tempfile.mkdtemp(prefix="stress_sf_")
+        gen_s = None  # synthesized below, after the session exists
     else:
         sf_dir = tempfile.mkdtemp(prefix="stress_sf_")
         t0 = time.time()
@@ -128,10 +174,15 @@ def main() -> None:
         app_name="stress", master="local[32]", shuffle_partitions=32
     )
     spark.sparkContext.setLogLevel("ERROR")
+    if gen_s is None:
+        t0 = time.time()
+        synth_events_spark(spark, f"{sf_dir}/events.parquet", args.rows)
+        gen_s = time.time() - t0
     con = __import__("duckdb").connect()
-    con.sql(
-        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
-    )
+    ev_path = f"{sf_dir}/events.parquet"
+    if os.path.isdir(ev_path):  # Spark-written dataset: glob the parts
+        ev_path = f"{ev_path}/*.parquet"
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{ev_path}'")
 
     qs = all_queries()
     to_run = (
