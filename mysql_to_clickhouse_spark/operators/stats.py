@@ -1611,3 +1611,71 @@ def d61_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(n AS BIGINT) AS n",
         *[f.strip().rstrip(",") for f in _D61_MATH.strip().split(",\n")],
     )
+
+
+# ---------------------------------------------------------------------------
+# d40b_cramers_v_corrected — CH cramersVBiasCorrected
+# ---------------------------------------------------------------------------
+
+# Bergsma's bias correction on d40's exact chi2: phi2~ = max(0,
+# phi2 - (r-1)(c-1)/(n-1)), with shrunken row/col counts. Pure scalar
+# arithmetic on the same five exact inputs; fragment shared verbatim.
+# The counts are pre-cast to DOUBLE: Spark types the literal `1.0` as
+# DECIMAL(2,1) and `bigint - decimal` STAYS decimal (scale-rounded
+# division gave 0.003600 for 36/9999), while DuckDB promotes the same
+# text to double — cast first and both engines run pure IEEE.
+_D40B_MATH = """
+  CASE WHEN chi2 / nd - (rd - 1.0) * (cd - 1.0) / (nd - 1.0) > 0.0
+       THEN chi2 / nd - (rd - 1.0) * (cd - 1.0) / (nd - 1.0)
+       ELSE 0.0 END AS phi2_tilde,
+  rd - (rd - 1.0) * (rd - 1.0) / (nd - 1.0) AS r_tilde,
+  cd - (cd - 1.0) * (cd - 1.0) / (nd - 1.0) AS c_tilde
+"""
+
+_D40B_FINAL = """
+  sqrt(phi2_tilde
+       / (CASE WHEN r_tilde < c_tilde THEN r_tilde ELSE c_tilde END - 1.0))
+    AS cramers_v_corrected
+"""
+
+_D40B_ORACLE = f"""
+WITH base AS ({_D40_ORACLE.strip()}), cast_ AS (
+  SELECT n, n_rows, n_cols, chi2, cramers_v,
+         CAST(n AS DOUBLE) AS nd, CAST(n_rows AS DOUBLE) AS rd,
+         CAST(n_cols AS DOUBLE) AS cd
+  FROM base
+), m AS (
+  SELECT n, n_rows, n_cols, chi2, cramers_v, {_D40B_MATH} FROM cast_
+)
+SELECT n, n_rows, n_cols, chi2, cramers_v, phi2_tilde, {_D40B_FINAL}
+FROM m
+"""
+
+
+@register("d40b_cramers_v_corrected", oracle=_D40B_ORACLE, tier="T3")
+def d40b_cramers_v_corrected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``cramersVBiasCorrected``: Bergsma's small-sample correction
+    on d40's exact χ² — φ² shrunk by its expectation under
+    independence, row/col counts shrunk likewise, clamped at zero. The
+    uncorrected V overstates association in small or sparse tables;
+    pipelines comparing association across differently-sized slices
+    need the corrected form or the ranking is biased toward small
+    groups. All arithmetic is a shared fragment over d40's five exact
+    scalars.
+
+    Scale: identical to d40 (one map-side-combinable cell aggregate);
+    the correction is constant work on one row."""
+    base = d40_cramers_v(spark, sf_dir)
+    cast_ = base.selectExpr(
+        "n", "n_rows", "n_cols", "chi2", "cramers_v",
+        "CAST(n AS DOUBLE) AS nd", "CAST(n_rows AS DOUBLE) AS rd",
+        "CAST(n_cols AS DOUBLE) AS cd",
+    )
+    m = cast_.selectExpr(
+        "n", "n_rows", "n_cols", "chi2", "cramers_v",
+        *[f.strip().rstrip(",") for f in _D40B_MATH.strip().split(",\n")],
+    )
+    return m.selectExpr(
+        "n", "n_rows", "n_cols", "chi2", "cramers_v", "phi2_tilde",
+        _D40B_FINAL.strip(),
+    )
