@@ -32,6 +32,7 @@ CARTESIAN_OK = {
     "s6_quantified_all",  # scalar (1-row) ALL-bound cross join (the decorrelation)
     "i23_bigram_surprisal",  # scalar (1-row) vocab-size cross join (smoothing V)
     "d40_cramers_v",     # contingency-grid densification cross join (|a|x|b| <= 50 post-agg rows)
+    "d40b_cramers_v_corrected",  # same grid (wraps d40)
     "i27_heaps_law",     # scalar (1-row) totals cross join onto the OLS sums row
     "i28_semantic_decontam",  # corpus x broadcast eval-set scan (eval sets are small by construction)
     "d49_theils_u",      # scalar (1-row x 1-row) entropy-terms cross join
