@@ -1366,8 +1366,13 @@ def d55_moving_avg_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 # max gap divided once by na*nb. Overflow budget: the gap is bounded by
 # na*nb, so int64 holds to ~3e9 rows per sample — document past that,
 # switch the product to a DECIMAL(38) carrier (the d48 lesson).
+# Empty-sample guard: KS is undefined when either sample is empty —
+# both engines surface NULL instead of ANSI divide-by-zero (Spark) vs
+# IEEE NaN (DuckDB), which would both crash or diverge the hash.
 _D56_MATH = """
-  CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS ks_d
+  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+       ELSE CAST(d_num AS DOUBLE)
+            / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) END AS ks_d
 """
 
 _D56_ORACLE = f"""

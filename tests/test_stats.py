@@ -504,3 +504,18 @@ def test_observe_metrics_counts_nulls_and_hot(spark, tmp_path):
     assert out.hot_rows == 2
     assert out.null_values == 1
     assert out.value_sum_fp == int(450.0 * 10000) + 100000 + 4015000
+
+
+def test_ks_test_empty_sample_yields_null(spark, tmp_path):
+    """KS with an empty second sample is undefined: ks_d must be NULL
+    (not an ANSI divide-by-zero crash, not an IEEE NaN)."""
+    rows = [_ev_row(i, 1, "click", float(i + 1)) for i in range(5)]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows).write.parquet(f"{sf}/events.parquet")
+
+    from mysql_to_clickhouse_spark.operators.stats import d56_ks_test
+
+    out = d56_ks_test(spark, sf).collect()[0]
+    assert out.n_a == 5 and out.n_b == 0
+    assert out.d_num == 0
+    assert out.ks_d is None
