@@ -1909,15 +1909,20 @@ def d58_quantiles_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Same six scalars as d31 (n, Σx, Σx² per sample, exact fixed point);
 # only the final arithmetic differs: pooled variance and n_a+n_b-2
 # degrees of freedom. Fragments shared verbatim between engines.
+# Empty-sample / zero-dof guards (the d56 discipline): the statistic
+# is NULL, never an ANSI divide-by-zero vs IEEE-NaN divergence.
 _D59_MATH = """
-  (a_s1 / a_n) AS mean_a,
-  (b_s1 / b_n) AS mean_b,
-  ((a_s2 - (a_s1 / a_n) * a_s1) + (b_s2 - (b_s1 / b_n) * b_s1))
-    / (a_n + b_n - 2) AS pooled_var
+  CASE WHEN a_n = 0 THEN NULL ELSE a_s1 / a_n END AS mean_a,
+  CASE WHEN b_n = 0 THEN NULL ELSE b_s1 / b_n END AS mean_b,
+  CASE WHEN a_n = 0 OR b_n = 0 OR a_n + b_n <= 2 THEN NULL
+       ELSE ((a_s2 - (a_s1 / a_n) * a_s1) + (b_s2 - (b_s1 / b_n) * b_s1))
+            / (a_n + b_n - 2) END AS pooled_var
 """
 
 _D59_FINAL = """
-  (mean_a - mean_b) / sqrt(pooled_var * (1.0 / a_n + 1.0 / b_n)) AS t_stat,
+  CASE WHEN pooled_var IS NULL OR pooled_var <= 0.0 THEN NULL
+       ELSE (mean_a - mean_b)
+            / sqrt(pooled_var * (1.0 / a_n + 1.0 / b_n)) END AS t_stat,
   (a_n + b_n - 2) AS df
 """
 

@@ -1480,10 +1480,14 @@ def d56_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # term s_g^2/n_g re-enters a second fixed-point fold so the cross-group
 # reduction is order-independent too. The F arithmetic is one shared
 # fragment evaluated in identical IEEE order by both engines.
+# F undefined below 2 groups or with zero residual dof -> NULL (the
+# d56 guard discipline: never ANSI-crash where DuckDB would IEEE-NaN).
 _D57_MATH = """
   (t - st * st / n) AS ss_between,
   (sst - t) AS ss_within,
-  ((t - st * st / n) / (kk - 1.0)) / ((sst - t) / (n - kk)) AS f_stat
+  CASE WHEN kk <= 1.0 OR n <= kk THEN NULL
+       ELSE ((t - st * st / n) / (kk - 1.0)) / ((sst - t) / (n - kk))
+       END AS f_stat
 """
 
 _D57_ORACLE = f"""
@@ -1553,9 +1557,14 @@ def d57_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pass int64 at ~1e5 rows/group — the d48 overflow lesson, applied
 # up front). The Pearson fragment is shared verbatim, three times.
 def _d61_r(a: str, b: str) -> str:
+    # zero-variance guard (d56 discipline): r undefined -> NULL, never
+    # an ANSI divide-by-zero / IEEE-NaN divergence
+    var = (
+        f"(n * s{a}{a} - s{a} * s{a}) * (n * s{b}{b} - s{b} * s{b})"
+    )
     return (
-        f"(n * s{a}{b} - s{a} * s{b})"
-        f" / sqrt((n * s{a}{a} - s{a} * s{a}) * (n * s{b}{b} - s{b} * s{b}))"
+        f"CASE WHEN {var} <= 0.0 THEN NULL ELSE (n * s{a}{b} - s{a} * s{b})"
+        f" / sqrt({var}) END"
     )
 
 

@@ -519,3 +519,38 @@ def test_ks_test_empty_sample_yields_null(spark, tmp_path):
     assert out.n_a == 5 and out.n_b == 0
     assert out.d_num == 0
     assert out.ks_d is None
+
+
+def test_anova_single_group_yields_null_f(spark, tmp_path):
+    """One group -> F undefined -> NULL (the d56 guard discipline)."""
+    rows = [_ev_row(i, 1, "view", float(i)) for i in range(4)]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows).write.parquet(f"{sf}/events.parquet")
+
+    from mysql_to_clickhouse_spark.operators.stats import d57_anova_f
+
+    out = d57_anova_f(spark, sf).collect()[0]
+    assert out.k_groups == 1 and out.f_stat is None
+
+
+def test_corr_matrix_zero_variance_yields_null(spark, tmp_path):
+    """A constant column has no defined correlation -> NULL, not a
+    divide-by-zero."""
+    rows = []
+    for i in range(4):
+        rows.append((1, i, 1, 1, 5.0, 10.0, 0.05, 0.0, "N", "O",
+                     __import__("datetime").datetime(1996, 1, 2)))
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    sf = str(tmp_path / "sf")
+    df.write.parquet(f"{sf}/lineitem.parquet")
+
+    from mysql_to_clickhouse_spark.operators.stats import d61_corr_matrix
+
+    out = d61_corr_matrix(spark, sf).collect()[0]
+    assert out.corr_qty_price is None  # both constant
