@@ -1922,7 +1922,8 @@ _D59_MATH = """
 _D59_FINAL = """
   CASE WHEN pooled_var IS NULL OR pooled_var <= 0.0 THEN NULL
        ELSE (mean_a - mean_b)
-            / sqrt(pooled_var * (1.0 / a_n + 1.0 / b_n)) END AS t_stat,
+            / sqrt(pooled_var * (1.0 / CAST(a_n AS DOUBLE)
+                                 + 1.0 / CAST(b_n AS DOUBLE))) END AS t_stat,
   (a_n + b_n - 2) AS df
 """
 
