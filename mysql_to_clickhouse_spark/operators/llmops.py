@@ -3696,3 +3696,104 @@ def i39_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lbl").alias("component_id"),
         side.alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# i40_dataset_card — the per-source corpus datasheet in one scan
+# ---------------------------------------------------------------------------
+
+# "Datasheets for datasets": every number a corpus release note quotes,
+# as exact integers off one pass + shared final divisions.
+_I40_MIN_TOKENS, _I40_MAX_TOKENS, _I40_MIN_DIVERSITY = 50, 100_000, 0.3
+
+_I40_ORACLE = f"""
+WITH per_doc AS (
+  SELECT source, lang, md5(text) AS h,
+         CAST(len({o_tokens('text')}) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct({o_tokens('text')})) AS BIGINT) AS n_distinct
+  FROM documents
+), flags AS (
+  SELECT source, lang, h, n_tokens,
+         CASE WHEN n_tokens >= {_I40_MIN_TOKENS}
+               AND n_tokens <= {_I40_MAX_TOKENS}
+               AND CAST(n_distinct AS DOUBLE) / n_tokens
+                   >= {_I40_MIN_DIVERSITY}
+              THEN 1 ELSE 0 END AS passes,
+         CASE WHEN n_tokens < {_I40_MIN_TOKENS} THEN 1 ELSE 0 END AS short_doc
+  FROM per_doc
+), agg AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS dup_docs,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(SUM(short_doc) AS BIGINT) AS short_docs,
+         CAST(SUM(passes) AS BIGINT) AS pass_docs
+  FROM flags
+  GROUP BY source
+)
+SELECT source, n_docs, total_tokens, dup_docs, n_langs, short_docs,
+       pass_docs,
+       CAST(dup_docs AS DOUBLE) / n_docs AS dup_rate,
+       CAST(total_tokens AS DOUBLE) / n_docs AS mean_tokens,
+       CAST(pass_docs AS DOUBLE) / n_docs AS pass_rate
+FROM agg
+ORDER BY source
+"""
+
+
+@register("i40_dataset_card", oracle=_I40_ORACLE, tier="T3")
+def i40_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source corpus DATASHEET — every number a dataset release
+    note quotes, from ONE scan: document and token counts, exact-dup
+    rate (hash-distinct), language spread, short-doc and quality-gate
+    pass rates (i19's word-count band + diversity floor, simplified to
+    the two binding rules). All counters are exact integers; the three
+    rates are single shared double divisions.
+
+    Scale: one map-side pass computes per-doc hash+token stats; the
+    per-source aggregate carries two distinct-counts (hash, lang) —
+    the only expensive lanes, both map-side partially aggregated by
+    Spark's distinct-agg expansion. No joins, no Python."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tok = F.size(toks).cast("long")
+    per_doc = docs.select(
+        "source",
+        "lang",
+        F.md5("text").alias("h"),
+        n_tok.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+    passes = (
+        (F.col("n_tokens") >= _I40_MIN_TOKENS)
+        & (F.col("n_tokens") <= _I40_MAX_TOKENS)
+        & (
+            F.col("n_distinct").cast("double") / F.col("n_tokens")
+            >= _I40_MIN_DIVERSITY
+        )
+    ).cast("int")
+    short_doc = (F.col("n_tokens") < _I40_MIN_TOKENS).cast("int")
+    flags = per_doc.select(
+        "source", "lang", "h", "n_tokens",
+        passes.alias("passes"), short_doc.alias("short_doc"),
+    )
+    agg = flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        (F.count(F.lit(1)) - F.count_distinct("h")).cast("long").alias("dup_docs"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        F.sum("short_doc").cast("long").alias("short_docs"),
+        F.sum("passes").cast("long").alias("pass_docs"),
+    )
+    return agg.select(
+        "source", "n_docs", "total_tokens", "dup_docs", "n_langs",
+        "short_docs", "pass_docs",
+        (F.col("dup_docs").cast("double") / F.col("n_docs")).alias("dup_rate"),
+        (F.col("total_tokens").cast("double") / F.col("n_docs")).alias(
+            "mean_tokens"
+        ),
+        (F.col("pass_docs").cast("double") / F.col("n_docs")).alias(
+            "pass_rate"
+        ),
+    )
