@@ -554,3 +554,38 @@ def test_corr_matrix_zero_variance_yields_null(spark, tmp_path):
 
     out = d61_corr_matrix(spark, sf).collect()[0]
     assert out.corr_qty_price is None  # both constant
+
+
+def test_ks_property_random_samples(spark, tmp_path):
+    """Property: for seeded random two-decimal samples, d56's integer
+    path equals the brute-force pointwise KS exactly (8 deterministic
+    cases — heavier per-example cost than a hypothesis sweep warrants,
+    same coverage intent as the dsum property test)."""
+    import random
+
+    for case in range(8):
+        rng = random.Random(987_000 + case)
+        a_vals = [round(rng.uniform(0, 50), 2) for _ in range(rng.randint(1, 40))]
+        b_vals = [round(rng.uniform(0, 50), 2) for _ in range(rng.randint(1, 40))]
+        # force ties across samples in half the cases
+        if case % 2:
+            b_vals[: len(a_vals) // 2] = a_vals[: len(a_vals) // 2]
+        rows = [_ev_row(i, 1, "click", v) for i, v in enumerate(a_vals)] + [
+            _ev_row(1000 + i, 2, "view", v) for i, v in enumerate(b_vals)
+        ]
+        sf = str(tmp_path / f"sf{case}")
+        spark.createDataFrame(rows).write.parquet(f"{sf}/events.parquet")
+
+        from mysql_to_clickhouse_spark.operators.stats import d56_ks_test
+
+        out = d56_ks_test(spark, sf).collect()[0]
+        na, nb = len(a_vals), len(b_vals)
+        d_num = max(
+            abs(
+                sum(x <= v for x in a_vals) * nb
+                - sum(x <= v for x in b_vals) * na
+            )
+            for v in set(a_vals) | set(b_vals)
+        )
+        assert (out.n_a, out.n_b, out.d_num) == (na, nb, d_num), f"case {case}"
+        assert out.ks_d == d_num / (float(na) * float(nb)), f"case {case}"
