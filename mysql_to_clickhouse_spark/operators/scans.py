@@ -1620,3 +1620,71 @@ def a30_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "rows_scanned long, value_sum_fp long, hot_rows long, null_values long",
     )
+
+
+# ---------------------------------------------------------------------------
+# a31_dynamic_pruning — dynamic partition pruning on a partitioned sink
+# ---------------------------------------------------------------------------
+
+_A31_DIM = [(3, "campaign_a"), (4, "campaign_a")] + [
+    (d, "other") for d in range(1, 31) if d not in (3, 4)
+]
+
+_A31_ORACLE = """
+WITH dim(day_of_month, campaign) AS (
+  VALUES {values}
+)
+SELECT campaign,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS BIGINT)
+         AS value_fp
+FROM events e
+JOIN dim ON EXTRACT(day FROM CAST(e.ts AS TIMESTAMP)) = dim.day_of_month
+        AND EXTRACT(month FROM CAST(e.ts AS TIMESTAMP)) = 1
+WHERE campaign = 'campaign_a'
+GROUP BY campaign
+ORDER BY campaign
+""".format(values=", ".join(f"({d}, '{c}')" for d, c in _A31_DIM))
+
+
+@register("a31_dynamic_pruning", oracle=_A31_ORACLE, tier="T3")
+def a31_dynamic_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning, exercised end-to-end: the events
+    batch lands in a DATE-PARTITIONED parquet sink (the layout a5
+    recommends), the calendar dimension carries a selective campaign
+    filter, and at execution time Spark builds the partition list FROM
+    THE JOIN — the fact scan's PartitionFilters contains a
+    ``dynamicpruning`` subquery, so only the 2 matching day-directories
+    of 30 are read. At 100 TB this is the difference between scanning
+    a month and scanning a weekend; the plan shape is asserted in
+    tests/test_plans.py.
+
+    The oracle restates the semantics against the raw events table
+    (DuckDB has no partitioned layout to prune — the RESULT is what is
+    checked; the pruning is checked in the plan test)."""
+    ev = load(spark, sf_dir, "events")
+    root = scratch_dir("a31_dpp_")
+    fact_path = os.path.join(root, "fact")
+    dim_path = os.path.join(root, "dim")
+    ev.withColumn("event_date", F.to_date("ts")).write.mode(
+        "overwrite"
+    ).partitionBy("event_date").parquet(fact_path)
+    spark.createDataFrame(
+        [(f"2024-01-{d:02d}", c) for d, c in _A31_DIM],
+        "d string, campaign string",
+    ).select(F.col("d").cast("date").alias("event_date"), "campaign").write.mode(
+        "overwrite"
+    ).parquet(dim_path)
+
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).filter(
+        F.col("campaign") == "campaign_a"
+    )
+    return (
+        fact.join(dim, "event_date")
+        .groupBy("campaign")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(fixed_point("value")).cast("long").alias("value_fp"),
+        )
+    )

@@ -367,3 +367,13 @@ def test_c21_or_join_no_nested_loop(spark):
     plan = plan_of(df, "simple")
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastHashJoin") == 2, plan
+
+
+def test_a31_dynamic_partition_pruning_in_plan(spark):
+    """The fact scan must carry a dynamicpruning PartitionFilter built
+    from the dimension join — only the matching day-directories are
+    read, which is the partition-pruning story at 100 TB."""
+    df = QUERIES["a31_dynamic_pruning"].fn(spark, TEST_SF_DIR)
+    df.collect()  # DPP materializes in the executed plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
