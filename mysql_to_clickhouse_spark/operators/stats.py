@@ -1693,3 +1693,95 @@ def d40b_cramers_v_corrected(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n", "n_rows", "n_cols", "chi2", "cramers_v", "phi2_tilde",
         _D40B_FINAL.strip(),
     )
+
+
+# ---------------------------------------------------------------------------
+# d41b_exp_decay_bucketed — bit-portable decay via a shared weight table
+# ---------------------------------------------------------------------------
+
+# The 1B-row stress run caught d41's limit: with 1e9 EXP evaluations,
+# cross-libm 1-ulp differences eventually land within an ulp of a
+# 9-digit rounding boundary and the fixed-point sums step apart —
+# continuous transcendental decay is inherently not bit-portable
+# between independent libm implementations at that row count. The
+# scale-proof variant quantizes age to HOURS and reads the weight from
+# a 720-entry table computed ONCE in Python: both engines parse the
+# same decimal literals, so no transcendental runs at query time and
+# the result is bit-identical at ANY row count.
+_D41B_TAU_HOURS = 72.0  # same 3-day decay scale as d41
+_D41B_MAX_H = 719  # events span 30 days; clamp defensively
+
+_D41B_WEIGHTS = [
+    float(repr(__import__("math").exp(-h / _D41B_TAU_HOURS)))
+    for h in range(_D41B_MAX_H + 1)
+]
+
+_D41B_ORACLE = f"""
+WITH wt(h, wgt) AS (
+  VALUES {", ".join(f"({h}, {w!r})" for h, w in enumerate(_D41B_WEIGHTS))}
+), t AS (
+  SELECT user_id, value,
+         {o_epoch_us("ts")} AS t_us,
+         MAX({o_epoch_us("ts")}) OVER (PARTITION BY user_id) AS t_max
+  FROM events
+), b AS (
+  SELECT user_id, value,
+         LEAST((t_max - t_us) // 3600000000, {_D41B_MAX_H}) AS h
+  FROM t
+)
+SELECT user_id,
+       {o_dsum("wgt * value", 6)} AS num,
+       {o_dsum("wgt", 9)} AS den,
+       ({o_dsum("wgt * value", 6)}) / ({o_dsum("wgt", 9)}) AS decayed_avg
+FROM b JOIN wt USING (h)
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("d41b_exp_decay_bucketed", oracle=_D41B_ORACLE, tier="T3")
+def d41b_exp_decay_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d41's freshness-weighted mean with HOUR-bucketed decay — the
+    bit-portable-at-any-scale variant. The 1e9-row stress sweep proved
+    the continuous form's limit (independently computed EXP differs by
+    an ulp often enough to cross any rounding grid at that volume);
+    here the 720 hourly weights are computed once driver-side and
+    shipped to BOTH engines as identical decimal literals (repr
+    round-trips doubles exactly), so query-time arithmetic is
+    multiply-sum only — deterministic at 1e9 rows and beyond, verified
+    by the harness.
+
+    Scale: one window-max + a broadcast join against 720 rows + one
+    fixed-point aggregate — same single user-key shuffle as d41."""
+    ev = load(spark, sf_dir, "events")
+    t_us = epoch_us("ts")
+    t = ev.select(
+        "user_id",
+        "value",
+        t_us.alias("t_us"),
+        F.max(t_us).over(Window.partitionBy("user_id")).alias("t_max"),
+    )
+    b = t.select(
+        "user_id",
+        "value",
+        F.least(
+            F.expr("(t_max - t_us) div 3600000000"), F.lit(_D41B_MAX_H)
+        ).alias("h"),
+    )
+    wt = F.broadcast(
+        spark.createDataFrame(
+            list(enumerate(_D41B_WEIGHTS)), "h long, wgt double"
+        )
+    )
+    w = b.join(wt, "h")
+    return (
+        w.groupBy("user_id")
+        .agg(
+            dsum(F.col("wgt") * F.col("value"), 6).alias("num"),
+            dsum("wgt", 9).alias("den"),
+            (dsum(F.col("wgt") * F.col("value"), 6) / dsum("wgt", 9)).alias(
+                "decayed_avg"
+            ),
+        )
+        .select("user_id", "num", "den", "decayed_avg")
+    )
