@@ -1713,3 +1713,82 @@ def g37_multi_array_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("z.toks").alias("token"),
         F.col("z.lens").cast("long").alias("token_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# g38_readable_decimal — CH formatReadableDecimalSize + formatReadableQuantity
+# ---------------------------------------------------------------------------
+
+# Same integer-typesetting discipline as g28 (FLOOR(x*100) digits —
+# no printf tie-rounding, no locale), base-1000 units on both columns.
+_G38_ORACLE = """
+WITH b AS (
+  SELECT c_custkey, c_custkey * 7919 AS n FROM customer
+), v AS (
+  SELECT c_custkey, n,
+         CASE WHEN n < 1000 THEN CAST(n AS DOUBLE)
+              WHEN n < 1000000 THEN CAST(n AS DOUBLE) / 1000.0
+              WHEN n < 1000000000 THEN CAST(n AS DOUBLE) / 1000000.0
+              ELSE CAST(n AS DOUBLE) / 1000000000.0 END AS scaled,
+         CASE WHEN n < 1000 THEN 'B' WHEN n < 1000000 THEN 'KB'
+              WHEN n < 1000000000 THEN 'MB' ELSE 'GB' END AS unit,
+         CASE WHEN n < 1000 THEN '' WHEN n < 1000000 THEN ' thousand'
+              WHEN n < 1000000000 THEN ' million' ELSE ' billion' END
+           AS qty_unit
+  FROM b
+), c AS (
+  SELECT c_custkey, n, unit, qty_unit,
+         CAST(FLOOR(scaled * 100.0) AS BIGINT) AS cents
+  FROM v
+)
+SELECT c_custkey, n,
+       concat(CAST(cents // 100 AS VARCHAR), '.',
+              lpad(CAST(cents % 100 AS VARCHAR), 2, '0'), ' ', unit)
+         AS readable_size,
+       concat(CAST(cents // 100 AS VARCHAR), '.',
+              lpad(CAST(cents % 100 AS VARCHAR), 2, '0'), qty_unit)
+         AS readable_qty
+FROM c
+ORDER BY c_custkey
+"""
+
+
+@register("g38_readable_decimal", oracle=_G38_ORACLE, tier="T3")
+def g38_readable_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``formatReadableDecimalSize`` + ``formatReadableQuantity``:
+    the base-1000 renderers (g28 ships the binary KiB family) — same
+    integer-typeset digits (FLOOR(x·100), lpad) so no printf
+    tie-rounding or locale can split the engines. Map-only."""
+    cust = load(spark, sf_dir, "customer")
+    b = cust.select("c_custkey", (F.col("c_custkey") * 7919).alias("n"))
+    nd = F.col("n").cast("double")
+    scaled = (
+        F.when(F.col("n") < 1000, nd)
+        .when(F.col("n") < 1000000, nd / 1000.0)
+        .when(F.col("n") < 1000000000, nd / 1000000.0)
+        .otherwise(nd / 1000000000.0)
+    )
+    unit = (
+        F.when(F.col("n") < 1000, F.lit("B"))
+        .when(F.col("n") < 1000000, F.lit("KB"))
+        .when(F.col("n") < 1000000000, F.lit("MB"))
+        .otherwise(F.lit("GB"))
+    )
+    qty_unit = (
+        F.when(F.col("n") < 1000, F.lit(""))
+        .when(F.col("n") < 1000000, F.lit(" thousand"))
+        .when(F.col("n") < 1000000000, F.lit(" million"))
+        .otherwise(F.lit(" billion"))
+    )
+    cents = F.floor(scaled * 100.0).cast("long")
+    digits = F.concat(
+        F.floor(cents / 100).cast("long").cast("string"),
+        F.lit("."),
+        F.lpad((cents % 100).cast("string"), 2, "0"),
+    )
+    return b.select(
+        "c_custkey",
+        "n",
+        F.concat(digits, F.lit(" "), unit).alias("readable_size"),
+        F.concat(digits, qty_unit).alias("readable_qty"),
+    )

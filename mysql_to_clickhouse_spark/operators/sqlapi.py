@@ -280,3 +280,39 @@ def s7_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _S7_SPARK_SQL.format(nation="s7_nation", customer="s7_customer")
     )
+
+
+# ---------------------------------------------------------------------------
+# s8_group_by_all — GROUP BY ALL / ORDER BY ALL (shared modern syntax)
+# ---------------------------------------------------------------------------
+
+# IDENTICAL text runs on both engines — the point: the modern implicit
+# grouping syntax (every non-aggregate select item becomes a key)
+# resolves the same way in Spark 4, DuckDB, and ClickHouse.
+_S8_SQL = """
+SELECT event_type,
+       CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS BIGINT)
+         AS value_fp
+FROM events
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@register("s8_group_by_all", oracle=_S8_SQL, tier="T3")
+def s8_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` + ``ORDER BY ALL``: the implicit-key grouping
+    syntax ClickHouse, DuckDB, and Spark 4 all ship — every
+    non-aggregate select item becomes a grouping key, and the result
+    orders by the full projection. One SQL string, verbatim on both
+    engines, proving the resolution rules agree (including that the
+    EXTRACT alias participates as a KEY, not an aggregate).
+
+    Scale: resolves to the same hash aggregate an explicit GROUP BY
+    plans — syntax sugar, zero plan cost."""
+    from mysql_to_clickhouse_spark.tables import load
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_S8_SQL)
