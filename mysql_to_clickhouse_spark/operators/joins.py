@@ -924,10 +924,12 @@ def c20_paste_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     — here pairing the i-th biggest spender with the i-th most active
     user (the leaderboard-comparison report).
 
-    Scale: each side is a hash aggregate; the global ranks use a
-    single-reduce window over the top slice only after a LIMIT-able
-    rank bound — at 100 TB you'd cap each side (top-k) before ranking,
-    exactly as the query does."""
+    Scale: each side is a hash aggregate; the global rank is a
+    single-reduce unpartitioned window, but it runs over the
+    AGGREGATE output (one row per user), so the reduce is bounded by
+    |users|, not |events|. If the user dimension itself were huge,
+    pre-cap each side with a top-k (TakeOrdered) before ranking —
+    rank<=20 makes that rewrite semantics-preserving."""
     ev = load(spark, sf_dir, "events")
     spend_fp = F.sum(
         F.floor(F.col("value") * F.lit(10000.0)).cast("long")

@@ -3277,9 +3277,10 @@ def i34_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _I35_THETA = 0.5
-# Same role as i16's bound: keeps the ORACLE's O(n²) shingle self-join
-# affordable at any SF (sf0.01's 500 docs all lie inside it); the Spark
-# path has no bound.
+# Same role as i16's bound: the ORACLE needs it to keep its O(n²)
+# shingle self-join affordable at any SF (sf0.01's 500 docs all lie
+# inside it); the Spark path applies the SAME doc_id filter — required
+# for hash parity — though its banded-LSH plan wouldn't need one.
 _I35_MAX_ID = 2000
 
 _I35_ORACLE = f"""
@@ -3395,8 +3396,8 @@ ORDER BY source, cum_tokens
 
 @register("i36_token_budget", oracle=_I36_ORACLE, tier="T3")
 def i36_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-budget sampling: cap every source at {_I36_BUDGET}
-    whitespace tokens by walking its documents in md5(doc_id) order
+    """Token-budget sampling: cap every source at 5,000 whitespace
+    tokens (``_I36_BUDGET``) by walking its documents in md5(doc_id) order
     (i15's seedless deterministic shuffle) and keeping the prefix whose
     running token total fits the budget. This is how a mixture spec
     ('50 B tokens of source X') turns into a concrete document list —

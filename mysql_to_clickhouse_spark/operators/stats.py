@@ -1390,7 +1390,8 @@ WITH pts AS (
          SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
   FROM g
 ), s AS (
-  SELECT CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+  SELECT CAST(COALESCE(MAX(na), 0) AS BIGINT) AS n_a,
+         CAST(COALESCE(MAX(nb), 0) AS BIGINT) AS n_b,
          CAST(MAX(ABS(cca * nb - ccb * na)) AS BIGINT) AS d_num
   FROM c
 )

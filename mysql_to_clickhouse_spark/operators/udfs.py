@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType
 
+from mysql_to_clickhouse_spark.functions.numeric import o_dsum
 from mysql_to_clickhouse_spark.registry import register
 from mysql_to_clickhouse_spark.tables import load
 
@@ -95,24 +96,74 @@ def j2_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("j3_pandas_udaf", oracle=None, tier="T3")
+_J3_ORACLE = f"""
+WITH lv AS (
+  SELECT event_type, ROUND(LN(value), 9) AS lnv
+  FROM events WHERE value > 0
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(EXP(({o_dsum('lnv', 9)}) / COUNT(*)), 9) AS geo_mean
+FROM lv
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("j3_pandas_udaf", oracle=_J3_ORACLE, tier="T3")
 def j3_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped-agg pandas UDF: geometric mean of event value per type.
-    Values are sorted inside the UDF before log-summing so the result
-    is deterministic for a given group regardless of shuffle arrival
-    order; still rows-only (no engine-portable float-sum oracle) with
-    tolerance asserted in tests."""
+    """Grouped-agg pandas UDAF: geometric mean of event value per type,
+    hash-proven against the SQL oracle via the d45 fixed-point
+    discipline (operators/stats.py): LN is rounded at 9 decimals
+    JVM-side (bit-parity with DuckDB ROUND(LN(x),9) proven by d45),
+    the UDAF computes the EXACT fixed-point sum of FLOOR(lnv*1e9)
+    using arbitrary-precision Python ints (no float accumulation, no
+    overflow inside the kernel), and the final EXP+ROUND run JVM-side
+    on the exact rational mean. Arrow-batch / partition arrival order
+    therefore cannot move the result — the oracle states the identical
+    formula.
+
+    The UDAF's int64 RETURN value bounds group size at ~3.7e8 rows
+    (|lnv|*1e9 <= ~2.5e10 per row); beyond that, widen the return to
+    decimal — the same trade documented for dsum vs dsum_wide.
+
+    Deliberately the same statistic as d45_geometric_mean computed
+    through a different execution boundary (pandas UDAF vs pure JVM
+    aggregate): their agreement is itself a cross-check of the Arrow
+    batch path."""
     import numpy as np
 
-    @F.pandas_udf(DoubleType())
-    def geo_mean(v: pd.Series) -> float:
-        arr = np.sort(v.to_numpy(dtype="float64"))
-        return float(np.exp(np.log(arr).sum() / len(arr)))
+    @F.pandas_udf(LongType())
+    def lnsum_fp(lnv: pd.Series) -> int:
+        # FLOOR(lnv * 1e9) in double space — single IEEE multiply then
+        # floor, identical to fixed_point()/o_fixed_point() on both
+        # engines — then an exact arbitrary-precision sum.
+        xs = np.floor(lnv.to_numpy(dtype="float64") * 1e9)
+        return int(sum(int(x) for x in xs))
+
+    # Spark disallows mixing a grouped-agg pandas UDF with JVM
+    # aggregates in one .agg(), so the count is a UDAF too.
+    @F.pandas_udf(LongType())
+    def n_rows(lnv: pd.Series) -> int:
+        return len(lnv)
 
     ev = load(spark, sf_dir, "events")
+    lv = ev.filter(F.col("value") > 0).select(
+        "event_type", F.round(F.log("value"), 9).alias("lnv")
+    )
     return (
-        ev.groupBy("event_type")
-        .agg(geo_mean("value").alias("geo_mean_value"))
+        lv.groupBy("event_type")
+        .agg(
+            n_rows("lnv").alias("n"),
+            lnsum_fp("lnv").alias("s_fp"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round(
+                F.exp(F.col("s_fp").cast("double") / F.lit(1e9) / F.col("n")), 9
+            ).alias("geo_mean"),
+        )
         
     )
 
@@ -364,7 +415,10 @@ def j8_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n": [table.num_rows],
                 "v_min": [pc.min(v).as_py()],
                 "v_max": [pc.max(v).as_py()],
-                "vsum_fp": [int(vsum)],
+                # pc.sum over an all-NULL group returns null → emit
+                # SQL NULL (matching the oracle's SUM) instead of
+                # crashing on int(None)
+                "vsum_fp": [int(vsum) if vsum is not None else None],
             },
             schema=pa.schema(
                 [

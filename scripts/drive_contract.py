@@ -64,7 +64,7 @@ def main():
     print(f"{len(qs)} queries, {len(oracles)} oracles")
     failed = []
     for name, fn in sorted(qs.items()):
-        if args.only and name != args.only:
+        if args.only and name not in args.only.split(","):
             continue
         t0 = time.time()
         try:

@@ -53,13 +53,21 @@ def test_geo_mean_udaf_matches_reference(spark):
 
     result = (
         QUERIES["j3_pandas_udaf"].fn(spark, TEST_SF_DIR).toPandas()
-        .set_index("event_type")["geo_mean_value"]
+        .set_index("event_type")["geo_mean"]
     )
     pdf = load(spark, TEST_SF_DIR, "events").select("event_type", "value").toPandas()
     for etype, got in result.items():
         vals = pdf[pdf["event_type"] == etype]["value"].to_numpy()
+        vals = vals[vals > 0]
+        # naive float geomean — the fixed-point discipline (ln rounded
+        # at 9, exact integer sum) stays within ~1e-6 relative of it
         want = float(np.exp(np.log(np.sort(vals)).mean()))
-        assert abs(got - want) / want < 1e-9
+        assert abs(got - want) / want < 1e-6
+        # and the exact fixed-point twin reproduces it bit-for-bit
+        lnv = np.round(np.log(vals), 9)
+        s_fp = int(sum(int(x) for x in np.floor(lnv * 1e9)))
+        exact = round(float(np.exp(float(s_fp) / 1e9 / len(vals))), 9)
+        assert got == exact, (etype, got, exact)
 
 
 def test_xxhash64_stable_across_runs(spark):

@@ -19,11 +19,10 @@ def test_50_prefix_covers_each_family_five_deep():
     for fam in _BASE_COUNTS:
         fam_names = [n for n in names if n[0] == fam]
         assert len(fam_names) == 5, (fam, fam_names)
-    # every capped driver row should be a hash check where possible:
-    # a rows-only entry may appear only when its family has fewer than
-    # five oracle-backed base IDs (only J: j3 is its 5th)
+    # every capped driver row is a hash check: all 50 prefix entries
+    # carry oracles (j3 gained its fixed-point oracle in round 5)
     rows_only = [n for n in names if qs[n].oracle is None]
-    assert rows_only == ["j3_pandas_udaf"], rows_only
+    assert rows_only == [], rows_only
 
 
 def test_base_ids_before_extensions():
