@@ -2017,3 +2017,169 @@ def d60_group_array_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d62_with_totals — CH GROUP BY ... WITH TOTALS (incl. HAVING interaction)
+# ---------------------------------------------------------------------------
+
+# ClickHouse's WITH TOTALS appends one extra row holding the aggregate
+# over ALL source rows. Under the default totals_mode=before_having the
+# totals row ignores HAVING (it covers groups HAVING filtered out) —
+# exactly what this operator pins: the HAVING keeps only above-average
+# groups, the totals row still covers everything. Integer-only HAVING
+# predicate (n * n_groups > tot_n) so both engines compare exactly.
+_D62_ORACLE = """
+WITH g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS BIGINT)
+           AS value_fp
+  FROM events GROUP BY event_type
+), t AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS tot_n,
+         CAST(SUM(value_fp) AS BIGINT) AS tot_fp,
+         CAST(COUNT(*) AS BIGINT) AS n_groups
+  FROM g
+)
+SELECT g.event_type, g.n, g.value_fp, 'group' AS row_kind
+FROM g, t WHERE g.n * t.n_groups > t.tot_n
+UNION ALL
+SELECT CAST(NULL AS VARCHAR) AS event_type, tot_n AS n, tot_fp AS value_fp,
+       'totals' AS row_kind
+FROM t
+ORDER BY row_kind, event_type
+"""
+
+
+@register("d62_with_totals", oracle=_D62_ORACLE, tier="T3")
+def d62_with_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``GROUP BY ... WITH TOTALS``: the per-group rows plus ONE
+    extra row aggregating every source row, here with a HAVING (keep
+    above-average groups) to pin the default totals_mode=before_having
+    semantics — the totals row is computed over ALL groups, including
+    the ones HAVING removed. (after_having_inclusive/_exclusive would
+    re-aggregate only surviving groups — swap the totals input from
+    ``g`` to the filtered frame to get them.)
+
+    The totals row surfaces as event_type NULL + row_kind='totals'
+    (CH marks it as a separate block; a NULL key is the portable
+    relational spelling, same as ROLLUP's grand-total row).
+
+    Scale: ONE scan of events — the totals and the group-count
+    threshold re-aggregate the per-group partials (|groups| rows), not
+    the source; the broadcast of the 1-row totals costs nothing. The
+    HAVING is integer-only (n·n_groups > tot_n) so engines cannot
+    diverge on a float compare."""
+    ev = load(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.floor(F.col("value") * F.lit(10000.0)).cast("long"))
+        .cast("long")
+        .alias("value_fp"),
+    )
+    t = g.agg(
+        F.sum("n").cast("long").alias("tot_n"),
+        F.sum("value_fp").cast("long").alias("tot_fp"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+    )
+    groups = (
+        g.crossJoin(F.broadcast(t))
+        .filter(F.col("n") * F.col("n_groups") > F.col("tot_n"))
+        .select("event_type", "n", "value_fp", F.lit("group").alias("row_kind"))
+    )
+    totals = t.select(
+        F.lit(None).cast("string").alias("event_type"),
+        F.col("tot_n").alias("n"),
+        F.col("tot_fp").alias("value_fp"),
+        F.lit("totals").alias("row_kind"),
+    )
+    return groups.unionAll(totals)
+
+
+# ---------------------------------------------------------------------------
+# d63_any_family — CH any() / anyLast() / anyHeavy() (deterministic forms)
+# ---------------------------------------------------------------------------
+
+# CH's any()/anyLast() return "first/last value encountered" — defined
+# only relative to an order, and CH itself documents the result as
+# arbitrary under parallel execution. The engine-portable contract:
+# "first/last" by the event-time total order (ts_us, event_id), packed
+# into one zero-padded sortable string (the d6 min_by/max_by pack,
+# because DuckDB's arg_min cannot order by a struct). anyHeavy() is a
+# heavy-hitter sketch in CH; the deterministic stand-in is the exact
+# mode with ties broken toward the smallest value.
+_D63_ORACLE = """
+WITH e AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 10000.0) AS BIGINT) AS value_fp,
+         CONCAT(lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR), 20, '0'),
+                '|', lpad(CAST(event_id AS VARCHAR), 12, '0')) AS ord_key
+  FROM events
+), per_value AS (
+  SELECT event_type, value_fp,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         MIN(ord_key) AS kmin, MAX(ord_key) AS kmax
+  FROM e GROUP BY event_type, value_fp
+)
+SELECT event_type,
+       min_by(value_fp, kmin) AS any_value,
+       max_by(value_fp, kmax) AS any_last,
+       max_by(value_fp, CONCAT(lpad(CAST(cnt AS VARCHAR), 12, '0'), '|',
+                               lpad(CAST(9999999 - value_fp AS VARCHAR), 7,
+                                    '0'))) AS any_heavy,
+       CAST(MAX(cnt) AS BIGINT) AS heavy_cnt
+FROM per_value
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("d63_any_family", oracle=_D63_ORACLE, tier="T3")
+def d63_any_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``any()`` / ``anyLast()`` / ``anyHeavy()`` with deterministic
+    contracts: any = value at the MINIMUM (ts, event_id) order key,
+    anyLast = value at the maximum, anyHeavy = the exact mode (ties →
+    smallest value; CH's anyHeavy is an approximate heavy-hitter — the
+    exact mode is its deterministic, hash-checkable refinement).
+    Values surface fixed-point (FLOOR(value·1e4)) so the argmax packs
+    into the zero-padded string key both engines order identically.
+
+    Scale: two map-side-combinable hash aggregates — (type, value)
+    then type — so the mode never materializes a group; the first
+    shuffle carries |distinct (type,value)| rows, the second |types|.
+    This IS how you spell mode at 100 TB (no collect_list, no window
+    over the raw rows)."""
+    ev = load(spark, sf_dir, "events")
+    ord_key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lit("|"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    per_value = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") * F.lit(10000.0)).cast("long").alias("value_fp"),
+            ord_key.alias("ord_key"),
+        )
+        .groupBy("event_type", "value_fp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.min("ord_key").alias("kmin"),
+            F.max("ord_key").alias("kmax"),
+        )
+    )
+    heavy_key = F.concat(
+        F.lpad(F.col("cnt").cast("string"), 12, "0"),
+        F.lit("|"),
+        F.lpad((F.lit(9999999) - F.col("value_fp")).cast("string"), 7, "0"),
+    )
+    return (
+        per_value.groupBy("event_type")
+        .agg(
+            F.min_by("value_fp", F.col("kmin")).alias("any_value"),
+            F.max_by("value_fp", F.col("kmax")).alias("any_last"),
+            F.max_by("value_fp", heavy_key).alias("any_heavy"),
+            F.max("cnt").cast("long").alias("heavy_cnt"),
+        )
+    )

@@ -316,3 +316,60 @@ def s8_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_S8_SQL)
+
+
+# ---------------------------------------------------------------------------
+# s9_limit_by — ClickHouse LIMIT n BY key (per-group row limit clause)
+# ---------------------------------------------------------------------------
+
+# CH: SELECT ... ORDER BY o LIMIT n BY k — keep the first n rows of
+# each k-group under the query's ORDER BY, then apply any outer LIMIT.
+# Spark has no LIMIT BY syntax; the engine's spelling is the QUALIFY
+# row_number form, which DuckDB can run VERBATIM — one SQL text, both
+# engines (the s8 discipline), pinning that the rewrite is the idiom.
+_S9_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+  FROM events
+)
+SELECT user_id, event_id, event_type, ts_us
+FROM e
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY user_id ORDER BY ts_us DESC, event_id
+) <= 3
+ORDER BY user_id, ts_us DESC, event_id
+"""
+
+_S9_SPARK_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, unix_micros(ts) AS ts_us
+  FROM events
+), r AS (
+  SELECT user_id, event_id, event_type, ts_us,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts_us DESC, event_id
+         ) AS rn
+  FROM e
+)
+SELECT user_id, event_id, event_type, ts_us
+FROM r WHERE rn <= 3
+ORDER BY user_id, ts_us DESC, event_id
+"""
+
+
+@register("s9_limit_by", oracle=_S9_SQL, tier="T3")
+def s9_limit_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``LIMIT n BY key``: each user's 3 most recent events (the
+    "last N per entity" report, CH's most-used nonstandard clause).
+    Engine spelling: ROW_NUMBER() ≤ n over (key, query order) — the
+    exact rewrite CH applies internally. OSS Spark has no QUALIFY, so
+    the rank lives in a subquery; the DuckDB oracle states the QUALIFY
+    form, pinning that the two spellings are the same operator.
+
+    Scale: ONE shuffle on user_id; Spark 4 plans the rank bound as
+    WindowGroupLimit, pruning to ≤ n rows per key map-side BEFORE the
+    exchange — the 100 TB plan you want for per-entity recency slices
+    (verified in tests/test_plans.py for the d13 shape)."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_S9_SPARK_SQL)

@@ -114,6 +114,12 @@ def _priority_order(registry: dict[str, Query]) -> list[str]:
     covers each family 5 IDs deep. Within a family, oracle-backed IDs come
     before rows-only ones so every capped driver row is a hash check, not an
     ``err:"no_oracle"`` record.
+
+    Extensions (a8+, c3b, d15+, and the k/m/s/x series) follow the base
+    87 under the SAME discipline: round-robin one per family (by leading
+    letter) per round, oracle-backed before rows-only within a family —
+    so a driver cap of ANY size sees a family-balanced, hash-check-first
+    prefix instead of an alphabetical run of one family's extras.
     """
     per_family: dict[str, list[tuple[int, int, str]]] = {f: [] for f in _BASE_COUNTS}
     extras: list[str] = []
@@ -137,7 +143,20 @@ def _priority_order(registry: dict[str, Query]) -> list[str]:
         for fam_list in per_family.values()
         if k < len(fam_list)
     ]
-    ordered.extend(sorted(extras))
+    extras_by_fam: dict[str, list[tuple[int, str]]] = {}
+    for n in extras:
+        q = registry[n]
+        extras_by_fam.setdefault(n[0], []).append((0 if q.oracle else 1, n))
+    for fam_list_e in extras_by_fam.values():
+        fam_list_e.sort()
+    e_fams = sorted(extras_by_fam)
+    longest_e = max((len(extras_by_fam[f]) for f in e_fams), default=0)
+    ordered.extend(
+        extras_by_fam[f][k][1]
+        for k in range(longest_e)
+        for f in e_fams
+        if k < len(extras_by_fam[f])
+    )
     if len(ordered) != len(registry):  # pragma: no cover - totality guard
         raise AssertionError(
             f"priority order dropped {len(registry) - len(ordered)} entries"

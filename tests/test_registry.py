@@ -62,3 +62,37 @@ def test_priority_order_is_total():
     )
     ordered = reg._priority_order(fake)
     assert set(ordered) == set(fake.keys())
+
+
+def test_extension_prefixes_family_balanced():
+    """Extras round-robin by family too: for any driver cap, the slice
+    of extension IDs it sees is family-balanced (no family may hold 2+
+    more slots than another family that still has unseen extras), and
+    within each family oracle-backed extras precede rows-only ones."""
+    from mysql_to_clickhouse_spark.registry import _BASE_COUNTS
+    from mysql_to_clickhouse_spark import registry as reg
+
+    qs = all_queries()
+    names = list(qs)
+    n_base = sum(_BASE_COUNTS.values())
+    extras = names[n_base:]
+    totals = {}
+    for n in extras:
+        totals[n[0]] = totals.get(n[0], 0) + 1
+    for cap in (10, 50, 100, 200, len(names)):
+        seen = {}
+        for n in names[n_base:cap]:
+            seen[n[0]] = seen.get(n[0], 0) + 1
+        for fam, cnt in seen.items():
+            for other, tot in totals.items():
+                if totals.get(other, 0) > seen.get(other, 0):
+                    # family `other` still has unseen extras → no family
+                    # may be more than one round ahead of it
+                    assert cnt <= seen.get(other, 0) + 1, (cap, fam, other)
+    # oracle-first within each family's extra list
+    by_fam = {}
+    for n in extras:
+        by_fam.setdefault(n[0], []).append(n)
+    for fam, fam_names in by_fam.items():
+        tiers = [0 if qs[n].oracle else 1 for n in fam_names]
+        assert tiers == sorted(tiers), (fam, fam_names)
