@@ -56,6 +56,91 @@ HEADLINERS = {
 RUNS = 5  # median of 5: v1's run-to-run spread measured ±70 ms (OS noise)
 
 
+def _vs_previous_round(
+    warm: dict[str, float],
+    spread: dict[str, list[float]],
+    total: float,
+    job_floor: float,
+) -> dict | None:
+    """Self-attributing noise/regression verdict vs the latest BENCH_r*.json.
+
+    Raw warm medians swing 2x between back-to-back invocations on this
+    host (measured r5: job floor alone moved 0.059 -> 0.113 with the
+    machine idle), so deltas are classified on FLOOR-SUBTRACTED work:
+    work = max(median - this run's own job_floor_sec, 0). That removes
+    the per-job scheduling+Arrow constant, which is both the dominant
+    noise term and the part that vanishes at scale (the r4 postmortem:
+    w1's +46% was exactly this). A work delta is NOISE when it is
+    within max(10% of prior work, half the current job floor, the
+    query's observed min-max run spread); otherwise regression or
+    improvement by sign. Raw medians and raw delta_pct stay in the
+    artifact for transparency.
+    """
+    import glob
+    import re
+
+    prior_files = sorted(
+        glob.glob(os.path.join(REPO_ROOT, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    prev = None
+    for path in reversed(prior_files):
+        try:
+            with open(path) as fh:
+                cand = json.load(fh)
+            # the round driver wraps our JSON line under "parsed"
+            cand = cand.get("parsed", cand)
+            if cand.get("queries"):
+                prev = (os.path.basename(path), cand)
+                break
+        except (OSError, ValueError):
+            continue
+    if prev is None:
+        return None
+    prev_name, prev_json = prev
+    prev_floor = prev_json.get("job_floor_sec") or 0.0
+    per_query = {}
+    for q, cur in warm.items():
+        p = prev_json.get("queries", {}).get(q)
+        if p is None:
+            per_query[q] = {"prev": None, "cur": cur, "verdict": "new"}
+            continue
+        lo, hi = spread.get(q, [cur, cur])
+        delta_pct = round(100.0 * (cur - p) / p, 1) if p else None
+        work_cur = max(cur - job_floor, 0.0)
+        work_prev = max(p - prev_floor, 0.0)
+        band = max(0.10 * work_prev, 0.5 * job_floor, hi - lo)
+        if abs(work_cur - work_prev) <= band:
+            verdict = "noise"
+        elif work_cur > work_prev:
+            verdict = "regression"
+        else:
+            verdict = "improvement"
+        per_query[q] = {
+            "prev": p,
+            "cur": cur,
+            "delta_pct": delta_pct,
+            "work_prev": round(work_prev, 4),
+            "work_cur": round(work_cur, 4),
+            "noise_band": round(band, 4),
+            "verdict": verdict,
+        }
+    prev_total = prev_json.get("value")
+    total_delta = (
+        round(100.0 * (total - prev_total) / prev_total, 1) if prev_total else None
+    )
+    regressions = [q for q, v in per_query.items() if v["verdict"] == "regression"]
+    return {
+        "prev_round_file": prev_name,
+        "prev_total": prev_total,
+        "total_delta_pct": total_delta,
+        "per_query": per_query,
+        "regression_verdict": (
+            "regressed: " + ",".join(regressions) if regressions else "no regression"
+        ),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -87,8 +172,10 @@ def main() -> None:
         floor_df.toPandas()
         floor_runs.append(time.perf_counter() - t0)
     job_floor = round(statistics.median(floor_runs), 4)
+    job_floor_spread = [round(min(floor_runs), 4), round(max(floor_runs), 4)]
 
     warm: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     cold: dict[str, float] = {}
     first: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -112,10 +199,12 @@ def main() -> None:
                 df.toPandas()
                 runs.append(time.perf_counter() - t0)
             warm[headline] = round(statistics.median(runs), 4)
+            spread[headline] = [round(min(runs), 4), round(max(runs), 4)]
         except Exception as exc:  # noqa: BLE001
             errors[headline] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(warm.values()), 4)
+    vs_prev = _vs_previous_round(warm, spread, total, job_floor)
     print(
         json.dumps(
             {
@@ -128,6 +217,9 @@ def main() -> None:
                 "first_run_queries": first,
                 "first_run_total": round(sum(first.values()), 4),
                 "job_floor_sec": job_floor,
+                "job_floor_spread": job_floor_spread,
+                "query_spread": spread,
+                "vs_prev": vs_prev,
                 "errors": errors,
                 "waivers": {
                     "d1_dedup_docs": (
