@@ -151,7 +151,15 @@ def d3_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("d4_approx_distinct", oracle=None)
+@register(
+    "d4_approx_distinct",
+    oracle=None,
+    no_oracle_reason=(
+        "HLL sketch estimate has no exact SQL twin; the rsd error bound "
+        "is SQL-hash-checked as booleans in d4b"
+    ),
+    test="tests/test_approx.py::test_approx_distinct_within_rsd",
+)
 def d4_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ NDV per event_type (CH `uniq`).
 
@@ -373,7 +381,15 @@ def d8_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("d8b_quantile_approx", oracle=None)
+@register(
+    "d8b_quantile_approx",
+    oracle=None,
+    no_oracle_reason=(
+        "approx_percentile's KLL-style sketch is implementation-specific; "
+        "band vs the exact percentile is asserted instead"
+    ),
+    test="tests/test_approx.py::test_approx_quantile_within_band",
+)
 def d8b_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentile (CH quantileTDigest analog): mergeable
     sketch, the scale path for quantiles. Rows-only check; tolerance
@@ -1556,7 +1572,17 @@ def lttb_reference(ts_us, values, n_out: int):
     return idx
 
 
-@register("d30_lttb_downsample", oracle=None, tier="T3")
+@register(
+    "d30_lttb_downsample",
+    oracle=None,
+    tier="T3",
+    no_oracle_reason=(
+        "LTTB bucket selection argmaxes float triangle areas — cross-libm "
+        "area ties are not hash-portable; an exact reference "
+        "implementation is asserted per series instead"
+    ),
+    test="tests/test_aggregates.py::test_lttb_matches_reference_per_series",
+)
 def d30_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CH ``largestTriangleThreeBuckets(10)(ts, value)``: downsample
     each user's value series to 10 visually-representative points (the

@@ -330,7 +330,17 @@ def h6_stateful_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("h7_foreach_upsert", oracle=None, tier="T3")
+@register(
+    "h7_foreach_upsert",
+    oracle=None,
+    tier="T3",
+    no_oracle_reason=(
+        "side-effecting streaming sink (foreachBatch upsert): the result "
+        "is accumulated SINK state, not a SQL-expressible query; "
+        "stream-kill/restart exactly-once covered by the same test file"
+    ),
+    test="tests/test_streaming.py::test_foreach_upsert_sim_equals_batch_apply",
+)
 def h7_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The foreachBatch CDC apply loop, simulated deterministically:
     events split into 6 time slices; each slice merges into the state as

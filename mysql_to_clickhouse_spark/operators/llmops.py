@@ -125,7 +125,18 @@ def release_caches(spark: SparkSession) -> None:
         bc.destroy()
 
 
-@register("i2_minhash_neardup", oracle=None, tier="T3")
+@register(
+    "i2_minhash_neardup",
+    oracle=None,
+    tier="T3",
+    no_oracle_reason=(
+        "banded-LSH recall < 1 by design — no exact SQL can state which "
+        "near-pairs the bands surface; planted-dup recall is asserted, "
+        "and i2b/i30 hash-check the exact-Jaccard and precision/recall "
+        "sides"
+    ),
+    test="tests/test_llmops.py::test_minhash_lsh_recall_on_planted_dups",
+)
 def i2_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16)+LSH(4 bands × 4 rows) near-dup detection over 3-word
     shingles, with exact-Jaccard verification of every candidate pair.
@@ -308,7 +319,17 @@ def i2b_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMHASH_BITS = 32
 
 
-@register("i2c_simhash", oracle=None, tier="T3")
+@register(
+    "i2c_simhash",
+    oracle=None,
+    tier="T3",
+    no_oracle_reason=(
+        "the 32-bit simhash signature mixes Spark's xxhash64 bit pattern "
+        "— no DuckDB twin; the hamming-distance similarity contract is "
+        "asserted on planted near-dups"
+    ),
+    test="tests/test_llmops.py::test_simhash_hamming_on_planted_dups",
+)
 def i2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash document fingerprint: per bit b, the sign of
     Σ_tokens (±1 for bit b of xxhash64(token)); near-dups differ in few
@@ -821,7 +842,16 @@ _LSH_TABLES = 3
 _LSH_PLANES = 3  # bits per table → 8 buckets/table; recall ≈ 1-(1-p^3)^3
 
 
-@register("i4b_ann_lsh", oracle=None, tier="T3")
+@register(
+    "i4b_ann_lsh",
+    oracle=None,
+    tier="T3",
+    no_oracle_reason=(
+        "approximate NN: bucketed candidates recall < 1 by design; "
+        "recall vs the exact i4 top-k is asserted"
+    ),
+    test="tests/test_llmops.py::test_ann_lsh_recall_vs_exact",
+)
 def i4b_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbors via random-hyperplane LSH with
     OR-amplification: 3 independent tables × 3 hyperplanes. Hyperplane
@@ -946,7 +976,17 @@ def _ivf_centroids(
     )
 
 
-@register("i4d_ann_ivf", oracle=None, tier="T3")
+@register(
+    "i4d_ann_ivf",
+    oracle=None,
+    tier="T3",
+    no_oracle_reason=(
+        "IVF probes nprobe cells of a trained coarse quantizer — "
+        "approximate by construction; recall vs exact top-k plus "
+        "skew-surviving centroid determinism are asserted"
+    ),
+    test="tests/test_llmops.py::test_ann_ivf_recall_vs_exact",
+)
 def i4d_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbors via an inverted file (IVF-flat),
     the other classic ANN scale path next to i4b's LSH: train C coarse
@@ -1803,7 +1843,18 @@ def _mg_partition_summaries(batches, capacity: int):
     )
 
 
-@register("i17_topk_sketch", oracle=None, tier="T3")
+@register(
+    "i17_topk_sketch",
+    oracle=None,
+    tier="T3",
+    no_oracle_reason=(
+        "Misra-Gries estimates depend on partition boundaries "
+        "(as any mergeable summary does); the MG guarantee "
+        "(recovery + est<=exact + error bound) is asserted on planted "
+        "skew, and i17b/i17c hash-check the bound booleans in SQL"
+    ),
+    test="tests/test_llmops.py::test_mg_sketch_recovers_planted_heavy_hitter",
+)
 def i17_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse `topK()` analog: approximate heavy hitters over the
     corpus 2-gram stream via per-partition Misra-Gries summaries merged
@@ -2399,7 +2450,17 @@ def _bigrams(col):
     ).otherwise(F.array().cast("array<string>"))
 
 
-@register("i23_bigram_surprisal", oracle=None, tier="T3")
+@register(
+    "i23_bigram_surprisal",
+    oracle=None,
+    tier="T3",
+    no_oracle_reason=(
+        "per-token log2 chain exceeds the transcendental rounding budget "
+        "that is portable across libms (the d41 lesson); 1e-9 parity vs "
+        "a pure-python reference is asserted instead"
+    ),
+    test="tests/test_llmops.py::test_bigram_surprisal_matches_reference",
+)
 def i23_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-proxy quality scoring with a bigram LM trained on the
     corpus itself (the classic KenLM-filter shape, minus the external
@@ -2693,7 +2754,17 @@ def _pq_codebooks(spark: SparkSession, emb: DataFrame):
     return books
 
 
-@register("i26_pq_adc", oracle=None, tier="T3")
+@register(
+    "i26_pq_adc",
+    oracle=None,
+    tier="T3",
+    no_oracle_reason=(
+        "PQ codebooks come from bounded k-means on a deterministic "
+        "driver sample and ADC distances are quantized approximations; "
+        "recall vs exact top-k and codebook determinism are asserted"
+    ),
+    test="tests/test_llmops.py::test_pq_adc_recall_vs_exact",
+)
 def i26_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (the third scale path next to i4b LSH
     and i4d IVF, and the one that shrinks the INDEX itself): every
@@ -3044,7 +3115,17 @@ def i29_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("i30_sketch_quality", oracle=None, tier="T3")
+@register(
+    "i30_sketch_quality",
+    oracle=None,
+    tier="T3",
+    no_oracle_reason=(
+        "precision/recall accounting OVER the stochastic i2 LSH output — "
+        "inherits its non-SQL-expressibility; planted-dup accounting "
+        "is asserted end to end"
+    ),
+    test="tests/test_llmops.py::test_sketch_quality_on_planted_dups",
+)
 def i30_sketch_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'Measure, don't guess' as a first-class operator: the quality
     report for i2's MinHash-LSH dedup path against the exact-Jaccard

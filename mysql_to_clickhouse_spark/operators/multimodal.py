@@ -146,7 +146,18 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
 # ---------------------------------------------------------------------------
 
 
-@register("m2_decode_features", oracle=None, tier="T3")
+@register(
+    "m2_decode_features",
+    oracle=None,
+    tier="T3",
+    no_oracle_reason=(
+        "decode runs behind the codec feature gate (Pillow/soundfile "
+        "absent in this sandbox -> deterministic fake with decode_src "
+        "audit column); the Spark-side schema/partitioning is real and "
+        "pinned by the test"
+    ),
+    test="tests/test_multimodal.py::test_m2_decode_schema_and_determinism",
+)
 def m2_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract over binary payloads via mapInPandas
     (Arrow batches in, Arrow batches out). Decode goes through the
@@ -207,7 +218,17 @@ def m2_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("m3_frame_sample", oracle=None, tier="T3")
+@register(
+    "m3_frame_sample",
+    oracle=None,
+    tier="T3",
+    no_oracle_reason=(
+        "byte-slicing a binary payload into frame tiles has no SQL "
+        "twin (DuckDB lacks the tiling UDF); exact payload "
+        "reconstruction is asserted"
+    ),
+    test="tests/test_multimodal.py::test_m3_frames_tile_payload_exactly",
+)
 def m3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling: each payload yields ceil(len/256) fixed-size
     'frames' (mapInPandas exploding one row into many — the video
@@ -340,7 +361,17 @@ def cdc_boundaries(data: bytes, table: list[int]) -> list[int]:
     return ends
 
 
-@register("m5_cdc_chunking", oracle=None, tier="T3")
+@register(
+    "m5_cdc_chunking",
+    oracle=None,
+    tier="T3",
+    no_oracle_reason=(
+        "content-defined chunking (rolling-hash cut points over binary) "
+        "is not SQL-expressible; chunk reassembly == original payload "
+        "is asserted"
+    ),
+    test="tests/test_multimodal.py::test_cdc_operator_reassembles",
+)
 def m5_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking over binary payloads (the rsync/
     restic/LBFS trick): chunk boundaries come from a rolling hash of

@@ -352,7 +352,16 @@ def g10_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("g10b_xxhash64", oracle=None)
+@register(
+    "g10b_xxhash64",
+    oracle=None,
+    no_oracle_reason=(
+        "Spark's xxhash64 seed/variant has no DuckDB equivalent "
+        "(DuckDB's hash() is a different function family); cross-run "
+        "stability and bucket range are asserted"
+    ),
+    test="tests/test_approx.py::test_xxhash64_stable_across_runs",
+)
 def g10b_xxhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-cryptographic 64-bit hash (CH cityHash64 analog → Spark
     xxhash64): the cheap shuffle/bucket key. No DuckDB equivalent →

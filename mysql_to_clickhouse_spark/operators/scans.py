@@ -1472,7 +1472,18 @@ def a27_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("a28_parts_catalog", oracle=None, tier="T3")
+@register(
+    "a28_parts_catalog",
+    oracle=None,
+    tier="T3",
+    no_oracle_reason=(
+        "introspects the engine's own physical parquet sink layout "
+        "(file count/bytes/row-group stats) — DuckDB sees different "
+        "physical files by construction; catalog invariants are "
+        "asserted"
+    ),
+    test="tests/test_sources.py::test_parts_catalog_invariants",
+)
 def a28_parts_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CH ``system.parts`` view for a parquet sink: per physical
     file — row count and min/max of the sort key (ts). These are

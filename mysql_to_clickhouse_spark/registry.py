@@ -42,6 +42,13 @@ class Query:
     tier: str
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
+    # REQUIRED when oracle is None (enforced by tests/test_registry.py):
+    # why no engine-portable hash oracle is possible, and the
+    # compensating unit test ("tests/test_x.py::test_fn") that pins the
+    # property the rows-only driver check can't see. gen_coverage.py
+    # renders these as the auditable rows-only debt ledger.
+    no_oracle_reason: str = ""
+    test: str = ""
 
 
 _REGISTRY: dict[str, Query] = {}
@@ -71,6 +78,8 @@ def register(
     oracle: str | None = None,
     tier: str = "T2",
     tags: tuple[str, ...] = (),
+    no_oracle_reason: str = "",
+    test: str = "",
 ) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
@@ -82,6 +91,8 @@ def register(
             tier=tier,
             doc=(fn.__doc__ or "").strip(),
             tags=tags,
+            no_oracle_reason=no_oracle_reason,
+            test=test,
         )
         return fn
 

@@ -96,3 +96,30 @@ def test_extension_prefixes_family_balanced():
     for fam, fam_names in by_fam.items():
         tiers = [0 if qs[n].oracle else 1 for n in fam_names]
         assert tiers == sorted(tiers), (fam, fam_names)
+
+
+def test_rows_only_debt_ledger_complete():
+    """Every oracle-less query must carry a no_oracle_reason and a
+    resolvable compensating test (file exists, test function defined),
+    and COVERAGE.md must contain the generated ledger row for it."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    coverage = open(os.path.join(repo, "COVERAGE.md")).read()
+    qs = all_queries()
+    rows_only = {n: q for n, q in qs.items() if q.oracle is None}
+    assert rows_only, "expected at least one rows-only query"
+    for name, q in rows_only.items():
+        assert q.no_oracle_reason.strip(), f"{name}: missing no_oracle_reason"
+        assert "::" in q.test, f"{name}: test must be file.py::test_fn"
+        path, fn = q.test.split("::", 1)
+        full = os.path.join(repo, path)
+        assert os.path.exists(full), f"{name}: {path} not found"
+        assert f"def {fn}(" in open(full).read(), f"{name}: {fn} not in {path}"
+        assert f"| `{name}` |" in coverage, f"{name}: ledger row missing"
+    # and no stale ledger rows for queries that HAVE oracles now
+    ledger = coverage.split("## Rows-only debt ledger", 1)[1]
+    for line in ledger.splitlines():
+        if line.startswith("| `"):
+            qid = line.split("`")[1]
+            assert qid in rows_only, f"stale ledger row: {qid}"
