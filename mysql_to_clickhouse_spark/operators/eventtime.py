@@ -1250,3 +1250,40 @@ def h22_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return stream_view_purchase_full_join(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# h23_running_totals_state — per-key running totals via arbitrary state
+# ---------------------------------------------------------------------------
+
+_H23_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS BIGINT) AS sum_fp
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("h23_running_totals_state", oracle=_H23_ORACLE, tier="T3")
+def h23_running_totals_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained per-user totals (CH
+    AggregatingMergeTree target) through a REAL streaming run:
+    replayed micro-batches fold (n, fixed-point sum) per key in
+    arbitrary state via ``applyInPandasWithState``, and the final
+    state is returned — hash-checked against the plain batch
+    aggregate, which is exactly the stream==batch contract. The
+    ``transformWithStateInPandas`` spelling of the same fold lives in
+    streaming/running_totals.py behind the protobuf feature gate
+    (preferred on a full Spark 4.1 install; this API works
+    everywhere).
+
+    Scale: state is two bigints per key in the state store; the fold
+    is associative, so micro-batch slicing cannot change the result,
+    and each batch shuffles only its own rows on user_id."""
+    from mysql_to_clickhouse_spark.streaming.running_totals import (
+        run_running_totals_stream_apws,
+    )
+
+    return run_running_totals_stream_apws(spark, sf_dir)

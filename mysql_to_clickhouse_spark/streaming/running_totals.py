@@ -113,3 +113,62 @@ def run_running_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         snap.groupBy("user_id")
         .agg(F.max("n").alias("n"), F.max("sum_fp").alias("sum_fp"))
     )
+
+
+def _apws_fold(
+    key: tuple, pdfs, state
+):  # state: pyspark.sql.streaming.state.GroupState
+    """applyInPandasWithState twin of RunningTotals.handleInputRows:
+    the identical (n, sum_fp) associative fold over GroupState."""
+    n, sum_fp = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        sum_fp += int(pdf["value_fp"].sum())
+    state.update((n, sum_fp))
+    yield pd.DataFrame({"user_id": [key[0]], "n": [n], "sum_fp": [sum_fp]})
+
+
+def run_running_totals_stream_apws(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-key running totals via applyInPandasWithState — the
+    arbitrary-state API that works WITHOUT the protobuf state-server
+    channel, so the fold's semantics are provable in this sandbox (the
+    funnel.py API). Same replay source, same fold, same output schema
+    as the transformWithStateInPandas form above; the shared
+    stream==batch test runs THIS path unconditionally and the TWS path
+    when protobuf exists — one equality contract, two state backends.
+
+    TWS remains the documented preferred form on Spark 4.1+ (typed
+    state variables, timers, RocksDB provider); this twin exists so an
+    environment without protobuf still has a proven stateful
+    running-totals operator."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    replay_dir, ev = write_replay_slices(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay_dir)
+    )
+    src = stream.select(
+        "user_id",
+        F.floor(F.col("value") * F.lit(10000.0)).cast("long").alias("value_fp"),
+    )
+    updated = src.groupBy("user_id").applyInPandasWithState(
+        _apws_fold,
+        outputStructType=_OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"running_totals_apws_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(updated, name, output_mode="update")
+    snap = spark.table(name)
+    # totals only grow; final state per key = max(n) row
+    return (
+        snap.groupBy("user_id")
+        .agg(F.max("n").alias("n"), F.max("sum_fp").alias("sum_fp"))
+    )

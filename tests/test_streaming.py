@@ -233,29 +233,16 @@ def test_cdc_checkpoint_kill_and_resume(spark):
     assert result.ok, result.detail
 
 
-def test_transform_with_state_totals_equal_batch(spark):
-    """transformWithStateInPandas (Spark 4 arbitrary-state API): the
-    final per-user running totals must equal the batch aggregate —
-    the stream==batch claim for the typed-ValueState fold. Skips where
-    the sandbox's protobuf is broken (see running_totals docstring)."""
-    import pytest
-
-    from mysql_to_clickhouse_spark.streaming.running_totals import (
-        protobuf_available,
-        run_running_totals_stream,
-    )
-
-    if not protobuf_available():
-        pytest.skip("google.protobuf broken in this sandbox; "
-                    "transformWithStateInPandas needs it (install-free env)")
+def _assert_running_totals_equal_batch(spark, runner):
+    """ONE stream==batch equality contract for the running-totals fold,
+    shared by both arbitrary-state backends (applyInPandasWithState and
+    transformWithStateInPandas): whichever API carries the state, the
+    final per-user (n, sum_fp) must equal the plain batch aggregate."""
     from mysql_to_clickhouse_spark.tables import load
     from pyspark.sql import functions as F
 
     streamed = (
-        run_running_totals_stream(spark, SMOKE_SF_DIR)
-        .toPandas()
-        .set_index("user_id")
-        .sort_index()
+        runner(spark, SMOKE_SF_DIR).toPandas().set_index("user_id").sort_index()
     )
     batch = (
         load(spark, SMOKE_SF_DIR, "events")
@@ -270,8 +257,39 @@ def test_transform_with_state_totals_equal_batch(spark):
         .set_index("user_id")
         .sort_index()
     )
+    assert len(streamed) == len(batch)
     assert (streamed["n"] == batch["n"]).all()
     assert (streamed["sum_fp"] == batch["sum_fp"]).all()
+
+
+def test_apply_in_pandas_with_state_totals_equal_batch(spark):
+    """applyInPandasWithState running totals (h23's engine): RUNS in
+    this sandbox (no protobuf dependency) — the stream==batch proof
+    for the stateful fold itself."""
+    from mysql_to_clickhouse_spark.streaming.running_totals import (
+        run_running_totals_stream_apws,
+    )
+
+    _assert_running_totals_equal_batch(spark, run_running_totals_stream_apws)
+
+
+def test_transform_with_state_totals_equal_batch(spark):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API): the
+    SAME equality contract as the applyInPandasWithState test above —
+    one fold, two state backends. Skips only where the sandbox's
+    protobuf is broken (see running_totals docstring); the fold's
+    semantics stay proven here via the APWS twin."""
+    import pytest
+
+    from mysql_to_clickhouse_spark.streaming.running_totals import (
+        protobuf_available,
+        run_running_totals_stream,
+    )
+
+    if not protobuf_available():
+        pytest.skip("google.protobuf broken in this sandbox; "
+                    "transformWithStateInPandas needs it (install-free env)")
+    _assert_running_totals_equal_batch(spark, run_running_totals_stream)
 
 
 def test_left_outer_stream_emits_unmatched_views(spark):
