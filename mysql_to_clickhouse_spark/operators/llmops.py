@@ -1036,6 +1036,121 @@ def i4d_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# i4e_topk_queries — exact top-k for a BOUNDED query set (query serving)
+# ---------------------------------------------------------------------------
+
+_I4E_K = 5
+_I4E_QUERY_CAP = 64
+
+
+def topk_for_queries(emb: DataFrame, queries: DataFrame, k: int) -> DataFrame:
+    """Exact brute-force top-k neighbors for a bounded query batch —
+    the standard ANN-benchmark / query-serving shape (SIFT1M protocol:
+    a few thousand queries against an arbitrarily large corpus).
+
+    This reverses i4's broadcast direction: i4 broadcasts the TABLE
+    (all-pairs self-top-k, size-thresholded); here the QUERIES are
+    collected (bounded by the caller's LIMIT — the collect is legal at
+    any corpus size) and broadcast, the corpus is scanned ONCE with the
+    quantized numpy kernel, each Arrow batch emits its LOCAL top-k per
+    query, and a final window re-ranks the ≤ k·batches candidates per
+    query. No shuffle touches corpus rows — only candidate rows
+    (k × nq × n_batches at most) move, so the shape holds at 100 TB.
+    Local selection and the global window share one total order
+    (cos desc, id asc), so every global winner survives its batch."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from mysql_to_clickhouse_spark.functions.vectors import (
+        np_fixed_cosines,
+        np_fixed_norms,
+        np_quantize,
+    )
+
+    spark = emb.sparkSession
+    q_rows = queries.select("vec_id", "embedding").collect()  # bounded: caller LIMITs
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q_quant = np_quantize(np.array([r["embedding"] for r in q_rows], dtype=np.float64))
+    q_norms = np_fixed_norms(q_quant)
+    bc = spark.sparkContext.broadcast((q_ids, q_quant, q_norms))
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, quant_q, norms_q = bc.value
+        nq = len(ids_q)
+        for pdf in batches:
+            if not len(pdf) or not nq:
+                continue
+            v_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            v_quant = np_quantize(
+                np.array(list(pdf["embedding"]), dtype=np.float64)
+            )
+            v_norms = np_fixed_norms(v_quant)
+            cos = np_fixed_cosines(quant_q, norms_q, v_quant, v_norms)
+            cos_w = cos.copy()
+            cos_w[ids_q[:, None] == v_ids[None, :]] = -np.inf  # self-exclusion
+            sel = _np_topk_sel(cos_w, v_ids, k)
+            k_eff = sel.shape[1]
+            rows = np.repeat(np.arange(nq), k_eff)
+            flat = sel.ravel()
+            keep = np.isfinite(cos_w[rows, flat])  # batches smaller than k
+            yield pd.DataFrame(
+                {
+                    "id_a": np.repeat(ids_q, k_eff)[keep],
+                    "id_b": v_ids[flat][keep],
+                    "cos_sim": cos_w[rows, flat][keep],
+                }
+            )
+
+    cand = emb.select("vec_id", "embedding").mapInPandas(
+        local_topk, schema="id_a long, id_b long, cos_sim double"
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cos_sim"), F.asc("id_b"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )
+
+
+_I4E_ORACLE = f"""
+WITH queries AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id % 31 = 7 ORDER BY vec_id LIMIT {_I4E_QUERY_CAP}
+), pairs AS (
+  SELECT q.vec_id AS id_a, b.vec_id AS id_b,
+         {o_cosine('q.embedding', 'b.embedding')} AS cos_sim
+  FROM queries q JOIN embeddings b ON q.vec_id != b.vec_id
+), ranked AS (
+  SELECT id_a, id_b, cos_sim,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY id_a ORDER BY cos_sim DESC, id_b
+         ) AS BIGINT) AS rk
+  FROM pairs
+)
+SELECT id_a, id_b, cos_sim, rk FROM ranked WHERE rk <= {_I4E_K}
+ORDER BY id_a, rk
+"""
+
+
+@register("i4e_topk_queries", oracle=_I4E_ORACLE, tier="T3")
+def i4e_topk_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} exact neighbors for a deterministic bounded query batch
+    (vec_id % 31 = 7, id-ordered, capped at 64 — portable to the SQL
+    oracle) via topk_for_queries' broadcast-queries single-scan kernel.
+    Complements i4 (all-pairs self-top-k): this is the shape that
+    serves query traffic against a 100 TB corpus, and the exact
+    ground-truth baseline the ANN stress tiers (scripts/
+    stress_vectors.py) measure IVF/PQ recall against."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = (
+        emb.filter(F.col("vec_id") % 31 == 7)
+        .orderBy("vec_id")
+        .limit(_I4E_QUERY_CAP)
+    )
+    return topk_for_queries(emb, queries, _I4E_K)
+
+
+# ---------------------------------------------------------------------------
 # i5_text_stats — corpus quality statistics
 # ---------------------------------------------------------------------------
 

@@ -188,6 +188,33 @@ def test_blocked_cosine_needs_no_driver_collect(spark, monkeypatch):
     )
 
 
+def test_topk_queries_vs_all_pairs(spark):
+    """i4e (broadcast-queries single-scan kernel) must agree ROW-FOR-ROW
+    with i4's all-pairs self-top-k restricted to the query ids — two
+    independent kernels (broadcast table vs broadcast queries), one
+    answer, including quantized-tie rank order."""
+    import pandas as pd
+
+    from mysql_to_clickhouse_spark.registry import all_queries
+    from tests.conftest import SMOKE_SF_DIR
+
+    qs = all_queries()
+    sliced = (
+        qs["i4_topk_similar"]
+        .fn(spark, SMOKE_SF_DIR)
+        .filter((F.col("id_a") % 31 == 7))
+        .toPandas()
+    )
+    served = qs["i4e_topk_queries"].fn(spark, SMOKE_SF_DIR).toPandas()
+    assert len(served) > 0
+    key = ["id_a", "rk"]
+    cols = ["id_a", "id_b", "cos_sim", "rk"]
+    pd.testing.assert_frame_equal(
+        sliced.sort_values(key).reset_index(drop=True)[cols],
+        served.sort_values(key).reset_index(drop=True)[cols],
+    )
+
+
 def test_ann_ivf_recall_vs_exact(spark):
     """i4d (inverted-file ANN) must recover a reasonable share of true
     top-3 neighbor edges and emit well-formed rankings."""

@@ -36,6 +36,8 @@ CARTESIAN_OK = {
     "i27_heaps_law",     # scalar (1-row) totals cross join onto the OLS sums row
     "i28_semantic_decontam",  # corpus x broadcast eval-set scan (eval sets are small by construction)
     "d49_theils_u",      # scalar (1-row x 1-row) entropy-terms cross join
+    "d62_with_totals",   # scalar (1-row) totals-row cross join (the HAVING
+                         # threshold joins |groups| rows vs 1 broadcast row)
     "g34_edit_distance", # 25x25 dim-dim pair triangle (the pair source is
                          # a blocked candidate set in production; see doc)
 }
