@@ -249,6 +249,19 @@ def test_i25_paragraph_dedup_two_shuffles(spark):
     assert num_shuffles(df) <= 2, plan_of(df, "simple")
 
 
+def test_i4e_topk_queries_single_exchange_pruned_scan(spark):
+    """The broadcast-queries serving kernel must cost exactly ONE
+    exchange (the ≤ k·batches-per-query candidate re-rank window) and
+    its corpus scan must read only (vec_id, embedding) — corpus rows
+    never shuffle, which is the property that holds at 100 TB."""
+    df = QUERIES["i4e_topk_queries"].fn(spark, TEST_SF_DIR)
+    assert num_shuffles(df) <= 1, plan_of(df, "simple")
+    plan = plan_of(df, "formatted")
+    scan = [p for p in plan.split("\n\n") if "Scan parquet" in p]
+    assert scan, plan
+    assert "label" not in scan[0], scan[0]  # only vec_id + embedding read
+
+
 def test_h19_rolling_mau_bounded_generate(spark):
     """The rolling-distinct plan explodes a bounded 7-day sequence
     (Generate over sequence(...)), never a fact-table range self-join:
