@@ -56,6 +56,65 @@ HEADLINERS = {
 RUNS = 5  # median of 5: v1's run-to-run spread measured ±70 ms (OS noise)
 
 
+def _load_prev_bench() -> tuple[str, dict] | None:
+    """Latest parseable prior bench document, newest first.
+
+    Candidates: BENCH_SELF.json (the full document this harness writes
+    itself — survives even when the driver's 2000-char stdout capture
+    truncates the round artifact, the r5 failure mode) then
+    BENCH_r{N}.json descending. A round artifact wraps our JSON line
+    under "parsed"; "parsed": null (truncated capture) and any other
+    unparseable/queryless file is skipped gracefully.
+    """
+    import glob
+    import re
+
+    prior_files = sorted(
+        glob.glob(os.path.join(REPO_ROOT, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    self_path = os.path.join(REPO_ROOT, "BENCH_SELF.json")
+    for path in [self_path] + list(reversed(prior_files)):
+        try:
+            with open(path) as fh:
+                cand = json.load(fh)
+            # the round driver wraps our JSON line under "parsed";
+            # `or cand` also covers "parsed": null from a truncated capture
+            cand = cand.get("parsed") or cand
+            if isinstance(cand, dict) and cand.get("queries"):
+                return (os.path.basename(path), cand)
+        except (OSError, ValueError, AttributeError):
+            continue
+    return None
+
+
+def _compact_stdout_line(full: dict) -> str:
+    """ONE compact JSON line for the driver's bounded stdout capture.
+
+    The r5 artifact was truncated mid-object at 2000 chars (the driver
+    keeps only the stdout tail), which nulled the round's machine-
+    readable block. The full document now lives in BENCH_SELF.json;
+    stdout carries only the driver-contract fields plus one-line
+    summaries, kept well under the capture window.
+    """
+    vs_prev = full.get("vs_prev") or {}
+    line = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": full["unit"],
+        "queries": full["queries"],
+        "sf": full["sf"],
+        "job_floor_sec": full["job_floor_sec"],
+        "first_run_total": full["first_run_total"],
+        "build_and_exec_total": full["build_and_exec_total"],
+        "vs_prev_total_delta_pct": vs_prev.get("total_delta_pct"),
+        "regression_verdict": vs_prev.get("regression_verdict"),
+        "errors": full.get("errors") or {},
+        "full_doc": "BENCH_SELF.json",
+    }
+    return json.dumps(line)
+
+
 def _vs_previous_round(
     warm: dict[str, float],
     spread: dict[str, list[float]],
@@ -76,25 +135,7 @@ def _vs_previous_round(
     improvement by sign. Raw medians and raw delta_pct stay in the
     artifact for transparency.
     """
-    import glob
-    import re
-
-    prior_files = sorted(
-        glob.glob(os.path.join(REPO_ROOT, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
-    )
-    prev = None
-    for path in reversed(prior_files):
-        try:
-            with open(path) as fh:
-                cand = json.load(fh)
-            # the round driver wraps our JSON line under "parsed"
-            cand = cand.get("parsed", cand)
-            if cand.get("queries"):
-                prev = (os.path.basename(path), cand)
-                break
-        except (OSError, ValueError):
-            continue
+    prev = _load_prev_bench()
     if prev is None:
         return None
     prev_name, prev_json = prev
@@ -204,10 +245,10 @@ def main() -> None:
             errors[headline] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(warm.values()), 4)
+    # NOTE: _vs_previous_round reads BENCH_SELF.json, so it must run
+    # BEFORE this run overwrites that file below.
     vs_prev = _vs_previous_round(warm, spread, total, job_floor)
-    print(
-        json.dumps(
-            {
+    full = {
                 "metric": "headline_queryset_median_total",
                 "value": total,
                 "unit": "sec",
@@ -233,9 +274,11 @@ def main() -> None:
                     )
                 },
                 "sf": sf,
-            }
-        )
-    )
+    }
+    with open(os.path.join(REPO_ROOT, "BENCH_SELF.json"), "w") as fh:
+        json.dump(full, fh, indent=1)
+        fh.write("\n")
+    print(_compact_stdout_line(full))
     spark.stop()
 
 

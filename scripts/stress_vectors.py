@@ -212,11 +212,22 @@ def main() -> None:
 
         lhs = blocked.sort_values(key).reset_index(drop=True)[cols]
         rhs = served.sort_values(key).reset_index(drop=True)[cols]
-        eq = lhs.equals(rhs)
+        # assert_frame_equal (dtype-lenient) so a divergence records an
+        # actionable diff, not a bare False (pd.DataFrame.equals is
+        # dtype-sensitive and silent — r5 ADVICE.md)
+        eq_msg = "equal"
+        try:
+            pd.testing.assert_frame_equal(
+                lhs, rhs, check_dtype=False, check_exact=True
+            )
+            eq = True
+        except AssertionError as exc:
+            eq = False
+            eq_msg = str(exc).replace("\n", " ")[:300]
         record(
             "i4c_blocked_vs_i4e_rows",
             time.time() - t0,
-            f"{len(lhs)} rows, equal={eq}",
+            f"{len(lhs)} rows, {eq_msg}",
             f"{len(rhs)} rows, row-for-row equality",
             eq and len(lhs) == len(rhs) and len(lhs) > 0,
         )

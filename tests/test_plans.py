@@ -257,9 +257,22 @@ def test_i4e_topk_queries_single_exchange_pruned_scan(spark):
     df = QUERIES["i4e_topk_queries"].fn(spark, TEST_SF_DIR)
     assert num_shuffles(df) <= 1, plan_of(df, "simple")
     plan = plan_of(df, "formatted")
-    scan = [p for p in plan.split("\n\n") if "Scan parquet" in p]
+    scan = [
+        p
+        for p in plan.split("\n\n")
+        if "Scan parquet" in p and "ReadSchema" in p
+    ]
     assert scan, plan
-    assert "label" not in scan[0], scan[0]  # only vec_id + embedding read
+    # assert the pruned column set explicitly from ReadSchema (not a
+    # substring-absence check, which a path containing the column name
+    # would false-fail and a renamed column would silently pass)
+    schema_lines = [
+        ln for ln in scan[0].splitlines() if "ReadSchema" in ln
+    ]
+    assert schema_lines, scan[0]
+    read_schema = schema_lines[0].split("ReadSchema:", 1)[1]
+    assert "vec_id" in read_schema and "embedding" in read_schema, read_schema
+    assert "label" not in read_schema, read_schema
 
 
 def test_h19_rolling_mau_bounded_generate(spark):
@@ -390,3 +403,34 @@ def test_a31_dynamic_partition_pruning_in_plan(spark):
     df.collect()  # DPP materializes in the executed plan
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_s9_limit_by_windowgrouplimit_own_plan(spark):
+    """s9_limit_by's OWN executed plan (not d13's, whose evidence the
+    r5 docstring borrowed) must carry the WindowGroupLimit map-side
+    prune: a Partial limit below the user_id exchange, so each key
+    ships <= 3 rows per input partition at 100 TB."""
+    df = QUERIES["s9_limit_by"].fn(spark, TEST_SF_DIR)
+    df.limit(1).collect()  # materialize so executedPlan is final
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan, plan
+    assert plan.index("Partial") > plan.index("Exchange"), plan
+
+
+def test_plans_md_covers_every_showcase_id():
+    """PLANS.md freshness guard (r5 verdict item 3): every id in
+    scripts/gen_plans.py SHOWCASE must have its captured plan in
+    PLANS.md, so the evidence file cannot silently go stale when a new
+    kernel is added to the showcase."""
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = open(os.path.join(repo, "scripts", "gen_plans.py")).read()
+    ids = re.findall(r'^\s*\("([a-z0-9_]+)",', src, re.M)
+    assert len(ids) >= 24, ids
+    plans = open(os.path.join(repo, "PLANS.md")).read()
+    headers = set(re.findall(r"^## ([a-z0-9_]+)$", plans, re.M))
+    missing = [i for i in ids if i not in headers]
+    assert not missing, f"PLANS.md stale; run scripts/gen_plans.py: {missing}"
