@@ -2124,6 +2124,172 @@ def d62_with_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# d62b/d62c — CH totals_mode = after_having_inclusive / _exclusive
+# ---------------------------------------------------------------------------
+
+# CH's three totals_mode settings differ in WHICH rows feed the totals
+# row (CH docs, settings `totals_mode` + `max_rows_to_group_by`):
+#   before_having (d62):        every source row;
+#   after_having_exclusive:     only rows of groups that passed HAVING;
+#   after_having_inclusive:     rows of groups that passed HAVING PLUS
+#                               the rows that never formed a group
+#                               because max_rows_to_group_by overflowed.
+# Without an overflow cap, inclusive == exclusive, so d62b models the
+# cap deterministically: the 3 largest groups (by n, event_type
+# tiebreak) are "admitted" to GROUP BY; the rest are overflow rows.
+# At sf0.01 the three modes give three distinct totals
+# (n = 10000 / 7994 / 4031) — the semantics are actually pinned apart.
+
+_D62B_CAP = 3
+
+_D62B_ORACLE = f"""
+WITH g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS BIGINT)
+           AS value_fp
+  FROM events GROUP BY event_type
+), ranked AS (
+  SELECT g.*, ROW_NUMBER() OVER (ORDER BY n DESC, event_type) AS rk FROM g
+), adm AS (
+  SELECT * FROM ranked WHERE rk <= {_D62B_CAP}
+), ovf AS (
+  SELECT * FROM ranked WHERE rk > {_D62B_CAP}
+), t AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS tot_n,
+         CAST(COUNT(*) AS BIGINT) AS n_groups
+  FROM adm
+), surv AS (
+  SELECT adm.event_type, adm.n, adm.value_fp
+  FROM adm, t WHERE adm.n * t.n_groups > t.tot_n
+)
+SELECT event_type, n, value_fp, 'group' AS row_kind FROM surv
+UNION ALL
+SELECT CAST(NULL AS VARCHAR) AS event_type,
+       CAST(SUM(n) AS BIGINT) AS n,
+       CAST(SUM(value_fp) AS BIGINT) AS value_fp,
+       'totals' AS row_kind
+FROM (SELECT n, value_fp FROM surv
+      UNION ALL SELECT n, value_fp FROM ovf)
+ORDER BY row_kind, event_type
+"""
+
+
+def _d62_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.floor(F.col("value") * F.lit(10000.0)).cast("long"))
+        .cast("long")
+        .alias("value_fp"),
+    )
+
+
+def _d62_totals_row(rows: DataFrame) -> DataFrame:
+    return rows.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("value_fp").cast("long").alias("value_fp"),
+    ).select(
+        F.lit(None).cast("string").alias("event_type"),
+        "n",
+        "value_fp",
+        F.lit("totals").alias("row_kind"),
+    )
+
+
+@register("d62b_totals_after_having_inclusive", oracle=_D62B_ORACLE, tier="T3")
+def d62b_totals_after_having_inclusive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CH ``totals_mode = after_having_inclusive`` (with the
+    ``max_rows_to_group_by`` overflow that makes it distinct from
+    _exclusive): totals cover the HAVING-surviving groups PLUS every
+    row that overflowed out of GROUP BY. The overflow cap is modeled
+    deterministically — the 3 largest groups are admitted, the rest
+    are overflow (CH's cap is arrival-order nondeterministic, which no
+    engine pair can hash-match).
+
+    Scale: identical to d62 — one scan of events, then all
+    admit/HAVING/totals logic re-aggregates the |groups|-row partial.
+    The ranking window is a single-partition sort over |groups| rows
+    (group-cardinality-sized, NOT data-sized; fine at any SF)."""
+    g = _d62_grouped(spark, sf_dir)
+    w = Window.orderBy(F.desc("n"), F.asc("event_type"))
+    ranked = g.withColumn("rk", F.row_number().over(w))
+    adm = ranked.filter(F.col("rk") <= _D62B_CAP)
+    ovf = ranked.filter(F.col("rk") > _D62B_CAP)
+    t = adm.agg(
+        F.sum("n").cast("long").alias("tot_n"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+    )
+    surv = (
+        adm.crossJoin(F.broadcast(t))
+        .filter(F.col("n") * F.col("n_groups") > F.col("tot_n"))
+        .select("event_type", "n", "value_fp")
+    )
+    groups = surv.select(
+        "event_type", "n", "value_fp", F.lit("group").alias("row_kind")
+    )
+    totals = _d62_totals_row(
+        surv.select("n", "value_fp").unionAll(ovf.select("n", "value_fp"))
+    )
+    return groups.unionAll(totals)
+
+
+_D62C_ORACLE = """
+WITH g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS BIGINT)
+           AS value_fp
+  FROM events GROUP BY event_type
+), t AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS tot_n,
+         CAST(COUNT(*) AS BIGINT) AS n_groups
+  FROM g
+), surv AS (
+  SELECT g.event_type, g.n, g.value_fp
+  FROM g, t WHERE g.n * t.n_groups > t.tot_n
+)
+SELECT event_type, n, value_fp, 'group' AS row_kind FROM surv
+UNION ALL
+SELECT CAST(NULL AS VARCHAR) AS event_type,
+       CAST(SUM(n) AS BIGINT) AS n,
+       CAST(SUM(value_fp) AS BIGINT) AS value_fp,
+       'totals' AS row_kind
+FROM surv
+ORDER BY row_kind, event_type
+"""
+
+
+@register("d62c_totals_after_having_exclusive", oracle=_D62C_ORACLE, tier="T3")
+def d62c_totals_after_having_exclusive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CH ``totals_mode = after_having_exclusive``: the totals row
+    re-aggregates ONLY the groups that survived HAVING (d62's docstring
+    sketch, now a checked operator). Same HAVING as d62 (integer-only
+    n·n_groups > tot_n), so d62 and d62c return the same group rows
+    with provably different totals (sf0.01: 10000 vs 4031 events).
+
+    Scale: one scan; totals re-aggregate the surviving |groups| rows."""
+    g = _d62_grouped(spark, sf_dir)
+    t = g.agg(
+        F.sum("n").cast("long").alias("tot_n"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+    )
+    surv = (
+        g.crossJoin(F.broadcast(t))
+        .filter(F.col("n") * F.col("n_groups") > F.col("tot_n"))
+        .select("event_type", "n", "value_fp")
+    )
+    groups = surv.select(
+        "event_type", "n", "value_fp", F.lit("group").alias("row_kind")
+    )
+    return groups.unionAll(_d62_totals_row(surv))
+
+
+# ---------------------------------------------------------------------------
 # d63_any_family — CH any() / anyLast() / anyHeavy() (deterministic forms)
 # ---------------------------------------------------------------------------
 

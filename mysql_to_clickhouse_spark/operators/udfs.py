@@ -15,7 +15,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, LongType
+from pyspark.sql.types import DecimalType, DoubleType, LongType
 
 from mysql_to_clickhouse_spark.functions.numeric import o_dsum
 from mysql_to_clickhouse_spark.registry import register
@@ -123,23 +123,34 @@ def j3_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     therefore cannot move the result — the oracle states the identical
     formula.
 
-    The UDAF's int64 RETURN value bounds group size at ~3.7e8 rows
-    (|lnv|*1e9 <= ~2.5e10 per row); beyond that, widen the return to
-    decimal — the same trade documented for dsum vs dsum_wide.
+    The UDAF RETURNS the fixed-point sum as DECIMAL(38,0) (the
+    dsum_wide carrier): an int64 return would cap group size (~1.5e9
+    rows at this value domain, ~3.7e8 in general — the r5 documented
+    debt); decimal(38) holds ~1e38, so the group-size bound is gone.
+    The kernel itself always summed in arbitrary-precision Python
+    ints; only the Arrow return lane widened. DuckDB's SUM(BIGINT) is
+    HUGEINT (128-bit exact), so both carriers are exact and the final
+    decimal→double / hugeint→double casts correctly round the SAME
+    integer — bit-equal geo_mean. Stress-tiered at 1e8 rows/group
+    (scripts/stress.py --queries j3_pandas_udaf --rows 500000000).
 
     Deliberately the same statistic as d45_geometric_mean computed
     through a different execution boundary (pandas UDAF vs pure JVM
     aggregate): their agreement is itself a cross-check of the Arrow
     batch path."""
+    import decimal
+
     import numpy as np
 
-    @F.pandas_udf(LongType())
-    def lnsum_fp(lnv: pd.Series) -> int:
+    # NB: pyspark's hint inference rejects `-> decimal.Decimal`, so the
+    # grouped-agg form is declared via the explicit functionType enum.
+    @F.pandas_udf(DecimalType(38, 0), F.PandasUDFType.GROUPED_AGG)
+    def lnsum_fp(lnv):
         # FLOOR(lnv * 1e9) in double space — single IEEE multiply then
         # floor, identical to fixed_point()/o_fixed_point() on both
         # engines — then an exact arbitrary-precision sum.
         xs = np.floor(lnv.to_numpy(dtype="float64") * 1e9)
-        return int(sum(int(x) for x in xs))
+        return decimal.Decimal(int(sum(int(x) for x in xs)))
 
     # Spark disallows mixing a grouped-agg pandas UDF with JVM
     # aggregates in one .agg(), so the count is a UDAF too.

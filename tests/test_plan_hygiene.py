@@ -38,6 +38,8 @@ CARTESIAN_OK = {
     "d49_theils_u",      # scalar (1-row x 1-row) entropy-terms cross join
     "d62_with_totals",   # scalar (1-row) totals-row cross join (the HAVING
                          # threshold joins |groups| rows vs 1 broadcast row)
+    "d62b_totals_after_having_inclusive",  # same 1-row totals cross join
+    "d62c_totals_after_having_exclusive",  # same 1-row totals cross join
     "g34_edit_distance", # 25x25 dim-dim pair triangle (the pair source is
                          # a blocked candidate set in production; see doc)
 }
