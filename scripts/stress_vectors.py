@@ -199,6 +199,13 @@ def main() -> None:
 
     # ---- blocked all-pairs kernel vs broadcast-queries kernel ----------
     if n <= args.blocked_max:
+        # Block-count override: the session default b=isqrt(shuffle)
+        # targets fixture-sized tables; at 200k rows b=8 would mean
+        # 25k-row blocks → 25k² float64 cos tiles (5 GB) in 32
+        # concurrent tasks — the measured JVM/worker OOM. Size blocks
+        # to ≈4k rows so a tile is ~130 MB and 32 fit comfortably.
+        b = max(8, (n + 4095) // 4096)
+        spark.conf.set("spark.mysql2ch.cosine.blocks", str(b))
         t0 = time.time()
         q_id_set = set(served["id_a"].unique().tolist())
         blocked = (
