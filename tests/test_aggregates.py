@@ -111,3 +111,40 @@ def test_interval_length_sum_matches_bruteforce_on_random_intervals(spark):
     }
     for uid, exp in expected.items():
         assert got.get(uid, 0) == exp, (uid, got.get(uid), exp)
+
+
+def test_d62_totals_modes_are_distinct(spark):
+    """The three CH totals_mode semantics must be provably different on
+    the same input: before_having (d62) covers every source row,
+    after_having_inclusive (d62b) covers survivors + GROUP BY overflow,
+    after_having_exclusive (d62c) covers survivors only — so their
+    totals-row counts must be strictly decreasing, and each totals n
+    must equal the sum its mode claims."""
+    from mysql_to_clickhouse_spark.registry import all_queries
+    from tests.conftest import TEST_SF_DIR
+
+    qs = all_queries()
+
+    def totals_and_groups(name):
+        pdf = qs[name].fn(spark, TEST_SF_DIR).toPandas()
+        tot = pdf[pdf["row_kind"] == "totals"]
+        grp = pdf[pdf["row_kind"] == "group"]
+        assert len(tot) == 1, name
+        return int(tot["n"].iloc[0]), grp
+
+    n_before, g_before = totals_and_groups("d62_with_totals")
+    n_incl, g_incl = totals_and_groups("d62b_totals_after_having_inclusive")
+    n_excl, g_excl = totals_and_groups("d62c_totals_after_having_exclusive")
+
+    # before_having counts the whole table
+    from mysql_to_clickhouse_spark.tables import load
+
+    assert n_before == load(spark, TEST_SF_DIR, "events").count()
+    # exclusive totals == sum over its own surviving group rows
+    assert n_excl == int(g_excl["n"].sum())
+    # inclusive adds overflow rows on top of its survivors
+    assert n_incl > int(g_incl["n"].sum())
+    # the three modes are strictly ordered on this data
+    assert n_before > n_incl > n_excl
+    # d62 and d62c share the same HAVING -> same surviving groups
+    assert sorted(g_before["event_type"]) == sorted(g_excl["event_type"])
