@@ -352,6 +352,57 @@ def main() -> None:
         got_map == want_map,
     )
 
+    # ---- i39: leakage-free split invariant ---------------------------
+    # (runs BEFORE i25 so the session restart below can reclaim the i2
+    # chain's shuffle files first — see the disk note at the restart)
+    t0 = time.time()
+    side = F.when(
+        F.ascii(F.substring(F.md5(F.col("lbl").cast("string")), 1, 1)) % 5
+        == 0,
+        "validation",
+    ).otherwise("train")
+    split = labels.select("id", F.col("lbl"), side.alias("split")).persist()
+    crossing = (
+        edges.join(
+            split.select(F.col("id").alias("src"), F.col("split").alias("sa")),
+            "src",
+        )
+        .join(
+            split.select(F.col("id").alias("dst"), F.col("split").alias("sb")),
+            "dst",
+        )
+        .filter(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    frac = split.groupBy("split").count().toPandas().set_index("split")["count"]
+    n_val = int(frac.get("validation", 0))
+    n_train = int(frac.get("train", 0))
+    record(
+        "i39_no_cross_split_edge",
+        time.time() - t0,
+        f"crossing={crossing}, train={n_train}, validation={n_val}",
+        "crossing=0, both sides populated",
+        crossing == 0 and n_val > 0 and n_train > 0,
+    )
+
+    # ---- shed the i2/components shuffle state -------------------------
+    # Spark keeps every ShuffleMapStage's files on disk until the app
+    # (or the GC'd lineage) releases them. At 1e8 docs the i2 chain
+    # leaves ~40 GB of shuffle files that i25 does not need — on this
+    # sandbox's ~94 GB writable volume that was the measured ENOSPC
+    # (i25's own sorter spill had no room left). Everything the
+    # remaining checks need is the parquet corpus, so a clean restart
+    # of the session deletes the old blockmgr dirs wholesale.
+    release_caches(spark)
+    pairs.unpersist()
+    labels.unpersist()
+    split.unpersist()
+    spark.stop()
+    spark = build_session(
+        app_name="stress_docs_i25", master="local[32]", shuffle_partitions=64
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
     # ---- i25: paragraph dedup ----------------------------------------
     t0 = time.time()
     i25 = qs["i25_paragraph_dedup"].fn(spark, sf_dir).persist()
@@ -517,42 +568,8 @@ def main() -> None:
         con.close()
         shutil.rmtree(strat_dir, ignore_errors=True)
 
-    # ---- i39: leakage-free split invariant ---------------------------
-    t0 = time.time()
-    side = F.when(
-        F.ascii(F.substring(F.md5(F.col("lbl").cast("string")), 1, 1)) % 5
-        == 0,
-        "validation",
-    ).otherwise("train")
-    split = labels.select("id", F.col("lbl"), side.alias("split")).persist()
-    crossing = (
-        edges.join(
-            split.select(F.col("id").alias("src"), F.col("split").alias("sa")),
-            "src",
-        )
-        .join(
-            split.select(F.col("id").alias("dst"), F.col("split").alias("sb")),
-            "dst",
-        )
-        .filter(F.col("sa") != F.col("sb"))
-        .count()
-    )
-    frac = split.groupBy("split").count().toPandas().set_index("split")["count"]
-    n_val = int(frac.get("validation", 0))
-    n_train = int(frac.get("train", 0))
-    record(
-        "i39_no_cross_split_edge",
-        time.time() - t0,
-        f"crossing={crossing}, train={n_train}, validation={n_val}",
-        "crossing=0, both sides populated",
-        crossing == 0 and n_val > 0 and n_train > 0,
-    )
-
     release_caches(spark)
-    pairs.unpersist()
-    labels.unpersist()
     i25.unpersist()
-    split.unpersist()
 
     all_ok = all(c[4] for c in checks)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
