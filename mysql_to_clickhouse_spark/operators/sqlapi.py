@@ -370,6 +370,59 @@ def s9_limit_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: ONE shuffle on user_id; Spark 4 plans the rank bound as
     WindowGroupLimit, pruning to ≤ n rows per key map-side BEFORE the
     exchange — the 100 TB plan you want for per-entity recency slices
-    (verified in tests/test_plans.py for the d13 shape)."""
+    (asserted on THIS query's executed plan:
+    tests/test_plans.py::test_s9_limit_by_windowgrouplimit_own_plan)."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_S9_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# s9b — CH LIMIT n OFFSET m BY key
+# ---------------------------------------------------------------------------
+
+_S9B_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+  FROM events
+)
+SELECT user_id, event_id, event_type, ts_us
+FROM e
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY user_id ORDER BY ts_us DESC, event_id
+) BETWEEN 3 AND 5
+ORDER BY user_id, ts_us DESC, event_id
+"""
+
+_S9B_SPARK_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, unix_micros(ts) AS ts_us
+  FROM events
+), r AS (
+  SELECT user_id, event_id, event_type, ts_us,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts_us DESC, event_id
+         ) AS rn
+  FROM e
+)
+SELECT user_id, event_id, event_type, ts_us
+FROM r WHERE rn BETWEEN 3 AND 5
+ORDER BY user_id, ts_us DESC, event_id
+"""
+
+
+@register("s9b_limit_offset_by", oracle=_S9B_SQL, tier="T3")
+def s9b_limit_offset_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``LIMIT 3 OFFSET 2 BY user_id``: per-entity pagination — skip
+    each user's 2 most recent events, take the next 3 (ranks 3..5 in
+    the recency order). Same internal rewrite as s9 with a two-sided
+    rank band; the oracle states the QUALIFY BETWEEN form.
+
+    Scale: identical plan family to s9 — one shuffle on user_id, and
+    the UPPER bound still drives Spark's WindowGroupLimit map-side
+    prune to ≤ offset+n rows per key per input partition (the offset
+    cannot prune below the bound: rank 3 on a partition slice could be
+    rank ≤ 5 globally, so shipping offset+n rows is the information-
+    theoretic minimum for distributed pagination)."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_S9B_SPARK_SQL)

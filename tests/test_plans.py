@@ -434,3 +434,14 @@ def test_plans_md_covers_every_showcase_id():
     headers = set(re.findall(r"^## ([a-z0-9_]+)$", plans, re.M))
     missing = [i for i in ids if i not in headers]
     assert not missing, f"PLANS.md stale; run scripts/gen_plans.py: {missing}"
+
+
+def test_s9b_limit_offset_by_plan_prunes_map_side(spark):
+    """The two-sided rank band must still get the WindowGroupLimit
+    prune from its UPPER bound (<= offset+n rows per key map-side) —
+    distributed pagination's information-theoretic minimum."""
+    df = QUERIES["s9b_limit_offset_by"].fn(spark, TEST_SF_DIR)
+    df.limit(1).collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan, plan
