@@ -109,7 +109,13 @@ def _compact_stdout_line(full: dict) -> str:
         "build_and_exec_total": full["build_and_exec_total"],
         "vs_prev_total_delta_pct": vs_prev.get("total_delta_pct"),
         "regression_verdict": vs_prev.get("regression_verdict"),
-        "errors": full.get("errors") or {},
+        # Hard-truncate per-error text: 7 failing headliners at the
+        # main() 500-char cap would alone blow the ~2000-char driver
+        # capture this line exists to fit inside. Full messages stay in
+        # BENCH_SELF.json.
+        "errors": {
+            k: v[:80] for k, v in (full.get("errors") or {}).items()
+        },
         "full_doc": "BENCH_SELF.json",
     }
     return json.dumps(line)

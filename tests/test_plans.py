@@ -411,7 +411,7 @@ def test_s9_limit_by_windowgrouplimit_own_plan(spark):
     prune: a Partial limit below the user_id exchange, so each key
     ships <= 3 rows per input partition at 100 TB."""
     df = QUERIES["s9_limit_by"].fn(spark, TEST_SF_DIR)
-    df.limit(1).collect()  # materialize so executedPlan is final
+    df.collect()  # materialize DF ITSELF so its adaptive plan is final
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
     assert "Partial" in plan, plan
