@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mysql_to_clickhouse_spark.functions.numeric import dsum, o_dsum
+from mysql_to_clickhouse_spark.functions.numeric import dsum, epoch_us, o_dsum
 from mysql_to_clickhouse_spark.registry import register
 from mysql_to_clickhouse_spark.tables import load
 
@@ -1006,3 +1006,81 @@ def c21_or_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(cust), cust.c_custkey == orders.o_custkey - 1000
     ).select("o_orderkey", "c_custkey", F.lit("legacy").alias("match_via"))
     return direct.unionAll(legacy)
+
+
+# ---------------------------------------------------------------------------
+# c22_any_join — ClickHouse ANY LEFT JOIN (at most one right row per key)
+# ---------------------------------------------------------------------------
+
+# ClickHouse `LEFT ANY JOIN` keeps AT MOST ONE right-side row per join
+# key (the first one the hash-table build encounters). "First" is
+# nondeterministic in CH; the engine pins a stated keep-one rule so the
+# result is reproducible and hash-checkable: the earliest order per
+# customer (min o_orderdate, tie-broken by o_orderkey). The oracle
+# states the identical rule via ROW_NUMBER ... = 1.
+_C22_ORACLE = """
+WITH one AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS od_us
+  FROM orders
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY o_custkey
+    ORDER BY epoch_us(CAST(o_orderdate AS TIMESTAMP)), o_orderkey) = 1
+)
+SELECT c.c_custkey, c.c_name,
+       COALESCE(one.o_orderkey, -1) AS first_orderkey,
+       COALESCE(one.od_us, -1) AS first_order_us,
+       one.o_custkey IS NOT NULL AS matched
+FROM customer c LEFT JOIN one ON c.c_custkey = one.o_custkey
+ORDER BY c.c_custkey
+"""
+
+
+@register("c22_any_join", oracle=_C22_ORACLE, tier="T3")
+def c22_any_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``LEFT ANY JOIN``: each left row pairs with at most
+    ONE right row per key — the replication-user idiom for joining a
+    fact against a multi-version dimension without row multiplication.
+    CH keeps an arbitrary first match; the engine makes the keep-one
+    rule explicit and deterministic (earliest o_orderdate, tie-break
+    o_orderkey) so ANY JOIN results are reproducible across runs.
+    ``ANY INNER`` is this result filtered to ``matched``.
+
+    Spark shape: dedup-right-then-join. The dedup is min(struct(...)) —
+    a partial-aggregable JVM path (map-side combine shrinks the right
+    side BEFORE its shuffle, exactly like CH's build-side hash table
+    keeping one row per key), NOT a row_number window (full shuffle of
+    every version). The deduped side is then broadcast — CH's ANY JOIN
+    requires the build side to fit memory, and the Spark analog is the
+    broadcast hash join (plan-pinned in tests/test_plans.py); at a
+    scale where the deduped dimension outgrows the driver, drop the
+    hint and the same plan degrades to a shuffle hash join with
+    identical semantics."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = load(spark, sf_dir, "orders")
+    one = (
+        orders.select(
+            "o_custkey",
+            F.struct(
+                epoch_us("o_orderdate").alias("od_us"),
+                F.col("o_orderkey").alias("o_orderkey"),
+            ).alias("v"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.min("v").alias("v"))
+        .select(
+            "o_custkey",
+            F.col("v.o_orderkey").alias("first_orderkey"),
+            F.col("v.od_us").alias("first_order_us"),
+        )
+    )
+    joined = cust.join(
+        F.broadcast(one), cust.c_custkey == one.o_custkey, "left"
+    )
+    return joined.select(
+        "c_custkey",
+        "c_name",
+        F.coalesce("first_orderkey", F.lit(-1)).alias("first_orderkey"),
+        F.coalesce("first_order_us", F.lit(-1)).alias("first_order_us"),
+        F.col("o_custkey").isNotNull().alias("matched"),
+    )

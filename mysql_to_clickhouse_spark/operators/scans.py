@@ -1699,3 +1699,68 @@ def a31_dynamic_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(fixed_point("value")).cast("long").alias("value_fp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# a32_sample_clause — ClickHouse SAMPLE k OFFSET m analog (hash-band read)
+# ---------------------------------------------------------------------------
+
+# SAMPLE 1/8 OFFSET 1/4 over the sampling key: keep rows whose
+# 32-bit hash of event_id lands in [2^32 * 1/4, 2^32 * (1/4 + 1/8)).
+# Band membership is exact and engine-portable (md5 prefix — the same
+# idiom as i15's stratified sampler), so the oracle is a FULL hash
+# check, not a rows-only estimate. CH semantics mirrored: the sample
+# is deterministic for a fixed key (repeatable reads), and aggregates
+# over it are scaled by 1/fraction to estimate full-table totals.
+_A32_FRAC_NUM, _A32_FRAC_DEN = 1, 8  # SAMPLE 1/8
+_A32_OFF_NUM, _A32_OFF_DEN = 1, 4  # OFFSET 1/4
+_A32_LO = (1 << 32) * _A32_OFF_NUM // _A32_OFF_DEN
+_A32_HI = _A32_LO + (1 << 32) * _A32_FRAC_NUM // _A32_FRAC_DEN
+
+_A32_ORACLE = f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS sample_rows,
+       CAST(COUNT(*) * {_A32_FRAC_DEN} AS BIGINT) AS est_total_rows,
+       {o_dsum('value')} AS sample_value
+FROM events
+WHERE CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      >= {_A32_LO}
+  AND CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      < {_A32_HI}
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("a32_sample_clause", oracle=_A32_ORACLE, tier="T3")
+def a32_sample_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``SAMPLE 1/8 OFFSET 1/4`` analog: deterministic
+    hash-band sampling on the declared sampling key (event_id) — the
+    way CH users survey a 100 TB table without a full scan. Band
+    membership is a pure row-local predicate (md5 prefix → 32-bit
+    band), so it is exact, seedless, repeatable across runs and
+    repartitioning, and composable: OFFSET shifts the band, so
+    disjoint teams can read disjoint samples that tile the table.
+
+    Scale: the predicate evaluates map-side inside the scan stage (no
+    shuffle added); 7/8 of rows are dropped before the one group-by
+    shuffle, and the aggregate is partial-combined. Unlike CH — where
+    SAMPLE only prunes granules if the table's physical order follows
+    the sampling key — the Spark form is layout-independent (full scan,
+    cheap filter); pairing it with an a19-style layout sorted by the
+    hash band recovers CH's I/O pruning via min/max row-group stats."""
+    ev = load(spark, sf_dir, "events")
+    band = F.conv(
+        F.substring(F.md5(F.encode(F.col("event_id").cast("string"), "UTF-8")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return (
+        ev.filter((band >= F.lit(_A32_LO)) & (band < F.lit(_A32_HI)))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("sample_rows"),
+            (F.count(F.lit(1)) * _A32_FRAC_DEN).cast("long").alias("est_total_rows"),
+            dsum("value").alias("sample_value"),
+        )
+    )

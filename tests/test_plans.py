@@ -445,3 +445,28 @@ def test_s9b_limit_offset_by_plan_prunes_map_side(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
     assert "Partial" in plan, plan
+
+
+def test_c22_any_join_broadcasts_deduped_right(spark):
+    """CH ANY JOIN's Spark analog is dedup-right-then-broadcast: the
+    keep-one aggregation must partial-combine BEFORE its exchange
+    (map-side shrink, like CH's build-side hash keeping one row per
+    key), and the join itself must be a BroadcastHashJoin — the fact
+    side never shuffles on the join key."""
+    df = QUERIES["c22_any_join"].fn(spark, TEST_SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+    # the dedup aggregate runs in partial mode below its exchange
+    assert "partial_min" in plan or "partial min" in plan.lower(), plan
+
+
+def test_a32_sample_filters_before_single_shuffle(spark):
+    """The SAMPLE band predicate is row-local: it must evaluate inside
+    the scan stage (filter below the only exchange — 7/8 of rows never
+    shuffle), and the scan must prune to the 3 referenced columns."""
+    df = QUERIES["a32_sample_clause"].fn(spark, TEST_SF_DIR)
+    plan = plan_of(df)
+    assert num_shuffles(df) == 1, plan
+    assert plan.index("Filter") > plan.index("Exchange"), plan  # tree prints top-down
+    schemas = scan_read_schemas(df)
+    assert schemas and all("props" not in s and "ts" not in s for s in schemas), schemas
