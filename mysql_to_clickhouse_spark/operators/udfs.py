@@ -17,7 +17,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType, DoubleType, LongType
 
-from mysql_to_clickhouse_spark.functions.numeric import o_dsum
+from mysql_to_clickhouse_spark.functions.numeric import (
+    dsum_wide,
+    o_dsum,
+    o_dsum_wide,
+)
 from mysql_to_clickhouse_spark.registry import register
 from mysql_to_clickhouse_spark.tables import load
 
@@ -137,7 +141,17 @@ def j3_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deliberately the same statistic as d45_geometric_mean computed
     through a different execution boundary (pandas UDAF vs pure JVM
     aggregate): their agreement is itself a cross-check of the Arrow
-    batch path."""
+    batch path.
+
+    PRODUCTION ROUTE: this UDAF is the ESCAPE-HATCH demo of the
+    grouped-agg pandas boundary, not the plan — the Python-worker
+    Arrow round-trip costs ~2 orders of magnitude at scale (measured
+    483 s vs DuckDB 3.8 s at 5e8 rows, docs/STRESS_500000000.md). The
+    identical statistic with the identical unbounded DECIMAL(38,0)
+    carrier runs as a pure JVM fold in j3c_builtin_geo_mean (below) —
+    hash-equal to this query (tests/test_functions.py) at ~the
+    engine's native aggregate speed. Reach for the UDAF shape only
+    when the kernel genuinely cannot be expressed in built-ins."""
     import decimal
 
     import numpy as np
@@ -176,6 +190,57 @@ def j3_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("geo_mean"),
         )
         
+    )
+
+
+# ---------------------------------------------------------------------------
+# j3c_builtin_geo_mean — the pure-JVM twin of the j3 UDAF
+# ---------------------------------------------------------------------------
+
+_J3C_ORACLE = f"""
+WITH lv AS (
+  SELECT event_type, ROUND(LN(value), 9) AS lnv
+  FROM events WHERE value > 0
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(EXP(({o_dsum_wide('lnv', 9)}) / COUNT(*)), 9) AS geo_mean
+FROM lv
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("j3c_builtin_geo_mean", oracle=_J3C_ORACLE, tier="T3")
+def j3c_builtin_geo_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of j3_pandas_udaf's statistic: the same
+    fixed-point log-sum geometric mean as a pure built-in SQL fold —
+    no Python worker, no Arrow round-trip, map-side-combinable, inside
+    whole-stage codegen. Carrier parity with j3 is exact: dsum_wide's
+    DECIMAL(38,0) sum holds the same unbounded fixed-point integer the
+    UDAF accumulates in Python ints, so the two queries are bit-equal
+    (hash-equality pinned in tests/test_functions.py), and neither has
+    the int64 ~1.5e9-rows/group bound (the r5 debt).
+
+    Scale: this is the route that closes j3's measured ~128x
+    Python-UDAF tax at 5e8 rows (docs/STRESS_500000000.md;
+    scripts/stress.py --queries j3c_builtin_geo_mean re-measures the
+    JVM fold at the same tier). d45_geometric_mean is the same fold
+    with the int64 dsum carrier — fine while n*|ln v|*1e9 < 2^63; j3c
+    is the any-scale form."""
+    ev = load(spark, sf_dir, "events")
+    lv = ev.filter(F.col("value") > 0).select(
+        "event_type", F.round(F.log("value"), 9).alias("lnv")
+    )
+    return (
+        lv.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(
+                F.exp(dsum_wide("lnv", 9) / F.count(F.lit(1))), 9
+            ).alias("geo_mean"),
+        )
+        .select("event_type", "n", "geo_mean")
     )
 
 

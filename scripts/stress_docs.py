@@ -172,7 +172,10 @@ def main() -> None:
                     help="components over edge endpoints instead of all "
                          "docs (the production optimization; auto at 1e8)")
     args = ap.parse_args()
-    hot = args.hot or max(1000, args.docs // 1000)
+    # clamp to the corpus half above b0: a default hot of 1000 at tiny
+    # --docs would spill past the last doc_id and the hot-star check
+    # would expect pairs that were never planted
+    hot = min(args.hot or max(1000, args.docs // 1000), args.docs - args.docs // 2)
     endpoints_only = args.nodes_endpoints_only or args.docs >= 100_000_000
 
     import tempfile
@@ -182,6 +185,10 @@ def main() -> None:
     from mysql_to_clickhouse_spark.operators.llmops import (
         connected_components,
         release_caches,
+    )
+    from mysql_to_clickhouse_spark.plans.boundary import (
+        release_shuffles,
+        shuffle_footprint,
     )
     from mysql_to_clickhouse_spark.registry import all_queries
     from mysql_to_clickhouse_spark.session import build_session
@@ -273,6 +280,7 @@ def main() -> None:
         )
         .select((F.col("doc_b") - 1).alias("doc_a"), "doc_b")
     )
+    n_found_b = 0
     if n_planted_b == 0:
         # tiny --docs (< 502) plants no boundary pairs at all; recall is
         # undefined, not zero — skip rather than record a spurious FAIL
@@ -368,8 +376,8 @@ def main() -> None:
     )
 
     # ---- i39: leakage-free split invariant ---------------------------
-    # (runs BEFORE i25 so the session restart below can reclaim the i2
-    # chain's shuffle files first — see the disk note at the restart)
+    # (runs BEFORE i25 so the shuffle boundary below can reclaim the i2
+    # chain's shuffle files first — see the disk note at the boundary)
     t0 = time.time()
     side = F.when(
         F.ascii(F.substring(F.md5(F.col("lbl").cast("string")), 1, 1)) % 5
@@ -405,18 +413,23 @@ def main() -> None:
     # (or the GC'd lineage) releases them. At 1e8 docs the i2 chain
     # leaves ~40 GB of shuffle files that i25 does not need — on this
     # sandbox's ~94 GB writable volume that was the measured ENOSPC
-    # (i25's own sorter spill had no room left). Everything the
-    # remaining checks need is the parquet corpus, so a clean restart
-    # of the session deletes the old blockmgr dirs wholesale.
+    # (i25's own sorter spill had no room left). Round 6 survived this
+    # by RESTARTING the session here (a harness workaround); the engine
+    # now exposes the boundary itself — release_shuffles force-cleans
+    # every completed shuffle's files through the driver's
+    # ContextCleaner, in ONE session (the r6 verdict's top item;
+    # API + tests: mysql_to_clickhouse_spark/plans/boundary.py).
     release_caches(spark)
     pairs.unpersist()
     labels.unpersist()
     split.unpersist()
-    spark.stop()
-    spark = build_session(
-        app_name="stress_docs_i25", master="local[32]", shuffle_partitions=64
+    n_files, n_bytes = shuffle_footprint(spark)
+    released = release_shuffles(spark)
+    print(
+        f"  [boundary] released {len(released)} shuffles "
+        f"({n_files} files, {n_bytes / 1e9:.1f} GB) — session kept",
+        flush=True,
     )
-    spark.sparkContext.setLogLevel("ERROR")
 
     # ---- i25: paragraph dedup ----------------------------------------
     t0 = time.time()

@@ -119,3 +119,29 @@ def test_dsum_wide_survives_int64_overflow(spark):
         big.agg(dsum("x").alias("v")).first()
     v = big.agg(dsum_wide("x").alias("v")).first()["v"]
     assert v == 50 * 1e16
+
+
+def test_j3c_builtin_fold_bit_equal_to_j3_udaf(spark):
+    """j3c (pure JVM fold, DECIMAL(38,0) dsum_wide carrier) must be
+    BIT-equal to j3 (grouped-agg pandas UDAF, same carrier via Arrow):
+    both accumulate the identical fixed-point integer and apply the
+    identical cast/div/exp/round tail, so any divergence means one of
+    the two execution boundaries broke determinism."""
+    from mysql_to_clickhouse_spark.registry import all_queries
+    from tests.conftest import TEST_SF_DIR
+
+    qs = all_queries()
+    udaf = (
+        qs["j3_pandas_udaf"].fn(spark, TEST_SF_DIR).toPandas()
+        .sort_values("event_type").reset_index(drop=True)
+    )
+    fold = (
+        qs["j3c_builtin_geo_mean"].fn(spark, TEST_SF_DIR).toPandas()
+        .sort_values("event_type").reset_index(drop=True)
+    )
+    assert list(udaf["event_type"]) == list(fold["event_type"])
+    assert list(udaf["n"]) == list(fold["n"])
+    # bit-equality, not approx: identical exact integer, identical tail
+    assert [v.hex() for v in udaf["geo_mean"]] == [
+        v.hex() for v in fold["geo_mean"]
+    ]
