@@ -425,10 +425,14 @@ def main() -> None:
     split.unpersist()
     n_files, n_bytes = shuffle_footprint(spark)
     released = release_shuffles(spark)
-    print(
-        f"  [boundary] released {len(released)} shuffles "
-        f"({n_files} files, {n_bytes / 1e9:.1f} GB) — session kept",
-        flush=True,
+    n_files_after, _ = shuffle_footprint(spark)
+    record(
+        "shuffle_boundary(single_session)",
+        0.0,
+        f"released {len(released)} shuffles ({n_files} files,"
+        f" {n_bytes / 1e9:.1f} GB -> {n_files_after} files)",
+        "ONE SparkSession end-to-end — no restart (plans/boundary.py)",
+        n_files_after < max(n_files, 1),
     )
 
     # ---- i25: paragraph dedup ----------------------------------------
