@@ -1,0 +1,224 @@
+"""Persisted IVF ANN index — build once, serve many, add incrementally.
+
+i4d trains its coarse quantizer inside every query call; that is the
+right shape for a one-shot analytic query but the wrong one for
+serving, where the corpus is indexed once and then queried thousands
+of times. This module makes the index a first-class on-disk artifact
+(the a5 batch-sink discipline applied to vectors), with the k-family
+incremental-view-maintenance idea applied to the cell lists:
+
+- ``build_ivf_index``   — train centroids (bounded driver sample, the
+  i4d discipline), assign every vector, and persist BOTH as parquet:
+  ``<dir>/centroids`` (C rows) and ``<dir>/cells`` partitioned by
+  ``cell`` so a probe reads only its cells' files.
+- ``ivf_add``           — assign a NEW vector batch against the
+  persisted centroids (broadcast join, map-side) and append it to the
+  cell lists. No retrain, no touch of existing rows — the IVM step.
+- ``ivf_query``         — serve a bounded query batch from the index
+  alone: nearest ``nprobe`` centroids per query (broadcast against the
+  tiny centroid relation), then an exact cosine top-k over ONLY the
+  probed cells. The probed cell set is collected (≤ nq × nprobe ints)
+  and pushed as a literal partition filter, so the scan is
+  partition-pruned at planning time — at 100 TB a 2-of-√n-cells probe
+  reads ~2/√n of the index, not the corpus.
+
+The serve path never calls the trainer and never reads the source
+table: the index is self-contained (cells store the vectors, as
+IVF-flat does). tests/test_ann_index.py plan-asserts both properties.
+
+Scale: build is one bounded-sample train + one broadcast-assign scan +
+one partitioned write; add is a broadcast-assign over the delta only;
+serve moves candidate rows only (|probed cells| of the corpus).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mysql_to_clickhouse_spark.functions.vectors import cosine
+from mysql_to_clickhouse_spark.registry import register
+from mysql_to_clickhouse_spark.tables import load
+
+_DEFAULT_CELLS = 16
+_DEFAULT_NPROBE = 2
+
+
+def _centroids_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "centroids")
+
+
+def _cells_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "cells")
+
+
+def _assign_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the C-row centroid
+    relation against the vector batch; one map-side pass, no shuffle of
+    vector rows (the window partitions by vec_id, whose ordering Spark
+    satisfies within the already-colocated rows of the cross product —
+    row volume is |vectors| × C, C small by construction)."""
+    scored = vectors.join(F.broadcast(centroids)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        cosine("embedding", "cvec").alias("ccos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    return (
+        scored.withColumn("crk", F.row_number().over(w))
+        .filter(F.col("crk") == 1)
+        # canonical stored type: a float32-sourced build followed by a
+        # float64 ivf_add must not leave mixed parquet element types
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+            F.col("cid").alias("cell"),
+        )
+    )
+
+
+def build_ivf_index(
+    emb: DataFrame, index_dir: str, cells: int = _DEFAULT_CELLS
+) -> None:
+    """Train + persist the IVF index for ``emb`` (vec_id, embedding).
+
+    Overwrites any previous index at ``index_dir`` (including rows a
+    prior ``ivf_add`` appended), so a rebuild is always a clean slate.
+    Training is the i4d bounded-sample spherical k-means — the driver
+    collect is capped regardless of corpus size."""
+    from mysql_to_clickhouse_spark.operators.llmops import _ivf_centroids
+
+    spark = emb.sparkSession
+    cents = _ivf_centroids(spark, emb, cells)
+    cents.coalesce(1).write.mode("overwrite").parquet(_centroids_path(index_dir))
+    persisted = spark.read.parquet(_centroids_path(index_dir))
+    (
+        _assign_cells(emb.select("vec_id", "embedding"), persisted)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(_cells_path(index_dir))
+    )
+
+
+def ivf_add(spark: SparkSession, index_dir: str, new_vectors: DataFrame) -> None:
+    """Append a vector batch to an existing index WITHOUT retraining:
+    assign against the persisted centroids and append to the cell
+    lists. Existing index rows are never read or rewritten — the cost
+    is proportional to the delta, the incremental-view-maintenance
+    contract the k-family establishes for aggregates."""
+    cents = spark.read.parquet(_centroids_path(index_dir))
+    (
+        _assign_cells(new_vectors.select("vec_id", "embedding"), cents)
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(_cells_path(index_dir))
+    )
+
+
+def ivf_query(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = _DEFAULT_NPROBE,
+) -> DataFrame:
+    """Serve exact-rescored top-k for a bounded query batch from the
+    persisted index. Reads ONLY the index artifact: centroids (tiny) to
+    pick each query's ``nprobe`` cells, then the cell lists under a
+    literal ``cell IN (...)`` filter — a static partition-pruned scan.
+    Self-matches (query id present in the corpus) are excluded."""
+    cents = spark.read.parquet(_centroids_path(index_dir))
+    q = queries.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    )
+    scored = q.join(F.broadcast(cents)).select(
+        "id_a", "ea", "cid", cosine("ea", "cvec").alias("ccos")
+    )
+    cw = Window.partitionBy("id_a").orderBy(F.desc("ccos"), F.asc("cid"))
+    probes = (
+        scored.withColumn("crk", F.row_number().over(cw))
+        .filter(F.col("crk") <= nprobe)
+        .select("id_a", "ea", F.col("cid").alias("cell"))
+    )
+    # Bounded collect: ≤ nq × nprobe ints — the literal IN list is what
+    # turns the cell scan into a planning-time partition prune.
+    probed_cells = sorted(
+        {r["cell"] for r in probes.select("cell").distinct().collect()}
+    )
+    members = (
+        spark.read.parquet(_cells_path(index_dir))
+        .filter(F.col("cell").isin(probed_cells))
+        .select(
+            F.col("vec_id").alias("id_b"),
+            F.col("embedding").alias("eb"),
+            "cell",
+        )
+    )
+    cand = (
+        probes.join(members, "cell")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cos_sim", cosine("ea", "eb"))
+        .select("id_a", "id_b", "cos_sim")
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cos_sim"), F.asc("id_b"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def _default_index_dir(sf_dir: str) -> str:
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"mysql2ch_ivf_{tag}")
+
+
+_I4F_K = 5
+_I4F_QUERY_FILTER = "vec_id % 31 = 7"  # the i4e serving batch
+_I4F_QUERY_CAP = 64
+
+
+@register(
+    "i4f_ann_index_serve",
+    oracle=None,
+    tier="T3",
+    no_oracle_reason=(
+        "IVF index serving is approximate by construction (nprobe cells "
+        "of a trained coarse quantizer); the served top-k is asserted "
+        "SET-EQUAL to the per-call i4d route on the same batch (same "
+        "deterministic centroids -> identical candidates), so its "
+        "recall is exactly i4d's, plus an absolute floor vs exact"
+    ),
+    test="tests/test_ann_index.py::test_i4f_equals_i4d_on_served_batch",
+)
+def i4f_ann_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The build-once-query-many ANN lifecycle: build the persisted IVF
+    index over the embeddings table, then serve the i4e query batch
+    (vec_id % 31 = 7, first 64) from the artifact alone with exact
+    cosine rescoring, top-5 per query.
+
+    Unlike i4d, the SERVE call never trains: centroids and cell lists
+    come from parquet, and the candidate scan is partition-pruned to
+    the probed cells (tests plan-assert both). Training is identical to
+    i4d's (deterministic sampled k-means), so the served result is
+    set-equal to the per-call route — the index artifact costs nothing
+    in quality and removes the per-query train+assign scans.
+    ``ivf_add`` grows the same artifact incrementally (delta-only
+    assign, no retrain); its exact semantics — added vectors land in
+    the same cells a full rebuild with the same centroids would put
+    them in — are pinned in tests/test_ann_index.py. Rows-only
+    (approximate vs exact top-k by construction)."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    index_dir = _default_index_dir(sf_dir)
+    build_ivf_index(emb, index_dir)  # overwrite: idempotent per call
+    queries = (
+        emb.filter(F.expr(_I4F_QUERY_FILTER))
+        .orderBy("vec_id")
+        .limit(_I4F_QUERY_CAP)
+    )
+    return ivf_query(spark, index_dir, queries, k=_I4F_K)

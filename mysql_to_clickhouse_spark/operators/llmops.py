@@ -842,17 +842,7 @@ _LSH_TABLES = 3
 _LSH_PLANES = 3  # bits per table → 8 buckets/table; recall ≈ 1-(1-p^3)^3
 
 
-@register(
-    "i4b_ann_lsh",
-    oracle=None,
-    tier="T3",
-    no_oracle_reason=(
-        "approximate NN: bucketed candidates recall < 1 by design; "
-        "recall vs the exact i4 top-k is asserted"
-    ),
-    test="tests/test_llmops.py::test_ann_lsh_recall_vs_exact",
-)
-def i4b_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _i4b_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbors via random-hyperplane LSH with
     OR-amplification: 3 independent tables × 3 hyperplanes. Hyperplane
     sign patterns are deterministic pseudo-random (xxhash64(table,
@@ -923,6 +913,86 @@ def i4b_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_bound_relation(
+    spark: SparkSession,
+    sf_dir: str,
+    approx: DataFrame,
+    floor: float,
+    flag_name: str,
+) -> DataFrame:
+    """The d4b discipline applied to ANN: compute BOTH the exact top-3
+    edge set and the approximate one on the Spark side, surface the
+    exact counts (SQL-expressible) plus the recall-≥-floor bound as a
+    boolean the oracle states as literal TRUE. Recall drifting under
+    the floor turns the column false and the driver's hash check red —
+    a deterministic quality gate for an operator whose raw output has
+    no SQL analog (hyperplane/k-means routing). Deterministic: planes
+    are xxhash64-derived, centroid training is seedless sampled
+    k-means, so recall is a pure function of the data."""
+    exact = (
+        i4_topk_similar(spark, sf_dir)
+        .filter(F.col("rk") <= 3)
+        .select("id_a", "id_b")
+    )
+    hits = exact.join(
+        approx.select("id_a", "id_b").withColumn("hit", F.lit(1)),
+        ["id_a", "id_b"],
+        "left",
+    )
+    return hits.agg(
+        F.countDistinct("id_a").cast("long").alias("n_vectors"),
+        F.count(F.lit(1)).cast("long").alias("n_exact_edges"),
+        (
+            F.sum(F.coalesce("hit", F.lit(0)))
+            >= F.lit(floor) * F.count(F.lit(1))
+        ).alias(flag_name),
+    )
+
+
+_ANN_BOUND_ORACLE = """
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {cos} AS cos_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+), ranked AS (
+  SELECT id_a, id_b,
+         ROW_NUMBER() OVER (
+           PARTITION BY id_a ORDER BY cos_sim DESC, id_b
+         ) AS rk
+  FROM pairs
+)
+SELECT CAST(COUNT(DISTINCT id_a) AS BIGINT) AS n_vectors,
+       CAST(COUNT(*) AS BIGINT) AS n_exact_edges,
+       TRUE AS {flag}
+FROM ranked WHERE rk <= 3
+"""
+
+_I4B_FLOOR = 0.40  # measured 0.533 (sf0.01) / 0.555 (sf0.1)
+
+
+@register(
+    "i4b_ann_lsh",
+    oracle=_ANN_BOUND_ORACLE.format(
+        cos=o_cosine("a.embedding", "b.embedding"), flag="recall_ge_040"
+    ),
+    tier="T3",
+)
+def i4b_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN (see _i4b_neighbors for the bucketed kernel)
+    surfaced as its hash-checkable quality contract: exact top-3 edge
+    counts plus the recall-≥-0.40 bound as a boolean (measured 0.53 at
+    sf0.01, 0.56 at sf0.1 — deterministic xxhash64 planes, so the flag
+    is stable). The raw neighbor list itself has no SQL analog; this
+    is the d4b companion discipline promoted into the operator, so the
+    driver hash-checks the quality gate instead of recording a weaker
+    rows-only pass. tests/test_llmops.py::test_ann_lsh_recall_vs_exact
+    pins the underlying recall on the raw edges."""
+    return _ann_bound_relation(
+        spark, sf_dir, _i4b_neighbors(spark, sf_dir), _I4B_FLOOR,
+        "recall_ge_040",
+    )
+
+
 # ---------------------------------------------------------------------------
 # i4d_ann_ivf — inverted-file (coarse-cell) ANN, the IVF scale path
 # ---------------------------------------------------------------------------
@@ -976,18 +1046,7 @@ def _ivf_centroids(
     )
 
 
-@register(
-    "i4d_ann_ivf",
-    oracle=None,
-    tier="T3",
-    no_oracle_reason=(
-        "IVF probes nprobe cells of a trained coarse quantizer — "
-        "approximate by construction; recall vs exact top-k plus "
-        "skew-surviving centroid determinism are asserted"
-    ),
-    test="tests/test_llmops.py::test_ann_ivf_recall_vs_exact",
-)
-def i4d_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _i4d_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbors via an inverted file (IVF-flat),
     the other classic ANN scale path next to i4b's LSH: train C coarse
     centroids (deterministic sampled k-means, bounded driver sample —
@@ -1032,6 +1091,31 @@ def i4d_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 3)
+    )
+
+
+_I4D_FLOOR = 0.30  # measured 0.438 (sf0.01) / 0.387 (sf0.1)
+
+
+@register(
+    "i4d_ann_ivf",
+    oracle=_ANN_BOUND_ORACLE.format(
+        cos=o_cosine("a.embedding", "b.embedding"), flag="recall_ge_030"
+    ),
+    tier="T3",
+)
+def i4d_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (see _i4d_neighbors for the probe kernel) surfaced
+    as its hash-checkable quality contract, same d4b-style discipline
+    as i4b: exact top-3 edge counts plus the recall-≥-0.30 bound as a
+    boolean (measured 0.44 at sf0.01, 0.39 at sf0.1 — the sampled
+    k-means trainer is seedless-deterministic, so the flag is stable).
+    tests/test_llmops.py::test_ann_ivf_recall_vs_exact pins raw recall,
+    and tests/test_ann_index.py proves the persisted-index serve path
+    (i4f) set-equal to this per-call route on the served batch."""
+    return _ann_bound_relation(
+        spark, sf_dir, _i4d_neighbors(spark, sf_dir), _I4D_FLOOR,
+        "recall_ge_030",
     )
 
 

@@ -65,6 +65,7 @@ _OPERATOR_MODULES = (
     "stats",
     "eventtime",
     "llmops",
+    "ann_index",
     "matview",
     "multimodal",
     "scale",

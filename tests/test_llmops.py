@@ -79,9 +79,10 @@ def test_ann_lsh_recall_vs_exact(spark):
         .select("id_a", "id_b")
         .toPandas()
     )
+    from mysql_to_clickhouse_spark.operators.llmops import _i4b_neighbors
+
     approx = (
-        all_queries()["i4b_ann_lsh"]
-        .fn(spark, SMOKE_SF_DIR)
+        _i4b_neighbors(spark, SMOKE_SF_DIR)
         .select("id_a", "id_b")
         .toPandas()
     )
@@ -90,6 +91,9 @@ def test_ann_lsh_recall_vs_exact(spark):
     recall = len(exact_edges & approx_edges) / len(exact_edges)
     # 3 tables × 3 planes on random-ish vectors: modest but real
     assert recall >= 0.3, f"ANN recall collapsed: {recall:.3f}"
+    # the registered op is the hash-checked quality gate over this
+    bound = all_queries()["i4b_ann_lsh"].fn(spark, SMOKE_SF_DIR).collect()[0]
+    assert bound["recall_ge_040"], "registered LSH bound flag went false"
 
 
 def test_hot_lsh_bucket_pairs_bounded(spark, tmp_path):
@@ -234,7 +238,9 @@ def test_ann_ivf_recall_vs_exact(spark):
         .select("id_a", "id_b")
         .toPandas()
     )
-    approx = all_queries()["i4d_ann_ivf"].fn(spark, SMOKE_SF_DIR).toPandas()
+    from mysql_to_clickhouse_spark.operators.llmops import _i4d_neighbors
+
+    approx = _i4d_neighbors(spark, SMOKE_SF_DIR).toPandas()
     assert (approx["rk"] <= 3).all()
     assert (approx["id_a"] != approx["id_b"]).all()
     exact_edges = set(map(tuple, exact.values))
@@ -242,6 +248,9 @@ def test_ann_ivf_recall_vs_exact(spark):
     recall = len(exact_edges & approx_edges) / len(exact_edges)
     # 16 untrained cells, nprobe 2 on random-ish vectors: modest but real
     assert recall >= 0.25, f"IVF recall collapsed: {recall:.3f}"
+    # the registered op is the hash-checked quality gate over this
+    bound = all_queries()["i4d_ann_ivf"].fn(spark, SMOKE_SF_DIR).collect()[0]
+    assert bound["recall_ge_030"], "registered IVF bound flag went false"
 
 
 def test_exact_dedup_collapses_planted_dups(spark, tmp_path):
@@ -376,7 +385,9 @@ def test_ivf_trained_centroids_survive_skew(spark, tmp_path):
         .select("id_a", "id_b")
         .toPandas()
     )
-    approx = all_queries()["i4d_ann_ivf"].fn(spark, str(tmp_path)).toPandas()
+    from mysql_to_clickhouse_spark.operators.llmops import _i4d_neighbors
+
+    approx = _i4d_neighbors(spark, str(tmp_path)).toPandas()
     exact_edges = set(map(tuple, exact.values))
     approx_edges = set(map(tuple, approx[["id_a", "id_b"]].values))
     recall = len(exact_edges & approx_edges) / len(exact_edges)

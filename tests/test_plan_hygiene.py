@@ -22,6 +22,8 @@ CARTESIAN_OK = {
     "i3b_cosine_zipwith",# bounded pair triangle by design
     "i6_tfidf_keywords", # scalar doc-count cross join
     "i4d_ann_ivf",       # centroid-assignment cross vs 16 broadcast rows
+    "i4f_ann_index_serve",  # same 16-broadcast-row centroid assignment
+                            # (build + probe sides of the persisted index)
     "i17b_topk_bound",   # scalar total-gram-count cross join (N for the bound)
     "i17c_topk_weighted",  # scalar total-weight cross join (W for the bound)
     "x9_tpch_q22",       # scalar (1-row) mean-balance cross join
