@@ -95,6 +95,100 @@ def _gen_query(rng: random.Random) -> str:
     return f"SELECT {select} FROM {table} {where} {group}"
 
 
+# ---------------------------------------------------------------------------
+# Correlated-subquery axis: EXISTS / NOT EXISTS / IN / NOT IN / scalar
+# subqueries — the decorrelation paths (Spark RewriteCorrelatedScalarSubquery,
+# RewritePredicateSubquery) the curated s3/s5/s6/x9/x13 queries exercise only
+# at fixed shapes. Both engines parse the identical ANSI text; random
+# thresholds + shapes hunt null-semantics and empty-group corner cases.
+# ---------------------------------------------------------------------------
+
+N_SUBQ_QUERIES = 30
+SUBQ_SEED = 20260814 + 7_000_000
+
+# (outer, oalias, inner, ialias, fk=pk corr, outer pk, outer IN-key,
+#  inner IN-key, outer numeric, inner numeric cols)
+SUBQ_SHAPES = [
+    ("customer", "c", "orders", "o", "o.o_custkey = c.c_custkey",
+     "c_custkey", "c_custkey", "o_custkey", "c_acctbal",
+     [("o_totalprice", 1000.0, 250000.0)]),
+    ("orders", "o", "lineitem", "l", "l.l_orderkey = o.o_orderkey",
+     "o_orderkey", "o_orderkey", "l_orderkey", "o_totalprice",
+     [("l_quantity", 1.0, 50.0), ("l_extendedprice", 1000.0, 80000.0)]),
+    ("supplier", "s", "lineitem", "l", "l.l_suppkey = s.s_suppkey",
+     "s_suppkey", "s_suppkey", "l_suppkey", "s_acctbal",
+     [("l_quantity", 1.0, 50.0)]),
+    ("nation", "n", "customer", "c2", "c2.c_nationkey = n.n_nationkey",
+     "n_nationkey", "n_nationkey", "c_nationkey", "n_nationkey",
+     [("c_acctbal", -500.0, 8000.0)]),
+]
+
+SUBQ_TABLES = ("customer", "orders", "lineitem", "supplier", "nation")
+
+
+def _gen_subquery_case(rng: random.Random) -> str:
+    (outer, oa, inner, ia, corr, pk, in_pk, in_fk, num, inner_nums) = (
+        rng.choice(SUBQ_SHAPES)
+    )
+    icol, lo, hi = rng.choice(inner_nums)
+    thresh = f"{rng.uniform(lo, hi):.2f}"
+    cmp_op = rng.choice([">", ">=", "<", "<="])
+    ipred = f"{ia}.{icol} {cmp_op} {thresh}"
+
+    form = rng.randrange(6)
+    if form == 0:
+        where = (
+            f"EXISTS (SELECT 1 FROM {inner} {ia} WHERE {corr} AND {ipred})"
+        )
+    elif form == 1:
+        where = (
+            f"NOT EXISTS (SELECT 1 FROM {inner} {ia} "
+            f"WHERE {corr} AND {ipred})"
+        )
+    elif form == 2:
+        # uncorrelated IN (fk keys are non-null in every fixture table,
+        # so IN/NOT IN null traps cannot mask a divergence silently)
+        where = (
+            f"{oa}.{in_pk} IN (SELECT {ia}.{in_fk} FROM {inner} {ia} "
+            f"WHERE {ipred})"
+        )
+    elif form == 3:
+        where = (
+            f"{oa}.{in_pk} NOT IN (SELECT {ia}.{in_fk} FROM {inner} {ia} "
+            f"WHERE {ipred})"
+        )
+    elif form == 4:
+        n = rng.randint(1, 8)
+        op = rng.choice([">=", "<", "="])
+        where = (
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM {inner} {ia} "
+            f"WHERE {corr} AND {ipred}) {op} {n}"
+        )
+    else:
+        # correlated scalar MIN/MAX vs an outer column: empty inner
+        # group -> NULL scalar -> NULL comparison -> row filtered, the
+        # exact semantics corner this form exists to pin on both engines
+        agg = rng.choice(["MIN", "MAX"])
+        where = (
+            f"CAST({oa}.{num} AS DOUBLE) > (SELECT {agg}(CAST({ia}.{icol} "
+            f"AS DOUBLE)) FROM {inner} {ia} WHERE {corr})"
+        )
+
+    if rng.random() < 0.4:
+        return (
+            f"SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+            f"CAST(MIN({oa}.{pk}) AS BIGINT) AS mn, "
+            f"CAST(MAX({oa}.{pk}) AS BIGINT) AS mx, "
+            f"CAST(SUM(CAST(FLOOR(CAST({oa}.{num} AS DOUBLE) * 10000.0) "
+            f"AS BIGINT)) AS DOUBLE) / 10000.0 AS fsum "
+            f"FROM {outer} {oa} WHERE {where}"
+        )
+    return (
+        f"SELECT {oa}.{pk} AS k, CAST({oa}.{num} AS DOUBLE) AS v "
+        f"FROM {outer} {oa} WHERE {where}"
+    )
+
+
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb_connection(TEST_SF_DIR)
@@ -106,7 +200,7 @@ def duck():
 def _views(spark):
     from mysql_to_clickhouse_spark.tables import load
 
-    for name in TABLES:
+    for name in set(TABLES) | set(SUBQ_TABLES):
         load(spark, TEST_SF_DIR, name).createOrReplaceTempView(name)
 
 
@@ -443,6 +537,16 @@ def _gen_outer_query(rng: random.Random) -> str:
 def test_random_outer_join_parity(spark, duck, i):
     rng = random.Random(SEED * 173 + i)
     sql = _gen_outer_query(rng)
+    spark_pdf = spark.sql(sql).toPandas()
+    duck_pdf = duck.sql(sql).df()
+    res = compare_frames(spark_pdf, duck_pdf)
+    assert res.ok, f"divergence on:\n{sql}\n{res.detail}"
+
+
+@pytest.mark.parametrize("i", range(N_SUBQ_QUERIES))
+def test_subquery_parity(spark, duck, i):
+    rng = random.Random(SUBQ_SEED + i)
+    sql = _gen_subquery_case(rng)
     spark_pdf = spark.sql(sql).toPandas()
     duck_pdf = duck.sql(sql).df()
     res = compare_frames(spark_pdf, duck_pdf)
