@@ -58,27 +58,32 @@ def _cells_path(index_dir: str) -> str:
 
 def _assign_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     """Nearest-centroid assignment: broadcast the C-row centroid
-    relation against the vector batch; one map-side pass, no shuffle of
-    vector rows (the window partitions by vec_id, whose ordering Spark
-    satisfies within the already-colocated rows of the cross product —
-    row volume is |vectors| × C, C small by construction)."""
+    relation against the vector batch, then collapse the |vectors| × C
+    scored rows with a partial-aggregable ``max_by`` — the map-side
+    combine reduces them back to |vectors| rows (embedding payload
+    included) BEFORE the shuffle. The first version used a
+    row_number window here, which shuffled all n×C wide rows
+    (~140 GB at 1e6 vectors × 250 cells); max_by's ordering key
+    (ccos, -cid) reproduces the exact (cos desc, cid asc) tie-break,
+    so assignments are bit-identical to the i4d window route."""
     scored = vectors.join(F.broadcast(centroids)).select(
         "vec_id",
-        "embedding",
+        # canonical stored type: a float32-sourced build followed by a
+        # float64 ivf_add must not leave mixed parquet element types
+        F.col("embedding").cast("array<double>").alias("embedding"),
         "cid",
         cosine("embedding", "cvec").alias("ccos"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
-    return (
-        scored.withColumn("crk", F.row_number().over(w))
-        .filter(F.col("crk") == 1)
-        # canonical stored type: a float32-sourced build followed by a
-        # float64 ivf_add must not leave mixed parquet element types
-        .select(
-            "vec_id",
-            F.col("embedding").cast("array<double>").alias("embedding"),
-            F.col("cid").alias("cell"),
-        )
+    best = scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.struct(F.col("embedding"), F.col("cid")),
+            F.struct(F.col("ccos").alias("c"), (-F.col("cid")).alias("nc")),
+        ).alias("best")
+    )
+    return best.select(
+        "vec_id",
+        F.col("best.embedding").alias("embedding"),
+        F.col("best.cid").alias("cell"),
     )
 
 

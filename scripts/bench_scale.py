@@ -1,0 +1,322 @@
+"""Spark-vs-DuckDB crossover at scale, consolidated (VERDICT r6 #4).
+
+The per-family STRESS_*.md files prove hash parity and record where
+Spark overtakes the in-process engine on individual heavy shapes; this
+harness puts the 7 BASELINE.md headline queries on ONE synthetic tier
+and times BOTH engines on identical parquet, producing
+docs/BENCH_SCALE.md — re-runnable, one table, no archaeology.
+
+Protocol (mirrors bench.py/BASELINE.md):
+- synthetic tables at the FIXTURES.md schemas/domains, deterministic
+  hash-counter synthesis (fact rows = --rows; orders = rows/4,
+  customer = rows/40, supplier = rows/600 — the fixture ratios;
+  nation/region copied from the sf0.1 fixtures);
+- embeddings are capped (--vectors, default rows/1000) and SAID so in
+  the artifact: v1's all-pairs protocol is O(n²) in BOTH engines, so
+  its tier is the quadratic-feasible size — the linear-protocol vector
+  evidence at 1e6-1e7 lives in docs/STRESS_VECTORS_*.md;
+- each engine runs each query cold-then-3-warm; the table reports the
+  warm median (the resident-engine number) plus cold;
+- unbounded results (w1, d1, v1) are consumed through the SAME
+  count+sum digest on both engines, so timing measures the operator,
+  not a multi-GB Arrow fetch; bounded results are fully fetched.
+
+Usage:
+  python scripts/bench_scale.py --rows 10000000
+  python scripts/bench_scale.py --rows 100000000   # ~20 GB scratch
+Writes/updates the tier section in docs/BENCH_SCALE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FIXTURE_SF = "/root/testdata/sf0.1"
+RUNS = 3
+
+
+def synth_tpch_spark(spark, out_dir: str, n_lineitem: int) -> None:
+    """lineitem/orders/customer/supplier at the FIXTURES.md domains via
+    the deterministic xxhash64-counter idiom (scripts/stress.py twin);
+    nation/region copied from the fixture (fixed 25/5-row dims)."""
+    from pyspark.sql import functions as F
+
+    n_orders = max(n_lineitem // 4, 1000)
+    n_cust = max(n_lineitem // 40, 100)
+    n_supp = max(n_lineitem // 600, 50)
+
+    def h(col, salt):
+        return F.abs(F.xxhash64(col, F.lit(salt)))
+
+    base_us = 788918400000000  # 1995-01-01
+    span_us = 6 * 365 * 86400000000  # ~2001
+
+    o = spark.range(n_orders).withColumnRenamed("id", "o_orderkey")
+    ok = F.col("o_orderkey")
+    orders = o.select(
+        ok,
+        (h(ok, 1) % n_cust).alias("o_custkey"),
+        F.element_at(
+            F.array(F.lit("P"), F.lit("O"), F.lit("F")),
+            (h(ok, 2) % 3 + 1).cast("int"),
+        ).alias("o_orderstatus"),
+        (1000.0 + (h(ok, 3) % 49900000) / 100.0).alias("o_totalprice"),
+        F.timestamp_micros(
+            (F.lit(base_us) + h(ok, 4) % span_us).cast("long")
+        ).alias("o_orderdate"),
+        F.concat(F.lit("P"), (h(ok, 5) % 5).cast("string")).alias(
+            "o_orderpriority"
+        ),
+    )
+    orders.write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
+
+    li = spark.range(n_lineitem).withColumnRenamed("id", "l_id")
+    lid = F.col("l_id")
+    lineitem = li.select(
+        (lid % n_orders).alias("l_orderkey"),
+        (h(lid, 11) % 20000).alias("l_partkey"),
+        (h(lid, 12) % n_supp).alias("l_suppkey"),
+        (lid / n_orders + 1).cast("int").alias("l_linenumber"),
+        (1.0 + (h(lid, 13) % 4900) / 100.0).alias("l_quantity"),
+        (900.0 + (h(lid, 14) % 10410000) / 100.0).alias("l_extendedprice"),
+        ((h(lid, 15) % 11) / 100.0).alias("l_discount"),
+        ((h(lid, 16) % 9) / 100.0).alias("l_tax"),
+        F.element_at(
+            F.array(F.lit("A"), F.lit("N"), F.lit("R")),
+            (h(lid, 17) % 3 + 1).cast("int"),
+        ).alias("l_returnflag"),
+        F.element_at(
+            F.array(F.lit("O"), F.lit("F")),
+            (h(lid, 18) % 2 + 1).cast("int"),
+        ).alias("l_linestatus"),
+        F.timestamp_micros(
+            (F.lit(base_us) + h(lid, 19) % span_us).cast("long")
+        ).alias("l_shipdate"),
+    )
+    lineitem.write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
+
+    c = spark.range(n_cust).withColumnRenamed("id", "c_custkey")
+    ck = F.col("c_custkey")
+    segs = [F.lit(s) for s in
+            ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")]
+    customer = c.select(
+        ck,
+        F.concat(F.lit("Customer#"), ck.cast("string")).alias("c_name"),
+        (h(ck, 21) % 25).alias("c_nationkey"),
+        F.element_at(F.array(*segs), (h(ck, 22) % 5 + 1).cast("int")).alias(
+            "c_mktsegment"
+        ),
+        (-999.99 + (h(ck, 23) % 1100000) / 100.0).alias("c_acctbal"),
+    )
+    customer.write.mode("overwrite").parquet(f"{out_dir}/customer.parquet")
+
+    s = spark.range(n_supp).withColumnRenamed("id", "s_suppkey")
+    sk = F.col("s_suppkey")
+    supplier = s.select(
+        sk,
+        F.concat(F.lit("Supplier#"), sk.cast("string")).alias("s_name"),
+        (h(sk, 31) % 25).alias("s_nationkey"),
+        (-999.99 + (h(sk, 32) % 1100000) / 100.0).alias("s_acctbal"),
+    )
+    supplier.write.mode("overwrite").parquet(f"{out_dir}/supplier.parquet")
+
+    for dim in ("nation", "region"):
+        src = f"{FIXTURE_SF}/{dim}.parquet"
+        dst = f"{out_dir}/{dim}.parquet"
+        if os.path.isdir(src):
+            shutil.copytree(src, dst)
+        else:
+            shutil.copy(src, dst)
+
+
+# headline → (registry id, digest spec or None). A digest spec is
+# (spark_consume(df) -> DataFrame, duckdb wrapper template) — the SAME
+# O(|result|) aggregate on both engines for unbounded outputs.
+def _headliners():
+    from pyspark.sql import functions as F
+
+    def dig(count_col):
+        def spark_side(df):
+            return df.agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(count_col).cast("long").alias("s"),
+            )
+
+        return (
+            spark_side,
+            f"SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+            f"CAST(SUM({count_col}) AS BIGINT) AS s FROM ({{q}}) t",
+        )
+
+    return {
+        "q1_pricing_summary": ("d1_group_basic", None),
+        "q3_shipping_priority": ("c12_q3_shipping", None),
+        "q5_local_supplier": ("c10_star_multiway", None),
+        "w1_topk_per_customer": ("e1_row_number", dig("rn")),
+        "e1_daily_active": ("d3_count_distinct", None),
+        "d1_dedup_docs": ("i1_exact_dedup", dig("n_copies")),
+        "v1_cosine_topk": ("i4_topk_similar", dig("rk")),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=10_000_000,
+                    help="fact-table rows (lineitem/events/documents)")
+    ap.add_argument("--vectors", type=int, default=None,
+                    help="embeddings rows (default rows/1000; the v1 "
+                         "protocol is O(n^2) in both engines)")
+    ap.add_argument("--sf-dir", default=None,
+                    help="reuse an existing synthesized dir")
+    ap.add_argument("--keep-dir", action="store_true")
+    args = ap.parse_args()
+    n = args.rows
+    n_vec = args.vectors if args.vectors is not None else max(n // 1000, 2000)
+
+    import duckdb
+
+    from mysql_to_clickhouse_spark.registry import all_queries
+    from mysql_to_clickhouse_spark.session import build_session
+    from scripts.stress import synth_events_spark
+    from scripts.stress_docs import synth_docs_spark
+    from scripts.stress_vectors import synth_vectors_spark
+
+    spark = build_session(
+        app_name="bench_scale", master="local[32]", shuffle_partitions=64
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # v1's blocked kernel: ~4k-row blocks (the measured OOM-safe tile
+    # size at 32 concurrent workers — docs/SCALING.md)
+    spark.conf.set(
+        "spark.mysql2ch.cosine.blocks", str(max(8, (n_vec + 4095) // 4096))
+    )
+
+    if args.sf_dir:
+        sf_dir, gen_s = args.sf_dir, 0.0
+    else:
+        sf_dir = tempfile.mkdtemp(prefix=f"bench_scale_{n}_")
+        t0 = time.time()
+        synth_tpch_spark(spark, sf_dir, n)
+        synth_events_spark(spark, f"{sf_dir}/events.parquet", n)
+        synth_docs_spark(spark, f"{sf_dir}/documents.parquet", n, 12, 0)
+        synth_vectors_spark(
+            spark, f"{sf_dir}/embeddings.parquet", n_vec,
+            max(64, n_vec // 1000),
+        )
+        gen_s = time.time() - t0
+        print(f"synthesized {n:,} fact rows (+{n_vec:,} vectors) "
+              f"in {gen_s:.0f}s at {sf_dir}", flush=True)
+
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "supplier", "nation",
+              "region", "events", "documents", "embeddings"):
+        p = f"{sf_dir}/{t}.parquet"
+        glob = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{glob}'")
+
+    qs = all_queries()
+    results = []  # (headline, spark_cold, spark_warm, duck_cold, duck_warm)
+    for headline, (qid, digest) in _headliners().items():
+        q = qs[qid]
+
+        def run_spark():
+            df = q.fn(spark, sf_dir)
+            if digest:
+                df = digest[0](df)
+            t0 = time.time()
+            pdf = df.toPandas()
+            return time.time() - t0, len(pdf)
+
+        def run_duck():
+            sql = digest[1].format(q=q.oracle) if digest else q.oracle
+            t0 = time.time()
+            out = con.sql(sql).df()
+            return time.time() - t0, len(out)
+
+        s_cold, s_rows = run_spark()
+        s_warm = statistics.median(run_spark()[0] for _ in range(RUNS))
+        d_cold, d_rows = run_duck()
+        d_warm = statistics.median(run_duck()[0] for _ in range(RUNS))
+        results.append((headline, s_cold, s_warm, d_cold, d_warm))
+        print(
+            f"{headline}: spark {s_warm:.2f}s (cold {s_cold:.2f}s, "
+            f"{s_rows} rows) | duckdb {d_warm:.2f}s (cold {d_cold:.2f}s, "
+            f"{d_rows} rows)",
+            flush=True,
+        )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    doc = os.path.join(repo, "docs", "BENCH_SCALE.md")
+    tier_lines = [
+        f"## Tier: {n:,} fact rows ({n_vec:,} vectors)",
+        "",
+        f"Synthesized in {gen_s:.0f}s (deterministic hash-counter, "
+        "FIXTURES.md domains; orders = rows/4, customer = rows/40, "
+        "supplier = rows/600). Warm = median of "
+        f"{RUNS} prepared-plan runs; cold = first run (incl. one-time "
+        "session caches). w1/d1/v1 consumed via the same count+sum "
+        "digest on BOTH engines (operator cost, not fetch cost). "
+        "v1's all-pairs protocol is O(n²) in both engines — its size "
+        "is the vectors cap above, NOT the fact-row tier; the "
+        "linear-protocol vector tiers (1e6-1e7) live in "
+        "STRESS_VECTORS_*.md.",
+        "",
+        "| query | spark warm (s) | duckdb warm (s) | ratio | "
+        "spark cold | duckdb cold |",
+        "|---|---|---|---|---|---|",
+    ]
+    for headline, s_cold, s_warm, d_cold, d_warm in results:
+        ratio = s_warm / d_warm if d_warm > 0 else float("inf")
+        tier_lines.append(
+            f"| {headline} | {s_warm:.2f} | {d_warm:.2f} | "
+            f"{ratio:.2f}x | {s_cold:.2f} | {d_cold:.2f} |"
+        )
+    s_tot = sum(r[2] for r in results)
+    d_tot = sum(r[4] for r in results)
+    tier_lines += [
+        f"| **total** | **{s_tot:.2f}** | **{d_tot:.2f}** | "
+        f"**{s_tot / d_tot:.2f}x** | | |",
+        "",
+    ]
+
+    header = [
+        "# BENCH_SCALE — the Spark-vs-DuckDB crossover, one artifact",
+        "",
+        "Generated by scripts/bench_scale.py (re-runnable). The"
+        " BASELINE.md headliners on synthetic tiers 100x-1000x the"
+        " sf0.1 fixtures, both engines on identical parquet, same"
+        " machine (local[32] / 128 GiB). Ratio < 1 = Spark faster.",
+        "",
+    ]
+    marker = f"## Tier: {n:,}"
+    if os.path.exists(doc):
+        with open(doc) as fh:
+            body = fh.read()
+        if marker in body:  # replace this tier's section
+            pre = body.split(marker)[0]
+            rest = body.split(marker, 1)[1]
+            nxt = rest.find("\n## Tier:")
+            post = rest[nxt + 1:] if nxt >= 0 else ""
+            content = pre + "\n".join(tier_lines) + "\n" + post
+        else:
+            content = body.rstrip() + "\n\n" + "\n".join(tier_lines) + "\n"
+    else:
+        content = "\n".join(header) + "\n" + "\n".join(tier_lines) + "\n"
+    with open(doc, "w") as fh:
+        fh.write(content)
+    print(f"wrote {doc}", flush=True)
+
+    if not (args.sf_dir or args.keep_dir):
+        shutil.rmtree(sf_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
