@@ -426,3 +426,156 @@ def s9b_limit_offset_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     theoretic minimum for distributed pagination)."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_S9B_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# s10_with_fill — ClickHouse ORDER BY ... WITH FILL FROM a TO b STEP s
+# ---------------------------------------------------------------------------
+
+# CH: SELECT h, count() FROM ... GROUP BY h
+#     ORDER BY h WITH FILL FROM toDateTime('2024-01-01 00:00:00')
+#                          TO   toDateTime('2024-01-31 00:00:00')
+#                          STEP INTERVAL 1 HOUR
+# — the ordered result is densified: every step of the literal range
+# appears, absent buckets as zero rows. The engine spelling is an
+# explicit generated spine LEFT-JOINed to the aggregate; the DuckDB
+# oracle states the same with generate_series.
+
+_S10_SPARK_SQL = """
+WITH agg AS (
+  SELECT date_trunc('HOUR', ts) AS h,
+         COUNT(*) AS n_events,
+         SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS sum_fp
+  FROM events
+  WHERE event_type = 'error' AND value > 300.0
+  GROUP BY date_trunc('HOUR', ts)
+), spine AS (
+  SELECT explode(sequence(
+    TIMESTAMP '2024-01-01 00:00:00',
+    TIMESTAMP '2024-01-30 23:00:00',
+    INTERVAL 1 HOUR)) AS h
+)
+SELECT unix_micros(s.h) AS h_us,
+       COALESCE(a.n_events, 0) AS n_events,
+       COALESCE(a.sum_fp, 0) AS sum_fp
+FROM spine s LEFT JOIN agg a ON s.h = a.h
+ORDER BY h_us
+"""
+
+_S10_ORACLE = """
+WITH agg AS (
+  SELECT date_trunc('hour', ts) AS h,
+         COUNT(*) AS n_events,
+         SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS sum_fp
+  FROM events
+  WHERE event_type = 'error' AND value > 300.0
+  GROUP BY 1
+), spine AS (
+  SELECT unnest(generate_series(
+    TIMESTAMP '2024-01-01 00:00:00',
+    TIMESTAMP '2024-01-30 23:00:00',
+    INTERVAL 1 HOUR)) AS h
+)
+SELECT epoch_us(s.h) AS h_us,
+       CAST(COALESCE(a.n_events, 0) AS BIGINT) AS n_events,
+       CAST(COALESCE(a.sum_fp, 0) AS BIGINT) AS sum_fp
+FROM spine s LEFT JOIN agg a ON s.h = a.h
+ORDER BY h_us
+"""
+
+
+@register("s10_with_fill", oracle=_S10_ORACLE, tier="T3")
+def s10_with_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``ORDER BY h WITH FILL FROM ... TO ... STEP INTERVAL 1 HOUR``:
+    densify a sparse hourly report over a literal 720-hour January
+    spine — absent buckets appear as zero rows, the monitoring-
+    dashboard idiom WITH FILL exists for. Engine spelling: a generated
+    ``sequence()`` spine LEFT-JOINed to the aggregate (the rewrite CH
+    performs in its ORDER BY transform); the DuckDB oracle states the
+    identical ``generate_series`` form.
+
+    Scale: the spine is (b-a)/s literal rows — broadcast it; the
+    aggregate side is the usual map-side-combined hash agg, so the
+    fill costs one broadcast-hash-join over an already-tiny grouped
+    result, never a shuffle of the fact table. The sparse filter is
+    pushed to the parquet scan."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_S10_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# s10b — WITH FILL ... INTERPOLATE (col) — carry-forward over filled rows
+# ---------------------------------------------------------------------------
+
+_S10B_SPARK_SQL = """
+WITH agg AS (
+  SELECT date_trunc('HOUR', ts) AS h,
+         COUNT(*) AS n_events,
+         SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS sum_fp
+  FROM events
+  WHERE event_type = 'error' AND value > 300.0
+  GROUP BY date_trunc('HOUR', ts)
+), spine AS (
+  SELECT explode(sequence(
+    TIMESTAMP '2024-01-01 00:00:00',
+    TIMESTAMP '2024-01-30 23:00:00',
+    INTERVAL 1 HOUR)) AS h
+), filled AS (
+  SELECT s.h, a.n_events, a.sum_fp
+  FROM spine s LEFT JOIN agg a ON s.h = a.h
+)
+SELECT unix_micros(h) AS h_us,
+       COALESCE(n_events, 0) AS n_events,
+       COALESCE(LAST_VALUE(sum_fp) IGNORE NULLS OVER (
+         ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ), 0) AS interp_fp
+FROM filled
+ORDER BY h_us
+"""
+
+_S10B_ORACLE = """
+WITH agg AS (
+  SELECT date_trunc('hour', ts) AS h,
+         COUNT(*) AS n_events,
+         SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS sum_fp
+  FROM events
+  WHERE event_type = 'error' AND value > 300.0
+  GROUP BY 1
+), spine AS (
+  SELECT unnest(generate_series(
+    TIMESTAMP '2024-01-01 00:00:00',
+    TIMESTAMP '2024-01-30 23:00:00',
+    INTERVAL 1 HOUR)) AS h
+), filled AS (
+  SELECT s.h, a.n_events, a.sum_fp
+  FROM spine s LEFT JOIN agg a ON s.h = a.h
+)
+SELECT epoch_us(h) AS h_us,
+       CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+       CAST(COALESCE(LAST_VALUE(sum_fp IGNORE NULLS) OVER (
+         ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ), 0) AS BIGINT) AS interp_fp
+FROM filled
+ORDER BY h_us
+"""
+
+
+@register("s10b_with_fill_interpolate", oracle=_S10B_ORACLE, tier="T3")
+def s10b_with_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``WITH FILL ... INTERPOLATE (sum_fp AS sum_fp)``: filled rows
+    carry the PREVIOUS observed value forward instead of a default —
+    the staircase a metrics dashboard draws between samples. Engine
+    spelling: the s10 spine join plus ``LAST_VALUE IGNORE NULLS`` over
+    the spine order (running carry-forward); hours before the first
+    observation fall back to 0. One SQL shape, both engines — only the
+    IGNORE NULLS placement differs by dialect (Spark: after the call;
+    DuckDB: inside the argument list).
+
+    Scale: the carry-forward window is ordered by the spine, which is
+    (b-a)/s rows regardless of fact-table size — a single-partition
+    window over hundreds of rows, after the fact table has already
+    collapsed through the map-side-combined agg. The e11 interpolate
+    operator is the per-entity DataFrame twin; this is the SQL-surface
+    spelling over a literal range."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_S10B_SPARK_SQL)

@@ -145,3 +145,53 @@ def test_j3c_builtin_fold_bit_equal_to_j3_udaf(spark):
     assert [v.hex() for v in udaf["geo_mean"]] == [
         v.hex() for v in fold["geo_mean"]
     ]
+
+
+def test_s10_with_fill_densifies_to_spine(spark):
+    """WITH FILL semantics: the result is exactly the 720-hour literal
+    January spine — filled rows are zero, non-filled rows agree with
+    the undensified aggregate, and the spine is gap-free with a
+    constant 1-hour step."""
+    from mysql_to_clickhouse_spark.registry import all_queries
+    from tests.conftest import TEST_SF_DIR
+
+    rows = all_queries()["s10_with_fill"].fn(spark, TEST_SF_DIR).collect()
+    assert len(rows) == 720  # 30 days x 24 hours, data-independent
+    hours = [r["h_us"] for r in rows]
+    assert hours == sorted(hours)
+    assert {b - a for a, b in zip(hours, hours[1:])} == {3_600_000_000}
+    observed = {r["h_us"]: r for r in rows if r["n_events"] > 0}
+    filled = [r for r in rows if r["n_events"] == 0]
+    assert len(observed) + len(filled) == 720
+    assert all(r["sum_fp"] == 0 for r in filled)
+    # the dense rows are exactly the raw aggregate (no fill distortion)
+    raw = spark.sql("""
+      SELECT unix_micros(date_trunc('HOUR', ts)) AS h_us, COUNT(*) AS n
+      FROM parquet.`{dir}/events.parquet`
+      WHERE event_type = 'error' AND value > 300.0
+      GROUP BY 1
+    """.format(dir=TEST_SF_DIR)).collect()
+    assert {r["h_us"]: r["n"] for r in raw} == {
+        h: r["n_events"] for h, r in observed.items()
+    }
+
+
+def test_s10b_interpolate_is_carry_forward_staircase(spark):
+    """INTERPOLATE semantics: on filled rows interp_fp equals the last
+    observed sum_fp (0 before the first observation); on observed rows
+    it equals that row's own aggregate."""
+    from mysql_to_clickhouse_spark.registry import all_queries
+    from tests.conftest import TEST_SF_DIR
+
+    qs = all_queries()
+    filled = qs["s10b_with_fill_interpolate"].fn(spark, TEST_SF_DIR).collect()
+    plain = {r["h_us"]: r["sum_fp"]
+             for r in qs["s10_with_fill"].fn(spark, TEST_SF_DIR).collect()
+             if r["n_events"] > 0}
+    carry = 0
+    for r in sorted(filled, key=lambda r: r["h_us"]):
+        if r["n_events"] > 0:
+            carry = plain[r["h_us"]]
+            assert r["interp_fp"] == carry
+        else:
+            assert r["interp_fp"] == carry
