@@ -551,3 +551,63 @@ def test_subquery_parity(spark, duck, i):
     duck_pdf = duck.sql(sql).df()
     res = compare_frames(spark_pdf, duck_pdf)
     assert res.ok, f"divergence on:\n{sql}\n{res.detail}"
+
+
+# ---------------------------------------------------------------------------
+# grouping-sets fuzz: ROLLUP / CUBE / GROUPING SETS + GROUPING() markers —
+# the multi-grouping lattice (subtotal NULLs vs natural NULLs, duplicate
+# sets, empty grand-total set) that the curated d9/d10/s4 shapes fix in
+# place but never randomize.
+# ---------------------------------------------------------------------------
+
+N_GROUPING_QUERIES = 15
+
+GROUPING_TABLES = [
+    ("orders", ["o_orderpriority", "o_orderstatus"], "o_totalprice"),
+    ("lineitem", ["l_returnflag", "l_linestatus", "l_suppkey % 7"], "l_quantity"),
+    ("customer", ["c_mktsegment", "c_nationkey"], "c_acctbal"),
+    ("events", ["event_type", "user_id % 5"], "value"),
+]
+
+
+def _gen_grouping_query(rng: random.Random) -> str:
+    # GROUPING() cannot take a select alias (Spark resolves it against
+    # the grouping expressions only), so the SAME CAST(expr AS STRING)
+    # text appears in the projection, the lattice, and the markers.
+    table, cats, num = rng.choice(GROUPING_TABLES)
+    keys = rng.sample(cats, rng.randint(2, min(3, len(cats))))
+    exprs = [f"CAST({k} AS STRING)" for k in keys]
+    form = rng.randrange(3)
+    if form == 0:
+        grouping = f"ROLLUP({', '.join(exprs)})"
+    elif form == 1:
+        grouping = f"CUBE({', '.join(exprs)})"
+    else:
+        # random subset lattice, always including the grand total
+        pool = [f"({', '.join(s)})" for s in
+                [exprs, exprs[:1], exprs[1:], []]]
+        sets = rng.sample(pool, rng.randint(2, len(pool)))
+        if "()" not in sets:
+            sets.append("()")
+        grouping = f"GROUPING SETS ({', '.join(sets)})"
+    sel_keys = ", ".join(f"{e} AS k{i}" for i, e in enumerate(exprs))
+    markers = ", ".join(
+        f"CAST(GROUPING({e}) AS BIGINT) AS g{i}"
+        for i, e in enumerate(exprs)
+    )
+    return (
+        f"SELECT {sel_keys}, {markers}, "
+        f"CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(SUM(CAST(FLOOR({num} * 100.0) AS BIGINT)) AS BIGINT) AS s_fp "
+        f"FROM {table} GROUP BY {grouping}"
+    )
+
+
+@pytest.mark.parametrize("i", range(N_GROUPING_QUERIES))
+def test_random_grouping_sets_parity(spark, duck, i):
+    rng = random.Random(SEED * 211 + i)
+    sql = _gen_grouping_query(rng)
+    spark_pdf = spark.sql(sql).toPandas()
+    duck_pdf = duck.sql(sql).df()
+    res = compare_frames(spark_pdf, duck_pdf)
+    assert res.ok, f"divergence on:\n{sql}\n{res.detail}"

@@ -470,3 +470,18 @@ def test_a32_sample_filters_before_single_shuffle(spark):
     assert plan.index("Filter") > plan.index("Exchange"), plan  # tree prints top-down
     schemas = scan_read_schemas(df)
     assert schemas and all("props" not in s and "ts" not in s for s in schemas), schemas
+
+
+def test_s10_fill_join_broadcasts_aggregate_not_spine_shuffle(spark):
+    """WITH FILL's densify join must be a BroadcastHashJoin building on
+    the (already map-side-combined, tiny) aggregate — the literal spine
+    never hash-shuffles against the fact table, so the fill costs one
+    broadcast regardless of fact size. The sparse predicate must reach
+    the parquet scan as a pushed filter."""
+    df = QUERIES["s10_with_fill"].fn(spark, TEST_SF_DIR)
+    df.collect()  # finalize the adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    fmt = plan_of(df)
+    assert "PushedFilters" in fmt and "event_type" in fmt, fmt
