@@ -579,3 +579,87 @@ def s10b_with_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     spelling over a literal range."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_S10B_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# s11_distinct_on — CH LIMIT 1 BY == PostgreSQL/DuckDB DISTINCT ON
+# ---------------------------------------------------------------------------
+
+_S11_SPARK_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, unix_micros(ts) AS ts_us
+  FROM events
+), r AS (
+  SELECT user_id, event_id, event_type, ts_us,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts_us DESC, event_id
+         ) AS rn
+  FROM e
+)
+SELECT user_id, event_id, event_type, ts_us
+FROM r WHERE rn = 1
+ORDER BY user_id
+"""
+
+_S11_ORACLE = """
+SELECT DISTINCT ON (user_id)
+       user_id, event_id, event_type,
+       epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+FROM events
+ORDER BY user_id, ts_us DESC, event_id
+"""
+
+
+@register("s11_distinct_on", oracle=_S11_ORACLE, tier="T3")
+def s11_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``LIMIT 1 BY user_id`` == Postgres/DuckDB ``DISTINCT ON``:
+    each user's single most-recent event. The oracle states DuckDB's
+    NATIVE ``DISTINCT ON`` clause — not a rewrite — so the hash match
+    pins that the engine's ROW_NUMBER()=1 spelling implements exactly
+    the first-row-per-key-under-the-sort semantics that clause defines
+    (including the event_id tie-break).
+
+    Scale: the s9 plan family — one shuffle on user_id with the rank
+    bound planned as WindowGroupLimit, ≤1 row per key shipped from each
+    map partition. A groupBy(max_by) spelling would plan the same
+    single exchange; the window form keeps the full-row projection
+    without a struct repack."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_S11_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# s12_star_except — SELECT * EXCEPT(...) projection modifier
+# ---------------------------------------------------------------------------
+
+_S12_SPARK_SQL = """
+SELECT * EXCEPT (ts, props, value),
+       unix_micros(ts) AS ts_us,
+       CAST(FLOOR(value * 10000.0) AS BIGINT) AS value_fp
+FROM events
+WHERE event_type IN ('signup', 'purchase')
+"""
+
+_S12_ORACLE = """
+SELECT * EXCLUDE (ts, props, value),
+       epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+       CAST(FLOOR(value * 10000.0) AS BIGINT) AS value_fp
+FROM events
+WHERE event_type IN ('signup', 'purchase')
+"""
+
+
+@register("s12_star_except", oracle=_S12_ORACLE, tier="T3")
+def s12_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH/Spark ``SELECT * EXCEPT(cols)`` == DuckDB ``* EXCLUDE`` — the
+    wide-table projection modifier replication users lean on when a
+    table has hundreds of columns and only a few must be dropped or
+    re-derived. One negative-projection text per dialect, same result
+    set; the re-derived ts/value columns keep the hash discipline.
+
+    Scale: EXCEPT is resolved at analysis time into an ordinary
+    projection, so column pruning still reaches the parquet scan — the
+    excluded columns are never read (ts/value are, being re-derived).
+    Zero runtime cost vs an explicit column list."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_S12_SPARK_SQL)
