@@ -611,3 +611,64 @@ def test_random_grouping_sets_parity(spark, duck, i):
     duck_pdf = duck.sql(sql).df()
     res = compare_frames(spark_pdf, duck_pdf)
     assert res.ok, f"divergence on:\n{sql}\n{res.detail}"
+
+
+# ---------------------------------------------------------------------------
+# window-frame fuzz: bounded ROWS frames, RANGE frames (peer-inclusive),
+# FIRST_VALUE/LAST_VALUE over explicit frames — the frame-boundary
+# arithmetic the rank/lag axis above never touches.
+# ---------------------------------------------------------------------------
+
+N_FRAME_QUERIES = 12
+
+
+def _gen_frame_query(rng: random.Random) -> str:
+    table = rng.choice(list(WTABLES))
+    part, pk, nums, cat = WTABLES[table]
+    mcol = rng.choice(nums)
+    fsum = (
+        f"CAST(FLOOR(CAST({mcol} AS DOUBLE) * 100.0) AS BIGINT)"
+    )
+    form = rng.randrange(3)
+    if form == 0:
+        # bounded ROWS frame over a total order (pk tiebreak)
+        j, k = rng.randint(0, 4), rng.randint(0, 4)
+        frame = (
+            f"PARTITION BY {part} ORDER BY {mcol} {rng.choice(['ASC','DESC'])},"
+            f" {pk} ROWS BETWEEN {j} PRECEDING AND {k} FOLLOWING"
+        )
+        wv = f"CAST(SUM({fsum}) OVER ({frame}) AS BIGINT)"
+        wv2 = f"CAST(COUNT(*) OVER ({frame}) AS BIGINT)"
+    elif form == 1:
+        # RANGE frame on an integer key — peer rows enter together, so
+        # sum/count are deterministic even under order-key ties
+        span = rng.randint(1, 500)
+        frame = (
+            f"PARTITION BY {part} ORDER BY CAST({pk} AS BIGINT) "
+            f"RANGE BETWEEN {span} PRECEDING AND CURRENT ROW"
+        )
+        wv = f"CAST(SUM({fsum}) OVER ({frame}) AS BIGINT)"
+        wv2 = f"CAST(COUNT(*) OVER ({frame}) AS BIGINT)"
+    else:
+        # FIRST/LAST_VALUE need the total order: ROWS frame + pk tiebreak
+        j = rng.randint(1, 5)
+        frame = (
+            f"PARTITION BY {part} ORDER BY {mcol}, {pk} "
+            f"ROWS BETWEEN {j} PRECEDING AND CURRENT ROW"
+        )
+        wv = f"CAST(FIRST_VALUE({pk}) OVER ({frame}) AS BIGINT)"
+        wv2 = f"CAST(LAST_VALUE({pk}) OVER ({frame}) AS BIGINT)"
+    return (
+        f"SELECT CAST({pk} AS BIGINT) AS pk, CAST({cat} AS STRING) AS c, "
+        f"{wv} AS wv, {wv2} AS wv2 FROM {table}"
+    )
+
+
+@pytest.mark.parametrize("i", range(N_FRAME_QUERIES))
+def test_random_window_frame_parity(spark, duck, i):
+    rng = random.Random(SEED * 307 + i)
+    sql = _gen_frame_query(rng)
+    spark_pdf = spark.sql(sql).toPandas()
+    duck_pdf = duck.sql(sql).df()
+    res = compare_frames(spark_pdf, duck_pdf)
+    assert res.ok, f"divergence on:\n{sql}\n{res.detail}"
