@@ -1764,3 +1764,64 @@ def a32_sample_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("sample_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# a33_bloom_skip_index — CH `bloom_filter` skip index == parquet bloom filters
+# ---------------------------------------------------------------------------
+
+_A33_USERS = (7, 19, 23, 41)
+
+_A33_ORACLE = f"""
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       COUNT(*) AS n,
+       {o_dsum('value')} AS total_value
+FROM events
+WHERE user_id IN {_A33_USERS}
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("a33_bloom_skip_index", oracle=_A33_ORACLE)
+def a33_bloom_skip_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``INDEX ... TYPE bloom_filter`` on a high-cardinality
+    point-lookup column, as parquet's native bloom filters: write the
+    events table with ``parquet.bloom.filter.enabled#user_id``, read it
+    back with a ``user_id IN (...)`` point predicate, aggregate. The
+    hash check proves the bloom-indexed sink is content-identical to
+    the source under the point lookup.
+
+    Why this matters at 100 TB: min/max zone maps (a15/a19) only skip
+    row groups when the layout clusters the filter key; a bloom filter
+    skips on a column the file is NOT sorted by — the exact gap CH's
+    bloom_filter skip index fills vs the primary key. parquet-mr
+    evaluates pushed equality/IN predicates against the stored blooms
+    and drops whole row groups before decoding; Spark pushes the IN
+    (tests assert PushedFilters) and writes the blooms (tests assert
+    the sink's byte-size delta vs a bloom-less twin on high-NDV data).
+
+    parquet-mr only materializes the bloom for chunks that overflow
+    full dictionary encoding — a dict-encoded chunk already gives
+    exact membership. That is the right behavior at both ends: small
+    tables get dictionary filtering for free; at 100 TB the
+    high-cardinality chunks that blow the dictionary are precisely
+    the ones that get blooms.
+    """
+    ev = load(spark, sf_dir, "events")
+    out_dir = os.path.join(scratch_dir("a33_bloom_"), "events_bloom")
+    (
+        ev.write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#user_id", "true")
+        .option("parquet.bloom.filter.expected.ndv#user_id", "10000")
+        .parquet(out_dir)
+    )
+    back = spark.read.parquet(out_dir)
+    return (
+        back.filter(F.col("user_id").isin(*_A33_USERS))
+        .groupBy(F.col("user_id").cast("long").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("total_value"),
+        )
+    )

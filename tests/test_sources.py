@@ -478,3 +478,54 @@ def test_parts_catalog_invariants(spark):
     spans = sorted((p.min_ts_us, p.max_ts_us) for p in parts)
     for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2  # disjoint after range partitioning
+
+
+def test_a33_bloom_filters_written_and_predicate_pushed(spark, tmp_path):
+    """The bloom 'skip index' must actually exist in the sink (the
+    bloom-enabled file is strictly larger than a bloom-less twin of
+    the same rows/encodings) and the point predicate must reach the
+    parquet reader as a pushed filter — the two halves parquet-mr
+    needs to drop row groups before decoding.
+
+    The byte-size check runs on a HIGH-NDV synthetic column:
+    parquet-mr only materializes a bloom for column chunks that fall
+    out of full dictionary encoding (a dict-encoded chunk already
+    gives exact membership, strictly better than a bloom), so a
+    low-cardinality fixture column would legitimately write none —
+    the scale regime where the index matters is exactly the one where
+    the dictionary overflows."""
+    import os
+
+    from mysql_to_clickhouse_spark.plans.explain import plan_of
+    from mysql_to_clickhouse_spark.registry import all_queries
+
+    hi = spark.range(200_000).selectExpr(
+        "id", "CAST(id * 2654435761 % 1000003 AS LONG) AS user_id"
+    )
+
+    def total_bytes(d):
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    plain, bloom = str(tmp_path / "plain"), str(tmp_path / "bloom")
+    hi.coalesce(1).write.parquet(plain)
+    (
+        hi.coalesce(1)
+        .write.option("parquet.bloom.filter.enabled#user_id", "true")
+        .option("parquet.bloom.filter.expected.ndv#user_id", "200000")
+        .parquet(bloom)
+    )
+    assert total_bytes(bloom) > total_bytes(plain)  # blooms occupy bytes
+    # same content both ways
+    assert (
+        spark.read.parquet(bloom).count() == spark.read.parquet(plain).count()
+    )
+
+    from tests.conftest import TEST_SF_DIR
+
+    df = all_queries()["a33_bloom_skip_index"].fn(spark, TEST_SF_DIR)
+    fmt = plan_of(df)
+    assert "PushedFilters" in fmt and "user_id" in fmt, fmt
