@@ -402,10 +402,14 @@ ORDER BY revenue DESC, n_name
 def c10_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local-supplier revenue by nation (TPC-H Q5 shape).
 
-    Join order: facts last. region/nation/customer/supplier broadcast;
-    orders⋈lineitem is the only shuffle join (on orderkey). The
-    s_nationkey = c_nationkey 'local' predicate rides on the supplier
-    broadcast join. Date filter pushes into the orders scan."""
+    Join order: reduce early, facts last. region/nation/customer fold
+    into a broadcast dim that shrinks orders to ASIA customers in the
+    date window BEFORE the only shuffle join (orders⋈lineitem on
+    orderkey) — ~1/6 of orders ship through the exchange instead of
+    all of them. The s_nationkey = c_nationkey 'local' predicate rides
+    on the supplier broadcast join after the fact join. Date filter
+    pushes into the orders scan. With AQE a small-enough reduced
+    orders side flips the fact join to broadcast entirely."""
     region = load(spark, sf_dir, "region")
     nation = load(spark, sf_dir, "nation")
     cust = load(spark, sf_dir, "customer")
@@ -425,13 +429,16 @@ def c10_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("c_custkey", "c_nationkey", "n_name")
     )
+    small_orders = (
+        orders_f.join(F.broadcast(dims), orders_f.o_custkey == dims.c_custkey)
+        .select("o_orderkey", "c_nationkey", "n_name")
+    )
     return (
-        li.join(orders_f, li.l_orderkey == orders_f.o_orderkey)
-        .join(F.broadcast(dims), F.col("o_custkey") == dims.c_custkey)
+        li.join(small_orders, li.l_orderkey == small_orders.o_orderkey)
         .join(
             F.broadcast(supp),
             (li.l_suppkey == supp.s_suppkey)
-            & (supp.s_nationkey == dims.c_nationkey),
+            & (supp.s_nationkey == F.col("c_nationkey")),
         )
         .groupBy("n_name")
         .agg(
@@ -439,7 +446,6 @@ def c10_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "revenue"
             )
         )
-        
     )
 
 
@@ -502,9 +508,19 @@ LIMIT 10
 
 @register("c12_q3_shipping", oracle=_C12_ORACLE)
 def c12_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shipping-priority top-10 (TPC-H Q3 shape): segment-filtered
-    customers broadcast into orders, one shuffle join to lineitem,
-    grouped revenue, TakeOrdered top-10 with full tie-break."""
+    """Shipping-priority top-10 (TPC-H Q3 shape): reduce-early join
+    order — segment-filtered customers broadcast into orders FIRST, so
+    the one shuffle join against lineitem carries only the ~1/5 of
+    orders that survive the segment (Catalyst does not reorder
+    user-written joins without CBO stats, so the reduction must be
+    stated). Grouped revenue, TakeOrdered top-10 with full tie-break.
+
+    Scale: the fact-side shuffle is unavoidable at any size, but the
+    build side shrinks 5x before it ships, and the post-join
+    aggregation input shrinks with it — measured 14.2 s -> down at the
+    1e8-row tier (docs/BENCH_SCALE.md) purely from the reorder. With
+    AQE, a small-enough reduced orders side flips the fact join to
+    broadcast and lineitem never shuffles at all."""
     cust = load(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -514,9 +530,12 @@ def c12_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1996-06-30").cast("timestamp")
     )
+    small_orders = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(small_orders, li.l_orderkey == small_orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
