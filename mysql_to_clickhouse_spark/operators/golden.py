@@ -472,19 +472,35 @@ ORDER BY supp_nation, cust_nation, l_year
 @register("x10_tpch_q7", oracle=_X10_ORACLE)
 def x10_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bilateral trade volume between two nations by
-    ship year. All four non-fact relations broadcast; the nation-pair
-    disjunction evaluates against broadcast rows so the only shuffles
-    are the orders⋈lineitem key exchange and the tiny final group-by.
-    At 100 TB the 2-year shipdate window is the partition-pruning
-    lever (ship-date-partitioned layout, a15)."""
+    ship year. Reduce-early: the nation pair names only 2 of the 25
+    nations, so BOTH fact-fact sides shrink ~n_nations/2-fold BEFORE
+    the orders⋈lineitem key exchange — lineitem through the
+    supplier⋈(2-nation) broadcast, orders through the
+    customer⋈(2-nation) broadcast (map-side joins; Catalyst will not
+    reorder user-written joins without CBO stats, so the reduction is
+    stated). The pair disjunction then evaluates on the already-tagged
+    rows. Remaining shuffles: the reduced key exchange + the tiny
+    final group-by. At 100 TB the 2-year shipdate window is the
+    partition-pruning lever (ship-date-partitioned layout, a15)."""
+    the_pair = ("NATION_1", "NATION_2")
     sup = load(spark, sf_dir, "supplier")
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
-    n1 = load(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    n1 = (
+        load(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*the_pair))
+        .select(
+            F.col("n_nationkey").alias("n1_key"),
+            F.col("n_name").alias("supp_nation"),
+        )
     )
-    n2 = load(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    n2 = (
+        load(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*the_pair))
+        .select(
+            F.col("n_nationkey").alias("n2_key"),
+            F.col("n_name").alias("cust_nation"),
+        )
     )
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -495,12 +511,20 @@ def x10_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | (
         (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
     )
+    sup_tagged = sup.join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key")
+    ).select("s_suppkey", "supp_nation")
+    cust_tagged = cust.join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key")
+    ).select("c_custkey", "cust_nation")
+    li_red = li.join(
+        F.broadcast(sup_tagged), F.col("s_suppkey") == F.col("l_suppkey")
+    )
+    orders_red = orders.join(
+        F.broadcast(cust_tagged), F.col("c_custkey") == F.col("o_custkey")
+    ).select("o_orderkey", "cust_nation")
     return (
-        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        li_red.join(orders_red, F.col("o_orderkey") == F.col("l_orderkey"))
         .filter(pair)
         .groupBy(
             "supp_nation",
@@ -764,9 +788,12 @@ def x15_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     into ASIA, by order year. The nation table plays two roles (customer
     side restricts via region; supplier side labels the share) — both
     broadcast under distinct aliases. Seven relations, ONE real
-    shuffle: orders⋈lineitem on orderkey; part/supplier/customer/
-    nation×2/region all broadcast, and the order-date window pushes into
-    the orders scan before the join. The share is a conditional/total
+    shuffle: orders⋈lineitem on orderkey — with BOTH sides reduced
+    before the exchange: lineitem through the ECONOMY part broadcast,
+    orders through the ASIA customer broadcast (reduce-early; Catalyst
+    does not reorder written joins without CBO stats). part/supplier/
+    customer/nation×2/region all broadcast, and the order-date window
+    pushes into the orders scan. The share is a conditional/total
     fixed-point sum ratio divided in the same order on both engines."""
     part_sel = (
         load(spark, sf_dir, "part")
@@ -790,16 +817,19 @@ def x15_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load(spark, sf_dir, "lineitem")
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cust_asia = (
+        cust.join(F.broadcast(n1), F.col("c_nationkey") == F.col("_n1_key"))
+        .join(F.broadcast(region), F.col("_n1_reg") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    orders_red = orders.join(
+        F.broadcast(cust_asia), F.col("c_custkey") == F.col("o_custkey")
+    ).select("o_orderkey", "o_orderdate")
     return (
         li.join(F.broadcast(part_sel), F.col("p_partkey") == F.col("l_partkey"))
-        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("_n1_key"))
-        .join(
-            F.broadcast(region), F.col("_n1_reg") == F.col("r_regionkey")
-        )
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("_n2_key"))
+        .join(orders_red, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
             (
