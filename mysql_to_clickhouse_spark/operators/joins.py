@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mysql_to_clickhouse_spark.functions.numeric import dsum, epoch_us, o_dsum
+from mysql_to_clickhouse_spark.plans.dispatch import broadcast_when_small
 from mysql_to_clickhouse_spark.registry import register
 from mysql_to_clickhouse_spark.tables import load
 
@@ -408,8 +409,13 @@ def c10_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     orderkey) — ~1/6 of orders ship through the exchange instead of
     all of them. The s_nationkey = c_nationkey 'local' predicate rides
     on the supplier broadcast join after the fact join. Date filter
-    pushes into the orders scan. With AQE a small-enough reduced
-    orders side flips the fact join to broadcast entirely."""
+    pushes into the orders scan. When the fact scan is large enough
+    that its shuffle WRITE dominates (AQE can only localize the read),
+    the size-gated probe (plans/dispatch.py) spends one count job on
+    the reduced orders side and broadcasts it if genuinely small, so
+    lineitem never shuffle-writes (1e8-tier numbers in
+    docs/BENCH_SCALE.md); at sf0.1 the gate keeps the plan
+    byte-identical."""
     region = load(spark, sf_dir, "region")
     nation = load(spark, sf_dir, "nation")
     cust = load(spark, sf_dir, "customer")
@@ -433,6 +439,7 @@ def c10_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders_f.join(F.broadcast(dims), orders_f.o_custkey == dims.c_custkey)
         .select("o_orderkey", "c_nationkey", "n_name")
     )
+    small_orders = broadcast_when_small(small_orders, li, spark)
     return (
         li.join(small_orders, li.l_orderkey == small_orders.o_orderkey)
         .join(
@@ -515,12 +522,14 @@ def c12_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     user-written joins without CBO stats, so the reduction must be
     stated). Grouped revenue, TakeOrdered top-10 with full tie-break.
 
-    Scale: the fact-side shuffle is unavoidable at any size, but the
-    build side shrinks 5x before it ships, and the post-join
-    aggregation input shrinks with it — measured 14.2 s -> down at the
-    1e8-row tier (docs/BENCH_SCALE.md) purely from the reorder. With
-    AQE, a small-enough reduced orders side flips the fact join to
-    broadcast and lineitem never shuffles at all."""
+    Scale: the build side shrinks 5x before it ships, and the
+    post-join aggregation input shrinks with it — measured 14.2 s ->
+    6.3 s warm at the 1e8-row tier purely from the reorder
+    (docs/BENCH_SCALE.md). The remaining cost is the lineitem shuffle
+    WRITE, which AQE cannot avoid (it only localizes the read); the
+    size-gated probe (plans/dispatch.py) removes it when one count job
+    proves the reduced orders side broadcast-small. At sf0.1 the fact
+    gate leaves the plan byte-identical."""
     cust = load(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -534,6 +543,7 @@ def c12_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .select("o_orderkey", "o_orderdate", "o_orderpriority")
     )
+    small_orders = broadcast_when_small(small_orders, li, spark)
     return (
         li.join(small_orders, li.l_orderkey == small_orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")

@@ -1,0 +1,80 @@
+"""Size-gated broadcast dispatch — a one-probe CBO step for file scans.
+
+Catalyst's static planner sizes a join side from its parquet FILE bytes:
+a dimension reduced by selective filters/broadcast-joins (``orders ⋈
+BUILDING-customers``) still *estimates* at the full table size, so the
+fact join plans as a shuffle join and the fact side pays a full
+shuffle WRITE. AQE cannot undo that — by the time runtime sizes are
+known, every map stage below the join has already run; AQE's
+SMJ→BHJ upgrade only localizes the shuffle *read*. Without catalog
+statistics (raw parquet paths have none), the only way to avoid
+writing 1e8+ fact rows to shuffle disk is a static broadcast decision.
+
+``broadcast_when_small(build, fact, spark)`` makes that decision the
+way a cost-based optimizer would, spending at most one cheap job:
+
+1. **Gate** (free, driver-side): read the fact side's optimized-plan
+   ``sizeInBytes`` (file-size-backed for scans). Below
+   ``spark.mysql2ch.join.probeFactBytes`` (default 1 GiB) the shuffle
+   is cheap and a probe job would cost more than it saves — return
+   ``build`` untouched. This keeps sf0.01/sf0.1 correctness drives and
+   the sub-second bench headliners byte-identical in plan and timing.
+2. **Probe** (one job over the REDUCED side only — never the fact):
+   ``build.count()``. At or under
+   ``spark.mysql2ch.join.broadcastRows`` (default 5e6) return
+   ``F.broadcast(build)``; above it, return ``build`` unchanged and
+   the honest shuffle plan stands.
+
+At 100 TB both branches are the right answer: a reduced dim that is
+still a billion rows fails the probe and shuffles (broadcasting it
+would OOM every executor), while a genuinely small reduced side skips
+the fact shuffle write entirely — measured at the 1e8-row tier this is
+the difference between shuffling 1e8 lineitem rows and a single
+scan+probe pass (docs/BENCH_SCALE.md). The row default is sized so the
+built hashed relation (~30-60 B/row) stays under a few hundred MB —
+comfortably inside a bench/cluster driver+executor; size
+``broadcastRows`` down on memory-tight deployments.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["broadcast_when_small", "fact_bytes_estimate"]
+
+_FACT_GATE_CONF = "spark.mysql2ch.join.probeFactBytes"
+_ROWS_CONF = "spark.mysql2ch.join.broadcastRows"
+_FACT_GATE_DEFAULT = 1 << 30  # 1 GiB of fact scan before a probe pays
+_ROWS_DEFAULT = 5_000_000
+
+
+def fact_bytes_estimate(df: DataFrame) -> int:
+    """Catalyst's size estimate for ``df`` (bytes), driver-side, no job.
+
+    For a parquet scan this is the summed file size (what the static
+    planner itself uses); filters do not shrink it without CBO stats,
+    which biases the gate toward probing — the conservative direction,
+    since the probe is one count over the already-reduced side."""
+    stats = df._jdf.queryExecution().optimizedPlan().stats()
+    return int(str(stats.sizeInBytes()))
+
+
+def broadcast_when_small(
+    build: DataFrame,
+    fact: DataFrame,
+    spark: SparkSession,
+) -> DataFrame:
+    """Return ``F.broadcast(build)`` iff a one-job probe proves it small
+    AND the fact side is big enough that dodging its shuffle write pays
+    for the probe; otherwise return ``build`` unchanged (same object).
+
+    See module docstring for the two-step gate/probe protocol and the
+    100 TB rationale for each branch."""
+    gate = int(spark.conf.get(_FACT_GATE_CONF, str(_FACT_GATE_DEFAULT)))
+    if fact_bytes_estimate(fact) < gate:
+        return build
+    limit = int(spark.conf.get(_ROWS_CONF, str(_ROWS_DEFAULT)))
+    if build.count() <= limit:
+        return F.broadcast(build)
+    return build
