@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from mysql_to_clickhouse_spark.functions.numeric import dmean, dsum, o_dmean, o_dsum
 from mysql_to_clickhouse_spark.functions.text import tokens
+from mysql_to_clickhouse_spark.plans.dispatch import broadcast_when_small
 from mysql_to_clickhouse_spark.registry import register
 from mysql_to_clickhouse_spark.tables import load
 
@@ -523,6 +524,9 @@ def x10_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders_red = orders.join(
         F.broadcast(cust_tagged), F.col("c_custkey") == F.col("o_custkey")
     ).select("o_orderkey", "cust_nation")
+    # 2-of-25-nation orders side (~2e6 rows at the 1e8 tier) is usually
+    # probe-broadcastable, removing the reduced key exchange entirely.
+    orders_red = broadcast_when_small(orders_red, li_red, spark)
     return (
         li_red.join(orders_red, F.col("o_orderkey") == F.col("l_orderkey"))
         .filter(pair)
@@ -825,6 +829,9 @@ def x15_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders_red = orders.join(
         F.broadcast(cust_asia), F.col("c_custkey") == F.col("o_custkey")
     ).select("o_orderkey", "o_orderdate")
+    # ASIA×2-year orders side (~1.5e6 rows at the 1e8 tier) is usually
+    # probe-broadcastable, removing the orderkey exchange entirely.
+    orders_red = broadcast_when_small(orders_red, li, spark)
     return (
         li.join(F.broadcast(part_sel), F.col("p_partkey") == F.col("l_partkey"))
         .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))

@@ -468,6 +468,34 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
+_CHUNK_CELLS_CONF = "spark.mysql2ch.cosine.chunkCells"
+_CHUNK_CELLS_DEFAULT = 16_000_000  # ~128 MB of float64 per live matrix
+
+
+def _chunk_rows_for(spark: SparkSession, n_table: int) -> int:
+    """Query-side rows per kernel call so the nq×n cosine matrix (plus
+    its masked copy and the dgemm intermediate) stays bounded per
+    worker REGARDLESS of the Arrow batch size. Without this, the
+    default 10k-row Arrow batch against a 20k-vector broadcast makes
+    every worker hold multiple multi-GB matrices — 32 concurrent
+    workers beside a 30 GB JVM OOMed the 1e8-tier bench box. The bound
+    is the broadcast-path twin of the blocked path's
+    ``spark.mysql2ch.cosine.blocks`` tile pin."""
+    cells = int(spark.conf.get(_CHUNK_CELLS_CONF, str(_CHUNK_CELLS_DEFAULT)))
+    return max(64, cells // max(n_table, 1))
+
+
+def _rechunk(batches, rows: int):
+    """Re-slice an Arrow batch iterator to ≤ ``rows`` rows per yield —
+    pure iteration, no copy beyond the pandas slice view."""
+    for pdf in batches:
+        if len(pdf) <= rows:
+            yield pdf
+        else:
+            for lo in range(0, len(pdf), rows):
+                yield pdf.iloc[lo : lo + rows]
+
+
 @register("i3_cosine_pairs", oracle=_I3_ORACLE)
 def i3_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ 0.25) over the pair
@@ -495,10 +523,11 @@ def i3_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not _use_broadcast_path(spark, emb):
         return _cosine_pairs_blocked(spark, emb)
     bc = _broadcast_matrix(spark, emb, sf_dir)
+    chunk = _chunk_rows_for(spark, len(bc.value[0]))
 
     def pairs_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids, quant, norms = bc.value
-        for pdf in batches:
+        for pdf in _rechunk(batches, chunk):
             q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             q_quant = np_quantize(np.array(list(pdf["embedding"]), dtype=np.float64))
             q_norms = np_fixed_norms(q_quant)
@@ -732,11 +761,12 @@ def i4_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not _use_broadcast_path(spark, emb):
         return _topk_blocked(spark, emb, k)
     bc = _broadcast_matrix(spark, emb, sf_dir)
+    chunk = _chunk_rows_for(spark, len(bc.value[0]))
 
     def topk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids, quant, norms = bc.value
         n = len(ids)
-        for pdf in batches:
+        for pdf in _rechunk(batches, chunk):
             q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             q_quant = np_quantize(np.array(list(pdf["embedding"]), dtype=np.float64))
             q_norms = np_fixed_norms(q_quant)

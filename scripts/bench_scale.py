@@ -216,6 +216,11 @@ def main() -> None:
               f"in {gen_s:.0f}s at {sf_dir}", flush=True)
 
     con = duckdb.connect()
+    # Cap DuckDB so both engines fit the box TOGETHER at the 1e8 tier:
+    # DuckDB's default (80% of RAM) plus a 36-48g JVM heap plus 32
+    # Python workers OOM-killed the JVM mid-run once. 40 GB is still
+    # ~3x what its heaviest headliner (d1 at 1e8 docs) needs.
+    con.sql("SET memory_limit='32GB'")
     for t in ("lineitem", "orders", "customer", "supplier", "nation",
               "region", "events", "documents", "embeddings"):
         p = f"{sf_dir}/{t}.parquet"
@@ -264,6 +269,9 @@ def main() -> None:
         f"{RUNS} prepared-plan runs; cold = first run (incl. one-time "
         "session caches). w1/d1/v1 consumed via the same count+sum "
         "digest on BOTH engines (operator cost, not fetch cost). "
+        "DuckDB capped at 32 GB (SET memory_limit) so both engines "
+        "fit the 128 GiB box together — uncapped it claims 80% of "
+        "RAM and the co-resident JVM gets OOM-killed. "
         "v1's all-pairs protocol is O(n²) in both engines — its size "
         "is the vectors cap above, NOT the fact-row tier; the "
         "linear-protocol vector tiers (1e6-1e7) live in "

@@ -672,3 +672,70 @@ def test_random_window_frame_parity(spark, duck, i):
     duck_pdf = duck.sql(sql).df()
     res = compare_frames(spark_pdf, duck_pdf)
     assert res.ok, f"divergence on:\n{sql}\n{res.detail}"
+
+
+# ---------------------------------------------------------------------------
+# conditional-aggregate fuzz: FILTER (WHERE ...) vs CASE-in-agg — the
+# NULL-vs-0 semantics of empty condition sets (COUNT FILTER -> 0,
+# MIN/MAX FILTER -> NULL, SUM CASE -> 0 but SUM FILTER -> NULL) is a
+# classic cross-engine divergence spot; both engines parse the clause
+# ---------------------------------------------------------------------------
+
+N_CONDAGG_QUERIES = 18
+
+
+def _num_literal(rng: random.Random, c: str) -> str:
+    if c in ("value", "c_acctbal", "l_extendedprice"):
+        return f"{rng.uniform(0, 500):.2f}"
+    if c == "l_discount":
+        return f"{rng.uniform(0, 0.1):.3f}"
+    if c == "l_quantity":
+        return f"{rng.uniform(1, 50):.1f}"
+    return str(rng.randint(0, 2000))
+
+
+def _gen_condagg_query(rng: random.Random) -> str:
+    table = rng.choice(list(TABLES))
+    spec = TABLES[table]
+    ccol = rng.choice(spec["num"])
+    cond = f"{ccol} {rng.choice(CMP)} {_num_literal(rng, ccol)}"
+    # sometimes make the condition near-impossible so some groups have
+    # an EMPTY matching set — the corner this axis exists to pin
+    if rng.random() < 0.35:
+        cond = f"{ccol} > 1e12"
+    mcol = rng.choice(spec["num"])
+    fsum = (
+        f"SUM(CAST(FLOOR(CAST({mcol} AS DOUBLE) * 10000.0) AS BIGINT))"
+        f" FILTER (WHERE {cond})"
+    )
+    aggs = [
+        f"CAST(COUNT(*) FILTER (WHERE {cond}) AS BIGINT) AS nf",
+        f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS ncase",
+        f"CAST(MIN({mcol}) FILTER (WHERE {cond}) AS DOUBLE) AS mnf",
+        f"CAST(MAX(CASE WHEN {cond} THEN {mcol} END) AS DOUBLE) AS mxc",
+        f"CAST({fsum} AS DOUBLE) / 10000.0 AS fsumf",
+        f"CAST(COUNT(DISTINCT CASE WHEN {cond} THEN {mcol} END) "
+        "AS BIGINT) AS ndc",
+    ]
+    n_keys = rng.randint(0, 2)
+    keys = rng.sample(spec["cat"], n_keys) if n_keys else []
+    key_aliases = [f"k{i}" for i in range(len(keys))]
+    key_select = [
+        f"CAST({k} AS STRING) AS {a}" for k, a in zip(keys, key_aliases)
+    ]
+    group = f"GROUP BY {', '.join(key_aliases)}" if keys else ""
+    having = ""
+    if keys and rng.random() < 0.4:
+        having = f"HAVING COUNT(*) > {rng.randint(0, 50)}"
+    select = ", ".join(key_select + aggs)
+    return f"SELECT {select} FROM {table} {group} {having}"
+
+
+@pytest.mark.parametrize("i", range(N_CONDAGG_QUERIES))
+def test_random_condagg_parity(spark, duck, i):
+    rng = random.Random(SEED * 401 + i)
+    sql = _gen_condagg_query(rng)
+    spark_pdf = spark.sql(sql).toPandas()
+    duck_pdf = duck.sql(sql).df()
+    res = compare_frames(spark_pdf, duck_pdf)
+    assert res.ok, f"divergence on:\n{sql}\n{res.detail}"

@@ -726,3 +726,33 @@ def test_leakage_free_split_keeps_neardups_together(spark, tmp_path):
     assert out[0].component_id == out[1].component_id
     assert out[0].split == out[1].split
     assert set(r.split for r in out.values()) <= {"train", "validation"}
+
+
+def test_broadcast_kernel_chunk_bound(spark):
+    """The broadcast-path kernels must be bit-identical under a forced
+    tiny chunk budget (many sub-batch kernel calls) — the per-worker
+    memory bound that keeps 32 concurrent workers resident beside the
+    JVM at bench scale must be a pure slicing choice, never a result
+    change."""
+    import mysql_to_clickhouse_spark.operators.llmops as llmops
+    from mysql_to_clickhouse_spark.registry import all_queries
+    from tests.conftest import SMOKE_SF_DIR
+
+    qs = all_queries()
+
+    def sorted_pdf(df):
+        pdf = df.toPandas()
+        return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+    base_pairs = sorted_pdf(qs["i3_cosine_pairs"].fn(spark, SMOKE_SF_DIR))
+    base_topk = sorted_pdf(qs["i4_topk_similar"].fn(spark, SMOKE_SF_DIR))
+    # tiny cell budget -> chunk floor of 64 rows per kernel call
+    spark.conf.set(llmops._CHUNK_CELLS_CONF, "1")
+    try:
+        assert llmops._chunk_rows_for(spark, 1000) == 64
+        chunk_pairs = sorted_pdf(qs["i3_cosine_pairs"].fn(spark, SMOKE_SF_DIR))
+        chunk_topk = sorted_pdf(qs["i4_topk_similar"].fn(spark, SMOKE_SF_DIR))
+    finally:
+        spark.conf.unset(llmops._CHUNK_CELLS_CONF)
+    pd.testing.assert_frame_equal(base_pairs, chunk_pairs)
+    pd.testing.assert_frame_equal(base_topk, chunk_topk)
