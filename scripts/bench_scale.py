@@ -177,6 +177,8 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=None,
                     help="reuse an existing synthesized dir")
     ap.add_argument("--keep-dir", action="store_true")
+    ap.add_argument("--duck-mem", default="48GB",
+                    help="DuckDB memory_limit; both engines share the box")
     args = ap.parse_args()
     n = args.rows
     n_vec = args.vectors if args.vectors is not None else max(n // 1000, 2000)
@@ -217,10 +219,10 @@ def main() -> None:
 
     con = duckdb.connect()
     # Cap DuckDB so both engines fit the box TOGETHER at the 1e8 tier:
-    # DuckDB's default (80% of RAM) plus a 36-48g JVM heap plus 32
-    # Python workers OOM-killed the JVM mid-run once. 40 GB is still
-    # ~3x what its heaviest headliner (d1 at 1e8 docs) needs.
-    con.sql("SET memory_limit='32GB'")
+    # DuckDB's default (80% of RAM) plus the JVM heap plus 32 Python
+    # workers OOM-killed the JVM mid-run; but capping too low (32GB)
+    # made v1's all-pairs spill ~40+ GB of sort temp and fill the disk.
+    con.sql(f"SET memory_limit='{args.duck_mem}'")
     for t in ("lineitem", "orders", "customer", "supplier", "nation",
               "region", "events", "documents", "embeddings"):
         p = f"{sf_dir}/{t}.parquet"
@@ -229,6 +231,7 @@ def main() -> None:
 
     qs = all_queries()
     results = []  # (headline, spark_cold, spark_warm, duck_cold, duck_warm)
+    last_headline = list(_headliners())[-1]
     for headline, (qid, digest) in _headliners().items():
         q = qs[qid]
 
@@ -248,6 +251,15 @@ def main() -> None:
 
         s_cold, s_rows = run_spark()
         s_warm = statistics.median(run_spark()[0] for _ in range(RUNS))
+        if headline == last_headline:
+            # All Spark measurements are done once the final headliner's
+            # spark side finishes. v1's DuckDB digest (window-rank over
+            # the n² pair table) needs most of the box: under any
+            # smaller limit it spills >65 GB of sort temp and dies on
+            # disk. Shut the JVM down and give DuckDB the box — each
+            # engine measures its O(n²) protocol with the full machine.
+            spark.stop()
+            con.sql("SET memory_limit='100GB'")
         d_cold, d_rows = run_duck()
         d_warm = statistics.median(run_duck()[0] for _ in range(RUNS))
         results.append((headline, s_cold, s_warm, d_cold, d_warm))
@@ -269,13 +281,17 @@ def main() -> None:
         f"{RUNS} prepared-plan runs; cold = first run (incl. one-time "
         "session caches). w1/d1/v1 consumed via the same count+sum "
         "digest on BOTH engines (operator cost, not fetch cost). "
-        "DuckDB capped at 32 GB (SET memory_limit) so both engines "
-        "fit the 128 GiB box together — uncapped it claims 80% of "
-        "RAM and the co-resident JVM gets OOM-killed. "
+        f"DuckDB capped at {args.duck_mem} (SET memory_limit) so both "
+        "engines fit the 128 GiB box together — uncapped it claims "
+        "80% of RAM and the co-resident JVM gets OOM-killed. "
         "v1's all-pairs protocol is O(n²) in both engines — its size "
         "is the vectors cap above, NOT the fact-row tier; the "
         "linear-protocol vector tiers (1e6-1e7) live in "
-        "STRESS_VECTORS_*.md.",
+        "STRESS_VECTORS_*.md. For the final headliner (v1) the JVM is "
+        "shut down before DuckDB's runs and its limit raised to "
+        "100 GB: its n²-pair window sort otherwise spills >65 GB of "
+        "temp and dies on disk — each engine gets the whole box for "
+        "the quadratic protocol.",
         "",
         "| query | spark warm (s) | duckdb warm (s) | ratio | "
         "spark cold | duckdb cold |",
