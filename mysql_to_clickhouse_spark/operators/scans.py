@@ -1825,3 +1825,49 @@ def a33_bloom_skip_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# a34_numbers_source — ClickHouse numbers()/system.numbers table function
+# ---------------------------------------------------------------------------
+
+_A34_N = 1_000_000
+
+_A34_ORACLE = f"""
+SELECT CAST(n % 97 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(n) AS BIGINT) AS sum_n,
+       CAST(MIN((n * n) % 1000003) AS BIGINT) AS min_sq_mod
+FROM (SELECT CAST(range AS BIGINT) AS n FROM range({_A34_N})) t
+GROUP BY bucket
+ORDER BY bucket
+LIMIT 10
+"""
+
+
+@register("a34_numbers_source", oracle=_A34_ORACLE, tier="T3")
+def a34_numbers_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``numbers(N)`` / ``system.numbers`` analog — the
+    virtual integer-sequence source CH users reach for to synthesize
+    test rows, drive date spines, and benchmark expressions without
+    touching a real table. Spark's native twin is ``spark.range(N)``:
+    a true distributed leaf (Range physical node, one split per core,
+    whole-stage-codegen'd), NOT a driver-side list — generating 1e12
+    rows on a 1000-executor cluster is the same plan as 1e6 here.
+    DuckDB twin: the ``range(N)`` table function, hash-checked.
+
+    Scale: generation is embarrassingly parallel and shuffle-free; the
+    only exchange is the 97-bucket partial-combined aggregate, and the
+    top-10 ORDER BY+LIMIT is a TakeOrdered, never a global sort."""
+    n = F.col("id")
+    return (
+        spark.range(_A34_N)
+        .groupBy((n % 97).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum(n).cast("long").alias("sum_n"),
+            F.min((n * n) % 1000003).cast("long").alias("min_sq_mod"),
+        )
+        .orderBy("bucket")
+        .limit(10)
+    )
