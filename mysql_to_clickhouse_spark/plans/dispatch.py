@@ -15,7 +15,7 @@ way a cost-based optimizer would, spending at most one cheap job:
 
 1. **Gate** (free, driver-side): read the fact side's optimized-plan
    ``sizeInBytes`` (file-size-backed for scans). Below
-   ``spark.mysql2ch.join.probeFactBytes`` (default 1 GiB) the shuffle
+   ``spark.mysql2ch.join.probeFactBytes`` (default 4 GiB) the shuffle
    is cheap and a probe job would cost more than it saves — return
    ``build`` untouched. This keeps sf0.01/sf0.1 correctness drives and
    the sub-second bench headliners byte-identical in plan and timing.
@@ -45,7 +45,13 @@ __all__ = ["broadcast_when_small", "fact_bytes_estimate"]
 
 _FACT_GATE_CONF = "spark.mysql2ch.join.probeFactBytes"
 _ROWS_CONF = "spark.mysql2ch.join.broadcastRows"
-_FACT_GATE_DEFAULT = 1 << 30  # 1 GiB of fact scan before a probe pays
+# 4 GiB of fact scan before a probe pays: measured at the 1e7 tier
+# (~1.3 GB lineitem) the per-invocation count job costs MORE than the
+# small shuffle it avoids (q5 0.84 -> 2.15 s warm with a 1 GiB gate),
+# while at the 1e8 tier (10+ GB) the probe wins 3-4x. The crossover is
+# where one pass over the reduced side stops being amortized by the
+# fact's shuffle write — a few GB on this hardware.
+_FACT_GATE_DEFAULT = 1 << 32
 _ROWS_DEFAULT = 5_000_000
 
 
