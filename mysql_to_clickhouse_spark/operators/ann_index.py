@@ -33,9 +33,7 @@ serve moves candidate rows only (|probed cells| of the corpus).
 
 from __future__ import annotations
 
-import hashlib
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -178,9 +176,27 @@ def ivf_query(
     )
 
 
+_SCRATCH_INDEX_DIRS: dict[str, str] = {}
+
+
 def _default_index_dir(sf_dir: str) -> str:
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"mysql2ch_ivf_{tag}")
+    """Per-process scratch allocation for the registered operator.
+
+    The registered i4f rebuilds its index on every call, so a stable
+    cross-process path bought nothing and cost two leaks: /tmp dirs
+    surviving the round (bypassing tmputil's atexit discipline) and
+    two concurrent drivers on the same sf_dir racing overwrite-vs-read
+    on shared parquet. mkdtemp-backed scratch is private to this
+    process and reclaimed at exit; it is memoized per (process,
+    sf_dir) so repeated calls (bench warm runs) overwrite one dir
+    instead of accumulating copies. Genuine build-once/serve-many use
+    passes an explicit, caller-owned ``index_dir`` instead."""
+    from mysql_to_clickhouse_spark.functions.tmputil import scratch_dir
+
+    key = os.path.abspath(sf_dir)
+    if key not in _SCRATCH_INDEX_DIRS:
+        _SCRATCH_INDEX_DIRS[key] = scratch_dir("i4f_ivf_")
+    return _SCRATCH_INDEX_DIRS[key]
 
 
 _I4F_K = 5

@@ -12,7 +12,10 @@ from pyspark.sql import functions as F
 
 from mysql_to_clickhouse_spark.functions.numeric import dmean, dsum, o_dmean, o_dsum
 from mysql_to_clickhouse_spark.functions.text import tokens
-from mysql_to_clickhouse_spark.plans.dispatch import broadcast_when_small
+from mysql_to_clickhouse_spark.plans.dispatch import (
+    broadcast_when_small,
+    parquet_rows_estimate,
+)
 from mysql_to_clickhouse_spark.registry import register
 from mysql_to_clickhouse_spark.tables import load
 
@@ -273,7 +276,10 @@ def x6_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders scan, the returnflag filter prunes lineitem row-groups;
     customer and nation broadcast (bounded dims), so the only shuffle
     is orders⋈lineitem on orderkey + the final 20-row TakeOrdered —
-    top-N never materializes a global sort. Tie-break: c_custkey."""
+    top-N never materializes a global sort. The quarter-reduced orders
+    side (~1/28th of orders) goes through the probe gate: when one
+    count proves it small, the lineitem side skips even that shuffle
+    write. Tie-break: c_custkey."""
     cust = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
     orders = load(spark, sf_dir, "orders").filter(
@@ -281,6 +287,7 @@ def x6_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = broadcast_when_small(orders, li, spark)
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
@@ -324,7 +331,10 @@ def x7_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     that shuffles — carries total_qty out of that aggregate, and joins
     the (rare) qualifying keys to orders then broadcast-customer. The
     HAVING filter runs map-side-partial first, so the join probe side
-    is tiny at any scale. Tie-break: o_orderkey."""
+    is tiny at any scale — which makes ``big`` the canonical probe-gate
+    build side: one count (cached through to the broadcast) proves the
+    qualifying-order set small and the orders fact skips its shuffle
+    write entirely. Tie-break: o_orderkey."""
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
@@ -335,6 +345,7 @@ def x7_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sum on BOTH engines, not an order-dependent double accumulation
         .filter(F.col("total_qty") > 300.0)
     )
+    big = broadcast_when_small(big, orders, spark)
     return (
         big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
@@ -526,6 +537,9 @@ def x10_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "cust_nation")
     # 2-of-25-nation orders side (~2e6 rows at the 1e8 tier) is usually
     # probe-broadcastable, removing the reduced key exchange entirely.
+    # (li_red is a join; the gate sizes it by its largest LEAF scan —
+    # the lineitem files — so the multiplicative join estimate that
+    # used to force the probe open at toy tiers no longer applies.)
     orders_red = broadcast_when_small(orders_red, li_red, spark)
     return (
         li_red.join(orders_red, F.col("o_orderkey") == F.col("l_orderkey"))
@@ -727,8 +741,12 @@ def x14_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     late — the one late supplier is this line's own). That turns Q21's
     notorious triple lineitem scan into: one orders⋈lineitem shuffle to
     tag lateness, one orderkey-partial aggregate, one orderkey join
-    back — each over the same key, so AQE can reuse the exchange. The
-    nation/supplier dims broadcast."""
+    back. The nation/supplier dims broadcast BEFORE the join back —
+    reduce-early: the single-nation filter shrinks the late-lines side
+    ~25x, and the probe gate then decides whether that reduced side
+    broadcasts into the per-order aggregate (skipping its join
+    exchange) or honestly shuffles on the shared orderkey, where AQE
+    can reuse the aggregate's exchange."""
     sup = load(spark, sf_dir, "supplier")
     nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     orders = load(spark, sf_dir, "orders").filter(
@@ -750,12 +768,16 @@ def x14_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_n_late_supp"
         ),
     )
-    return (
+    late_n3 = (
         tagged.filter(F.col("_late"))
-        .join(per_order, F.col("l_orderkey") == F.col("_ok"))
-        .filter((F.col("_n_supp") >= 2) & (F.col("_n_late_supp") == 1))
         .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("l_orderkey", "s_name")
+    )
+    late_n3 = broadcast_when_small(late_n3, li, spark)
+    return (
+        late_n3.join(per_order, F.col("l_orderkey") == F.col("_ok"))
+        .filter((F.col("_n_supp") >= 2) & (F.col("_n_late_supp") == 1))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
@@ -877,7 +899,16 @@ def x16_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one real shuffle is orders⋈lineitem — the p_name LIKE filter
     broadcast-prunes lineitem to ~1/6th before that exchange, which is
     exactly the join-order freedom Q9 exists to exercise. Group-by
-    cardinality is |nations|×|years| — trivially small final agg."""
+    cardinality is |nations|×|years| — trivially small final agg.
+
+    Probe-gate wiring (the expensive-build shape): the reduced side
+    here is ITSELF fact-derived (part-filtered lineitem), so a
+    declined probe would cost a full lineitem pass. The gate is
+    therefore pre-sized with footer stats — |lineitem| × the
+    dim-measured LIKE selectivity (|bolt parts| / |parts|) — and only
+    probes when that estimate says the reduced fact could plausibly
+    broadcast (a very selective part filter at a big tier); otherwise
+    the honest orderkey shuffle stands with zero probe cost."""
     part_sel = (
         load(spark, sf_dir, "part")
         .filter(F.col("p_name").like("%bolt%"))
@@ -890,8 +921,20 @@ def x16_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
         0.01
     ) * F.col("p_retailprice") * F.col("l_quantity")
+
+    def _li_red_rows_est() -> float:
+        n_sel = part_sel.count()  # dim-sized job: the stats lookup
+        n_all = max(parquet_rows_estimate(sf_dir, "part"), 1)
+        return parquet_rows_estimate(sf_dir, "lineitem") * (n_sel / n_all)
+
+    li_red = li.join(
+        F.broadcast(part_sel), F.col("p_partkey") == F.col("l_partkey")
+    )
+    li_red = broadcast_when_small(
+        li_red, orders, spark, build_rows_estimate=_li_red_rows_est
+    )
     return (
-        li.join(F.broadcast(part_sel), F.col("p_partkey") == F.col("l_partkey"))
+        li_red
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -942,9 +985,16 @@ def x17_replication_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     One window exchange on the CDC key does the FINAL collapse; the
     dim probe is broadcast (zero fact exchange); the final agg is
     segments-sized. At 100 TB the collapse shuffle is the pipeline's
-    only fact-scale exchange — same bound as a4 itself."""
+    only fact-scale exchange — same bound as a4 itself. The customer
+    dim is a REPLICATED table that grows with the source DB, so its
+    broadcast goes through the probe gate rather than a blind hint: at
+    small tiers Spark's auto-broadcast threshold picks it up
+    unchanged; at probe tiers one dim-sized count either confirms the
+    broadcast or lets an outsized dim degrade to a shuffle instead of
+    an executor OOM."""
     ev = load(spark, sf_dir, "events")
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cust = broadcast_when_small(cust, ev, spark)
     w = Window.partitionBy("user_id").orderBy(
         F.unix_micros("ts").desc(), F.col("event_id").desc()
     )
@@ -957,7 +1007,7 @@ def x17_replication_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         final.withColumn("c_key", F.pmod(F.col("user_id"), F.lit(1500)) + 1)
-        .join(F.broadcast(cust), F.col("c_key") == F.col("c_custkey"))
+        .join(cust, F.col("c_key") == F.col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_entities"),
@@ -1012,10 +1062,15 @@ def x18_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the daily grain aggregate is map-side-combinable off one
     scan; the dominant-type pick runs over the tiny (day, type) frame
-    and broadcast-joins back. The distinct-user count is the only
-    expensive aggregate (exact distinct per day) — at 100 TB swap in
-    d4's HLL sketch for it; the exact form is kept here because the
-    dashboard is the correctness gate for the sketch."""
+    and broadcast-joins back. That broadcast is deliberately NOT
+    probe-gated: the build is cardinality-bounded by construction
+    (one row per day after the rank-1 filter — a few thousand rows per
+    decade at ANY fact scale), so the static hint is already the
+    100 TB-correct plan and a probe would only add a job. The
+    distinct-user count is the only expensive aggregate (exact
+    distinct per day) — at 100 TB swap in d4's HLL sketch for it; the
+    exact form is kept here because the dashboard is the correctness
+    gate for the sketch."""
     ev = load(spark, sf_dir, "events")
     daily = ev.select(
         F.col("ts").cast("date").alias("day"), "event_type", "user_id", "value"

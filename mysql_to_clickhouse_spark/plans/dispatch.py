@@ -25,6 +25,17 @@ way a cost-based optimizer would, spending at most one cheap job:
    ``F.broadcast(build)``; above it, return ``build`` unchanged and
    the honest shuffle plan stands.
 
+Cost accounting: the probe's count job evaluates the reduced side
+once, so the build is ``persist()``-ed (MEMORY_AND_DISK) before the
+count. When the probe ACCEPTS, the cache (≤ ``broadcastRows`` rows by
+construction) feeds the broadcast exchange directly — the reduced
+side is computed exactly once per invocation and reclaimed by the
+ContextCleaner when the plan's references drop. When the probe
+DECLINES, the cache is released immediately (a declined build is by
+definition huge; holding it would evict useful blocks) and the honest
+shuffle plan recomputes it — one extra evaluation, paid only in the
+regime where the fact shuffle it was trying to dodge dominates both.
+
 At 100 TB both branches are the right answer: a reduced dim that is
 still a billion rows fails the probe and shuffles (broadcasting it
 would OOM every executor), while a genuinely small reduced side skips
@@ -40,8 +51,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
-__all__ = ["broadcast_when_small", "fact_bytes_estimate"]
+__all__ = [
+    "broadcast_when_small",
+    "fact_bytes_estimate",
+    "parquet_rows_estimate",
+]
 
 _FACT_GATE_CONF = "spark.mysql2ch.join.probeFactBytes"
 _ROWS_CONF = "spark.mysql2ch.join.broadcastRows"
@@ -56,24 +72,70 @@ _ROWS_DEFAULT = 5_000_000
 
 
 def fact_bytes_estimate(df: DataFrame) -> int:
-    """Catalyst's size estimate for ``df`` (bytes), driver-side, no job.
+    """Largest LEAF-scan size estimate under ``df`` (bytes), driver-side,
+    no job.
 
-    For a parquet scan this is the summed file size (what the static
-    planner itself uses); filters do not shrink it without CBO stats,
-    which biases the gate toward probing — the conservative direction,
-    since the probe is one count over the already-reduced side."""
-    stats = df._jdf.queryExecution().optimizedPlan().stats()
-    return int(str(stats.sizeInBytes()))
+    The top-level ``stats().sizeInBytes`` is useless for anything but a
+    bare scan: without CBO, Catalyst sizes a join as the *product* of
+    its children, so a fact that is itself a join would trip the gate
+    even at toy scale and burn a probe job the gate exists to avoid.
+    The max over leaf relations is the quantity the gate actually
+    reasons about — "how many bytes is the biggest table this plan will
+    shuffle" — and for a parquet scan it is the summed file size (what
+    the static planner itself uses). Filters do not shrink it without
+    CBO stats, which biases the gate toward probing — the conservative
+    direction, since the probe is one count over the reduced side."""
+    plan = df._jdf.queryExecution().optimizedPlan()
+    leaves = plan.collectLeaves()
+    best = 0
+    for i in range(leaves.size()):
+        best = max(best, int(str(leaves.apply(i).stats().sizeInBytes())))
+    return best
+
+
+def parquet_rows_estimate(sf_dir: str, table: str) -> int:
+    """Exact row count of one testbed table from parquet FOOTERS —
+    driver-side metadata reads, no Spark job, no data pages touched.
+
+    This is the moral equivalent of a catalog rowCount stat (what a
+    CBO would consult); on raw paths the footers are the catalog. Used
+    to pre-size probe decisions for builds that are themselves
+    fact-derived (Q9's part-filtered lineitem): |leaf rows| x a
+    dim-measured selectivity bounds the build without evaluating it."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    files = (
+        sorted(glob.glob(os.path.join(p, "*.parquet")))
+        if os.path.isdir(p)
+        else [p]
+    )
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
 def broadcast_when_small(
     build: DataFrame,
     fact: DataFrame,
     spark: SparkSession,
+    build_rows_estimate=None,
 ) -> DataFrame:
     """Return ``F.broadcast(build)`` iff a one-job probe proves it small
     AND the fact side is big enough that dodging its shuffle write pays
     for the probe; otherwise return ``build`` unchanged (same object).
+
+    ``build_rows_estimate`` (int or zero-arg callable, optional): a
+    cheap UPPER-BOUND-ish row estimate for the build side, consulted
+    after the bytes gate but before the probe. When the estimate
+    already exceeds the row limit the probe is skipped entirely — for
+    builds that are themselves fact-derived (Q9) a declined probe
+    would cost a full evaluation of the build, which is exactly the
+    work the gate exists to avoid spending pointlessly. The estimate
+    never FORCES a broadcast; a small estimate still runs the real
+    count (cached through to the broadcast exchange), so a bad
+    estimate can only cost one wasted pass, never an executor OOM.
 
     See module docstring for the two-step gate/probe protocol and the
     100 TB rationale for each branch."""
@@ -81,6 +143,19 @@ def broadcast_when_small(
     if fact_bytes_estimate(fact) < gate:
         return build
     limit = int(spark.conf.get(_ROWS_CONF, str(_ROWS_DEFAULT)))
+    if build_rows_estimate is not None:
+        est = (
+            build_rows_estimate()
+            if callable(build_rows_estimate)
+            else build_rows_estimate
+        )
+        if est > limit:
+            return build
+    # One evaluation, not two: cache the reduced side through the count
+    # so an ACCEPT feeds the broadcast exchange from the cache instead
+    # of recomputing (see module docstring's cost accounting).
+    build.persist(StorageLevel.MEMORY_AND_DISK)
     if build.count() <= limit:
         return F.broadcast(build)
+    build.unpersist(blocking=False)
     return build

@@ -236,10 +236,14 @@ def main() -> None:
         q = qs[qid]
 
         def run_spark():
+            # t0 BEFORE q.fn: plan construction includes any broadcast-
+            # probe count job (c10/c12/x6/x7/x10/x14/x15/x16/x17), which
+            # is a real per-invocation cost of the chosen strategy — the
+            # timed region must charge it to the query, not hide it.
+            t0 = time.time()
             df = q.fn(spark, sf_dir)
             if digest:
                 df = digest[0](df)
-            t0 = time.time()
             pdf = df.toPandas()
             return time.time() - t0, len(pdf)
 

@@ -81,16 +81,98 @@ def test_probe_declines_big_build(spark):
         _restore(spark, saved)
 
 
-def test_c12_c10_hash_stable_under_forced_probe(spark, duck):
+# Every reduced-dim⋈fact join routed through the probe gate. This list
+# is the registry-wide wiring contract: a new star-shaped golden query
+# should either appear here (and in the forced-probe hash test below)
+# or document in its docstring why the static plan is already
+# scale-correct (x18: cardinality-bounded build by construction).
+WIRED_QUERIES = (
+    "c10_star_multiway",
+    "c12_q3_shipping",
+    "x6_tpch_q10",
+    "x7_tpch_q18",
+    "x10_tpch_q7",
+    "x14_tpch_q21",
+    "x15_tpch_q8",
+    "x16_tpch_q9",
+    "x17_replication_pipeline",
+)
+
+
+def test_wired_sites_enumerated():
+    """Each contracted query's source really routes a join side through
+    broadcast_when_small (guards against a refactor silently dropping
+    the dispatch), and x18's deliberate non-wiring is documented."""
+    import inspect
+
+    qs = all_queries()
+    for qid in WIRED_QUERIES:
+        src = inspect.getsource(qs[qid].fn)
+        assert "broadcast_when_small" in src, f"{qid} lost its probe gate"
+    x18 = inspect.getsource(qs["x18_dashboard"].fn)
+    assert "NOT" in x18 and "probe" in x18.lower(), (
+        "x18's static-broadcast rationale must stay documented"
+    )
+
+
+def test_wired_hash_stable_under_forced_probe(spark, duck):
     """The probe is a pure strategy choice: forcing it on (gate=0) must
-    leave c12/c10 oracle-equal under the strict driver-hash model."""
+    leave every wired query oracle-equal under the strict driver-hash
+    model — including the shapes whose build side is itself a join or
+    aggregate (x7/x14/x16) and the estimator-gated Q9."""
     from mysql_to_clickhouse_spark.verify import run_and_compare
 
     qs = all_queries()
     saved = _with_conf(spark, {_GATE: "0"})
     try:
-        for qid in ("c12_q3_shipping", "c10_star_multiway"):
+        for qid in WIRED_QUERIES:
             res = run_and_compare(spark, duck, qs[qid], TEST_SF_DIR)
             assert res.ok, f"{qid}: {res.detail}"
     finally:
         _restore(spark, saved)
+
+
+def test_rows_estimate_skips_probe(spark):
+    """A too-big pre-estimate short-circuits before any job: the build
+    comes back untouched even though the gate is forced open, and the
+    estimator thunk is consulted exactly once."""
+    saved = _with_conf(spark, {_GATE: "0", _ROWS: "1000"})
+    calls = []
+
+    def est():
+        calls.append(1)
+        return 10_000_000
+
+    try:
+        li = load(spark, TEST_SF_DIR, "lineitem")
+        build = load(spark, TEST_SF_DIR, "orders").select("o_orderkey")
+        out = broadcast_when_small(build, li, spark, build_rows_estimate=est)
+        assert out is build
+        assert calls == [1]
+    finally:
+        _restore(spark, saved)
+
+
+def test_parquet_rows_estimate_matches_scan():
+    """Footer row counts equal the engine's own scan counts (the
+    estimator is exact on immutable files, not a heuristic)."""
+    from mysql_to_clickhouse_spark.plans.dispatch import parquet_rows_estimate
+
+    import duckdb
+
+    for table in ("orders", "part"):
+        footer = parquet_rows_estimate(TEST_SF_DIR, table)
+        path = f"{TEST_SF_DIR}/{table}.parquet"
+        real = duckdb.sql(f"SELECT COUNT(*) FROM '{path}'").fetchone()[0]
+        assert footer == real, table
+
+
+def test_fact_bytes_estimate_uses_leaves(spark):
+    """A join-shaped fact must NOT inflate to the multiplicative
+    Catalyst product: the estimate for orders⋈lineitem equals the max
+    of the two scans' estimates (the r7 x10 regression shape)."""
+    li = load(spark, TEST_SF_DIR, "lineitem")
+    orders = load(spark, TEST_SF_DIR, "orders")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    leaf_max = max(fact_bytes_estimate(li), fact_bytes_estimate(orders))
+    assert fact_bytes_estimate(joined) == leaf_max
