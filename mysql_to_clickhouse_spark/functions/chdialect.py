@@ -1,0 +1,419 @@
+"""ClickHouse-dialect SQL surface: run CH-idiom query text near-verbatim.
+
+A user migrating from the reference category carries ClickHouse SQL —
+``countIf``, ``uniq``, ``argMax``, ``quantile(0.5)(x)``, ``toYYYYMM``,
+``JSONExtractInt``, ``splitByChar``, ``arrayJoin`` … The engine has had
+the *semantics* of each since the §2 operators landed (d5, d4, d6, d8,
+g4, g9, g2, g12); this module makes the *names* resolve, via two
+mechanisms chosen by what Spark can express:
+
+1. **Real function registration** (``register_ch_functions``): every
+   scalar CH name becomes a Spark SQL UDF — ``CREATE OR REPLACE
+   TEMPORARY FUNCTION name(args) RETURNS t RETURN <expr>``. Catalyst
+   inlines the body at analysis time, so these are plain Project
+   expressions under whole-stage codegen: zero Python, zero call
+   overhead, indistinguishable from writing the builtin directly. Once
+   registered, the names work in ANY ``spark.sql`` text for the
+   session, not just through the translator.
+
+2. **Dialect translation** (``translate_ch_sql``) for the forms Spark
+   cannot register: aggregate names and -If combinators (SQL UDF
+   bodies reject aggregates —
+   USER_DEFINED_FUNCTIONS.CANNOT_CONTAIN_COMPLEX_FUNCTIONS), the
+   parametric call shape ``quantile(p)(x)`` (not a function name at
+   all), the variadic ``multiIf``, and the typed-cast family
+   ``toInt64(e)`` (argument type must stay open). The translator is a
+   small paren-aware scanner: string literals / quoted identifiers are
+   skipped, arguments are split at top-level commas and rewritten
+   recursively, and any identifier it does not know passes through
+   untouched — so mixed CH + Spark SQL text is fine.
+
+``ch_sql(spark, text)`` composes both: register, translate, run.
+
+Semantics notes (the honest deltas, each carried in _NAME_MAP for the
+docs table):
+- ``uniq``/``uniqCombined``/``uniqHLL12`` map to Spark's HLL++
+  ``approx_count_distinct`` — approximate on both engines, different
+  sketches, so estimates differ from CH's; ``uniqExact`` is exact and
+  bit-portable.
+- ``quantile``/``quantileTDigest`` map to ``percentile_approx``
+  (different sketch than CH's reservoir/t-digest — approximate on
+  both); ``quantileExact`` maps to exact ``percentile``, which matches
+  CH's quantileExactInclusive/DuckDB quantile_cont interpolation.
+- ``groupArray`` maps to ``collect_list``: element ORDER is
+  insertion-order in CH but partition-dependent in Spark — wrap in
+  ``sort_array`` (as d7 does) when order matters.
+- ``cityHash64`` maps to ``xxhash64``: a stable 64-bit hash with the
+  same uses (bucketing, sampling, fingerprints) but different VALUES
+  than CH's CityHash — do not compare raw hashes across engines.
+"""
+
+from __future__ import annotations
+
+import weakref
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = [
+    "register_ch_functions",
+    "translate_ch_sql",
+    "ch_sql",
+    "CH_FUNCTION_DOC",
+]
+
+
+# ---------------------------------------------------------------------------
+# 1. Scalar names — registered as Catalyst-inlined SQL UDFs
+# ---------------------------------------------------------------------------
+
+# name -> (typed param list, return type, body expression)
+_SCALAR_UDFS: dict[str, tuple[str, str, str]] = {
+    # date/time bucketing (CH Date/DateTime split mirrored: sub-day
+    # starts return TIMESTAMP, month-and-coarser return DATE)
+    "toYYYYMM": ("(ts TIMESTAMP)", "INT", "year(ts) * 100 + month(ts)"),
+    "toYYYYMMDD": (
+        "(ts TIMESTAMP)",
+        "INT",
+        "year(ts) * 10000 + month(ts) * 100 + day(ts)",
+    ),
+    "toStartOfMinute": ("(ts TIMESTAMP)", "TIMESTAMP", "date_trunc('MINUTE', ts)"),
+    "toStartOfHour": ("(ts TIMESTAMP)", "TIMESTAMP", "date_trunc('HOUR', ts)"),
+    "toStartOfDay": ("(ts TIMESTAMP)", "TIMESTAMP", "date_trunc('DAY', ts)"),
+    "toStartOfMonth": (
+        "(ts TIMESTAMP)",
+        "DATE",
+        "CAST(date_trunc('MONTH', ts) AS DATE)",
+    ),
+    "toStartOfQuarter": (
+        "(ts TIMESTAMP)",
+        "DATE",
+        "CAST(date_trunc('QUARTER', ts) AS DATE)",
+    ),
+    "toStartOfYear": (
+        "(ts TIMESTAMP)",
+        "DATE",
+        "CAST(date_trunc('YEAR', ts) AS DATE)",
+    ),
+    # Spark weeks start Monday, same as CH toMonday
+    "toMonday": ("(ts TIMESTAMP)", "DATE", "CAST(date_trunc('WEEK', ts) AS DATE)"),
+    "toDate": ("(ts TIMESTAMP)", "DATE", "CAST(ts AS DATE)"),
+    # date/time parts (CH numbering: toDayOfWeek is Monday=1..Sunday=7;
+    # Spark dayofweek is Sunday=1 — shimmed)
+    "toYear": ("(ts TIMESTAMP)", "INT", "year(ts)"),
+    "toMonth": ("(ts TIMESTAMP)", "INT", "month(ts)"),
+    "toDayOfMonth": ("(ts TIMESTAMP)", "INT", "day(ts)"),
+    "toDayOfYear": ("(ts TIMESTAMP)", "INT", "dayofyear(ts)"),
+    "toDayOfWeek": ("(ts TIMESTAMP)", "INT", "((dayofweek(ts) + 5) % 7) + 1"),
+    "toHour": ("(ts TIMESTAMP)", "INT", "hour(ts)"),
+    "toMinute": ("(ts TIMESTAMP)", "INT", "minute(ts)"),
+    "toSecond": ("(ts TIMESTAMP)", "INT", "second(ts)"),
+    "toUnixTimestamp": ("(ts TIMESTAMP)", "BIGINT", "unix_seconds(ts)"),
+    # JSON (single-key form; CH's multi-level keys become a JSONPath)
+    "JSONExtractInt": (
+        "(j STRING, k STRING)",
+        "BIGINT",
+        "CAST(get_json_object(j, concat('$.', k)) AS BIGINT)",
+    ),
+    "JSONExtractFloat": (
+        "(j STRING, k STRING)",
+        "DOUBLE",
+        "CAST(get_json_object(j, concat('$.', k)) AS DOUBLE)",
+    ),
+    "JSONExtractString": (
+        "(j STRING, k STRING)",
+        "STRING",
+        "get_json_object(j, concat('$.', k))",
+    ),
+    "JSONHas": (
+        "(j STRING, k STRING)",
+        "BOOLEAN",
+        "get_json_object(j, concat('$.', k)) IS NOT NULL",
+    ),
+    # strings/arrays (\\Q..\\E regex-quotes the separator so split is
+    # literal, matching CH's non-regex split)
+    "splitByChar": (
+        "(sep STRING, s STRING)",
+        "ARRAY<STRING>",
+        "split(s, concat('\\\\Q', sep, '\\\\E'))",
+    ),
+    "splitByString": (
+        "(sep STRING, s STRING)",
+        "ARRAY<STRING>",
+        "split(s, concat('\\\\Q', sep, '\\\\E'))",
+    ),
+    "arrayStringConcat": (
+        "(arr ARRAY<STRING>, sep STRING)",
+        "STRING",
+        "array_join(arr, sep)",
+    ),
+    "empty": ("(s STRING)", "BOOLEAN", "length(s) = 0"),
+    "notEmpty": ("(s STRING)", "BOOLEAN", "length(s) > 0"),
+    "lengthUTF8": ("(s STRING)", "INT", "length(s)"),
+    # arithmetic sugar
+    "intDiv": ("(a BIGINT, b BIGINT)", "BIGINT", "a div b"),
+    "intDivOrZero": (
+        "(a BIGINT, b BIGINT)",
+        "BIGINT",
+        "CASE WHEN b = 0 THEN 0 ELSE a div b END",
+    ),
+    "divide": ("(a DOUBLE, b DOUBLE)", "DOUBLE", "a / b"),
+    # hashing: stable 64-bit, different values than CH (see module doc)
+    "cityHash64": ("(s STRING)", "BIGINT", "xxhash64(s)"),
+}
+
+_REGISTERED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
+
+def register_ch_functions(spark: SparkSession) -> None:
+    """Register every scalar CH name on the session (idempotent).
+
+    These are SQL UDFs: Catalyst inlines the RETURN expression, so the
+    registered names cost exactly what the equivalent builtin text
+    costs — verified by tests/test_chdialect.py's codegen assertion."""
+    if spark in _REGISTERED:
+        return
+    for name, (params, rtype, body) in _SCALAR_UDFS.items():
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{params} "
+            f"RETURNS {rtype} RETURN {body}"
+        )
+    _REGISTERED.add(spark)
+
+
+# ---------------------------------------------------------------------------
+# 2. Dialect translation — the shapes Spark cannot register
+# ---------------------------------------------------------------------------
+
+# plain name-for-name renames (argument lists pass through)
+_RENAMES: dict[str, str] = {
+    "uniq": "approx_count_distinct",
+    "uniqCombined": "approx_count_distinct",
+    "uniqHLL12": "approx_count_distinct",
+    "argMax": "max_by",
+    "argMin": "min_by",
+    "groupArray": "collect_list",
+    "groupUniqArray": "collect_set",
+    "arrayJoin": "explode",
+}
+
+# -If aggregate combinators: agg(x, cond) -> agg(CASE WHEN cond THEN x END)
+_IF_COMBINATORS: dict[str, str] = {
+    "sumIf": "sum",
+    "avgIf": "avg",
+    "minIf": "min",
+    "maxIf": "max",
+}
+
+# typed casts: toT(e) -> CAST((e) AS T) — argument type stays open
+_CASTS: dict[str, str] = {
+    "toInt8": "TINYINT",
+    "toInt16": "SMALLINT",
+    "toInt32": "INT",
+    "toInt64": "BIGINT",
+    "toFloat32": "FLOAT",
+    "toFloat64": "DOUBLE",
+    "toString": "STRING",
+    "toDateTime": "TIMESTAMP",
+    "toBool": "BOOLEAN",
+}
+
+# parametric aggregates: name(p...)(x) -> spark_name(x, p | array(p...))
+_QUANTILES: dict[str, str] = {
+    "quantile": "percentile_approx",
+    "quantileTDigest": "percentile_approx",
+    "quantiles": "percentile_approx",
+    "quantileExact": "percentile",
+    "quantilesExact": "percentile",
+}
+
+_TRANSLATED = (
+    set(_RENAMES)
+    | set(_IF_COMBINATORS)
+    | set(_CASTS)
+    | set(_QUANTILES)
+    | {"countIf", "uniqExact", "multiIf", "splitByChar", "splitByString"}
+)
+
+
+def _scan_string(sql: str, i: int, quote: str) -> int:
+    """Return the index just past the literal/quoted identifier that
+    starts at ``i`` (doubled-quote escapes respected)."""
+    n = len(sql)
+    j = i + 1
+    while j < n:
+        if sql[j] == "\\" and quote == "'" and j + 1 < n:
+            j += 2
+            continue
+        if sql[j] == quote:
+            if j + 1 < n and sql[j + 1] == quote:
+                j += 2
+                continue
+            return j + 1
+        j += 1
+    return n
+
+
+def _parse_group(sql: str, i: int) -> tuple[list[str], int]:
+    """Parse the balanced paren group starting at ``sql[i] == '('``;
+    return (top-level-comma-split raw args, index just past ')')."""
+    assert sql[i] == "("
+    n = len(sql)
+    depth = 0
+    args: list[str] = []
+    buf: list[str] = []
+    j = i
+    while j < n:
+        c = sql[j]
+        if c in "'\"`":
+            end = _scan_string(sql, j, c)
+            buf.append(sql[j:end])
+            j = end
+            continue
+        if c == "(":
+            depth += 1
+            if depth > 1:
+                buf.append(c)
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                arg = "".join(buf).strip()
+                if arg or args:
+                    args.append(arg)
+                return args, j + 1
+            buf.append(c)
+        elif c == "," and depth == 1:
+            args.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(c)
+        j += 1
+    raise ValueError(f"unbalanced parens in CH SQL at offset {i}")
+
+
+def _rewrite_call(word: str, args: list[str], params: list[str] | None) -> str:
+    args = [translate_ch_sql(a) for a in args]
+    if word in _RENAMES:
+        return f"{_RENAMES[word]}({', '.join(args)})"
+    if word in _IF_COMBINATORS:
+        if len(args) != 2:
+            raise ValueError(f"{word} expects (x, cond), got {len(args)} args")
+        x, cond = args
+        return f"{_IF_COMBINATORS[word]}(CASE WHEN ({cond}) THEN ({x}) END)"
+    if word == "countIf":
+        if len(args) == 1:
+            return f"count_if({args[0]})"
+        if len(args) == 2:
+            # CH count(x)If(cond): count non-null x where cond holds
+            return f"count(CASE WHEN ({args[1]}) THEN ({args[0]}) END)"
+        raise ValueError(f"countIf expects 1 or 2 args, got {len(args)}")
+    if word == "uniqExact":
+        return f"count(DISTINCT {', '.join(args)})"
+    if word in ("splitByChar", "splitByString"):
+        # ALSO registered as SQL UDFs, but Spark rejects SQL-UDF calls
+        # under a Generate (UNSUPPORTED_SQL_UDF_USAGE), which is exactly
+        # where CH puts them: arrayJoin(splitByChar(...)). Translating
+        # to the raw builtin keeps the lateral-expansion idiom working.
+        if len(args) != 2:
+            raise ValueError(f"{word} expects (sep, s), got {len(args)} args")
+        sep, s = args
+        return f"split(({s}), concat('\\\\Q', ({sep}), '\\\\E'))"
+    if word == "multiIf":
+        if len(args) < 3 or len(args) % 2 == 0:
+            raise ValueError("multiIf expects cond1, val1, ..., else")
+        whens = "".join(
+            f" WHEN ({args[k]}) THEN ({args[k + 1]})"
+            for k in range(0, len(args) - 1, 2)
+        )
+        return f"CASE{whens} ELSE ({args[-1]}) END"
+    if word in _CASTS:
+        if len(args) != 1:
+            raise ValueError(f"{word} expects 1 arg, got {len(args)}")
+        return f"CAST(({args[0]}) AS {_CASTS[word]})"
+    if word in _QUANTILES:
+        # parametric form: word was followed by (params)(args); the
+        # bare form word(x) defaults to the CH default level 0.5
+        levels = [translate_ch_sql(p) for p in params] if params else ["0.5"]
+        if len(args) != 1:
+            raise ValueError(f"{word} expects exactly one aggregated column")
+        plural = word in ("quantiles", "quantilesExact")
+        lv = (
+            "array(" + ", ".join(levels) + ")"
+            if plural or len(levels) > 1
+            else levels[0]
+        )
+        return f"{_QUANTILES[word]}(({args[0]}), {lv})"
+    raise AssertionError(f"unhandled CH function {word}")  # pragma: no cover
+
+
+def translate_ch_sql(sql: str) -> str:
+    """Rewrite the CH-dialect forms Spark cannot register into Spark
+    SQL. Pure text-to-text; identifiers it does not know, string
+    literals, and quoted identifiers pass through byte-identical.
+    (Comments are not stripped — don't put CH calls in comments.)"""
+    out: list[str] = []
+    i = 0
+    n = len(sql)
+    while i < n:
+        c = sql[i]
+        if c in "'\"`":
+            end = _scan_string(sql, i, c)
+            out.append(sql[i:end])
+            i = end
+            continue
+        if c.isalpha() or c == "_":
+            j = i
+            while j < n and (sql[j].isalnum() or sql[j] == "_"):
+                j += 1
+            word = sql[i:j]
+            k = j
+            while k < n and sql[k].isspace():
+                k += 1
+            if word in _TRANSLATED and k < n and sql[k] == "(":
+                first, end = _parse_group(sql, k)
+                params = None
+                if word in _QUANTILES:
+                    # peek for the parametric second group
+                    m = end
+                    while m < n and sql[m].isspace():
+                        m += 1
+                    if m < n and sql[m] == "(":
+                        second, end = _parse_group(sql, m)
+                        params, first = first, second
+                out.append(_rewrite_call(word, first, params))
+                i = end
+            else:
+                out.append(word)
+                i = j
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def ch_sql(spark: SparkSession, text: str) -> DataFrame:
+    """Run ClickHouse-dialect SQL text: register the scalar CH names,
+    translate the unregistrable forms, hand the result to spark.sql
+    (same Catalyst path as every other query)."""
+    register_ch_functions(spark)
+    return spark.sql(translate_ch_sql(text))
+
+
+# ---------------------------------------------------------------------------
+# Docs table: every surfaced CH name -> mechanism + §2 operator family
+# (rendered into COVERAGE.md by scripts/gen_coverage.py)
+# ---------------------------------------------------------------------------
+
+CH_FUNCTION_DOC: list[tuple[str, str, str]] = (
+    [(n, "SQL UDF (inlined)", "g4/g5 date" if n.startswith("to") else "g9/g2/g7/g10")
+     for n in _SCALAR_UDFS]
+    + [(n, f"rename -> {_RENAMES[n]}", "d4/d6/d7/g12") for n in _RENAMES]
+    + [(n, f"combinator -> {_IF_COMBINATORS[n]}(CASE WHEN ...)", "d5 cond-agg")
+       for n in _IF_COMBINATORS]
+    + [(n, f"cast -> CAST(... AS {_CASTS[n]})", "a6/g14 casts") for n in _CASTS]
+    + [(n, f"parametric -> {_QUANTILES[n]}", "d8 quantile") for n in _QUANTILES]
+    + [
+        ("countIf", "rename / combinator", "d5 cond-agg"),
+        ("uniqExact", "-> count(DISTINCT ...)", "d3 count-distinct"),
+        ("multiIf", "-> CASE WHEN chain", "b7 case-when"),
+    ]
+)

@@ -663,3 +663,199 @@ def s12_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     Zero runtime cost vs an explicit column list."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_S12_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# s13 family — the ClickHouse-DIALECT entry point: CH function names
+# resolving near-verbatim through spark.sql (functions/chdialect.py).
+# A reference-category user's query text, not a restatement of it.
+# ---------------------------------------------------------------------------
+
+from mysql_to_clickhouse_spark.functions.chdialect import ch_sql  # noqa: E402
+
+_S13_CH_SQL = """
+SELECT toYYYYMMDD(ts) AS ymd,
+       toYYYYMM(ts) AS ym,
+       countIf(event_type = 'purchase') AS purchases,
+       countIf(user_id, event_type = 'view') AS view_user_rows,
+       COALESCE(sumIf(CAST(FLOOR(value * 10000.0) AS BIGINT),
+                      event_type = 'purchase'), 0) AS purchase_value_fp,
+       uniqExact(user_id) AS users,
+       argMax(user_id, event_id) AS latest_event_user,
+       quantileExact(0.5)(CAST(FLOOR(value * 10000.0) AS BIGINT))
+         AS median_value_fp,
+       multiIf(countIf(event_type = 'error') = 0, 'clean',
+               countIf(event_type = 'error') < 10, 'low',
+               'high') AS error_band
+FROM events
+GROUP BY toYYYYMMDD(ts), toYYYYMM(ts)
+ORDER BY ymd
+"""
+
+_S13_ORACLE = """
+SELECT CAST(year(ts) * 10000 + month(ts) * 100 + day(ts) AS INT) AS ymd,
+       CAST(year(ts) * 100 + month(ts) AS INT) AS ym,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+         AS purchases,
+       CAST(COUNT(user_id) FILTER (WHERE event_type = 'view') AS BIGINT)
+         AS view_user_rows,
+       CAST(COALESCE(SUM(CAST(FLOOR(value * 10000.0) AS BIGINT))
+                     FILTER (WHERE event_type = 'purchase'), 0) AS BIGINT)
+         AS purchase_value_fp,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+       arg_max(user_id, event_id) AS latest_event_user,
+       quantile_cont(CAST(FLOOR(value * 10000.0) AS BIGINT), 0.5)
+         AS median_value_fp,
+       CASE WHEN COUNT(*) FILTER (WHERE event_type = 'error') = 0 THEN 'clean'
+            WHEN COUNT(*) FILTER (WHERE event_type = 'error') < 10 THEN 'low'
+            ELSE 'high' END AS error_band
+FROM events
+GROUP BY 1, 2
+ORDER BY ymd
+"""
+
+
+@register("s13_ch_dialect_report", oracle=_S13_ORACLE)
+def s13_ch_dialect_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A daily KPI report written in ClickHouse SQL — countIf (both
+    arities), sumIf, uniqExact, argMax, parametric quantileExact,
+    multiIf, toYYYYMM(DD) — running near-verbatim through the dialect
+    layer. The aggregate names translate (Spark SQL UDFs cannot hold
+    aggregate bodies); the scalar names are REAL registered functions.
+
+    Scale: everything here inlines to builtin expressions under
+    whole-stage codegen — one map-side-combinable aggregate over one
+    scan, identical to writing the Spark names directly (plan-asserted
+    in tests/test_chdialect.py). argMax ties broken by unique event_id;
+    sums ride the fixed-point discipline."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return ch_sql(spark, _S13_CH_SQL)
+
+
+_S13B_CH_SQL = """
+SELECT JSONExtractInt(props, 'k') AS k,
+       COUNT(*) AS n,
+       countIf(JSONHas(props, 'k')) AS with_k,
+       uniqExact(JSONExtractString(props, 'k')) AS k_strs,
+       COALESCE(minIf(event_id, event_id % 2 = 0), -1) AS min_even_eid,
+       COALESCE(maxIf(event_id, event_id % 2 = 1), -1) AS max_odd_eid,
+       toInt32(COUNT(*) % 1000) AS n_mod
+FROM events
+GROUP BY JSONExtractInt(props, 'k')
+ORDER BY k
+"""
+
+_S13B_ORACLE = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       COUNT(*) AS n,
+       CAST(COUNT(*) FILTER (
+         WHERE json_extract_string(props, '$.k') IS NOT NULL) AS BIGINT)
+         AS with_k,
+       CAST(COUNT(DISTINCT json_extract_string(props, '$.k')) AS BIGINT)
+         AS k_strs,
+       CAST(COALESCE(MIN(event_id) FILTER (WHERE event_id % 2 = 0), -1)
+            AS BIGINT) AS min_even_eid,
+       CAST(COALESCE(MAX(event_id) FILTER (WHERE event_id % 2 = 1), -1)
+            AS BIGINT) AS max_odd_eid,
+       CAST(COUNT(*) % 1000 AS INT) AS n_mod
+FROM events
+GROUP BY 1
+ORDER BY k
+"""
+
+
+@register("s13b_ch_dialect_json", oracle=_S13B_ORACLE, tier="T2")
+def s13b_ch_dialect_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH JSON + -If-combinator surface: JSONExtractInt/String, JSONHas,
+    minIf/maxIf, uniqExact, toInt32 — grouped by an extracted JSON key,
+    as a replication user slices a MySQL JSON column after cutover.
+
+    Scale: get_json_object evaluates JVM-side per row off one scan; the
+    grouped aggregate is map-side combinable on the ~100-value key."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return ch_sql(spark, _S13B_CH_SQL)
+
+
+_S13C_CH_SQL = """
+SELECT tok, COUNT(*) AS n
+FROM (
+  SELECT arrayJoin(splitByChar(' ', lower(text))) AS tok
+  FROM documents
+)
+WHERE notEmpty(tok) AND lengthUTF8(tok) >= 3
+GROUP BY tok
+ORDER BY n DESC, tok
+LIMIT 20
+"""
+
+_S13C_ORACLE = """
+SELECT tok, COUNT(*) AS n
+FROM (
+  SELECT unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+)
+WHERE length(tok) > 0 AND length(tok) >= 3
+GROUP BY tok
+ORDER BY n DESC, tok
+LIMIT 20
+"""
+
+
+@register("s13c_ch_dialect_tokens", oracle=_S13C_ORACLE, tier="T2")
+def s13c_ch_dialect_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH array surface over documents: arrayJoin (lateral expansion ->
+    explode), splitByChar (literal split via \\Q...\\E regex-quoting),
+    notEmpty, lengthUTF8 — the top-20 token frequency query every CH
+    text corpus gets pointed at.
+
+    Scale: explode is generate-side (no shuffle); the token aggregate
+    shuffles |distinct tokens| partial counts — the i5/i6 text-stats
+    bound, unchanged by the dialect spelling."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return ch_sql(spark, _S13C_CH_SQL)
+
+
+_S13D_CH_SQL = """
+SELECT toString(toStartOfMonth(ts)) AS month_start,
+       toDayOfWeek(ts) AS dow,
+       COUNT(*) AS n,
+       uniqExact(toStartOfDay(ts)) AS active_days,
+       toString(MIN(toMonday(ts))) AS first_week_start,
+       MAX(toUnixTimestamp(toStartOfHour(ts))) AS last_hour_unix,
+       uniqExact(toHour(ts)) AS hours_seen
+FROM events
+GROUP BY toStartOfMonth(ts), toDayOfWeek(ts)
+ORDER BY month_start, dow
+"""
+
+_S13D_ORACLE = """
+SELECT CAST(CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS DATE)
+            AS VARCHAR) AS month_start,
+       CAST(isodow(CAST(ts AS TIMESTAMP)) AS INT) AS dow,
+       COUNT(*) AS n,
+       CAST(COUNT(DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)))
+            AS BIGINT) AS active_days,
+       CAST(CAST(MIN(date_trunc('week', CAST(ts AS TIMESTAMP))) AS DATE)
+            AS VARCHAR) AS first_week_start,
+       CAST(MAX(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))))
+            AS BIGINT) AS last_hour_unix,
+       CAST(COUNT(DISTINCT hour(CAST(ts AS TIMESTAMP))) AS BIGINT)
+         AS hours_seen
+FROM events
+GROUP BY 1, 2
+ORDER BY month_start, dow
+"""
+
+
+@register("s13d_ch_dialect_dates", oracle=_S13D_ORACLE, tier="T2")
+def s13d_ch_dialect_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH date-bucketing surface: toStartOfMonth/Day/Hour, toMonday,
+    toDayOfWeek (CH ISO numbering, Monday=1 — shimmed over Spark's
+    Sunday=1), toUnixTimestamp, toHour, toString — the calendar
+    roll-ups a CH dashboard is built from, all REAL registered
+    functions (no translation involved for the scalar names).
+
+    Scale: every bucket is a deterministic scalar of ts — inlined
+    builtin expressions, one combinable aggregate, one scan."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return ch_sql(spark, _S13D_CH_SQL)

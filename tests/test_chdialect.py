@@ -1,0 +1,164 @@
+"""CH-dialect layer (functions/chdialect.py): translator rewrites,
+scalar-name registration, and the no-Python-UDF plan guarantee."""
+
+from __future__ import annotations
+
+import pytest
+
+from mysql_to_clickhouse_spark.functions.chdialect import (
+    _SCALAR_UDFS,
+    CH_FUNCTION_DOC,
+    ch_sql,
+    register_ch_functions,
+    translate_ch_sql,
+)
+from mysql_to_clickhouse_spark.tables import load
+
+from tests.conftest import TEST_SF_DIR
+
+
+# ---------------------------------------------------------------------------
+# translator: pure text-to-text
+# ---------------------------------------------------------------------------
+
+CASES = [
+    # plain renames
+    ("uniq(x)", "approx_count_distinct(x)"),
+    ("argMax(a, b)", "max_by(a, b)"),
+    ("argMin(a, b)", "min_by(a, b)"),
+    ("groupUniqArray(x)", "collect_set(x)"),
+    ("arrayJoin(arr)", "explode(arr)"),
+    # countIf arities
+    ("countIf(a > 1)", "count_if(a > 1)"),
+    ("countIf(x, a > 1)", "count(CASE WHEN (a > 1) THEN (x) END)"),
+    # -If combinators
+    (
+        "sumIf(v, t = 'p')",
+        "sum(CASE WHEN (t = 'p') THEN (v) END)",
+    ),
+    ("avgIf(v, c)", "avg(CASE WHEN (c) THEN (v) END)"),
+    # uniqExact single and multi
+    ("uniqExact(x)", "count(DISTINCT x)"),
+    ("uniqExact(a, b)", "count(DISTINCT a, b)"),
+    # parametric quantiles
+    ("quantileExact(0.9)(v)", "percentile((v), 0.9)"),
+    ("quantile(0.5)(v)", "percentile_approx((v), 0.5)"),
+    ("quantile(v)", "percentile_approx((v), 0.5)"),  # CH default level
+    (
+        "quantiles(0.25, 0.75)(v)",
+        "percentile_approx((v), array(0.25, 0.75))",
+    ),
+    ("quantilesExact(0.5)(v)", "percentile((v), array(0.5))"),
+    # multiIf -> CASE chain
+    (
+        "multiIf(a, 1, b, 2, 3)",
+        "CASE WHEN (a) THEN (1) WHEN (b) THEN (2) ELSE (3) END",
+    ),
+    # typed casts keep the argument type open
+    ("toInt64(v)", "CAST((v) AS BIGINT)"),
+    ("toString(v)", "CAST((v) AS STRING)"),
+    # nesting rewrites inside arguments
+    (
+        "argMax(toInt64(a), sumIf(v, c))",
+        "max_by(CAST((a) AS BIGINT), sum(CASE WHEN (c) THEN (v) END))",
+    ),
+    # string literals and quoted identifiers pass through untouched
+    ("'countIf(x)'", "'countIf(x)'"),
+    ('"uniq"(x)', '"uniq"(x)'),
+    ("`argMax`", "`argMax`"),
+    # identifier that merely CONTAINS a CH name is not a call
+    ("colcountIf + countIfcol", "colcountIf + countIfcol"),
+    # a known name without parens is an identifier, not a call
+    ("SELECT uniq FROM t", "SELECT uniq FROM t"),
+]
+
+
+@pytest.mark.parametrize("src,expected", CASES)
+def test_translate(src, expected):
+    assert translate_ch_sql(src) == expected
+
+
+def test_translate_unbalanced_raises():
+    with pytest.raises(ValueError, match="unbalanced"):
+        translate_ch_sql("countIf(a > 1")
+
+
+def test_split_translates_for_generate():
+    out = translate_ch_sql("arrayJoin(splitByChar(',', s))")
+    assert out == "explode(split((s), concat('\\\\Q', (','), '\\\\E')))"
+
+
+# ---------------------------------------------------------------------------
+# registration: every scalar name resolves, values match CH semantics
+# ---------------------------------------------------------------------------
+
+
+def test_scalar_names_resolve_and_match(spark):
+    register_ch_functions(spark)
+    row = spark.sql(
+        "SELECT toYYYYMM(TIMESTAMP '1996-03-05 13:45:56') AS ym,"
+        "       toYYYYMMDD(TIMESTAMP '1996-03-05 13:45:56') AS ymd,"
+        "       toDayOfWeek(TIMESTAMP '1996-03-05 00:00:00') AS tue,"
+        "       toDayOfWeek(TIMESTAMP '1996-03-03 00:00:00') AS sun,"
+        "       toMonday(TIMESTAMP '1996-03-05 00:00:00') AS mon,"
+        "       toStartOfQuarter(TIMESTAMP '1996-05-20 00:00:00') AS q,"
+        "       JSONExtractInt('{\"k\": 42}', 'k') AS k,"
+        "       JSONHas('{\"k\": 42}', 'nope') AS has_nope,"
+        "       splitByChar('|', 'a|b') AS parts,"
+        "       arrayStringConcat(array('a', 'b'), '-') AS joined,"
+        "       intDiv(7, 2) AS idiv,"
+        "       intDivOrZero(7, 0) AS idiv0,"
+        "       notEmpty('') AS ne,"
+        "       toUnixTimestamp(TIMESTAMP '1970-01-01 00:01:00') AS ut"
+    ).collect()[0]
+    assert row.ym == 199603 and row.ymd == 19960305
+    # CH ISO numbering: Monday=1 .. Sunday=7 (1996-03-05 was a Tuesday,
+    # 1996-03-03 a Sunday)
+    assert row.tue == 2 and row.sun == 7
+    assert str(row.mon) == "1996-03-04"
+    assert str(row.q) == "1996-04-01"
+    assert row.k == 42 and row.has_nope is False
+    assert row.parts == ["a", "b"] and row.joined == "a-b"
+    assert row.idiv == 3 and row.idiv0 == 0
+    assert row.ne is False
+    assert row.ut == 60
+
+
+def test_registered_names_are_inlined_not_python(spark):
+    """The whole point of SQL-UDF registration: Catalyst inlines the
+    body, so the plan has NO Python evaluation nodes and the projection
+    stays inside whole-stage codegen."""
+    load(spark, TEST_SF_DIR, "events").createOrReplaceTempView("events")
+    df = ch_sql(
+        spark,
+        "SELECT toYYYYMM(ts) AS ym, countIf(event_type = 'view') AS v "
+        "FROM events GROUP BY toYYYYMM(ts)",
+    )
+    df.collect()  # materialize so AQE reports the FINAL plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # "*(n)" is the whole-stage-codegen marker in the final-plan format
+    assert "*(" in plan
+
+
+def test_docs_table_covers_every_surfaced_name():
+    documented = {name for name, _mech, _op in CH_FUNCTION_DOC}
+    for name in _SCALAR_UDFS:
+        assert name in documented, name
+    for name in ("countIf", "uniqExact", "multiIf", "argMax", "quantile"):
+        assert name in documented, name
+
+
+def test_ch_dialect_doc_fresh():
+    """docs/CH_DIALECT.md freshness guard (same discipline as PLANS.md):
+    every surfaced name appears in the rendered table, so the doc can't
+    silently go stale when a name is added."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    doc = open(os.path.join(repo, "docs", "CH_DIALECT.md")).read()
+    missing = [n for n, _m, _o in CH_FUNCTION_DOC if f"`{n}`" not in doc]
+    assert not missing, (
+        f"docs/CH_DIALECT.md stale; run scripts/gen_chdialect_doc.py: {missing}"
+    )

@@ -739,3 +739,148 @@ def test_random_condagg_parity(spark, duck, i):
     duck_pdf = duck.sql(sql).df()
     res = compare_frames(spark_pdf, duck_pdf)
     assert res.ok, f"divergence on:\n{sql}\n{res.detail}"
+
+
+# ---------------------------------------------------------------------------
+# CH-dialect fuzz: seeded CH-named-function queries through the dialect
+# layer (functions/chdialect.py) vs hand-restated DuckDB semantics.
+# Unlike the other axes this one CANNOT share text — the entire point is
+# the name-resolution/rewrite surface, so the generator emits the pair
+# (ClickHouse text, DuckDB restatement) in lockstep.
+# ---------------------------------------------------------------------------
+
+N_CH_QUERIES = 30
+
+_CH_KEYS = [
+    # (CH expr for Spark, DuckDB restatement)
+    (
+        "toYYYYMMDD(ts)",
+        "CAST(year(ts) * 10000 + month(ts) * 100 + day(ts) AS INT)",
+    ),
+    ("toDayOfWeek(ts)", "CAST(isodow(CAST(ts AS TIMESTAMP)) AS INT)"),
+    ("toHour(ts)", "CAST(hour(CAST(ts AS TIMESTAMP)) AS INT)"),
+    (
+        "toInt32(JSONExtractInt(props, 'k') % 10)",
+        "CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS INT)",
+    ),
+    ("toInt32(user_id % 13)", "CAST(user_id % 13 AS INT)"),
+]
+
+_CH_FP = "CAST(FLOOR(value * 10000.0) AS BIGINT)"
+
+
+def _ch_cond(rng: random.Random) -> tuple[str, str]:
+    r = rng.random()
+    if r < 0.3:
+        t = rng.choice(["view", "click", "purchase", "error", "signup"])
+        return (f"event_type = '{t}'",) * 2
+    if r < 0.55:
+        v = f"{rng.uniform(0, 400):.2f}"
+        return (f"value > {v}",) * 2
+    if r < 0.8:
+        k, j = rng.randint(2, 9), rng.randint(0, 1)
+        return (f"user_id % {k} = {j}",) * 2
+    v = rng.randint(10, 90)
+    return (
+        f"JSONExtractInt(props, 'k') > {v}",
+        f"CAST(json_extract_string(props, '$.k') AS BIGINT) > {v}",
+    )
+
+
+def _gen_ch_query(rng: random.Random) -> tuple[str, str]:
+    ch_aggs: list[str] = []
+    dk_aggs: list[str] = []
+
+    def add(ch: str, dk: str, alias: str) -> None:
+        ch_aggs.append(f"{ch} AS {alias}")
+        dk_aggs.append(f"{dk} AS {alias}")
+
+    for idx, which in enumerate(rng.sample(range(8), rng.randint(2, 4))):
+        a = f"a{idx}"
+        c_ch, c_dk = _ch_cond(rng)
+        if which == 0:
+            add(
+                f"countIf({c_ch})",
+                f"CAST(COUNT(*) FILTER (WHERE {c_dk}) AS BIGINT)",
+                a,
+            )
+        elif which == 1:
+            add(
+                f"countIf(user_id, {c_ch})",
+                f"CAST(COUNT(user_id) FILTER (WHERE {c_dk}) AS BIGINT)",
+                a,
+            )
+        elif which == 2:
+            add(
+                f"COALESCE(sumIf({_CH_FP}, {c_ch}), 0)",
+                f"CAST(COALESCE(SUM({_CH_FP}) FILTER (WHERE {c_dk}), 0)"
+                " AS BIGINT)",
+                a,
+            )
+        elif which == 3:
+            add(
+                f"COALESCE(minIf(event_id, {c_ch}), -1)",
+                f"CAST(COALESCE(MIN(event_id) FILTER (WHERE {c_dk}), -1)"
+                " AS BIGINT)",
+                a,
+            )
+        elif which == 4:
+            add(
+                "uniqExact(user_id)",
+                "CAST(COUNT(DISTINCT user_id) AS BIGINT)",
+                a,
+            )
+        elif which == 5:
+            fn = rng.choice(["argMax", "argMin"])
+            dk = {"argMax": "arg_max", "argMin": "arg_min"}[fn]
+            # event_id is unique -> deterministic pick on both engines
+            add(f"{fn}(user_id, event_id)", f"{dk}(user_id, event_id)", a)
+        elif which == 6:
+            p = rng.choice(["0.25", "0.5", "0.75", "0.9"])
+            add(
+                f"quantileExact({p})({_CH_FP})",
+                f"quantile_cont({_CH_FP}, {p})",
+                a,
+            )
+        else:
+            # avg over fixed-point bigints: exact integer sum (< 2^52)
+            # then one correctly-rounded division on both engines
+            add(
+                f"COALESCE(avgIf({_CH_FP}, {c_ch}), 0.0)",
+                f"COALESCE(AVG({_CH_FP}) FILTER (WHERE {c_dk}), 0.0)",
+                a,
+            )
+
+    w_ch = w_dk = ""
+    if rng.random() < 0.4:
+        c_ch, c_dk = _ch_cond(rng)
+        w_ch, w_dk = f"WHERE {c_ch}", f"WHERE {c_dk}"
+    if rng.random() < 0.8:
+        k_ch, k_dk = rng.choice(_CH_KEYS)
+        ch = (
+            f"SELECT {k_ch} AS k0, {', '.join(ch_aggs)} FROM events {w_ch} "
+            f"GROUP BY {k_ch} ORDER BY k0"
+        )
+        dk = (
+            f"SELECT {k_dk} AS k0, {', '.join(dk_aggs)} FROM events {w_dk} "
+            f"GROUP BY 1 ORDER BY k0"
+        )
+    else:
+        ch = f"SELECT {', '.join(ch_aggs)} FROM events {w_ch}"
+        dk = f"SELECT {', '.join(dk_aggs)} FROM events {w_dk}"
+    return ch, dk
+
+
+@pytest.mark.parametrize("i", range(N_CH_QUERIES))
+def test_random_ch_dialect_parity(spark, duck, i):
+    from mysql_to_clickhouse_spark.functions.chdialect import ch_sql
+
+    rng = random.Random(SEED * 577 + i)
+    ch_text, duck_text = _gen_ch_query(rng)
+    spark_pdf = ch_sql(spark, ch_text).toPandas()
+    duck_pdf = duck.sql(duck_text).df()
+    res = compare_frames(spark_pdf, duck_pdf)
+    assert res.ok, (
+        f"divergence on CH text:\n{ch_text}\n"
+        f"vs duck:\n{duck_text}\n{res.detail}"
+    )
