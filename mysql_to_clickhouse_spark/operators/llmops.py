@@ -3224,6 +3224,78 @@ ORDER BY vec_id
 """
 
 
+def _i28_best_blocked(
+    spark: SparkSession, corpus: DataFrame, ev: DataFrame
+) -> DataFrame:
+    """Per-corpus-vector nearest-eval CANDIDATES via the asymmetric
+    block cogroup (i4c's join topology with two distinct sides): each
+    (corpus-block × eval-block) cell emits, per corpus row, its local
+    winner under BOTH orderings the final aggregate uses — the
+    quantized argmax key (floor(cos·1e12)·1e5 − eval_id, int64-exact)
+    for nearest_eval_id and the raw cosine for max_cos. Emitting both
+    (≤ 2 rows per corpus row per eval block) makes the downstream
+    max_by/max provably equal to the broadcast path's full scan even
+    when two cosines collide at the 1e-12 quantization but differ in
+    the last ulp. No driver collect; the corpus replicates ×b to meet
+    every eval block — the honest cost once the eval side is too big
+    to broadcast."""
+    import numpy as np
+    import pandas as pd
+
+    from mysql_to_clickhouse_spark.functions.vectors import np_fixed_cosines
+
+    b = _n_blocks(spark)
+    blocks = F.array(*[F.lit(i) for i in range(b)])
+    left = corpus.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.xxhash64("vec_id"), F.lit(b)).cast("int").alias("ba"),
+        F.explode(blocks).alias("bb"),
+    )
+    right = ev.select(
+        F.col("eval_id").alias("vec_id"),
+        F.col("e").alias("embedding"),
+        F.explode(blocks).alias("ba"),
+        F.pmod(F.xxhash64("eval_id"), F.lit(b)).cast("int").alias("bb"),
+    )
+
+    def block_best(_key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "vec_id": pd.Series(dtype="int64"),
+                "eval_id": pd.Series(dtype="int64"),
+                "cos_sim": pd.Series(dtype="float64"),
+            }
+        )
+        if lpdf.empty or rpdf.empty:
+            return empty
+        l_ids, l_q, l_n = _np_block(lpdf)
+        r_ids, r_q, r_n = _np_block(rpdf)
+        cos = np_fixed_cosines(l_q, l_n, r_q, r_n)
+        # int64 mirror of the DataFrame argmax key — exact (≤ ~1e17)
+        key = np.floor(cos * 1e12).astype(np.int64) * 100000 - r_ids[None, :]
+        by_key = key.argmax(axis=1)
+        by_cos = cos.argmax(axis=1)
+        rows = np.arange(len(l_ids))
+        return pd.DataFrame(
+            {
+                "vec_id": np.concatenate([l_ids, l_ids]),
+                "eval_id": np.concatenate([r_ids[by_key], r_ids[by_cos]]),
+                "cos_sim": np.concatenate(
+                    [cos[rows, by_key], cos[rows, by_cos]]
+                ),
+            }
+        )
+
+    return (
+        left.groupby("ba", "bb")
+        .cogroup(right.groupby("ba", "bb"))
+        .applyInPandas(
+            block_best, schema="vec_id long, eval_id long, cos_sim double"
+        )
+    )
+
+
 @register("i28_semantic_decontam", oracle=_I28_ORACLE, tier="T2")
 def i28_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-level benchmark decontamination (the semantic
@@ -3238,18 +3310,26 @@ def i28_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the eval set is small by construction (benchmarks are
     thousands of rows, the corpus is billions) → broadcast it; the scan
     is corpus × |eval| with per-row argmax folded map-side — no
-    shuffle of the corpus at all. Above broadcast size, route through
-    i4's blocked cogroup instead (same dispatch as i3/i4)."""
+    shuffle of the corpus at all. Above
+    ``spark.mysql2ch.vector.broadcastThreshold`` (i3/i4's size rule)
+    the eval side routes through the blocked pair kernel instead
+    (``_i28_best_blocked``): an oversized eval set degrades to a
+    bounded cogroup, never an executor OOM. Both paths feed the SAME
+    final argmax expressions, hash-equal under the forced-threshold
+    test (tests/test_dispatch.py)."""
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     ev = emb.filter(F.col("vec_id") % 37 == 0).select(
         F.col("vec_id").alias("eval_id"), F.col("embedding").alias("e")
     )
     corpus = emb.filter(F.col("vec_id") % 37 != 0)
-    scored = corpus.join(F.broadcast(ev)).select(
-        "vec_id",
-        "eval_id",
-        cosine("embedding", "e").alias("cos_sim"),
-    )
+    if _use_broadcast_path(spark, ev):
+        scored = corpus.join(F.broadcast(ev)).select(
+            "vec_id",
+            "eval_id",
+            cosine("embedding", "e").alias("cos_sim"),
+        )
+    else:
+        scored = _i28_best_blocked(spark, corpus, ev)
     best = scored.groupBy("vec_id").agg(
         F.max_by(
             "eval_id",

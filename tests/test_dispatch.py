@@ -132,6 +132,27 @@ def test_wired_hash_stable_under_forced_probe(spark, duck):
         _restore(spark, saved)
 
 
+def test_i28_hash_stable_under_forced_blocked_path(spark, duck):
+    """i28's eval-side dispatch (r7 verdict 'What's wrong' #1): forcing
+    the vector broadcast threshold to 0 routes the eval set through the
+    asymmetric blocked cogroup, and the result must stay oracle-equal
+    under the strict driver-hash model — including the raw-vs-quantized
+    tie corner the two-ordering candidate emission exists for."""
+    from mysql_to_clickhouse_spark.verify import run_and_compare
+
+    qs = all_queries()
+    saved = _with_conf(
+        spark, {"spark.mysql2ch.vector.broadcastThreshold": "0"}
+    )
+    try:
+        res = run_and_compare(
+            spark, duck, qs["i28_semantic_decontam"], TEST_SF_DIR
+        )
+        assert res.ok, res.detail
+    finally:
+        _restore(spark, saved)
+
+
 def test_rows_estimate_skips_probe(spark):
     """A too-big pre-estimate short-circuits before any job: the build
     comes back untouched even though the gate is forced open, and the
