@@ -14,6 +14,13 @@ incremental-view-maintenance idea applied to the cell lists:
 - ``ivf_add``           — assign a NEW vector batch against the
   persisted centroids (broadcast join, map-side) and append it to the
   cell lists. No retrain, no touch of existing rows — the IVM step.
+  Re-adding a tombstoned id clears its tombstone (CDC re-insert).
+- ``ivf_delete``        — tombstone a batch of ids (a4's CDC delete
+  discipline): appended to ``<dir>/tombstones``, anti-joined at serve
+  time, so deletes take effect immediately at delta cost.
+- ``ivf_compact``       — physically drop tombstoned rows from the
+  cell lists and clear the tombstone set; serve results unchanged by
+  construction, scan cost restored to ∝ live rows.
 - ``ivf_query``         — serve a bounded query batch from the index
   alone: nearest ``nprobe`` centroids per query (broadcast against the
   tiny centroid relation), then an exact cosine top-k over ONLY the
@@ -52,6 +59,16 @@ def _centroids_path(index_dir: str) -> str:
 
 def _cells_path(index_dir: str) -> str:
     return os.path.join(index_dir, "cells")
+
+
+def _tombstones_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "tombstones")
+
+
+def _has_tombstones(index_dir: str) -> bool:
+    import glob
+
+    return bool(glob.glob(os.path.join(_tombstones_path(index_dir), "*.parquet")))
 
 
 def _assign_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
@@ -113,14 +130,101 @@ def ivf_add(spark: SparkSession, index_dir: str, new_vectors: DataFrame) -> None
     assign against the persisted centroids and append to the cell
     lists. Existing index rows are never read or rewritten — the cost
     is proportional to the delta, the incremental-view-maintenance
-    contract the k-family establishes for aggregates."""
+    contract the k-family establishes for aggregates.
+
+    CDC re-insert: an added id that was previously tombstoned becomes
+    servable again — its pending tombstone is cleared (one rewrite of
+    the tombstone set, cost ∝ |pending tombstones|, which compaction
+    keeps near zero; the cell lists are still never rewritten here)."""
     cents = spark.read.parquet(_centroids_path(index_dir))
+    batch = new_vectors.select("vec_id", "embedding")
+    if _has_tombstones(index_dir):
+        _rewrite_tombstones_minus(spark, index_dir, batch.select("vec_id"))
     (
-        _assign_cells(new_vectors.select("vec_id", "embedding"), cents)
+        _assign_cells(batch, cents)
         .write.mode("append")
         .partitionBy("cell")
         .parquet(_cells_path(index_dir))
     )
+
+
+def ivf_delete(spark: SparkSession, index_dir: str, deleted_ids: DataFrame) -> None:
+    """Tombstone a batch of vec_ids — a4's CDC delete discipline
+    applied to the index: the ids are APPENDED to ``<dir>/tombstones``
+    and serving anti-joins them, so deleted vectors stop being served
+    immediately while the cell lists stay untouched (delete cost ∝
+    delta, symmetric with ivf_add). Physical removal is deferred to
+    ``ivf_compact``; deleting an id the index never held is a no-op by
+    construction (the anti-join has nothing to suppress)."""
+    (
+        deleted_ids.select(F.col("vec_id").cast("long").alias("vec_id"))
+        .distinct()
+        .write.mode("append")
+        .parquet(_tombstones_path(index_dir))
+    )
+
+
+def _rewrite_tombstones_minus(
+    spark: SparkSession, index_dir: str, ids: DataFrame
+) -> None:
+    """Replace the tombstone set with (tombstones ANTI-JOIN ids) via a
+    temp-dir swap (parquet cannot be overwritten while being read). On
+    a production object store this swap is a metastore pointer flip."""
+    import shutil
+
+    tpath = _tombstones_path(index_dir)
+    tmp = tpath + ".rewrite.tmp"
+    remaining = (
+        spark.read.parquet(tpath)
+        .join(ids.select("vec_id"), "vec_id", "left_anti")
+        .distinct()
+    )
+    remaining.coalesce(1).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(tpath)
+    os.rename(tmp, tpath)
+
+
+def _live_members(
+    spark: SparkSession, index_dir: str, cells_filter=None
+) -> DataFrame:
+    """Cell-list rows that are still live: the (possibly partition-
+    pruned) cell scan anti-joined against pending tombstones. The
+    anti-join is left unhinted — Spark auto-broadcasts a small
+    tombstone set (the steady state under regular compaction) and
+    falls back to a shuffle for a pathological one, so the serve path
+    inherits the honest size dispatch instead of an OOM cliff."""
+    members = spark.read.parquet(_cells_path(index_dir))
+    if cells_filter is not None:
+        members = members.filter(F.col("cell").isin(cells_filter))
+    if _has_tombstones(index_dir):
+        tombs = spark.read.parquet(_tombstones_path(index_dir)).select("vec_id")
+        members = members.join(tombs, "vec_id", "left_anti")
+    return members
+
+
+def ivf_compact(spark: SparkSession, index_dir: str) -> None:
+    """Physically remove tombstoned rows: rewrite the cell lists minus
+    the tombstone set (partition layout preserved) and clear the
+    tombstones. Serving results are unchanged by construction — the
+    anti-join already hid these rows — so compaction only reclaims
+    space and restores serve-scan cost ∝ live rows; run it when
+    |tombstones|/|index| crosses an ops threshold. The dir swap is a
+    metastore pointer flip on a production object store."""
+    import shutil
+
+    if not _has_tombstones(index_dir):
+        return
+    cpath = _cells_path(index_dir)
+    tmp = cpath + ".compact.tmp"
+    (
+        _live_members(spark, index_dir)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(tmp)
+    )
+    shutil.rmtree(cpath)
+    os.rename(tmp, cpath)
+    shutil.rmtree(_tombstones_path(index_dir))
 
 
 def ivf_query(
@@ -132,8 +236,10 @@ def ivf_query(
 ) -> DataFrame:
     """Serve exact-rescored top-k for a bounded query batch from the
     persisted index. Reads ONLY the index artifact: centroids (tiny) to
-    pick each query's ``nprobe`` cells, then the cell lists under a
-    literal ``cell IN (...)`` filter — a static partition-pruned scan.
+    pick each query's ``nprobe`` cells, then the LIVE cell-list rows
+    under a literal ``cell IN (...)`` filter — a static partition-
+    pruned scan, anti-joined against any pending tombstones
+    (``ivf_delete``) so deleted vectors never serve.
     Self-matches (query id present in the corpus) are excluded."""
     cents = spark.read.parquet(_centroids_path(index_dir))
     q = queries.select(
@@ -153,14 +259,10 @@ def ivf_query(
     probed_cells = sorted(
         {r["cell"] for r in probes.select("cell").distinct().collect()}
     )
-    members = (
-        spark.read.parquet(_cells_path(index_dir))
-        .filter(F.col("cell").isin(probed_cells))
-        .select(
-            F.col("vec_id").alias("id_b"),
-            F.col("embedding").alias("eb"),
-            "cell",
-        )
+    members = _live_members(spark, index_dir, probed_cells).select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        "cell",
     )
     cand = (
         probes.join(members, "cell")
@@ -213,7 +315,11 @@ _I4F_QUERY_CAP = 64
         "of a trained coarse quantizer); the served top-k is asserted "
         "SET-EQUAL to the per-call i4d route on the same batch (same "
         "deterministic centroids -> identical candidates), so its "
-        "recall is exactly i4d's, plus an absolute floor vs exact"
+        "recall is exactly i4d's, plus an absolute floor vs exact; the "
+        "full churn lifecycle (add + tombstone delete + re-add + "
+        "compact) is pinned by test_ivf_churn_cycle: deleted ids never "
+        "serve, recall floor vs exact-over-live holds, compaction is "
+        "result-invariant, zero training scans on serve"
     ),
     test="tests/test_ann_index.py::test_i4f_equals_i4d_on_served_batch",
 )

@@ -159,3 +159,118 @@ def test_added_vectors_are_servable(spark, tmp_path):
     top = ivf_query(spark, d, qdf, k=1).collect()
     assert len(top) == 1 and top[0]["id_b"] == twin_id
     assert top[0]["cos_sim"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_ivf_churn_cycle(spark, tmp_path, monkeypatch):
+    """The full index lifecycle under churn (r7 verdict item 5):
+    build -> add batch -> tombstone-delete batch -> serve (deleted ids
+    never appear, recall floor vs EXACT top-k over the live corpus
+    holds, zero training scans) -> re-add a deleted id (serves again)
+    -> compact (results byte-identical, tombstones gone, deleted rows
+    physically removed)."""
+    import os
+
+    emb = _emb(spark, SMOKE_SF_DIR)
+    d = str(tmp_path / "churn")
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    delta = emb.filter(F.col("vec_id") % 5 == 4)
+    build_ivf_index(base, d)
+    ivf_add(spark, d, delta)
+
+    # delete some of the ORIGINAL build and some of the ADDED delta
+    doomed = emb.filter(F.col("vec_id") % 7 == 2).select("vec_id")
+    doomed_ids = {r["vec_id"] for r in doomed.collect()}
+    ann_index.ivf_delete(spark, d, doomed)
+
+    # serve must never train
+    import mysql_to_clickhouse_spark.operators.llmops as llmops
+
+    monkeypatch.setattr(
+        llmops,
+        "_ivf_centroids",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("churn serve invoked the trainer")
+        ),
+    )
+
+    queries = (
+        emb.filter(~F.col("vec_id").isin(*doomed_ids))
+        .orderBy("vec_id")
+        .limit(16)
+    )
+    k = 3
+    served = ivf_query(spark, d, queries, k=k).collect()
+    assert served, "churned index served nothing"
+    assert not {r["id_b"] for r in served} & doomed_ids, (
+        "tombstoned ids were served"
+    )
+
+    # recall floor vs EXACT top-k over the live corpus (brute force on
+    # the small smoke fixture)
+    from mysql_to_clickhouse_spark.functions.vectors import cosine
+
+    live = emb.filter(~F.col("vec_id").isin(*doomed_ids)).select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+    )
+    q = queries.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id_a").orderBy(
+        F.desc("cos_sim"), F.asc("id_b")
+    )
+    exact = (
+        q.join(live, F.col("id_a") != F.col("id_b"))
+        .withColumn("cos_sim", cosine("ea", "eb"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("id_a", "id_b")
+        .collect()
+    )
+    exact_edges = {(r["id_a"], r["id_b"]) for r in exact}
+    served_edges = {(r["id_a"], r["id_b"]) for r in served}
+    recall = len(exact_edges & served_edges) / len(exact_edges)
+    assert recall >= 0.25, f"churned recall collapsed: {recall:.3f}"
+
+    # CDC re-insert: re-adding one deleted id makes it servable again
+    back_id = min(doomed_ids)
+    back = emb.filter(F.col("vec_id") == back_id)
+    ivf_add(spark, d, back)
+    qdf = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"]) for r in back.collect()],
+        "vec_id long, embedding array<double>",
+    ).withColumn("vec_id", F.col("vec_id") + 20_000_000)
+    again = ivf_query(spark, d, qdf, k=1).collect()
+    assert again and again[0]["id_b"] == back_id, "re-added id not served"
+    # un-delete must be surgical: the other tombstones still suppress
+    still_doomed = sorted(doomed_ids - {back_id})
+    assert not {r["id_b"] for r in served} & set(still_doomed)
+
+    # compaction: same served results, tombstones gone, rows removed
+    before = {
+        (r["id_a"], r["id_b"], r["cos_sim"], r["rk"])
+        for r in ivf_query(spark, d, queries, k=k).collect()
+    }
+    ann_index.ivf_compact(spark, d)
+    assert not os.path.exists(ann_index._tombstones_path(d))
+    after = {
+        (r["id_a"], r["id_b"], r["cos_sim"], r["rk"])
+        for r in ivf_query(spark, d, queries, k=k).collect()
+    }
+    assert before == after, "compaction changed served results"
+    remaining = {
+        r["vec_id"]
+        for r in spark.read.parquet(ann_index._cells_path(d)).collect()
+    }
+    assert not remaining & set(still_doomed), (
+        "compaction left tombstoned rows in the cell lists"
+    )
+    assert back_id in remaining, "compaction dropped the re-added id"
+
+    # idempotent no-op on a clean index
+    ann_index.ivf_compact(spark, d)
+    assert before == {
+        (r["id_a"], r["id_b"], r["cos_sim"], r["rk"])
+        for r in ivf_query(spark, d, queries, k=k).collect()
+    }

@@ -7,6 +7,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from mysql_to_clickhouse_spark.registry import all_queries
 from mysql_to_clickhouse_spark.tables import load
@@ -45,7 +46,12 @@ def test_m2_decode_schema_and_determinism(spark):
 
 
 def test_m3_frames_tile_payload_exactly(spark):
-    frames = QUERIES["m3_frame_sample"].fn(spark, SMOKE_SF_DIR).toPandas()
+    from mysql_to_clickhouse_spark.operators.multimodal import frame_tiles
+
+    docs_src = load(spark, SMOKE_SF_DIR, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    frames = frame_tiles(docs_src).toPandas()
     docs = (
         load(spark, SMOKE_SF_DIR, "documents")
         .select("doc_id", "n_chars")
@@ -170,20 +176,20 @@ def test_cdc_chunks_survive_prefix_insertion():
 
 def test_cdc_operator_reassembles(spark):
     """Engine-level: per-doc chunk lengths sum to payload length and
-    offsets are consistent."""
-    from mysql_to_clickhouse_spark.operators.multimodal import m5_cdc_chunking
+    offsets are consistent (the registered m5 adds the cross-engine
+    reassembly-digest check on top of this listing-level invariant)."""
+    from mysql_to_clickhouse_spark.operators.multimodal import cdc_chunks
     from tests.conftest import SMOKE_SF_DIR
 
-    import pyspark.sql.functions as F
-
-    out = m5_cdc_chunking(spark, SMOKE_SF_DIR)
+    docs_src = load(spark, SMOKE_SF_DIR, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    out = cdc_chunks(docs_src)
     per_doc = out.groupBy("doc_id").agg(
         F.sum("chunk_len").alias("total"),
         F.max(F.col("offset") + F.col("chunk_len")).alias("max_end"),
         F.count("*").alias("n"),
     )
-    from mysql_to_clickhouse_spark.tables import load
-
     docs = load(spark, SMOKE_SF_DIR, "documents").select(
         "doc_id", F.length(F.encode("text", "UTF-8")).alias("blen")
     )
