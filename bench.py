@@ -24,6 +24,16 @@ deployment). Per query we report THREE numbers:
 The metric value is the sum of warm medians; the other totals are
 reported alongside, not hidden.
 
+work_queries is the PRIMARY per-query series for round-over-round
+comparison (r7 verdict item 4): work = max(warm_median −
+job_floor_sec, 0), i.e. the floor-subtracted time actually spent on
+the query's plan. The raw medians swing with the host's 0.06–0.13 s
+per-job scheduling+Arrow floor — bigger than any real per-query delta
+at sf0.1 — so deltas read from the raw series are noise-dominated by
+construction; the work series is the one that tracks plan changes.
+Raw medians stay as "queries" (the driver-contract headline and the
+number comparable to BASELINE.md's end-to-end anchors).
+
 Results are fetched via Arrow (`toPandas()`): the DuckDB anchor fetches
 its result in-process columnar, so the comparable Spark path is the
 Arrow columnar fetch, not Py4J row-at-a-time pickling (`collect()` adds
@@ -104,6 +114,9 @@ def _compact_stdout_line(full: dict) -> str:
         "unit": full["unit"],
         "queries": full["queries"],
         "sf": full["sf"],
+        # summary only: the full floor-subtracted work series (the
+        # PRIMARY round-over-round numbers) lives in BENCH_SELF.json
+        "work_total": full.get("work_total"),
         "job_floor_sec": full["job_floor_sec"],
         "first_run_total": full["first_run_total"],
         "build_and_exec_total": full["build_and_exec_total"],
@@ -251,6 +264,7 @@ def main() -> None:
             errors[headline] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(warm.values()), 4)
+    work = {h: round(max(m - job_floor, 0.0), 4) for h, m in warm.items()}
     # NOTE: _vs_previous_round reads BENCH_SELF.json, so it must run
     # BEFORE this run overwrites that file below.
     vs_prev = _vs_previous_round(warm, spread, total, job_floor)
@@ -259,6 +273,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": warm,
+                # PRIMARY series for round-over-round deltas (see module
+                # docstring): floor-subtracted per-query work time.
+                "work_queries": work,
+                "work_total": round(sum(work.values()), 4),
                 "build_and_exec_queries": cold,
                 "build_and_exec_total": round(sum(cold.values()), 4),
                 "first_run_queries": first,
