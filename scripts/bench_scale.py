@@ -128,6 +128,34 @@ def synth_tpch_spark(spark, out_dir: str, n_lineitem: int) -> None:
     )
     supplier.write.mode("overwrite").parquet(f"{out_dir}/supplier.parquet")
 
+    # part: fixed 20k rows — the l_partkey synthesis domain above; name
+    # nouns include 'bolt' at ~1/6 (the x16 selectivity the fixtures have)
+    p = spark.range(20000).withColumnRenamed("id", "p_partkey")
+    pk = F.col("p_partkey")
+    adjs = [F.lit(a) for a in
+            ("large", "hot", "blue", "old", "cold", "red", "new", "small")]
+    nouns = [F.lit(nn) for nn in
+             ("ring", "bolt", "plate", "cap", "screw", "washer")]
+    types = [F.lit(t) for t in
+             ("ECONOMY", "MEDIUM", "SMALL", "PROMO", "LARGE", "STANDARD")]
+    part = p.select(
+        pk,
+        F.concat(
+            F.element_at(F.array(*adjs), (h(pk, 41) % 8 + 1).cast("int")),
+            F.lit(" "),
+            F.element_at(F.array(*nouns), (h(pk, 42) % 6 + 1).cast("int")),
+        ).alias("p_name"),
+        F.concat(F.lit("Brand#"), (h(pk, 43) % 45 + 1).cast("string")).alias(
+            "p_brand"
+        ),
+        F.element_at(F.array(*types), (h(pk, 44) % 6 + 1).cast("int")).alias(
+            "p_type"
+        ),
+        (h(pk, 45) % 50 + 1).cast("int").alias("p_size"),
+        (900.0 + (h(pk, 46) % 110000) / 100.0).alias("p_retailprice"),
+    )
+    part.write.mode("overwrite").parquet(f"{out_dir}/part.parquet")
+
     for dim in ("nation", "region"):
         src = f"{FIXTURE_SF}/{dim}.parquet"
         dst = f"{out_dir}/{dim}.parquet"
@@ -162,6 +190,12 @@ def _headliners():
         "q5_local_supplier": ("c10_star_multiway", None),
         "w1_topk_per_customer": ("e1_row_number", dig("rn")),
         "e1_daily_active": ("d3_count_distinct", None),
+        # probe-gate-wired star joins (r8): bounded outputs, full fetch
+        "x6_returned_items": ("x6_tpch_q10", None),
+        "x7_big_orders": ("x7_tpch_q18", None),
+        "x14_late_suppliers": ("x14_tpch_q21", None),
+        "x16_product_profit": ("x16_tpch_q9", None),
+        "x17_cdc_pipeline": ("x17_replication_pipeline", None),
         "d1_dedup_docs": ("i1_exact_dedup", dig("n_copies")),
         "v1_cosine_topk": ("i4_topk_similar", dig("rk")),
     }
@@ -223,8 +257,8 @@ def main() -> None:
     # workers OOM-killed the JVM mid-run; but capping too low (32GB)
     # made v1's all-pairs spill ~40+ GB of sort temp and fill the disk.
     con.sql(f"SET memory_limit='{args.duck_mem}'")
-    for t in ("lineitem", "orders", "customer", "supplier", "nation",
-              "region", "events", "documents", "embeddings"):
+    for t in ("lineitem", "orders", "customer", "supplier", "part",
+              "nation", "region", "events", "documents", "embeddings"):
         p = f"{sf_dir}/{t}.parquet"
         glob = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{glob}'")
