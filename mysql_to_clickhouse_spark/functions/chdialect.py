@@ -51,14 +51,17 @@ docs table):
 from __future__ import annotations
 
 import weakref
+from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = [
     "register_ch_functions",
+    "register_final_spec",
     "translate_ch_sql",
     "ch_sql",
     "CH_FUNCTION_DOC",
+    "FinalSpec",
 ]
 
 
@@ -291,7 +294,7 @@ def _parse_group(sql: str, i: int) -> tuple[list[str], int]:
 
 
 def _rewrite_call(word: str, args: list[str], params: list[str] | None) -> str:
-    args = [translate_ch_sql(a) for a in args]
+    args = [_translate_functions(a) for a in args]
     if word in _RENAMES:
         return f"{_RENAMES[word]}({', '.join(args)})"
     if word in _IF_COMBINATORS:
@@ -332,7 +335,7 @@ def _rewrite_call(word: str, args: list[str], params: list[str] | None) -> str:
     if word in _QUANTILES:
         # parametric form: word was followed by (params)(args); the
         # bare form word(x) defaults to the CH default level 0.5
-        levels = [translate_ch_sql(p) for p in params] if params else ["0.5"]
+        levels = [_translate_functions(p) for p in params] if params else ["0.5"]
         if len(args) != 1:
             raise ValueError(f"{word} expects exactly one aggregated column")
         plural = word in ("quantiles", "quantilesExact")
@@ -345,11 +348,10 @@ def _rewrite_call(word: str, args: list[str], params: list[str] | None) -> str:
     raise AssertionError(f"unhandled CH function {word}")  # pragma: no cover
 
 
-def translate_ch_sql(sql: str) -> str:
-    """Rewrite the CH-dialect forms Spark cannot register into Spark
-    SQL. Pure text-to-text; identifiers it does not know, string
-    literals, and quoted identifiers pass through byte-identical.
-    (Comments are not stripped — don't put CH calls in comments.)"""
+def _translate_functions(sql: str) -> str:
+    """The function-call pass: rewrite the CH-dialect CALL forms Spark
+    cannot register into Spark SQL (see translate_ch_sql for the full
+    pipeline). Recursive over argument lists."""
     out: list[str] = []
     i = 0
     n = len(sql)
@@ -390,6 +392,199 @@ def translate_ch_sql(sql: str) -> str:
     return "".join(out)
 
 
+# ---------------------------------------------------------------------------
+# 3. Statement-level CH idioms: PREWHERE and FROM <table> FINAL
+# ---------------------------------------------------------------------------
+
+_CLAUSE_ENDERS = {
+    "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "WINDOW", "QUALIFY",
+    "UNION", "INTERSECT", "EXCEPT", "SETTINGS",
+}
+
+
+def _scan_words(sql: str):
+    """Yield (word, start, end, depth) for every bare identifier/keyword,
+    skipping string literals and quoted identifiers, tracking paren
+    depth — the shared walker for the statement-level rewrites."""
+    i, depth, n = 0, 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in "'\"`":
+            i = _scan_string(sql, i, c)
+        elif c == "(":
+            depth += 1
+            i += 1
+        elif c == ")":
+            depth -= 1
+            i += 1
+        elif c.isalpha() or c == "_":
+            j = i
+            while j < n and (sql[j].isalnum() or sql[j] == "_"):
+                j += 1
+            yield sql[i:j], i, j, depth
+            i = j
+        else:
+            i += 1
+
+
+def _clause_end(sql: str, start: int) -> tuple[int, str | None, int]:
+    """Scan from ``start`` to the end of the current clause: returns
+    (end index, terminating clause keyword or None, index just past
+    that keyword). The clause ends at a same-depth clause keyword, at
+    the ')' that closes the enclosing subquery, or at end-of-text.
+    Strings/quoted identifiers are skipped; nested parens don't
+    terminate."""
+    i, depth, n = start, 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in "'\"`":
+            i = _scan_string(sql, i, c)
+        elif c == "(":
+            depth += 1
+            i += 1
+        elif c == ")":
+            if depth == 0:
+                return i, None, i
+            depth -= 1
+            i += 1
+        elif c.isalpha() or c == "_":
+            j = i
+            while j < n and (sql[j].isalnum() or sql[j] == "_"):
+                j += 1
+            w = sql[i:j].upper()
+            if depth == 0 and w in _CLAUSE_ENDERS:
+                return i, w, j
+            i = j
+        else:
+            i += 1
+    return n, None, n
+
+
+def _rewrite_prewhere(sql: str) -> str:
+    """CH ``PREWHERE`` → Spark ``WHERE``. In ClickHouse, PREWHERE is a
+    manual read-ahead filter hint; Spark's predicate pushdown does the
+    same job automatically, so the semantics under translation are
+    exactly WHERE-conjunction: ``PREWHERE p WHERE w`` →
+    ``WHERE (p) AND (w)`` (both predicates parenthesized — AND binds
+    tighter than OR; extents found clause-aware at the same paren
+    depth, so subqueries are untouched), bare ``PREWHERE p`` →
+    ``WHERE p``. Iterates until no PREWHERE remains (one per
+    (sub)query level, the CH grammar)."""
+    while True:
+        pre = None
+        for word, s, e, _d in _scan_words(sql):
+            if word.upper() == "PREWHERE":
+                pre = (s, e)
+                break
+        if pre is None:
+            return sql
+        ps, pe = pre
+        p_end, term, past = _clause_end(sql, pe)
+        if term == "WHERE":
+            pred = sql[pe:p_end].strip()
+            w_end, _t2, _p2 = _clause_end(sql, past)
+            w_pred = sql[past:w_end].strip()
+            sql = f"{sql[:ps]}WHERE ({pred}) AND ({w_pred}) {sql[w_end:]}"
+        else:
+            sql = f"{sql[:ps]}WHERE{sql[pe:]}"
+
+
+class FinalSpec(NamedTuple):
+    """ReplacingMergeTree read semantics for one replicated table:
+    latest version per key wins, delete-marked rows drop — what CH's
+    ``FINAL`` modifier resolves at read time."""
+
+    keys: tuple[str, ...]
+    order_by: str  # SQL ORDER BY text, highest version FIRST
+    delete_where: str | None = None  # predicate marking deleted rows
+
+
+_FINAL_SPECS: dict[str, FinalSpec] = {}
+
+
+def register_final_spec(
+    table: str,
+    keys: tuple[str, ...] | list[str],
+    order_by: str,
+    delete_where: str | None = None,
+) -> None:
+    """Declare the CDC collapse rule ``FROM <table> FINAL`` expands to.
+    Mirrors configuring a ReplacingMergeTree's ORDER BY/version/
+    is_deleted columns when the table was created."""
+    _FINAL_SPECS[table] = FinalSpec(tuple(keys), order_by, delete_where)
+
+
+# The testbed's replicated stream (a4/x17's contract): events is the
+# row-image CDC table — user_id is the PK, (ts, event_id) the version,
+# event_type 'error' the delete marker.
+register_final_spec(
+    "events",
+    ("user_id",),
+    "unix_micros(ts) DESC, event_id DESC",
+    "event_type = 'error'",
+)
+
+
+def _final_subquery(table: str) -> str:
+    spec = _FINAL_SPECS[table]
+    drop = (
+        f" AND NOT ({spec.delete_where})" if spec.delete_where else ""
+    )
+    return (
+        f"(SELECT * EXCEPT (__rn) FROM ("
+        f"SELECT *, ROW_NUMBER() OVER ("
+        f"PARTITION BY {', '.join(spec.keys)} ORDER BY {spec.order_by}"
+        f") AS __rn FROM {table}"
+        f") WHERE __rn = 1{drop}) {table}"
+    )
+
+
+def _rewrite_final(sql: str) -> str:
+    """CH ``FROM <table> FINAL`` → the a4 latest-per-key collapse as an
+    inline subquery (aliased back to the table name, so downstream
+    column references resolve unchanged). Detected only as the token
+    triple FROM/JOIN + identifier + FINAL, so a column or alias merely
+    named "final" elsewhere is untouched (naming a TABLE ALIAS literally
+    ``final`` right after FROM is the one documented collision). The
+    table must have a registered FinalSpec — an unknown table is a loud
+    error, because silently ignoring FINAL would serve stale row
+    versions."""
+    while True:
+        hit = None
+        prev2 = prev = None  # (word, start, end)
+        for word, s, e, _d in _scan_words(sql):
+            if (
+                word.upper() == "FINAL"
+                and prev is not None
+                and prev2 is not None
+                and prev2[0].upper() in ("FROM", "JOIN")
+            ):
+                hit = (prev[0], prev[1], e)
+                break
+            prev2, prev = prev, (word, s, e)
+        if hit is None:
+            return sql
+        table, ts, fe = hit
+        if table not in _FINAL_SPECS:
+            raise ValueError(
+                f"FROM {table} FINAL: no FinalSpec registered for "
+                f"{table!r}; declare its keys/version/delete rule with "
+                f"register_final_spec() (FINAL silently ignored would "
+                f"serve stale row versions)"
+            )
+        sql = sql[:ts] + _final_subquery(table) + sql[fe:]
+
+
+def translate_ch_sql(sql: str) -> str:
+    """Full CH-dialect translation pipeline: PREWHERE → WHERE merge,
+    FROM <t> FINAL → latest-per-key collapse, then the function-call
+    pass (renames, -If combinators, parametric quantiles, casts).
+    Pure text-to-text; identifiers it does not know, string literals,
+    and quoted identifiers pass through byte-identical. (Comments are
+    not stripped — don't put CH calls in comments.)"""
+    return _translate_functions(_rewrite_final(_rewrite_prewhere(sql)))
+
+
 def ch_sql(spark: SparkSession, text: str) -> DataFrame:
     """Run ClickHouse-dialect SQL text: register the scalar CH names,
     translate the unregistrable forms, hand the result to spark.sql
@@ -415,5 +610,16 @@ CH_FUNCTION_DOC: list[tuple[str, str, str]] = (
         ("countIf", "rename / combinator", "d5 cond-agg"),
         ("uniqExact", "-> count(DISTINCT ...)", "d3 count-distinct"),
         ("multiIf", "-> CASE WHEN chain", "b7 case-when"),
+        (
+            "PREWHERE",
+            "statement: merged into WHERE (pushdown is automatic)",
+            "b2-b6 filters",
+        ),
+        (
+            "FINAL",
+            "statement: FROM <t> FINAL -> latest-per-key collapse "
+            "(per-table FinalSpec)",
+            "a4 CDC apply",
+        ),
     ]
 )

@@ -738,15 +738,22 @@ def x14_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     per orderkey compute n_supp = distinct suppliers and n_late_supp =
     distinct late suppliers; a late line qualifies iff n_supp >= 2 (some
     other supplier exists) and n_late_supp = 1 (no OTHER supplier is
-    late — the one late supplier is this line's own). That turns Q21's
-    notorious triple lineitem scan into: one orders⋈lineitem shuffle to
-    tag lateness, one orderkey-partial aggregate, one orderkey join
-    back. The nation/supplier dims broadcast BEFORE the join back —
-    reduce-early: the single-nation filter shrinks the late-lines side
-    ~25x, and the probe gate then decides whether that reduced side
-    broadcasts into the per-order aggregate (skipping its join
-    exchange) or honestly shuffles on the shared orderkey, where AQE
-    can reuse the aggregate's exchange."""
+    late — the one late supplier is this line's own). And because a
+    qualifying order has EXACTLY ONE late supplier, that supplier's
+    key and its late-line count are recoverable INSIDE the same
+    aggregate (max over the late keys / conditional count), so Q21's
+    notorious triple lineitem scan collapses to: one orders⋈lineitem
+    shuffle to tag lateness, ONE per-order aggregate, a broadcast dim
+    probe on the recovered key, and a nations-sized final sum. No
+    join-back to the fact at all — the r8 rewrite that replaced the
+    probe-gated join-back after the 1e8 bench showed the second
+    tagged-join evaluation dominating (28.6 s warm; the classic
+    formulation's cost, just relocated).
+
+    numwait parity: each qualifying order contributes its late-line
+    count (all its late lines belong to the single late supplier),
+    which sums to exactly the per-line count the classic per-row
+    formulation produces."""
     sup = load(spark, sf_dir, "supplier")
     nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     orders = load(spark, sf_dir, "orders").filter(
@@ -762,24 +769,21 @@ def x14_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
         ).alias("_late"),
     )
-    per_order = tagged.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+    late_key = F.when(F.col("_late"), F.col("l_suppkey"))
+    per_order = tagged.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("_n_supp"),
-        F.countDistinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias(
-            "_n_late_supp"
-        ),
+        F.countDistinct(late_key).alias("_n_late_supp"),
+        F.max(late_key).alias("_late_suppkey"),
+        F.count(F.when(F.col("_late"), 1)).alias("_n_late_lines"),
     )
-    late_n3 = (
-        tagged.filter(F.col("_late"))
-        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("l_orderkey", "s_name")
-    )
-    late_n3 = broadcast_when_small(late_n3, li, spark)
     return (
-        late_n3.join(per_order, F.col("l_orderkey") == F.col("_ok"))
-        .filter((F.col("_n_supp") >= 2) & (F.col("_n_late_supp") == 1))
+        per_order.filter(
+            (F.col("_n_supp") >= 2) & (F.col("_n_late_supp") == 1)
+        )
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("_late_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("_n_late_lines").alias("numwait"))
     )
 
 

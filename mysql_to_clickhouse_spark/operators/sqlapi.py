@@ -859,3 +859,59 @@ def s13d_ch_dialect_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     builtin expressions, one combinable aggregate, one scan."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return ch_sql(spark, _S13D_CH_SQL)
+
+
+_S13E_CH_SQL = """
+SELECT event_type,
+       uniqExact(user_id) AS users,
+       COUNT(*) AS n,
+       COALESCE(SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)), 0)
+         AS latest_value_fp,
+       argMax(user_id, value * 10000.0 - event_id * 0.000001)
+         AS top_value_user
+FROM events FINAL
+PREWHERE user_id % 3 = 1
+WHERE value > 10.0
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+_S13E_ORACLE = """
+WITH final AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY user_id
+      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC, event_id DESC
+    ) AS __rn
+    FROM events
+  ) WHERE __rn = 1 AND NOT (event_type = 'error')
+)
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+       COUNT(*) AS n,
+       CAST(COALESCE(SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)), 0)
+            AS BIGINT) AS latest_value_fp,
+       arg_max(user_id, value * 10000.0 - event_id * 0.000001)
+         AS top_value_user
+FROM final
+WHERE user_id % 3 = 1 AND value > 10.0
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("s13e_ch_dialect_final", oracle=_S13E_ORACLE, tier="T2")
+def s13e_ch_dialect_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CH STATEMENT idioms a migrating user carries in every query:
+    ``FROM events FINAL`` (ReplacingMergeTree read semantics — expanded
+    by the dialect layer into the a4 latest-per-key collapse from the
+    table's registered FinalSpec) and ``PREWHERE`` (merged into WHERE;
+    Spark's own predicate pushdown already does what PREWHERE asks for
+    by hand), composed with the dialect aggregates on top. The oracle
+    restates the collapse as a DuckDB window CTE — hash equality proves
+    the expansion picks exactly the same surviving row versions.
+
+    Scale: identical bound to a4/x17 — the collapse window is the one
+    fact-scale exchange; PREWHERE/WHERE both push to the scan."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return ch_sql(spark, _S13E_CH_SQL)

@@ -36,6 +36,19 @@ definition huge; holding it would evict useful blocks) and the honest
 shuffle plan recomputes it — one extra evaluation, paid only in the
 regime where the fact shuffle it was trying to dodge dominates both.
 
+Probe DECISIONS are memoized per (session, build plan semanticHash,
+row limit) — the prepared-statement model: a resident engine pays the
+count job the first time a query shape runs, and every later
+invocation applies the remembered strategy with zero probe jobs (the
+1e8 bench measured the per-invocation probe at 1-3 s of pure repeat
+cost). The memo assumes the underlying files are immutable for the
+session (true for the testbed; a production deployment with
+in-session data growth should set ``spark.mysql2ch.join.probeMemo``
+to false, or re-create the session per epoch as batch pipelines do).
+The memo is consulted only AFTER the fact-bytes gate, so small-tier
+drives stay byte-identical in plan whether or not a forced-gate test
+ran earlier in the session.
+
 At 100 TB both branches are the right answer: a reduced dim that is
 still a billion rows fails the probe and shuffles (broadcasting it
 would OOM every executor), while a genuinely small reduced side skips
@@ -48,6 +61,8 @@ comfortably inside a bench/cluster driver+executor; size
 """
 
 from __future__ import annotations
+
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -69,6 +84,11 @@ _ROWS_CONF = "spark.mysql2ch.join.broadcastRows"
 # fact's shuffle write — a few GB on this hardware.
 _FACT_GATE_DEFAULT = 1 << 32
 _ROWS_DEFAULT = 5_000_000
+_MEMO_CONF = "spark.mysql2ch.join.probeMemo"
+
+_PROBE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def fact_bytes_estimate(df: DataFrame) -> int:
@@ -151,11 +171,49 @@ def broadcast_when_small(
         )
         if est > limit:
             return build
+    memo_on = (
+        spark.conf.get(_MEMO_CONF, "true").lower() == "true"
+    )
+    if memo_on:
+        memo = _PROBE_MEMO.setdefault(spark, {})
+        key = (
+            int(build._jdf.queryExecution().analyzed().semanticHash()),
+            limit,
+        )
+        hit = memo.get(key)
+        if hit is not None:
+            decision, cached = hit
+            if cached is not None:
+                # the first invocation's probe cache has served its
+                # purpose (that query has run by the time the same
+                # shape recurs) — release it so repeat workloads don't
+                # pin executor memory per query shape
+                cached.unpersist(blocking=False)
+                memo[key] = (decision, None)
+            # remembered strategy: no probe job, no persist — the
+            # broadcast (or shuffle) evaluates the build exactly once
+            return F.broadcast(build) if decision else build
     # One evaluation, not two: cache the reduced side through the count
     # so an ACCEPT feeds the broadcast exchange from the cache instead
     # of recomputing (see module docstring's cost accounting).
     build.persist(StorageLevel.MEMORY_AND_DISK)
-    if build.count() <= limit:
+    decision = build.count() <= limit
+    if memo_on:
+        # an ACCEPT keeps the cache alive until its first replay (or
+        # release_probe_state); a DECLINE releases it right here
+        memo[key] = (decision, build if decision else None)
+    if decision:
         return F.broadcast(build)
     build.unpersist(blocking=False)
     return build
+
+
+def release_probe_state(spark: SparkSession) -> None:
+    """Release everything this module holds for ``spark``: unpersist
+    any probe caches still alive (ACCEPT builds that never replayed)
+    and forget the memoized decisions. Long-lived shared sessions call
+    this between workloads — same discipline as
+    ``operators.llmops.release_caches``."""
+    for _decision, cached in _PROBE_MEMO.pop(spark, {}).values():
+        if cached is not None:
+            cached.unpersist(blocking=True)

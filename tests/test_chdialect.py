@@ -162,3 +162,68 @@ def test_ch_dialect_doc_fresh():
     assert not missing, (
         f"docs/CH_DIALECT.md stale; run scripts/gen_chdialect_doc.py: {missing}"
     )
+
+
+# ---------------------------------------------------------------------------
+# statement-level idioms: PREWHERE and FROM <t> FINAL
+# ---------------------------------------------------------------------------
+
+STMT_CASES = [
+    ("SELECT a FROM t PREWHERE x > 1", "SELECT a FROM t WHERE x > 1"),
+    # OR in the original WHERE must stay grouped
+    (
+        "SELECT a FROM t PREWHERE x > 1 WHERE y = 2 OR z = 3 GROUP BY a",
+        "SELECT a FROM t WHERE (x > 1) AND (y = 2 OR z = 3) GROUP BY a",
+    ),
+    # subquery PREWHERE rewrites inside its own clause only
+    (
+        "SELECT (SELECT max(b) FROM u PREWHERE q=1) AS m FROM t WHERE c=2",
+        "SELECT (SELECT max(b) FROM u WHERE q=1) AS m FROM t WHERE c=2",
+    ),
+    # a column/alias merely named final is not the FINAL modifier
+    ("SELECT x AS final FROM t", "SELECT x AS final FROM t"),
+]
+
+
+@pytest.mark.parametrize("src,expected", STMT_CASES)
+def test_statement_rewrites(src, expected):
+    assert translate_ch_sql(src) == expected
+
+
+def test_final_expands_registered_spec():
+    out = translate_ch_sql("SELECT countIf(x) FROM events FINAL")
+    assert "ROW_NUMBER() OVER (PARTITION BY user_id" in out
+    assert "NOT (event_type = 'error')" in out
+    assert out.rstrip().endswith(") events")
+    assert "FINAL" not in out
+
+
+def test_final_unknown_table_is_loud():
+    with pytest.raises(ValueError, match="no FinalSpec registered"):
+        translate_ch_sql("SELECT 1 FROM orders FINAL")
+
+
+def test_final_prewhere_compose_end_to_end(spark):
+    """FROM events FINAL PREWHERE ... through a live session must equal
+    the hand-built a4-style collapse with the merged predicate."""
+    load(spark, TEST_SF_DIR, "events").createOrReplaceTempView("events")
+    got = ch_sql(
+        spark,
+        "SELECT COUNT(*) AS n, uniqExact(user_id) AS u "
+        "FROM events FINAL PREWHERE user_id % 3 = 1 WHERE value > 10.0",
+    ).collect()[0]
+    want = spark.sql(
+        """
+        WITH final AS (
+          SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY user_id
+              ORDER BY unix_micros(ts) DESC, event_id DESC) AS rn
+            FROM events
+          ) WHERE rn = 1 AND event_type != 'error'
+        )
+        SELECT COUNT(*) AS n, COUNT(DISTINCT user_id) AS u
+        FROM final WHERE user_id % 3 = 1 AND value > 10.0
+        """
+    ).collect()[0]
+    assert (got.n, got.u) == (want.n, want.u)

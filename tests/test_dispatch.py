@@ -85,14 +85,15 @@ def test_probe_declines_big_build(spark):
 # is the registry-wide wiring contract: a new star-shaped golden query
 # should either appear here (and in the forced-probe hash test below)
 # or document in its docstring why the static plan is already
-# scale-correct (x18: cardinality-bounded build by construction).
+# scale-correct (x18: cardinality-bounded build by construction;
+# x14: the r8 single-pass rewrite removed its fact join-back entirely,
+# which beats any probe decision about it).
 WIRED_QUERIES = (
     "c10_star_multiway",
     "c12_q3_shipping",
     "x6_tpch_q10",
     "x7_tpch_q18",
     "x10_tpch_q7",
-    "x14_tpch_q21",
     "x15_tpch_q8",
     "x16_tpch_q9",
     "x17_replication_pipeline",
@@ -119,7 +120,7 @@ def test_wired_hash_stable_under_forced_probe(spark, duck):
     """The probe is a pure strategy choice: forcing it on (gate=0) must
     leave every wired query oracle-equal under the strict driver-hash
     model — including the shapes whose build side is itself a join or
-    aggregate (x7/x14/x16) and the estimator-gated Q9."""
+    aggregate (x7/x16) and the estimator-gated Q9."""
     from mysql_to_clickhouse_spark.verify import run_and_compare
 
     qs = all_queries()
@@ -197,3 +198,141 @@ def test_fact_bytes_estimate_uses_leaves(spark):
     joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
     leaf_max = max(fact_bytes_estimate(li), fact_bytes_estimate(orders))
     assert fact_bytes_estimate(joined) == leaf_max
+
+
+def test_probe_memo_skips_second_count(spark, monkeypatch):
+    """Prepared-statement model: the second invocation of the same
+    build shape applies the remembered decision with ZERO probe jobs —
+    proven by making count() explode after the first probe."""
+    saved = _with_conf(spark, {_GATE: "0", _ROWS: "10000000"})
+    try:
+        li = load(spark, TEST_SF_DIR, "lineitem")
+
+        def build_df():
+            return (
+                load(spark, TEST_SF_DIR, "orders")
+                .filter(
+                    F.col("o_orderdate")
+                    < F.lit("1998-01-01").cast("timestamp")
+                )
+                .select("o_orderkey")
+            )
+
+        first = broadcast_when_small(build_df(), li, spark)
+        assert first is not None
+
+        def boom(self):
+            raise AssertionError("memoized decision still ran a probe job")
+
+        # patch the CONCRETE class: classic.DataFrame overrides count()
+        monkeypatch.setattr(type(li), "count", boom)
+        out = broadcast_when_small(build_df(), li, spark)
+        # accepted decision replays as a broadcast hint, probe-free
+        plan = out._jdf.queryExecution().logical().toString()
+        assert "hint" in plan.lower(), plan
+    finally:
+        _restore(spark, saved)
+
+
+def test_probe_memo_consulted_after_gate(spark):
+    """The memo must not leak strategy into the small-tier path: with
+    the gate CLOSED (fact below probeFactBytes) the build comes back
+    untouched even when an earlier forced-gate probe memoized an
+    accept for the same shape."""
+    saved = _with_conf(spark, {_GATE: "0", _ROWS: "10000000"})
+    try:
+        li = load(spark, TEST_SF_DIR, "lineitem")
+        build = load(spark, TEST_SF_DIR, "orders").select("o_orderkey")
+        accepted = broadcast_when_small(build, li, spark)
+        assert accepted is not build
+    finally:
+        _restore(spark, saved)
+    # gate restored (default 4 GiB >> testdata): same shape, untouched
+    li = load(spark, TEST_SF_DIR, "lineitem")
+    build = load(spark, TEST_SF_DIR, "orders").select("o_orderkey")
+    assert broadcast_when_small(build, li, spark) is build
+
+
+def test_probe_memo_disable_conf(spark, monkeypatch):
+    """probeMemo=false forces a fresh probe per invocation (the
+    in-session-data-growth escape hatch)."""
+    saved = _with_conf(
+        spark,
+        {_GATE: "0", _ROWS: "10000000", "spark.mysql2ch.join.probeMemo": "false"},
+    )
+    try:
+        li = load(spark, TEST_SF_DIR, "lineitem")
+        build = load(spark, TEST_SF_DIR, "orders").select("o_orderkey")
+        broadcast_when_small(build, li, spark)
+        probes = []
+        orig = type(li).count
+
+        def counting(self):
+            probes.append(1)
+            return orig(self)
+
+        # patch the CONCRETE class: classic.DataFrame overrides count()
+        monkeypatch.setattr(type(li), "count", counting)
+        broadcast_when_small(build, li, spark)
+        assert probes, "probeMemo=false must re-probe"
+    finally:
+        _restore(spark, saved)
+
+
+def test_release_probe_state_unpins_everything(spark):
+    """The shared-session hygiene contract (llmops.release_caches
+    discipline): after release_probe_state nothing this module
+    persisted survives and the memo is forgotten, so the next
+    invocation re-probes."""
+    from mysql_to_clickhouse_spark.plans.dispatch import (
+        _PROBE_MEMO,
+        release_probe_state,
+    )
+
+    saved = _with_conf(spark, {_GATE: "0", _ROWS: "10000000"})
+    try:
+        li = load(spark, TEST_SF_DIR, "lineitem")
+        build = load(spark, TEST_SF_DIR, "orders").select("o_orderkey")
+        out = broadcast_when_small(build, li, spark)
+        assert out is not build  # accepted -> probe cache is alive
+        assert spark in _PROBE_MEMO and _PROBE_MEMO[spark]
+
+        release_probe_state(spark)
+        assert spark not in _PROBE_MEMO
+        assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+        # repeated release is a no-op; the dispatcher rebuilds cleanly
+        release_probe_state(spark)
+        build2 = load(spark, TEST_SF_DIR, "orders").select("o_orderkey")
+        assert broadcast_when_small(build2, li, spark) is not build2
+    finally:
+        _restore(spark, saved)
+        release_probe_state(spark)
+
+
+def test_probe_memo_hit_releases_first_cache(spark):
+    """Repeat workloads self-clean: the FIRST memo replay of an
+    accepted shape unpersists the probe cache the first invocation
+    left behind (by then that query has executed)."""
+    from mysql_to_clickhouse_spark.plans.dispatch import (
+        _PROBE_MEMO,
+        release_probe_state,
+    )
+
+    saved = _with_conf(spark, {_GATE: "0", _ROWS: "10000000"})
+    try:
+        release_probe_state(spark)
+        li = load(spark, TEST_SF_DIR, "lineitem")
+
+        def build_df():
+            return load(spark, TEST_SF_DIR, "orders").select("o_orderkey")
+
+        broadcast_when_small(build_df(), li, spark)
+        (key, (decision, cached)) = next(iter(_PROBE_MEMO[spark].items()))
+        assert decision is True and cached is not None
+
+        broadcast_when_small(build_df(), li, spark)  # memo hit
+        assert _PROBE_MEMO[spark][key] == (True, None)
+        assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    finally:
+        _restore(spark, saved)
+        release_probe_state(spark)

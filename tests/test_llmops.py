@@ -147,6 +147,12 @@ def test_release_caches_frees_persisted_state(spark):
     llmops.release_caches(spark)
     assert spark not in llmops._SIGS_CACHE
     assert spark not in llmops._MATRIX_CACHE
+    # the zero-persisted assertion is session-WIDE, so release the other
+    # module that persists session-lifetime state (probe caches from
+    # dispatch tests sharing this session) before asserting
+    from mysql_to_clickhouse_spark.plans.dispatch import release_probe_state
+
+    release_probe_state(spark)
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
     # repeated release is a no-op, and the operators rebuild cleanly
     llmops.release_caches(spark)
