@@ -162,6 +162,55 @@ _SCALAR_UDFS: dict[str, tuple[str, str, str]] = {
     "divide": ("(a DOUBLE, b DOUBLE)", "DOUBLE", "a / b"),
     # hashing: stable 64-bit, different values than CH (see module doc)
     "cityHash64": ("(s STRING)", "BIGINT", "xxhash64(s)"),
+    "sipHash64": ("(s STRING)", "BIGINT", "xxhash64(s, 1)"),
+    # date arithmetic (CH's add*/subtract* family over DateTime)
+    "addYears": ("(ts TIMESTAMP, n INT)", "TIMESTAMP", "timestampadd(YEAR, n, ts)"),
+    "addMonths": ("(ts TIMESTAMP, n INT)", "TIMESTAMP", "timestampadd(MONTH, n, ts)"),
+    "addWeeks": ("(ts TIMESTAMP, n INT)", "TIMESTAMP", "timestampadd(WEEK, n, ts)"),
+    "addDays": ("(ts TIMESTAMP, n INT)", "TIMESTAMP", "timestampadd(DAY, n, ts)"),
+    "addHours": ("(ts TIMESTAMP, n INT)", "TIMESTAMP", "timestampadd(HOUR, n, ts)"),
+    "addMinutes": (
+        "(ts TIMESTAMP, n INT)",
+        "TIMESTAMP",
+        "timestampadd(MINUTE, n, ts)",
+    ),
+    "addSeconds": (
+        "(ts TIMESTAMP, n INT)",
+        "TIMESTAMP",
+        "timestampadd(SECOND, n, ts)",
+    ),
+    "subtractYears": (
+        "(ts TIMESTAMP, n INT)",
+        "TIMESTAMP",
+        "timestampadd(YEAR, -n, ts)",
+    ),
+    "subtractMonths": (
+        "(ts TIMESTAMP, n INT)",
+        "TIMESTAMP",
+        "timestampadd(MONTH, -n, ts)",
+    ),
+    "subtractDays": (
+        "(ts TIMESTAMP, n INT)",
+        "TIMESTAMP",
+        "timestampadd(DAY, -n, ts)",
+    ),
+    "subtractHours": (
+        "(ts TIMESTAMP, n INT)",
+        "TIMESTAMP",
+        "timestampadd(HOUR, -n, ts)",
+    ),
+    # bit ops (CH two-arg function forms of Spark's infix operators)
+    "bitAnd": ("(a BIGINT, b BIGINT)", "BIGINT", "a & b"),
+    "bitOr": ("(a BIGINT, b BIGINT)", "BIGINT", "a | b"),
+    "bitXor": ("(a BIGINT, b BIGINT)", "BIGINT", "a ^ b"),
+    # regex: whole-match extraction (CH extractAll's group-less case;
+    # a pattern WITH groups extracts group 1 in CH — pass idx yourself
+    # via regexp_extract_all if you need that)
+    "extractAll": (
+        "(s STRING, re STRING)",
+        "ARRAY<STRING>",
+        "regexp_extract_all(s, re, 0)",
+    ),
 }
 
 _REGISTERED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
@@ -197,6 +246,47 @@ _RENAMES: dict[str, str] = {
     "groupArray": "collect_list",
     "groupUniqArray": "collect_set",
     "arrayJoin": "explode",
+    # CH any/anyLast pick SOME value per group (both orderless, like
+    # Spark any_value) — NOT SQL-standard boolean ANY; this is CH text,
+    # so CH semantics win
+    "any": "any_value",
+    "anyLast": "any_value",
+    # statistics aggregates (camelCase -> snake_case)
+    "stddevPop": "stddev_pop",
+    "stddevSamp": "stddev_samp",
+    "varPop": "var_pop",
+    "varSamp": "var_samp",
+    "covarPop": "covar_pop",
+    "covarSamp": "covar_samp",
+    # array functions (same arg order; CH and Spark are both 1-based
+    # where an index appears)
+    "arrayDistinct": "array_distinct",
+    "arraySort": "array_sort",
+    "arrayReverse": "reverse",
+    "arrayFlatten": "flatten",
+    "arrayElement": "element_at",
+    "arrayConcat": "concat",
+    "arraySlice": "slice",
+    "has": "array_contains",
+    "indexOf": "array_position",
+    # strings
+    "lcase": "lower",
+    "ucase": "upper",
+    "substringUTF8": "substring",
+    "leftPad": "lpad",
+    "rightPad": "rpad",
+    "replaceAll": "replace",
+    # caveat: CH backrefs in the REPLACEMENT are \\1, Spark's are $1
+    "replaceRegexpAll": "regexp_replace",
+    "startsWith": "startswith",
+    "endsWith": "endswith",
+    "match": "rlike",
+    # misc scalars
+    "modulo": "mod",
+    "isNull": "isnull",
+    "isNotNull": "isnotnull",
+    "bitShiftLeft": "shiftleft",
+    "bitShiftRight": "shiftright",
 }
 
 # -If aggregate combinators: agg(x, cond) -> agg(CASE WHEN cond THEN x END)
@@ -205,6 +295,8 @@ _IF_COMBINATORS: dict[str, str] = {
     "avgIf": "avg",
     "minIf": "min",
     "maxIf": "max",
+    "anyIf": "any_value",
+    "uniqIf": "approx_count_distinct",
 }
 
 # typed casts: toT(e) -> CAST((e) AS T) — argument type stays open
@@ -217,7 +309,17 @@ _CASTS: dict[str, str] = {
     "toFloat64": "DOUBLE",
     "toString": "STRING",
     "toDateTime": "TIMESTAMP",
+    "toDateTime64": "TIMESTAMP",
+    "toDate32": "DATE",
     "toBool": "BOOLEAN",
+    # unsigned CH types land in the next-wider signed Spark type so the
+    # full CH range fits — EXCEPT UInt64, whose top half cannot be
+    # represented (Spark has no unsigned 64-bit; values above 2^63-1
+    # overflow, the documented caveat)
+    "toUInt8": "SMALLINT",
+    "toUInt16": "INT",
+    "toUInt32": "BIGINT",
+    "toUInt64": "BIGINT",
 }
 
 # parametric aggregates: name(p...)(x) -> spark_name(x, p | array(p...))
@@ -227,6 +329,19 @@ _QUANTILES: dict[str, str] = {
     "quantiles": "percentile_approx",
     "quantileExact": "percentile",
     "quantilesExact": "percentile",
+    # median(x) = quantile-at-0.5; the bare form hits the 0.5 default
+    "median": "percentile_approx",
+    "medianExact": "percentile",
+}
+
+# CH higher-order array functions put the lambda FIRST; Spark puts the
+# array first. Same lambda syntax (x -> expr) on both sides, so the
+# rewrite is a pure argument swap.
+_HIGHER_ORDER: dict[str, str] = {
+    "arrayMap": "transform",
+    "arrayFilter": "filter",
+    "arrayExists": "exists",
+    "arrayAll": "forall",
 }
 
 _TRANSLATED = (
@@ -234,7 +349,17 @@ _TRANSLATED = (
     | set(_IF_COMBINATORS)
     | set(_CASTS)
     | set(_QUANTILES)
-    | {"countIf", "uniqExact", "multiIf", "splitByChar", "splitByString"}
+    | set(_HIGHER_ORDER)
+    | {
+        "countIf",
+        "uniqExact",
+        "uniqExactIf",
+        "multiIf",
+        "splitByChar",
+        "splitByString",
+        "arrayCount",
+        "arrayUniq",
+    }
 )
 
 
@@ -311,6 +436,30 @@ def _rewrite_call(word: str, args: list[str], params: list[str] | None) -> str:
         raise ValueError(f"countIf expects 1 or 2 args, got {len(args)}")
     if word == "uniqExact":
         return f"count(DISTINCT {', '.join(args)})"
+    if word == "uniqExactIf":
+        # exact distinct under a condition: the -If combinator needs
+        # DISTINCT inside, which the plain combinator table can't say
+        if len(args) != 2:
+            raise ValueError(f"uniqExactIf expects (x, cond), got {len(args)}")
+        x, cond = args
+        return f"count(DISTINCT CASE WHEN ({cond}) THEN ({x}) END)"
+    if word in _HIGHER_ORDER:
+        if len(args) != 2 or "->" not in args[0]:
+            raise ValueError(
+                f"{word} expects (lambda, array) — the CH lambda-first "
+                f"form with a single array argument"
+            )
+        lam, arr = args
+        return f"{_HIGHER_ORDER[word]}(({arr}), {lam})"
+    if word == "arrayCount":
+        if len(args) != 2 or "->" not in args[0]:
+            raise ValueError("arrayCount expects (lambda, array)")
+        lam, arr = args
+        return f"size(filter(({arr}), {lam}))"
+    if word == "arrayUniq":
+        if len(args) != 1:
+            raise ValueError(f"arrayUniq expects 1 array, got {len(args)}")
+        return f"size(array_distinct({args[0]}))"
     if word in ("splitByChar", "splitByString"):
         # ALSO registered as SQL UDFs, but Spark rejects SQL-UDF calls
         # under a Generate (UNSUPPORTED_SQL_UDF_USAGE), which is exactly
@@ -598,17 +747,35 @@ def ch_sql(spark: SparkSession, text: str) -> DataFrame:
 # (rendered into COVERAGE.md by scripts/gen_coverage.py)
 # ---------------------------------------------------------------------------
 
+def _scalar_family(n: str) -> str:
+    if n.startswith(("add", "subtract")):
+        return "g6 date-arith"
+    if n.startswith("bit"):
+        return "g7 math"
+    if n in ("extractAll",):
+        return "g3 regex"
+    if n in ("cityHash64", "sipHash64"):
+        return "g10 hash"
+    if n.startswith("to"):
+        return "g4/g5 date"
+    return "g9/g2/g7/g10"
+
+
 CH_FUNCTION_DOC: list[tuple[str, str, str]] = (
-    [(n, "SQL UDF (inlined)", "g4/g5 date" if n.startswith("to") else "g9/g2/g7/g10")
-     for n in _SCALAR_UDFS]
+    [(n, "SQL UDF (inlined)", _scalar_family(n)) for n in _SCALAR_UDFS]
     + [(n, f"rename -> {_RENAMES[n]}", "d4/d6/d7/g12") for n in _RENAMES]
     + [(n, f"combinator -> {_IF_COMBINATORS[n]}(CASE WHEN ...)", "d5 cond-agg")
        for n in _IF_COMBINATORS]
     + [(n, f"cast -> CAST(... AS {_CASTS[n]})", "a6/g14 casts") for n in _CASTS]
     + [(n, f"parametric -> {_QUANTILES[n]}", "d8 quantile") for n in _QUANTILES]
+    + [(n, f"arg-swap -> {_HIGHER_ORDER[n]}(arr, lambda)", "g13 higher-order")
+       for n in _HIGHER_ORDER]
     + [
         ("countIf", "rename / combinator", "d5 cond-agg"),
         ("uniqExact", "-> count(DISTINCT ...)", "d3 count-distinct"),
+        ("uniqExactIf", "-> count(DISTINCT CASE WHEN ...)", "d3/d5"),
+        ("arrayCount", "-> size(filter(arr, lambda))", "g13 higher-order"),
+        ("arrayUniq", "-> size(array_distinct(arr))", "g11 array-core"),
         ("multiIf", "-> CASE WHEN chain", "b7 case-when"),
         (
             "PREWHERE",

@@ -743,7 +743,8 @@ def x14_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     key and its late-line count are recoverable INSIDE the same
     aggregate (max over the late keys / conditional count), so Q21's
     notorious triple lineitem scan collapses to: one orders⋈lineitem
-    shuffle to tag lateness, ONE per-order aggregate, a broadcast dim
+    shuffle to tag lateness, a two-stage per-(order,supplier) →
+    per-order aggregate (no COUNT DISTINCT Expand), a broadcast dim
     probe on the recovered key, and a nations-sized final sum. No
     join-back to the fact at all — the r8 rewrite that replaced the
     probe-gated join-back after the 1e8 bench showed the second
@@ -769,12 +770,23 @@ def x14_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
         ).alias("_late"),
     )
-    late_key = F.when(F.col("_late"), F.col("l_suppkey"))
-    per_order = tagged.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("_n_supp"),
-        F.countDistinct(late_key).alias("_n_late_supp"),
+    # Two-stage aggregate instead of two COUNT(DISTINCT)s: Spark plans
+    # multiple distinct aggregates via an Expand that triples the fact
+    # rows through the exchange; grouping by (orderkey, suppkey) first
+    # gets map-side partial aggregation on the raw lines, and the
+    # per-order pass then runs over ~|distinct supplier pairs| rows —
+    # the 1e8-tier fix for the Expand dominating the plan.
+    per_supp = tagged.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("_late").alias("_supp_late"),
+        F.count(F.when(F.col("_late"), 1)).alias("_supp_late_lines"),
+    )
+    late_key = F.when(F.col("_supp_late"), F.col("l_suppkey"))
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("_n_supp"),
+        F.count(late_key).alias("_n_late_supp"),
         F.max(late_key).alias("_late_suppkey"),
-        F.count(F.when(F.col("_late"), 1)).alias("_n_late_lines"),
+        F.sum(F.when(F.col("_supp_late"), F.col("_supp_late_lines")))
+        .alias("_n_late_lines"),
     )
     return (
         per_order.filter(

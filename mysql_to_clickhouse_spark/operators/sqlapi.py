@@ -915,3 +915,54 @@ def s13e_ch_dialect_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact-scale exchange; PREWHERE/WHERE both push to the scan."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return ch_sql(spark, _S13E_CH_SQL)
+
+
+_S13F_CH_SQL = """
+SELECT event_type,
+       uniqExactIf(user_id, value > 100.0) AS hi_users,
+       CAST(medianExact(toInt64(user_id % 1000)) AS DOUBLE) AS med_bucket,
+       COALESCE(sumIf(toInt64(lengthUTF8(props)),
+                      has(extractAll(props, '[0-9]+'), '7')), 0) AS len7,
+       COALESCE(maxIf(toUInt32(user_id % 997), match(event_type, '^s')),
+                -1) AS mx
+FROM events
+PREWHERE isNotNull(props)
+WHERE modulo(user_id, 2) = 0
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+_S13F_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT CASE WHEN value > 100.0 THEN user_id END)
+            AS BIGINT) AS hi_users,
+       CAST(median(CAST(user_id % 1000 AS BIGINT)) AS DOUBLE) AS med_bucket,
+       CAST(COALESCE(SUM(CAST(length(props) AS BIGINT)) FILTER (
+            WHERE list_contains(regexp_extract_all(props, '[0-9]+'), '7')),
+            0) AS BIGINT) AS len7,
+       CAST(COALESCE(MAX(CAST(user_id % 997 AS BIGINT)) FILTER (
+            WHERE regexp_matches(event_type, '^s')), -1) AS BIGINT) AS mx
+FROM events
+WHERE props IS NOT NULL AND user_id % 2 = 0
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("s13f_ch_dialect_tranche2", oracle=_S13F_ORACLE, tier="T2")
+def s13f_ch_dialect_tranche2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tranche-2 CH-dialect surface in one statement: uniqExactIf /
+    maxIf / sumIf combinators, medianExact (exact interpolated
+    percentile on both engines), the higher-order-adjacent specials
+    (has + extractAll over the props digit runs), the unsigned-cast
+    family (toUInt32 -> next-wider signed), match/modulo/isNotNull
+    scalar renames, and the PREWHERE statement idiom merged into WHERE.
+    Every name resolves through functions/chdialect.py; the oracle
+    restates semantics with DuckDB natives (FILTER, list_contains,
+    regexp_extract_all).
+
+    Scale: one hash-agg exchange over the filtered scan; every scalar
+    is Catalyst-inlined (no Python), so the map side stays in
+    whole-stage codegen — same bound as d5/d8."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return ch_sql(spark, _S13F_CH_SQL)

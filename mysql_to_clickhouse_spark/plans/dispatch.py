@@ -41,13 +41,22 @@ row limit) — the prepared-statement model: a resident engine pays the
 count job the first time a query shape runs, and every later
 invocation applies the remembered strategy with zero probe jobs (the
 1e8 bench measured the per-invocation probe at 1-3 s of pure repeat
-cost). The memo assumes the underlying files are immutable for the
-session (true for the testbed; a production deployment with
-in-session data growth should set ``spark.mysql2ch.join.probeMemo``
-to false, or re-create the session per epoch as batch pipelines do).
-The memo is consulted only AFTER the fact-bytes gate, so small-tier
-drives stay byte-identical in plan whether or not a forced-gate test
-ran earlier in the session.
+cost). An ACCEPTED shape replays from the first invocation's
+MATERIALIZED build cache — the reduced side is never re-evaluated
+for the session's lifetime, which is the dominant repeat cost at the
+1e8 tier (a reduced dim that is a filter+join over a 2.5e7-row
+table costs seconds to rebuild but broadcasts from cache in
+milliseconds). The cache is bounded by construction: it exists only
+because the probe proved ≤ broadcastRows rows. Hygiene: it is held
+until ``release_probe_state(spark)`` (same shared-session discipline
+as ``operators.llmops.release_caches``). The memo assumes the
+underlying files are immutable for the session (true for the
+testbed; a production deployment with in-session data growth should
+set ``spark.mysql2ch.join.probeMemo`` to false, or re-create the
+session per epoch as batch pipelines do). The memo is consulted only
+AFTER the fact-bytes gate, so small-tier drives stay byte-identical
+in plan whether or not a forced-gate test ran earlier in the
+session.
 
 At 100 TB both branches are the right answer: a reduced dim that is
 still a billion rows fails the probe and shuffles (broadcasting it
@@ -183,15 +192,16 @@ def broadcast_when_small(
         hit = memo.get(key)
         if hit is not None:
             decision, cached = hit
-            if cached is not None:
-                # the first invocation's probe cache has served its
-                # purpose (that query has run by the time the same
-                # shape recurs) — release it so repeat workloads don't
-                # pin executor memory per query shape
-                cached.unpersist(blocking=False)
-                memo[key] = (decision, None)
-            # remembered strategy: no probe job, no persist — the
-            # broadcast (or shuffle) evaluates the build exactly once
+            if decision and cached is not None:
+                # full prepared-statement replay: serve the broadcast
+                # from the FIRST invocation's materialized build cache —
+                # zero probe jobs AND zero build re-evaluation. The
+                # cache is bounded by the probe row limit (it only
+                # exists because count() proved ≤ limit rows), held
+                # until release_probe_state(spark).
+                return F.broadcast(cached)
+            # remembered DECLINE: no probe job, no cache — the honest
+            # shuffle evaluates the build exactly once
             return F.broadcast(build) if decision else build
     # One evaluation, not two: cache the reduced side through the count
     # so an ACCEPT feeds the broadcast exchange from the cache instead

@@ -217,6 +217,13 @@ def main() -> None:
     n = args.rows
     n_vec = args.vectors if args.vectors is not None else max(n // 1000, 2000)
 
+    # Pin the local-mode JVM heap BEFORE the session starts (driver IS
+    # the executor in local mode): the co-residence arithmetic for this
+    # box is 24g heap + DuckDB's cap, and an unset env silently ran a
+    # whole tier on the 8g default once — d1's 1e8 hash-agg thrashed
+    # 1.5x slower and nothing in the artifact said why.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+
     import duckdb
 
     from mysql_to_clickhouse_spark.registry import all_queries

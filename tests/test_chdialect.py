@@ -70,7 +70,61 @@ CASES = [
     ("colcountIf + countIfcol", "colcountIf + countIfcol"),
     # a known name without parens is an identifier, not a call
     ("SELECT uniq FROM t", "SELECT uniq FROM t"),
+    # --- tranche 2: renames ---
+    ("any(x)", "any_value(x)"),
+    ("stddevPop(v)", "stddev_pop(v)"),
+    ("covarSamp(a, b)", "covar_samp(a, b)"),
+    ("has(arr, 3)", "array_contains(arr, 3)"),
+    ("indexOf(arr, 'x')", "array_position(arr, 'x')"),
+    ("arrayElement(arr, 1)", "element_at(arr, 1)"),
+    ("replaceRegexpAll(s, 'a+', 'b')", "regexp_replace(s, 'a+', 'b')"),
+    ("match(s, '^ab')", "rlike(s, '^ab')"),
+    ("modulo(a, 3)", "mod(a, 3)"),
+    # --- tranche 2: combinators / specials ---
+    ("anyIf(x, c)", "any_value(CASE WHEN (c) THEN (x) END)"),
+    (
+        "uniqIf(u, v > 1)",
+        "approx_count_distinct(CASE WHEN (v > 1) THEN (u) END)",
+    ),
+    (
+        "uniqExactIf(u, v > 1)",
+        "count(DISTINCT CASE WHEN (v > 1) THEN (u) END)",
+    ),
+    # --- tranche 2: unsigned casts ---
+    ("toUInt32(v)", "CAST((v) AS BIGINT)"),
+    ("toUInt8(v)", "CAST((v) AS SMALLINT)"),
+    ("toDateTime64(v)", "CAST((v) AS TIMESTAMP)"),
+    # --- tranche 2: median family ---
+    ("median(v)", "percentile_approx((v), 0.5)"),
+    ("medianExact(v)", "percentile((v), 0.5)"),
+    # --- tranche 2: higher-order arg swap (CH lambda-first) ---
+    ("arrayMap(x -> x + 1, arr)", "transform((arr), x -> x + 1)"),
+    ("arrayFilter(x -> x > 0, arr)", "filter((arr), x -> x > 0)"),
+    ("arrayExists(x -> x = 2, arr)", "exists((arr), x -> x = 2)"),
+    ("arrayAll(x -> x > 0, arr)", "forall((arr), x -> x > 0)"),
+    ("arrayCount(x -> x > 1, arr)", "size(filter((arr), x -> x > 1))"),
+    ("arrayUniq(arr)", "size(array_distinct(arr))"),
+    # nested: lambda bodies are translated too
+    (
+        "arrayMap(x -> toInt64(x), splitByChar(',', s))",
+        "transform((split((s), concat('\\\\Q', (','), '\\\\E'))), "
+        "x -> CAST((x) AS BIGINT))",
+    ),
 ]
+
+
+@pytest.mark.parametrize(
+    "src",
+    [
+        "arrayMap(arr)",  # missing lambda
+        "arrayFilter(arr, x -> x)",  # array-first is the SPARK order
+        "uniqExactIf(x)",
+        "arrayUniq(a, b)",
+    ],
+)
+def test_translate_bad_arity_is_loud(src):
+    with pytest.raises(ValueError):
+        translate_ch_sql(src)
 
 
 @pytest.mark.parametrize("src,expected", CASES)
@@ -227,3 +281,58 @@ def test_final_prewhere_compose_end_to_end(spark):
         """
     ).collect()[0]
     assert (got.n, got.u) == (want.n, want.u)
+
+
+def test_tranche2_scalar_names_resolve_and_match(spark):
+    register_ch_functions(spark)
+    row = spark.sql(
+        "SELECT addDays(TIMESTAMP '1996-02-28 12:00:00', 2) AS leap,"
+        "       subtractMonths(TIMESTAMP '1996-03-31 00:00:00', 1) AS subm,"
+        "       addHours(TIMESTAMP '1996-03-05 23:30:00', 2) AS rollover,"
+        "       bitAnd(12, 10) AS ba, bitOr(12, 10) AS bo,"
+        "       bitXor(12, 10) AS bx,"
+        "       extractAll('a12b345c', '[0-9]+') AS nums,"
+        "       sipHash64('x') AS h1, cityHash64('x') AS h2"
+    ).collect()[0]
+    # 1996 is a leap year: Feb 28 + 2 days = Mar 1
+    assert str(row.leap) == "1996-03-01 12:00:00"
+    # CH addMonths clamps to month end, same as Spark timestampadd
+    assert str(row.subm) == "1996-02-29 00:00:00"
+    assert str(row.rollover) == "1996-03-06 01:30:00"
+    assert (row.ba, row.bo, row.bx) == (8, 14, 6)
+    assert row.nums == ["12", "345"]
+    # different seeds: the two hash names must not collide
+    assert row.h1 != row.h2
+
+
+def test_tranche2_translated_names_run_end_to_end(spark):
+    """Every translation-mechanism tranche-2 name through a live
+    session over real data: values checked against the equivalent
+    Spark-native restatement."""
+    load(spark, TEST_SF_DIR, "events").createOrReplaceTempView("events")
+    got = ch_sql(
+        spark,
+        "SELECT uniqExactIf(user_id, value > 100.0) AS hi,"
+        "       medianExact(toInt64(user_id % 1000)) AS med,"
+        "       max(arrayUniq(arrayMap(x -> toInt64(x) % 3,"
+        "                     extractAll(props, '[0-9]+')))) AS au,"
+        "       sum(toInt64(arrayCount(x -> length(x) > 1,"
+        "                   extractAll(props, '[0-9]+')))) AS ac,"
+        "       stddevPop(toInt64(user_id % 7)) AS sd "
+        "FROM events WHERE match(event_type, '^(view|click)$') "
+        "  AND isNotNull(props)",
+    ).collect()[0]
+    want = spark.sql(
+        "SELECT count(DISTINCT CASE WHEN value > 100.0 THEN user_id END)"
+        "         AS hi,"
+        "       percentile(CAST(user_id % 1000 AS BIGINT), 0.5) AS med,"
+        "       max(size(array_distinct(transform("
+        "         regexp_extract_all(props, '[0-9]+', 0),"
+        "         x -> CAST(x AS BIGINT) % 3)))) AS au,"
+        "       sum(CAST(size(filter(regexp_extract_all(props, '[0-9]+', 0),"
+        "         x -> length(x) > 1)) AS BIGINT)) AS ac,"
+        "       stddev_pop(CAST(user_id % 7 AS BIGINT)) AS sd "
+        "FROM events WHERE event_type RLIKE '^(view|click)$' "
+        "  AND props IS NOT NULL",
+    ).collect()[0]
+    assert got == want

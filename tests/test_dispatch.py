@@ -309,10 +309,11 @@ def test_release_probe_state_unpins_everything(spark):
         release_probe_state(spark)
 
 
-def test_probe_memo_hit_releases_first_cache(spark):
-    """Repeat workloads self-clean: the FIRST memo replay of an
-    accepted shape unpersists the probe cache the first invocation
-    left behind (by then that query has executed)."""
+def test_probe_memo_hit_replays_from_build_cache(spark):
+    """Full prepared-statement replay: a memo hit on an ACCEPTED shape
+    serves the broadcast from the first invocation's materialized
+    build cache — the executed plan reads an InMemoryTableScan, not a
+    fresh evaluation of the build expression."""
     from mysql_to_clickhouse_spark.plans.dispatch import (
         _PROBE_MEMO,
         release_probe_state,
@@ -326,13 +327,18 @@ def test_probe_memo_hit_releases_first_cache(spark):
         def build_df():
             return load(spark, TEST_SF_DIR, "orders").select("o_orderkey")
 
-        broadcast_when_small(build_df(), li, spark)
+        first = broadcast_when_small(build_df(), li, spark)
         (key, (decision, cached)) = next(iter(_PROBE_MEMO[spark].items()))
         assert decision is True and cached is not None
 
-        broadcast_when_small(build_df(), li, spark)  # memo hit
-        assert _PROBE_MEMO[spark][key] == (True, None)
-        assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+        replay = broadcast_when_small(build_df(), li, spark)  # memo hit
+        replay.collect()
+        plan = replay._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan, plan
+        # results identical to the uncached first plan
+        assert sorted(r[0] for r in replay.collect()) == sorted(
+            r[0] for r in first.collect()
+        )
     finally:
         _restore(spark, saved)
         release_probe_state(spark)

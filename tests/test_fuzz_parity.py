@@ -749,7 +749,7 @@ def test_random_condagg_parity(spark, duck, i):
 # (ClickHouse text, DuckDB restatement) in lockstep.
 # ---------------------------------------------------------------------------
 
-N_CH_QUERIES = 30
+N_CH_QUERIES = 40
 
 _CH_KEYS = [
     # (CH expr for Spark, DuckDB restatement)
@@ -795,7 +795,7 @@ def _gen_ch_query(rng: random.Random) -> tuple[str, str]:
         ch_aggs.append(f"{ch} AS {alias}")
         dk_aggs.append(f"{dk} AS {alias}")
 
-    for idx, which in enumerate(rng.sample(range(8), rng.randint(2, 4))):
+    for idx, which in enumerate(rng.sample(range(11), rng.randint(2, 4))):
         a = f"a{idx}"
         c_ch, c_dk = _ch_cond(rng)
         if which == 0:
@@ -842,12 +842,45 @@ def _gen_ch_query(rng: random.Random) -> tuple[str, str]:
                 f"quantile_cont({_CH_FP}, {p})",
                 a,
             )
-        else:
+        elif which == 7:
             # avg over fixed-point bigints: exact integer sum (< 2^52)
             # then one correctly-rounded division on both engines
             add(
                 f"COALESCE(avgIf({_CH_FP}, {c_ch}), 0.0)",
                 f"COALESCE(AVG({_CH_FP}) FILTER (WHERE {c_dk}), 0.0)",
+                a,
+            )
+        elif which == 8:
+            # tranche 2: exact conditional distinct
+            add(
+                f"uniqExactIf(user_id, {c_ch})",
+                f"CAST(COUNT(DISTINCT CASE WHEN {c_dk} THEN user_id END)"
+                " AS BIGINT)",
+                a,
+            )
+        elif which == 9:
+            # tranche 2: exact interpolated median over small ints —
+            # both engines interpolate (a+b)/2, exact in double
+            k = rng.randint(100, 1000)
+            add(
+                f"CAST(medianExact(toInt64(user_id % {k})) AS DOUBLE)",
+                f"CAST(quantile_cont(CAST(user_id % {k} AS BIGINT), 0.5)"
+                " AS DOUBLE)",
+                a,
+            )
+        else:
+            # tranche 2: higher-order lambda (CH lambda-first arg swap)
+            # over the digit runs in props; plain length() resolves as
+            # a builtin on both engines
+            m = rng.randint(1, 2)
+            add(
+                f"COALESCE(sumIf(toInt64(arrayCount("
+                f"x -> length(x) > {m}, extractAll(props, '[0-9]+'))), "
+                f"{c_ch}), 0)",
+                f"CAST(COALESCE(SUM(CAST(len(list_filter("
+                f"regexp_extract_all(props, '[0-9]+'), "
+                f"x -> length(x) > {m})) AS BIGINT)) "
+                f"FILTER (WHERE {c_dk}), 0) AS BIGINT)",
                 a,
             )
 
