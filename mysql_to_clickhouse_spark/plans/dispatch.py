@@ -15,10 +15,11 @@ way a cost-based optimizer would, spending at most one cheap job:
 
 1. **Gate** (free, driver-side): read the fact side's optimized-plan
    ``sizeInBytes`` (file-size-backed for scans). Below
-   ``spark.mysql2ch.join.probeFactBytes`` (default 4 GiB) the shuffle
-   is cheap and a probe job would cost more than it saves — return
-   ``build`` untouched. This keeps sf0.01/sf0.1 correctness drives and
-   the sub-second bench headliners byte-identical in plan and timing.
+   ``spark.mysql2ch.join.probeFactBytes`` (default 512 MB of
+   compressed parquet) the shuffle is cheap and a probe job would
+   cost more than it saves — return ``build`` untouched. This keeps
+   sf0.01/sf0.1 correctness drives and the sub-second bench
+   headliners byte-identical in plan and timing.
 2. **Probe** (one job over the REDUCED side only — never the fact):
    ``build.count()``. At or under
    ``spark.mysql2ch.join.broadcastRows`` (default 5e6) return
@@ -85,13 +86,23 @@ __all__ = [
 
 _FACT_GATE_CONF = "spark.mysql2ch.join.probeFactBytes"
 _ROWS_CONF = "spark.mysql2ch.join.broadcastRows"
-# 4 GiB of fact scan before a probe pays: measured at the 1e7 tier
-# (~1.3 GB lineitem) the per-invocation count job costs MORE than the
-# small shuffle it avoids (q5 0.84 -> 2.15 s warm with a 1 GiB gate),
-# while at the 1e8 tier (10+ GB) the probe wins 3-4x. The crossover is
-# where one pass over the reduced side stops being amortized by the
-# fact's shuffle write — a few GB on this hardware.
-_FACT_GATE_DEFAULT = 1 << 32
+# How much fact scan before a probe pays: the crossover is where one
+# pass over the reduced side stops being amortized by the fact's
+# shuffle write. The memo moved it DOWN — pre-memo, warm runs
+# re-probed every invocation (q5 0.84 -> 2.15 s warm at the 1e7 tier
+# with a 1 GiB gate, the original 4 GiB rationale); with the memo +
+# build-cache replay the probe is once per session and warm runs are
+# strictly cheaper than the shuffle they dodge. Calibrated against
+# COMPRESSED parquet bytes (what the leaf stats report): the 1e8 tier's
+# 3.1 GB snappy lineitem is an ~8-10 GB in-memory shuffle, and the
+# probe+replay there measured 7.4 s static → 2.4 s warm (q5); the 4 GiB
+# first guess left that tier entirely un-probed, and 1 GiB still missed
+# Q18, whose fact is the 0.69 GB orders table while its build (the
+# lineitem HAVING agg) is the expensive side the replay cache amortizes.
+# 512 MB keeps every fixture tier (sf0.1 lineitem = 10 MB, 1e7 tier
+# ≤ 314 MB) byte-identical in plan while opening the gate everywhere
+# the win is measured.
+_FACT_GATE_DEFAULT = 1 << 29
 _ROWS_DEFAULT = 5_000_000
 _MEMO_CONF = "spark.mysql2ch.join.probeMemo"
 

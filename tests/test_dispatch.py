@@ -247,7 +247,7 @@ def test_probe_memo_consulted_after_gate(spark):
         assert accepted is not build
     finally:
         _restore(spark, saved)
-    # gate restored (default 4 GiB >> testdata): same shape, untouched
+    # gate restored (default 512 MB >> testdata): same shape, untouched
     li = load(spark, TEST_SF_DIR, "lineitem")
     build = load(spark, TEST_SF_DIR, "orders").select("o_orderkey")
     assert broadcast_when_small(build, li, spark) is build
