@@ -183,17 +183,11 @@ def broadcast_when_small(
     if fact_bytes_estimate(fact) < gate:
         return build
     limit = int(spark.conf.get(_ROWS_CONF, str(_ROWS_DEFAULT)))
-    if build_rows_estimate is not None:
-        est = (
-            build_rows_estimate()
-            if callable(build_rows_estimate)
-            else build_rows_estimate
-        )
-        if est > limit:
-            return build
     memo_on = (
         spark.conf.get(_MEMO_CONF, "true").lower() == "true"
     )
+    memo = None
+    key = None
     if memo_on:
         memo = _PROBE_MEMO.setdefault(spark, {})
         key = (
@@ -211,9 +205,22 @@ def broadcast_when_small(
                 # exists because count() proved ≤ limit rows), held
                 # until release_probe_state(spark).
                 return F.broadcast(cached)
-            # remembered DECLINE: no probe job, no cache — the honest
-            # shuffle evaluates the build exactly once
+            # remembered DECLINE (probe- or estimate-based): no jobs at
+            # all — the honest shuffle evaluates the build exactly once
             return F.broadcast(build) if decision else build
+    if build_rows_estimate is not None:
+        est = (
+            build_rows_estimate()
+            if callable(build_rows_estimate)
+            else build_rows_estimate
+        )
+        if est > limit:
+            if memo_on:
+                # memoize the estimate-skip too: the estimator may cost
+                # a dim-sized job (x16's selectivity count) — pay it
+                # once per session, not per invocation
+                memo[key] = (False, None)
+            return build
     # One evaluation, not two: cache the reduced side through the count
     # so an ACCEPT feeds the broadcast exchange from the cache instead
     # of recomputing (see module docstring's cost accounting).
