@@ -724,13 +724,76 @@ def _rewrite_final(sql: str) -> str:
         sql = sql[:ts] + _final_subquery(table) + sql[fe:]
 
 
+_JOIN_STRICTNESS = {"GLOBAL", "ALL"}
+
+
+def _strip_join_modifiers(sql: str) -> str:
+    """CH join modifiers that are no-ops under Spark's planner:
+    ``GLOBAL`` (CH's ship-the-right-side-everywhere distributed hint —
+    Spark's own broadcast/shuffle dispatch decides that) and the
+    default-strictness ``ALL`` (bag semantics, which is what a plain
+    Spark join already does). Each is dropped only when the NEXT word
+    is a join keyword, so columns named ``global`` survive. ``ANY``
+    strictness is NOT silently dropped — it changes row multiplicity
+    (one match per left row; the c22 operator implements it) — a loud
+    error beats wrong cardinality."""
+    while True:
+        hit = None
+        prev = None  # (word, start, end)
+        for word, s, e, _d in _scan_words(sql):
+            if (
+                prev is not None
+                and prev[0].upper() in _JOIN_STRICTNESS
+                and word.upper()
+                in ("JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS")
+            ):
+                hit = prev
+                break
+            if (
+                prev is not None
+                and prev[0].upper() == "ANY"
+                and word.upper()
+                in ("JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS")
+            ):
+                raise ValueError(
+                    "ANY JOIN strictness changes row multiplicity and has "
+                    "no silent Spark translation — use the c22 ANY-join "
+                    "operator (latest-per-key collapse on the build side) "
+                    "and restate the query without ANY"
+                )
+            prev = (word, s, e)
+        if hit is None:
+            return sql
+        _w, s, e = hit
+        # drop the modifier and one following space
+        cut = e + 1 if e < len(sql) and sql[e] == " " else e
+        sql = sql[:s] + sql[cut:]
+
+
+def _strip_trailing_clauses(sql: str) -> str:
+    """Drop CH's trailing ``SETTINGS k=v, ...`` and ``FORMAT Name``
+    clauses — per-query engine knobs and client wire-format directives
+    that have no Spark statement equivalent (session confs and the
+    DataFrame writer are the Spark-side homes for those decisions).
+    Only a TOP-LEVEL (depth-0) occurrence terminates the statement;
+    anything after it is CH grammar, not data, so stripping is safe."""
+    for word, s, _e, d in _scan_words(sql):
+        if d == 0 and word.upper() in ("SETTINGS", "FORMAT"):
+            return sql[:s].rstrip()
+    return sql
+
+
 def translate_ch_sql(sql: str) -> str:
-    """Full CH-dialect translation pipeline: PREWHERE → WHERE merge,
-    FROM <t> FINAL → latest-per-key collapse, then the function-call
-    pass (renames, -If combinators, parametric quantiles, casts).
-    Pure text-to-text; identifiers it does not know, string literals,
-    and quoted identifiers pass through byte-identical. (Comments are
-    not stripped — don't put CH calls in comments.)"""
+    """Full CH-dialect translation pipeline: trailing SETTINGS/FORMAT
+    strip, GLOBAL/ALL join-modifier strip (ANY is a loud error),
+    PREWHERE → WHERE merge, FROM <t> FINAL → latest-per-key collapse,
+    then the function-call pass (renames, -If combinators, parametric
+    quantiles, casts). Pure text-to-text; identifiers it does not
+    know, string literals, and quoted identifiers pass through
+    byte-identical. (Comments are not stripped — don't put CH calls
+    in comments.)"""
+    sql = _strip_trailing_clauses(sql)
+    sql = _strip_join_modifiers(sql)
     return _translate_functions(_rewrite_final(_rewrite_prewhere(sql)))
 
 
@@ -787,6 +850,30 @@ CH_FUNCTION_DOC: list[tuple[str, str, str]] = (
             "statement: FROM <t> FINAL -> latest-per-key collapse "
             "(per-table FinalSpec)",
             "a4 CDC apply",
+        ),
+        (
+            "GLOBAL",
+            "statement: join-distribution hint dropped (Spark's own "
+            "broadcast/shuffle dispatch decides)",
+            "c1-c11 joins",
+        ),
+        (
+            "ALL",
+            "statement: default join strictness dropped (bag semantics "
+            "is the Spark default); ANY is a loud error -> c22",
+            "c1-c11 joins",
+        ),
+        (
+            "SETTINGS",
+            "statement: trailing per-query engine knobs stripped "
+            "(session confs are the Spark-side home)",
+            "session.py",
+        ),
+        (
+            "FORMAT",
+            "statement: trailing wire-format directive stripped "
+            "(the DataFrame writer owns output format)",
+            "a5 sink",
         ),
     ]
 )

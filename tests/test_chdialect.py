@@ -236,7 +236,42 @@ STMT_CASES = [
     ),
     # a column/alias merely named final is not the FINAL modifier
     ("SELECT x AS final FROM t", "SELECT x AS final FROM t"),
+    # GLOBAL / default-ALL join strictness drop; plain identifiers stay
+    (
+        "SELECT a FROM t GLOBAL JOIN u ON t.k = u.k",
+        "SELECT a FROM t JOIN u ON t.k = u.k",
+    ),
+    (
+        "SELECT a FROM t GLOBAL LEFT JOIN u ON t.k = u.k",
+        "SELECT a FROM t LEFT JOIN u ON t.k = u.k",
+    ),
+    (
+        "SELECT a FROM t ALL INNER JOIN u ON t.k = u.k",
+        "SELECT a FROM t INNER JOIN u ON t.k = u.k",
+    ),
+    ("SELECT global FROM t", "SELECT global FROM t"),
+    ("SELECT a FROM t UNION ALL SELECT a FROM u",
+     "SELECT a FROM t UNION ALL SELECT a FROM u"),
+    # trailing engine knobs / wire-format directives stripped
+    (
+        "SELECT countIf(c) AS n FROM t SETTINGS max_threads = 8",
+        "SELECT count_if(c) AS n FROM t",
+    ),
+    (
+        "SELECT a FROM t ORDER BY a FORMAT JSONEachRow",
+        "SELECT a FROM t ORDER BY a",
+    ),
+    # a string containing 'SETTINGS' is data, not a clause
+    (
+        "SELECT 'SETTINGS x' AS s FROM t",
+        "SELECT 'SETTINGS x' AS s FROM t",
+    ),
 ]
+
+
+def test_any_join_is_loud():
+    with pytest.raises(ValueError, match="ANY JOIN"):
+        translate_ch_sql("SELECT a FROM t ANY LEFT JOIN u ON t.k = u.k")
 
 
 @pytest.mark.parametrize("src,expected", STMT_CASES)

@@ -749,7 +749,7 @@ def test_random_condagg_parity(spark, duck, i):
 # (ClickHouse text, DuckDB restatement) in lockstep.
 # ---------------------------------------------------------------------------
 
-N_CH_QUERIES = 40
+N_CH_QUERIES = 60
 
 _CH_KEYS = [
     # (CH expr for Spark, DuckDB restatement)
@@ -884,23 +884,41 @@ def _gen_ch_query(rng: random.Random) -> tuple[str, str]:
                 a,
             )
 
+    # statement-level idioms: FROM events FINAL (the a4 latest-per-key
+    # collapse — restated on the DuckDB side as the window CTE) and
+    # WHERE spelled as PREWHERE (merged into WHERE by the translator)
+    use_final = rng.random() < 0.35
+    src_ch = "events FINAL" if use_final else "events"
+    src_dk = (
+        "(SELECT * FROM ("
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id "
+        "ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC, event_id DESC"
+        ") AS __rn FROM events) "
+        "WHERE __rn = 1 AND NOT (event_type = 'error')) events"
+        if use_final
+        else "events"
+    )
     w_ch = w_dk = ""
     if rng.random() < 0.4:
         c_ch, c_dk = _ch_cond(rng)
-        w_ch, w_dk = f"WHERE {c_ch}", f"WHERE {c_dk}"
+        kw = "PREWHERE" if rng.random() < 0.5 else "WHERE"
+        w_ch, w_dk = f"{kw} {c_ch}", f"WHERE {c_dk}"
+    tail_ch = (
+        " SETTINGS max_threads = 4" if rng.random() < 0.2 else ""
+    )
     if rng.random() < 0.8:
         k_ch, k_dk = rng.choice(_CH_KEYS)
         ch = (
-            f"SELECT {k_ch} AS k0, {', '.join(ch_aggs)} FROM events {w_ch} "
-            f"GROUP BY {k_ch} ORDER BY k0"
+            f"SELECT {k_ch} AS k0, {', '.join(ch_aggs)} FROM {src_ch} "
+            f"{w_ch} GROUP BY {k_ch} ORDER BY k0{tail_ch}"
         )
         dk = (
-            f"SELECT {k_dk} AS k0, {', '.join(dk_aggs)} FROM events {w_dk} "
-            f"GROUP BY 1 ORDER BY k0"
+            f"SELECT {k_dk} AS k0, {', '.join(dk_aggs)} FROM {src_dk} "
+            f"{w_dk} GROUP BY 1 ORDER BY k0"
         )
     else:
-        ch = f"SELECT {', '.join(ch_aggs)} FROM events {w_ch}"
-        dk = f"SELECT {', '.join(dk_aggs)} FROM events {w_dk}"
+        ch = f"SELECT {', '.join(ch_aggs)} FROM {src_ch} {w_ch}{tail_ch}"
+        dk = f"SELECT {', '.join(dk_aggs)} FROM {src_dk} {w_dk}"
     return ch, dk
 
 
