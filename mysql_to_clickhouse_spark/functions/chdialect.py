@@ -638,6 +638,195 @@ def _rewrite_prewhere(sql: str) -> str:
             sql = f"{sql[:ps]}WHERE{sql[pe:]}"
 
 
+def _rewrite_limit_by(sql: str) -> str:
+    """CH ``ORDER BY o LIMIT n BY k1, k2 [LIMIT m]`` — first-n-rows
+    per distinct key (CH processing order: ORDER BY, then LIMIT BY,
+    then the final LIMIT) — rewritten as the e1 ranked-window idiom:
+
+        SELECT * EXCEPT (__lb) FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY k1, k2 ORDER BY o) AS __lb
+          FROM (<query without ORDER BY/LIMIT>) __lbq
+        ) WHERE __lb <= n [ORDER BY o] [LIMIT m]
+
+    The window ORDER BY mirrors the query's ORDER BY (that is what
+    "first n" means in CH); without one, the partition keys order the
+    window — arbitrary-but-deterministic, matching CH's unspecified
+    pick. Top-level only: a LIMIT BY inside a subquery raises (wrap
+    that subquery through ch_sql separately). The offset form
+    ``LIMIT off, n BY`` also raises — no silent row-skipping."""
+    hits = [
+        (w, s, e, d)
+        for w, s, e, d in _scan_words(sql)
+        if w.upper() == "LIMIT"
+    ]
+    for _w, ls, le, depth in hits:
+        # tokens after LIMIT: numbers/commas until BY / clause end
+        j = le
+        n = len(sql)
+        nums: list[str] = []
+        buf = ""
+        while j < n:
+            c = sql[j]
+            if c.isdigit():
+                buf += c
+            elif c == "," and buf:
+                nums.append(buf)
+                buf = ""
+            elif c.isspace():
+                if buf:
+                    nums.append(buf)
+                    buf = ""
+            else:
+                break
+            j += 1
+        if buf:
+            nums.append(buf)
+        is_by = sql[j : j + 2].upper() == "BY" and (
+            j + 2 == n or not (sql[j + 2].isalnum() or sql[j + 2] == "_")
+        )
+        if not is_by:
+            continue
+        if depth != 0:
+            raise ValueError(
+                "LIMIT BY inside a subquery is not supported by the "
+                "dialect layer — run that subquery through ch_sql "
+                "separately or restate with a window"
+            )
+        if len(nums) != 1:
+            raise ValueError(
+                "LIMIT offset, n BY is not translated — no silent "
+                "row-skipping; restate the offset explicitly"
+            )
+        per_group = nums[0]
+        keys_end, term, past = _clause_end(sql, j + 2)
+        keys_txt = sql[j + 2 : keys_end].strip()
+        final_limit = None
+        tail_after = sql[keys_end:]
+        if term == "LIMIT":
+            lim_end, _t, _p = _clause_end(sql, past)
+            final_limit = sql[past:lim_end].strip()
+            tail_after = sql[lim_end:]
+        # the ORDER BY clause, if any, immediately precedes this LIMIT
+        order_txt = None
+        head_end = ls
+        for w2, s2, e2, d2 in _scan_words(sql[:ls]):
+            if d2 == 0 and w2.upper() == "ORDER":
+                o_end, o_term, _ = _clause_end(sql, e2)
+                # the clause running to exactly this LIMIT is ours
+                if o_term == "LIMIT" and o_end <= ls:
+                    order_txt = sql[e2:o_end]
+                    order_txt = order_txt.lstrip()
+                    if order_txt.upper().startswith("BY"):
+                        order_txt = order_txt[2:].strip()
+                    head_end = s2
+        inner = sql[:head_end].strip()
+        # splice the ranking into the SAME select (not a wrapping
+        # subquery): the window then shares the select list's scope, so
+        # it can rank by source columns the projection drops — CH
+        # allows `SELECT a FROM t ORDER BY hidden LIMIT 1 BY a`.
+        from_pos = None
+        for w3, s3, _e3, d3 in _scan_words(inner):
+            if d3 == 0 and w3.upper() == "FROM":
+                from_pos = s3
+                break
+        if from_pos is None:
+            raise ValueError("LIMIT BY requires a FROM clause")
+        # Three layers, each dodging a Spark restriction:
+        #   inner — the original select plus hidden (expr) AS __kb/__ob
+        #     projections of the keys and sort expressions (LATERAL
+        #     column aliases are legal in a projection, so these may
+        #     reference select aliases OR source columns);
+        #   mid — the ROW_NUMBER over the now-REAL __kb/__ob columns
+        #     (windows may not reference lateral aliases directly);
+        #   out — * EXCEPT the plumbing, rank filter, and output
+        #     ORDER BY on the hidden columns (sorting by a column the
+        #     projection drops is legal against the subquery output).
+        key_items = _split_order_items(keys_txt)
+        hidden = [f"({k}) AS __kb{i}" for i, k in enumerate(key_items)]
+        win_part = ", ".join(f"__kb{i}" for i in range(len(key_items)))
+        order_items: list[str] = []
+        if order_txt:
+            for i, item in enumerate(_split_order_items(order_txt)):
+                expr, suffix = _split_order_suffix(item)
+                hidden.append(f"({expr}) AS __ob{i}")
+                order_items.append(f"__ob{i}{suffix}")
+        win_order = ", ".join(order_items) if order_items else win_part
+        spliced = (
+            f"{inner[:from_pos].rstrip()}, {', '.join(hidden)} "
+            f"{inner[from_pos:]}"
+        )
+        mid = (
+            f"SELECT *, ROW_NUMBER() OVER (PARTITION BY {win_part} "
+            f"ORDER BY {win_order}) AS __lb FROM ({spliced}) __lbi"
+        )
+        dropped = ", ".join(
+            ["__lb"]
+            + [f"__kb{i}" for i in range(len(key_items))]
+            + [f"__ob{i}" for i in range(len(order_items))]
+        )
+        out = (
+            f"SELECT * EXCEPT ({dropped}) FROM ({mid}) __lbo "
+            f"WHERE __lb <= {per_group}"
+        )
+        if order_items:
+            out += f" ORDER BY {', '.join(order_items)}"
+        if final_limit:
+            out += f" LIMIT {final_limit}"
+        return out + tail_after
+    return sql
+
+
+def _split_order_items(order_txt: str) -> list[str]:
+    """Split ORDER BY text at top-level commas (strings and nested
+    parens respected)."""
+    items: list[str] = []
+    buf: list[str] = []
+    i, depth, n = 0, 0, len(order_txt)
+    while i < n:
+        c = order_txt[i]
+        if c in "'\"`":
+            end = _scan_string(order_txt, i, c)
+            buf.append(order_txt[i:end])
+            i = end
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            items.append("".join(buf).strip())
+            buf = []
+            i += 1
+            continue
+        buf.append(c)
+        i += 1
+    if "".join(buf).strip():
+        items.append("".join(buf).strip())
+    return items
+
+
+def _split_order_suffix(item: str) -> tuple[str, str]:
+    """Separate one ORDER BY item into (expression, direction suffix):
+    trailing ASC/DESC and NULLS FIRST/LAST keywords move to the
+    suffix."""
+    words = item.split()
+    suffix: list[str] = []
+    while words:
+        last = words[-1].upper()
+        if last in ("ASC", "DESC"):
+            suffix.insert(0, words.pop().upper())
+        elif last in ("FIRST", "LAST") and len(words) >= 2 and (
+            words[-2].upper() == "NULLS"
+        ):
+            suffix.insert(0, words.pop().upper())
+            suffix.insert(0, words.pop().upper())
+        else:
+            break
+    sfx = (" " + " ".join(suffix)) if suffix else ""
+    return " ".join(words), sfx
+
+
 class FinalSpec(NamedTuple):
     """ReplacingMergeTree read semantics for one replicated table:
     latest version per key wins, delete-marked rows drop — what CH's
@@ -786,7 +975,7 @@ def _strip_trailing_clauses(sql: str) -> str:
 def translate_ch_sql(sql: str) -> str:
     """Full CH-dialect translation pipeline: trailing SETTINGS/FORMAT
     strip, GLOBAL/ALL join-modifier strip (ANY is a loud error),
-    PREWHERE → WHERE merge, FROM <t> FINAL → latest-per-key collapse,
+    LIMIT n BY → ranked-window rewrite, PREWHERE → WHERE merge, FROM <t> FINAL → latest-per-key collapse,
     then the function-call pass (renames, -If combinators, parametric
     quantiles, casts). Pure text-to-text; identifiers it does not
     know, string literals, and quoted identifiers pass through
@@ -794,6 +983,7 @@ def translate_ch_sql(sql: str) -> str:
     in comments.)"""
     sql = _strip_trailing_clauses(sql)
     sql = _strip_join_modifiers(sql)
+    sql = _rewrite_limit_by(sql)
     return _translate_functions(_rewrite_final(_rewrite_prewhere(sql)))
 
 
@@ -874,6 +1064,12 @@ CH_FUNCTION_DOC: list[tuple[str, str, str]] = (
             "statement: trailing wire-format directive stripped "
             "(the DataFrame writer owns output format)",
             "a5 sink",
+        ),
+        (
+            "LIMIT BY",
+            "statement: first-n-per-key -> ranked-window rewrite "
+            "(ROW_NUMBER over the query's ORDER BY)",
+            "e1/f2 top-k",
         ),
     ]
 )

@@ -966,3 +966,41 @@ def s13f_ch_dialect_tranche2(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen — same bound as d5/d8."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return ch_sql(spark, _S13F_CH_SQL)
+
+
+_S14_CH_SQL = """
+SELECT event_type, user_id, event_id,
+       toInt64(FLOOR(value * 10000.0)) AS value_fp
+FROM events
+ORDER BY value_fp DESC, event_id
+LIMIT 3 BY event_type
+"""
+
+_S14_ORACLE = """
+SELECT event_type, user_id, event_id, value_fp FROM (
+  SELECT event_type, user_id, event_id,
+         CAST(FLOOR(value * 10000.0) AS BIGINT) AS value_fp,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY CAST(FLOOR(value * 10000.0) AS BIGINT) DESC, event_id
+         ) AS rn
+  FROM events
+) WHERE rn <= 3
+"""
+
+
+@register("s14_ch_limit_by", oracle=_S14_ORACLE, tier="T2")
+def s14_ch_limit_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``LIMIT n BY keys`` — first-n-rows-per-key, the idiom CH
+    users reach for before window functions — translated by the
+    dialect layer into the e1 ranked-window shape: the rank is spliced
+    into the SAME select scope (so it can order by columns the
+    projection drops), output ordering survives projection via hidden
+    __ob columns, and the filter is rank <= n. Deterministic here via
+    the fixed-point value + event_id tie-break.
+
+    Scale: identical bound to e1 — Spark plans the rank filter as
+    WindowGroupLimit, pruning each partition to n rows map-side BEFORE
+    the exchange, so the shuffle carries at most n rows per key."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return ch_sql(spark, _S14_CH_SQL)

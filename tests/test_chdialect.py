@@ -371,3 +371,64 @@ def test_tranche2_translated_names_run_end_to_end(spark):
         "  AND props IS NOT NULL",
     ).collect()[0]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# LIMIT n BY — the CH first-n-per-key idiom
+# ---------------------------------------------------------------------------
+
+def test_limit_by_rewrite_shape():
+    out = translate_ch_sql(
+        "SELECT a, b FROM t ORDER BY b DESC LIMIT 2 BY a LIMIT 10"
+    )
+    assert out == (
+        "SELECT * EXCEPT (__lb, __kb0, __ob0) FROM ("
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY __kb0 "
+        "ORDER BY __ob0 DESC) AS __lb FROM ("
+        "SELECT a, b, (a) AS __kb0, (b) AS __ob0 FROM t) __lbi) __lbo "
+        "WHERE __lb <= 2 ORDER BY __ob0 DESC LIMIT 10"
+    )
+
+
+def test_limit_by_without_order_uses_keys():
+    out = translate_ch_sql("SELECT a, n FROM t LIMIT 1 BY a, n")
+    assert "PARTITION BY __kb0, __kb1 ORDER BY __kb0, __kb1" in out
+    assert out.endswith("WHERE __lb <= 1")
+
+
+def test_plain_limit_untouched():
+    assert translate_ch_sql("SELECT a FROM t LIMIT 5") == (
+        "SELECT a FROM t LIMIT 5"
+    )
+
+
+def test_limit_by_offset_form_is_loud():
+    with pytest.raises(ValueError, match="offset"):
+        translate_ch_sql("SELECT a FROM t LIMIT 2, 3 BY a")
+
+
+def test_limit_by_in_subquery_is_loud():
+    with pytest.raises(ValueError, match="subquery"):
+        translate_ch_sql(
+            "SELECT * FROM (SELECT a FROM t LIMIT 2 BY a) q"
+        )
+
+
+def test_limit_by_end_to_end(spark):
+    """LIMIT BY through a live session: first-2-per-type by value must
+    equal the hand-written ranked window."""
+    load(spark, TEST_SF_DIR, "events").createOrReplaceTempView("events")
+    got = ch_sql(
+        spark,
+        "SELECT event_type, event_id FROM events "
+        "ORDER BY value DESC, event_id LIMIT 2 BY event_type",
+    ).toPandas()
+    want = spark.sql(
+        "SELECT event_type, event_id FROM ("
+        "SELECT event_type, event_id, ROW_NUMBER() OVER ("
+        "PARTITION BY event_type ORDER BY value DESC, event_id) AS rn "
+        "FROM events) WHERE rn <= 2"
+    ).toPandas()
+    got_s = sorted(map(tuple, got.itertuples(index=False)))
+    want_s = sorted(map(tuple, want.itertuples(index=False)))
+    assert got_s == want_s
