@@ -913,6 +913,109 @@ def _rewrite_final(sql: str) -> str:
         sql = sql[:ts] + _final_subquery(table) + sql[fe:]
 
 
+_SAMPLE_SPECS: dict[str, str] = {}
+
+
+def register_sample_spec(table: str, key_expr: str) -> None:
+    """Declare the deterministic sampling key ``SAMPLE`` banding uses
+    for one table — mirrors CH's ``SAMPLE BY`` table-DDL clause. The
+    key should be uniformly distributed (an id or a hash), exactly as
+    CH requires."""
+    _SAMPLE_SPECS[table] = key_expr
+
+
+# a32's declared sampling key for the testbed's event stream
+register_sample_spec("events", "event_id")
+
+
+def _sample_predicate(key: str, frac, off) -> str:
+    """The a32 hash-band predicate: md5-prefix of the sampling key as a
+    32-bit integer, band [off, off+frac) of the full 2^32 range —
+    exact, seedless, repeatable across engines (DuckDB restates the
+    identical arithmetic), and OFFSET-tileable."""
+    lo = ((1 << 32) * off.numerator) // off.denominator
+    hi = lo + ((1 << 32) * frac.numerator) // frac.denominator
+    band = (
+        f"conv(substring(md5(CAST({key} AS STRING)), 1, 8), 16, 10)"
+    )
+    return f"{band} >= {lo} AND {band} < {hi}"
+
+
+_NUM_RE = r"([0-9]+(?:\.[0-9]+)?)\s*(?:/\s*([0-9]+))?"
+
+
+def _rewrite_sample(sql: str) -> str:
+    """CH ``FROM <t> [FINAL] SAMPLE k[/m] [OFFSET a/b]`` → the a32
+    deterministic hash-band filter as an inline subquery (aliased back
+    to the table name). Requires a registered sample key
+    (``register_sample_spec``) — CH likewise requires ``SAMPLE BY`` in
+    the table's DDL. The approximate-row-count form ``SAMPLE n`` with
+    n > 1 raises: banding by rows needs table statistics the dialect
+    layer does not own."""
+    import re
+    from fractions import Fraction
+
+    while True:
+        hit = None
+        prev3 = prev2 = prev = None
+        for word, s, e, _d in _scan_words(sql):
+            if word.upper() == "SAMPLE" and prev is not None:
+                # FROM t SAMPLE …        (prev=t, prev2=FROM/JOIN)
+                if (
+                    prev2 is not None
+                    and prev2[0].upper() in ("FROM", "JOIN")
+                ):
+                    hit = (prev[0], prev[1], e, False)
+                    break
+                # FROM t FINAL SAMPLE …  (prev=FINAL, prev2=t, prev3=FROM)
+                if (
+                    prev[0].upper() == "FINAL"
+                    and prev2 is not None
+                    and prev3 is not None
+                    and prev3[0].upper() in ("FROM", "JOIN")
+                ):
+                    hit = (prev2[0], prev2[1], e, True)
+                    break
+            prev3, prev2, prev = prev2, prev, (word, s, e)
+        if hit is None:
+            return sql
+        table, ts, se, has_final = hit
+        m = re.match(r"\s*" + _NUM_RE, sql[se:])
+        if not m:
+            raise ValueError("SAMPLE expects a fraction, e.g. SAMPLE 1/8")
+        frac = (
+            Fraction(int(m.group(1)), int(m.group(2)))
+            if m.group(2)
+            else Fraction(m.group(1))
+        )
+        end = se + m.end()
+        off = Fraction(0)
+        m2 = re.match(r"\s*OFFSET\s+" + _NUM_RE, sql[end:], re.IGNORECASE)
+        if m2:
+            off = (
+                Fraction(int(m2.group(1)), int(m2.group(2)))
+                if m2.group(2)
+                else Fraction(m2.group(1))
+            )
+            end += m2.end()
+        if frac > 1:
+            raise ValueError(
+                "SAMPLE n (approximate row count) is not translated — "
+                "banding by rows needs table statistics; state a "
+                "fraction (SAMPLE 1/8)"
+            )
+        if table not in _SAMPLE_SPECS:
+            raise ValueError(
+                f"SAMPLE on {table!r}: no sample key registered; declare "
+                f"one with register_sample_spec() (CH likewise requires "
+                f"SAMPLE BY in the table DDL)"
+            )
+        pred = _sample_predicate(_SAMPLE_SPECS[table], frac, off)
+        src = f"{table} FINAL" if has_final else table
+        repl = f"(SELECT * FROM {src} WHERE {pred}) {table}"
+        sql = sql[:ts] + repl + sql[end:]
+
+
 _JOIN_STRICTNESS = {"GLOBAL", "ALL"}
 
 
@@ -975,7 +1078,8 @@ def _strip_trailing_clauses(sql: str) -> str:
 def translate_ch_sql(sql: str) -> str:
     """Full CH-dialect translation pipeline: trailing SETTINGS/FORMAT
     strip, GLOBAL/ALL join-modifier strip (ANY is a loud error),
-    LIMIT n BY → ranked-window rewrite, PREWHERE → WHERE merge, FROM <t> FINAL → latest-per-key collapse,
+    LIMIT n BY → ranked-window rewrite, SAMPLE → hash-band filter,
+    PREWHERE → WHERE merge, FROM <t> FINAL → latest-per-key collapse,
     then the function-call pass (renames, -If combinators, parametric
     quantiles, casts). Pure text-to-text; identifiers it does not
     know, string literals, and quoted identifiers pass through
@@ -984,6 +1088,7 @@ def translate_ch_sql(sql: str) -> str:
     sql = _strip_trailing_clauses(sql)
     sql = _strip_join_modifiers(sql)
     sql = _rewrite_limit_by(sql)
+    sql = _rewrite_sample(sql)
     return _translate_functions(_rewrite_final(_rewrite_prewhere(sql)))
 
 
@@ -1070,6 +1175,13 @@ CH_FUNCTION_DOC: list[tuple[str, str, str]] = (
             "statement: first-n-per-key -> ranked-window rewrite "
             "(ROW_NUMBER over the query's ORDER BY)",
             "e1/f2 top-k",
+        ),
+        (
+            "SAMPLE",
+            "statement: FROM <t> SAMPLE k/m [OFFSET a/b] -> "
+            "deterministic md5 hash-band filter on the registered "
+            "sample key",
+            "a32 sample",
         ),
     ]
 )

@@ -1004,3 +1004,49 @@ def s14_ch_limit_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exchange, so the shuffle carries at most n rows per key."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return ch_sql(spark, _S14_CH_SQL)
+
+
+_S15_LO = (1 << 32) // 4
+_S15_HI = _S15_LO + (1 << 32) // 8
+
+_S15_CH_SQL = """
+SELECT event_type,
+       COUNT(*) AS sample_rows,
+       uniqExact(user_id) AS sample_users,
+       COALESCE(sumIf(toInt64(FLOOR(value * 10000.0)), value > 50.0), 0)
+         AS hi_value_fp
+FROM events SAMPLE 1/8 OFFSET 1/4
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+_S15_ORACLE = f"""
+SELECT event_type,
+       COUNT(*) AS sample_rows,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS sample_users,
+       CAST(COALESCE(SUM(CAST(FLOOR(value * 10000.0) AS BIGINT))
+            FILTER (WHERE value > 50.0), 0) AS BIGINT) AS hi_value_fp
+FROM events
+WHERE CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      >= {_S15_LO}
+  AND CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      < {_S15_HI}
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("s15_ch_sample_clause", oracle=_S15_ORACLE, tier="T3")
+def s15_ch_sample_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``FROM events SAMPLE 1/8 OFFSET 1/4`` as STATEMENT TEXT —
+    the a32 deterministic md5 hash-band filter, reached through the
+    dialect layer's per-table sample-key registry instead of the
+    DataFrame API. Band arithmetic is integer-exact on both engines
+    (DuckDB restates the identical prefix-to-band mapping), so the
+    sampled subset — and therefore every aggregate over it — is
+    hash-green, not rows-only.
+
+    Scale: pure row-local predicate evaluated inside the scan stage;
+    7/8 of rows drop before the one group-by exchange (a32's bound)."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return ch_sql(spark, _S15_CH_SQL)

@@ -432,3 +432,68 @@ def test_limit_by_end_to_end(spark):
     got_s = sorted(map(tuple, got.itertuples(index=False)))
     want_s = sorted(map(tuple, want.itertuples(index=False)))
     assert got_s == want_s
+
+
+# ---------------------------------------------------------------------------
+# SAMPLE — deterministic hash-band sampling (a32 statement form)
+# ---------------------------------------------------------------------------
+
+def test_sample_rewrite_shape():
+    out = translate_ch_sql("SELECT COUNT(*) AS n FROM events SAMPLE 1/8")
+    assert out == (
+        "SELECT COUNT(*) AS n FROM (SELECT * FROM events WHERE "
+        "conv(substring(md5(CAST(event_id AS STRING)), 1, 8), 16, 10)"
+        " >= 0 AND "
+        "conv(substring(md5(CAST(event_id AS STRING)), 1, 8), 16, 10)"
+        " < 536870912) events"
+    )
+
+
+def test_sample_offset_shifts_band():
+    out = translate_ch_sql(
+        "SELECT 1 FROM events SAMPLE 1/8 OFFSET 1/4"
+    )
+    assert ">= 1073741824" in out and "< 1610612736" in out
+
+
+def test_sample_decimal_fraction():
+    out = translate_ch_sql("SELECT 1 FROM events SAMPLE 0.5")
+    assert "< 2147483648" in out
+
+
+def test_sample_composes_with_final():
+    out = translate_ch_sql("SELECT 1 FROM events FINAL SAMPLE 1/2")
+    # FINAL expands INSIDE the sample subquery: collapse, then band
+    assert "ROW_NUMBER() OVER (PARTITION BY user_id" in out
+    assert "conv(substring(md5(" in out
+    assert "FINAL" not in out
+
+
+def test_sample_rowcount_form_is_loud():
+    with pytest.raises(ValueError, match="row count"):
+        translate_ch_sql("SELECT 1 FROM events SAMPLE 1000")
+
+
+def test_sample_unregistered_table_is_loud():
+    with pytest.raises(ValueError, match="no sample key"):
+        translate_ch_sql("SELECT 1 FROM orders SAMPLE 1/8")
+
+
+def test_sample_band_matches_a32_operator(spark):
+    """The statement form must pick EXACTLY a32's rows: same key, same
+    md5 band arithmetic — SAMPLE 1/8 OFFSET 1/4 == a32's band."""
+    from mysql_to_clickhouse_spark.registry import all_queries
+
+    load(spark, TEST_SF_DIR, "events").createOrReplaceTempView("events")
+    got = ch_sql(
+        spark,
+        "SELECT COUNT(*) AS n, COALESCE(SUM(user_id), 0) AS s "
+        "FROM events SAMPLE 1/8 OFFSET 1/4",
+    ).collect()[0]
+    a32 = (
+        all_queries()["a32_sample_clause"]
+        .fn(spark, TEST_SF_DIR)
+        .agg({"sample_rows": "sum"})
+        .collect()[0][0]
+    )
+    assert got.n == a32
