@@ -38,10 +38,12 @@ from mysql_to_clickhouse_spark.functions.text import (
     word_shingles,
 )
 from mysql_to_clickhouse_spark.functions.vectors import (
+    DOT_SCALE,
     cosine,
     l2_norm,
     o_cosine,
     o_l2_norm,
+    o_quantized,
 )
 from mysql_to_clickhouse_spark.registry import register
 from mysql_to_clickhouse_spark.tables import load
@@ -1909,19 +1911,36 @@ _SEMDUP_THETA = 0.4
 # the Spark side scales past it — only the ORACLE needs the bound.
 _SEMDUP_MAX_ID = 2000
 
+# Oracle cost discipline: every CTE below is AS MATERIALIZED. Without the
+# hint DuckDB inlines `edges` into `bidir` (2×) and re-executes the inlined
+# tree on EVERY recursive-CTE iteration — the O(n²) cosine join ran ~25
+# times and one sf0.1 drive paid 338 s for a closure that takes <0.1 s on a
+# materialized edge table. Pre-quantizing each vector ONCE in `qn` (instead
+# of re-quantizing both sides 3× per pair inside o_cosine) cuts the pair
+# join itself ~3×. Same fixed-point arithmetic, same 920 edges at sf0.1,
+# verified row-identical to the old form: 338 s → ~5 s per drive.
+_I16_Q_DOT = "list_sum(list_transform(range(64), i -> a.q[i+1]*b.q[i+1]))"
+
 _I16_ORACLE = f"""
 WITH RECURSIVE
-nodes AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_SEMDUP_MAX_ID}),
-edges AS (
+qnodes AS MATERIALIZED (
+  SELECT vec_id, {o_quantized('embedding')} AS q
+  FROM embeddings WHERE vec_id < {_SEMDUP_MAX_ID}),
+qn AS MATERIALIZED (
+  SELECT vec_id, q,
+         sqrt(CAST(list_sum(list_transform(q, x -> x*x)) AS DOUBLE)
+              / {DOT_SCALE!r}) AS nrm
+  FROM qnodes),
+edges AS MATERIALIZED (
   SELECT a.vec_id AS src, b.vec_id AS dst
-  FROM nodes a JOIN nodes b ON a.vec_id < b.vec_id
-  WHERE {o_cosine('a.embedding', 'b.embedding')} >= {_SEMDUP_THETA}
-),
-bidir AS (
+  FROM qn a JOIN qn b ON a.vec_id < b.vec_id
+  WHERE (CAST({_I16_Q_DOT} AS DOUBLE) / {DOT_SCALE!r}) / (a.nrm * b.nrm)
+        >= {_SEMDUP_THETA}),
+bidir AS MATERIALIZED (
   SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges
 ),
 reach(v, lbl) AS (
-  SELECT vec_id, vec_id FROM nodes
+  SELECT vec_id, vec_id FROM qnodes
   UNION
   SELECT b.dst, r.lbl FROM reach r JOIN bidir b ON b.src = r.v
 ),
