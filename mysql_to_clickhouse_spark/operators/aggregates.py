@@ -26,6 +26,7 @@ from mysql_to_clickhouse_spark.functions.numeric import (
     o_dsum,
     o_fixed_point,
 )
+from mysql_to_clickhouse_spark.plans.prefix import running_sums
 from mysql_to_clickhouse_spark.registry import register
 from mysql_to_clickhouse_spark.tables import load
 
@@ -1740,10 +1741,10 @@ def d32_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the fact table collapses to per-distinct-value
     (n_a, n_b) counts first (one map-side-combinable exchange — the
     d8d idiom), and the ordered cumulative walks DISTINCT VALUES, not
-    rows. The global-order window is the honest cost of any rank
-    statistic; bounding it by value cardinality is what makes it
-    run at fact scale (range-partitioned sort at 1000 executors, a
-    few thousand distinct doubles here)."""
+    rows — via the two-phase parallel prefix sum (plans/prefix.py), so
+    even an unbounded value domain never funnels into one partition:
+    the sort is range-partitioned and only 32 offset rows touch the
+    driver."""
     ev = load(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "click")
     )
@@ -1751,11 +1752,11 @@ def d32_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_a"),
         F.count(F.when(F.col("event_type") == "click", 1)).alias("n_b"),
     )
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
-    c = vc.select(
+    incl, _ = running_sums(vc, ["value"], {"cum_b_incl": F.col("n_b")})
+    c = incl.select(
         "n_a",
         "n_b",
-        F.coalesce(F.sum("n_b").over(w), F.lit(0)).alias("cum_b"),
+        (F.col("cum_b_incl") - F.col("n_b")).alias("cum_b"),  # exclusive
     )
     return c.agg(
         F.sum(F.col("n_a") * (2 * F.col("cum_b") + F.col("n_b")))

@@ -16,6 +16,7 @@ from mysql_to_clickhouse_spark.plans.dispatch import (
     broadcast_when_small,
     parquet_rows_estimate,
 )
+from mysql_to_clickhouse_spark.plans.prefix import running_sums
 from mysql_to_clickhouse_spark.registry import register
 from mysql_to_clickhouse_spark.tables import load
 
@@ -1329,9 +1330,10 @@ def x21_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     user of the reference would schedule nightly.
 
     Scale: the gate is map-only, dedup is one md5-key exchange, and
-    the packing prefix-sum is a window ordered by doc_id (per-(lang,
-    shard-group) in production — i13's skew lever; global here so the
-    manifest is one sequence). No Python anywhere."""
+    the packing prefix-sum runs as the two-phase parallel scan
+    (plans/prefix.py — range-partitioned doc order, 32 broadcast
+    offsets), never a single-partition window, so the global manifest
+    sequence survives a corpus-scale kept set. No Python anywhere."""
     docs = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     flags = docs.select(
@@ -1363,16 +1365,10 @@ def x21_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_chars")
     )
-    w = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    packed = kept.withColumn(
+    cum, _ = running_sums(kept, ["doc_id"], {"cum_chars": F.col("n_chars")})
+    packed = cum.withColumn(
         "shard",
-        F.expr(
-            "CAST((sum(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN "
-            "UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars) div 2000 "
-            "AS BIGINT)"
-        ),
+        F.expr("CAST((cum_chars - n_chars) DIV 2000 AS BIGINT)"),
     )
     return (
         packed.groupBy("shard")

@@ -953,12 +953,13 @@ def c20_paste_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     — here pairing the i-th biggest spender with the i-th most active
     user (the leaderboard-comparison report).
 
-    Scale: each side is a hash aggregate; the global rank is a
-    single-reduce unpartitioned window, but it runs over the
-    AGGREGATE output (one row per user), so the reduce is bounded by
-    |users|, not |events|. If the user dimension itself were huge,
-    pre-cap each side with a top-k (TakeOrdered) before ranking —
-    rank<=20 makes that rewrite semantics-preserving."""
+    Scale: each side is a hash aggregate; only ranks <= 20 survive the
+    paste, so each side is PRE-CAPPED with orderBy().limit(20) —
+    Spark's TakeOrderedAndProject keeps a 20-row heap per partition
+    and merges heaps on the driver — before the rank window runs. The
+    window is still unpartitioned, but its input is 20 rows by
+    construction at ANY data size (whitelisted in the no-global-window
+    plan guard for exactly that reason)."""
     ev = load(spark, sf_dir, "events")
     spend_fp = F.sum(
         F.floor(F.col("value") * F.lit(10000.0)).cast("long")
@@ -967,6 +968,8 @@ def c20_paste_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "purchase")
         .groupBy(F.col("user_id").alias("spend_user"))
         .agg(spend_fp.alias("spend_fp"))
+        .orderBy(F.col("spend_fp").desc(), F.col("spend_user"))
+        .limit(20)
         .withColumn(
             "rank",
             F.row_number().over(
@@ -977,6 +980,8 @@ def c20_paste_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_activity = (
         ev.groupBy(F.col("user_id").alias("active_user"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .orderBy(F.col("n_events").desc(), F.col("active_user"))
+        .limit(20)
         .withColumn(
             "rn",
             F.row_number().over(

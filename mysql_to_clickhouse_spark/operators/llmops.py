@@ -45,6 +45,7 @@ from mysql_to_clickhouse_spark.functions.vectors import (
     o_l2_norm,
     o_quantized,
 )
+from mysql_to_clickhouse_spark.plans.prefix import running_sums
 from mysql_to_clickhouse_spark.registry import register
 from mysql_to_clickhouse_spark.tables import load
 
@@ -3173,17 +3174,20 @@ def i27_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("new_words"))
         .withColumnRenamed("fb", "batch")
     )
-    wspec = Window.orderBy("batch").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # both cumulatives share one two-phase prefix scan (plans/prefix.py)
+    # over the batch order — no single-partition window even when the
+    # checkpoint count grows with the corpus (1e8 docs -> 1e6 batches)
+    joined = tok.join(vocab, "batch", "left").select(
+        "batch",
+        "n_tokens",
+        F.coalesce("new_words", F.lit(0)).alias("nw"),
     )
-    curve = (
-        tok.join(vocab, "batch", "left")
-        .select(
-            "batch",
-            F.sum("n_tokens").over(wspec).alias("cum_tokens"),
-            F.sum(F.coalesce("new_words", F.lit(0))).over(wspec).alias("cum_vocab"),
-        )
+    curve, _ = running_sums(
+        joined,
+        ["batch"],
+        {"cum_tokens": F.col("n_tokens"), "cum_vocab": F.col("nw")},
     )
+    curve = curve.select("batch", "cum_tokens", "cum_vocab")
     pts = curve.select(
         F.round(F.log(F.col("cum_tokens").cast("double")), 6).alias("x"),
         F.round(F.log(F.col("cum_vocab").cast("double")), 6).alias("y"),

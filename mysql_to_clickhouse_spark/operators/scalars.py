@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mysql_to_clickhouse_spark.functions.text import tokens
+from mysql_to_clickhouse_spark.plans.prefix import global_lag
 from mysql_to_clickhouse_spark.registry import register
 from mysql_to_clickhouse_spark.tables import load
 
@@ -1411,13 +1412,19 @@ def g31_hamming_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     building block i2c's simhash dedup uses with xxhash fingerprints
     (rows-only there; this states the same algebra hash-checkably).
 
-    Scale: fingerprinting is map-only; the demo lag is one global-order
-    window over doc ids (fine for a catalog; pair generation at corpus
-    scale goes through i2c's banded buckets instead)."""
+    Scale: fingerprinting is map-only; the neighbor lag runs as the
+    two-phase boundary-carry form (plans/prefix.py global_lag) — local
+    lag inside range partitions plus 32 carried boundary values — so
+    the catalog order never funnels into a single-partition window
+    (pair generation at corpus scale still goes through i2c's banded
+    buckets instead)."""
     docs = load(spark, sf_dir, "documents")
     fp = F.conv(F.substring(F.md5("text"), 1, 12), 16, 10).cast("long")
-    seq = docs.select("doc_id", fp.alias("fingerprint")).withColumn(
-        "prev_fp", F.lag("fingerprint").over(Window.orderBy("doc_id"))
+    seq = global_lag(
+        docs.select("doc_id", fp.alias("fingerprint")),
+        ["doc_id"],
+        "fingerprint",
+        out_col="prev_fp",
     )
     ham = F.when(F.col("prev_fp").isNull(), F.lit(-1)).otherwise(
         F.bit_count(F.expr("fingerprint ^ prev_fp"))

@@ -14,9 +14,10 @@ what f2 demonstrates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mysql_to_clickhouse_spark.plans.prefix import global_row_number
 from mysql_to_clickhouse_spark.registry import register
 from mysql_to_clickhouse_spark.tables import load
 
@@ -38,22 +39,22 @@ ORDER BY pos
 def f1_order_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-key mixed-direction sort (segment ASC, balance DESC, PK
     tie-break), with the resulting position materialized as a column so
-    the order-insensitive hash still verifies ordering."""
-    cust = load(spark, sf_dir, "customer")
+    the order-insensitive hash still verifies ordering.
+
+    Scale: the position comes from the two-phase prefix scan
+    (plans/prefix.py) — a range-partitioned parallel sort plus 32
+    broadcast offsets — not a single-partition row_number window."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
     order = [
         F.col("c_mktsegment").asc_nulls_last(),
         F.col("c_acctbal").desc(),
         F.col("c_custkey").asc(),
     ]
-    w = Window.orderBy(*order)
-    return (
-        cust.select(
-            F.row_number().over(w).cast("long").alias("pos"),
-            "c_custkey",
-            "c_mktsegment",
-            "c_acctbal",
-        )
-        
+    ranked, _n = global_row_number(cust, order, out_col="pos")
+    return ranked.select(
+        F.col("pos"), "c_custkey", "c_mktsegment", "c_acctbal"
     )
 
 
@@ -225,17 +226,16 @@ def f7_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal",
         F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_n"),
     )
-    w = Window.orderBy(
-        F.col("seg_n").asc_nulls_first(),
-        F.col("c_acctbal").desc_nulls_last(),
-        F.col("c_custkey").asc(),
+    ranked, _n = global_row_number(
+        cust,
+        [
+            F.col("seg_n").asc_nulls_first(),
+            F.col("c_acctbal").desc_nulls_last(),
+            F.col("c_custkey").asc(),
+        ],
+        out_col="pos",
     )
-    return cust.select(
-        F.row_number().over(w).cast("long").alias("pos"),
-        "c_custkey",
-        "seg_n",
-        "c_acctbal",
-    )
+    return ranked.select(F.col("pos"), "c_custkey", "seg_n", "c_acctbal")
 
 
 # ---------------------------------------------------------------------------
@@ -270,13 +270,13 @@ def f8_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     limit) heaps then one driver merge; at deep offsets switch to
     keyset continuation (WHERE (bal, key) < last_seen), which this
     layout makes a pure filter."""
-    cust = load(spark, sf_dir, "customer")
-    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-    ordered = cust.select(
-        F.row_number().over(w).cast("long").alias("pos"),
-        "c_custkey",
-        "c_mktsegment",
-        "c_acctbal",
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    ordered, _n = global_row_number(
+        cust,
+        [F.desc("c_acctbal"), F.asc("c_custkey")],
+        out_col="pos",
     )
     return ordered.filter(F.col("pos").between(41, 60)).select(
         "pos",

@@ -36,6 +36,7 @@ from mysql_to_clickhouse_spark.functions.numeric import (
     o_epoch_us,
     fixed_point,
 )
+from mysql_to_clickhouse_spark.plans.prefix import running_sums
 from mysql_to_clickhouse_spark.registry import register
 from mysql_to_clickhouse_spark.tables import load
 
@@ -1006,31 +1007,36 @@ def d49_theils_u(spark: SparkSession, sf_dir: str) -> DataFrame:
 # d50_auc — CH arrayAUC analog: exact ROC-AUC by the rank-sum identity
 # ---------------------------------------------------------------------------
 
-# AUC = (Σ midrank(positives) − P(P+1)/2) / (P·N): midranks are exact
-# .5 fractions (scale-2 fixed point, the d48 discipline), so the AUC is
-# exact rational arithmetic evaluated in one shared order.
-_D50_ORACLE = f"""
+# AUC = (Σ midrank(positives) − P(P+1)/2) / (P·N). Midranks never
+# materialize per row: the fact collapses to per-distinct-score
+# (n_pos, n_tot) counts (the d32 idiom) and DOUBLED midranks are pure
+# integers from the exclusive cumulative count — 2·midrank(v) =
+# 2·cum(<v) + n(v) + 1 — so the rank sum is exact int arithmetic
+# walking DISTINCT VALUES, not rows; /2 happens once in the shared
+# final fragment. Identical value to the old per-row midrank form.
+_D50_ORACLE = """
 WITH pts AS (
   SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
          value AS score
   FROM events
   WHERE event_type IN ('purchase', 'click')
-), rn AS (
-  SELECT label, score,
-         CAST(ROW_NUMBER() OVER (ORDER BY score) AS DOUBLE) AS rnk
-  FROM pts
-), ranked AS (
-  SELECT label, AVG(rnk) OVER (PARTITION BY score) AS r
-  FROM rn
+), vc AS (
+  SELECT score, SUM(label) AS n_pos, COUNT(*) AS n_tot
+  FROM pts GROUP BY score
+), c AS (
+  SELECT n_pos, n_tot,
+         SUM(n_tot) OVER (ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tot
+  FROM vc
 ), sums AS (
-  SELECT CAST(SUM(label) AS DOUBLE) AS p,
-         CAST(SUM(1 - label) AS DOUBLE) AS nneg,
-         {o_dsum_wide('CASE WHEN label = 1 THEN r ELSE 0.0 END', 2)}
-           AS pos_rank_sum
-  FROM ranked
+  SELECT CAST(SUM(n_pos) AS DOUBLE) AS p,
+         CAST(SUM(n_tot - n_pos) AS DOUBLE) AS nneg,
+         CAST(SUM(n_pos * (2 * (cum_tot - n_tot) + n_tot + 1)) AS DOUBLE)
+           AS prs2
+  FROM c
 )
 SELECT CAST(p AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg,
-       (pos_rank_sum - p * (p + 1.0) / 2.0) / (p * nneg) AS auc
+       (prs2 / 2.0 - p * (p + 1.0) / 2.0) / (p * nneg) AS auc
 FROM sums
 """
 
@@ -1039,39 +1045,43 @@ FROM sums
 def d50_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CH ``arrayAUC`` as a relational aggregate: the exact ROC-AUC of
     'value predicts purchase-vs-click' via the Mann-Whitney rank-sum
-    identity (ties get midranks — exact .5 fractions, summed in
-    scale-2 fixed point; d32's U statistic divided through, stated as
-    one shared expression). The model-quality gate a training pipeline
-    runs on every scored batch.
+    identity. Ties get midranks, but no rank is ever assigned to a
+    ROW: per-distinct-score (n_pos, n_tot) counts (one map-side-
+    combinable exchange, the d32 idiom) feed 2·midrank(v) = 2·cum(<v)
+    + n(v) + 1 — all-integer arithmetic over distinct values. The
+    model-quality gate a training pipeline runs on every scored batch.
 
-    Scale: one global rank window (sort-based — same cost as any
-    global ordering; per-day or per-model partitions in practice) and
-    one three-scalar fold."""
+    Scale: the cumulative count uses the two-phase parallel prefix sum
+    (plans/prefix.py — range-repartitioned values, local running sums,
+    broadcast offsets), so there is NO single-partition WindowExec
+    anywhere: the old row-level ``row_number() OVER (ORDER BY score)``
+    sorted the whole fact table on one executor; this plan's heaviest
+    step is the per-score hash aggregate."""
     ev = load(spark, sf_dir, "events")
     pts = ev.filter(F.col("event_type").isin("purchase", "click")).select(
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
         F.col("value").alias("score"),
     )
-    rn = pts.select(
-        "label",
-        "score",
-        F.row_number().over(Window.orderBy("score")).cast("double").alias("rnk"),
+    vc = pts.groupBy("score").agg(
+        F.sum("label").alias("n_pos"),
+        F.count(F.lit(1)).alias("n_tot"),
     )
-    ranked = rn.select(
-        "label", F.avg("rnk").over(Window.partitionBy("score")).alias("r")
+    c, _totals = running_sums(vc, ["score"], {"cum_tot": F.col("n_tot")})
+    # doubled positive-midrank sum: term fits int64 past 1e9 rows; the
+    # cross-value fold goes through decimal(38) like DuckDB's HUGEINT
+    term = F.col("n_pos") * (
+        2 * (F.col("cum_tot") - F.col("n_tot")) + F.col("n_tot") + 1
     )
-    sums = ranked.agg(
-        F.sum("label").cast("double").alias("p"),
-        F.sum(1 - F.col("label")).cast("double").alias("nneg"),
-        dsum_wide(
-            F.when(F.col("label") == 1, F.col("r")).otherwise(0.0), 2
-        ).alias("pos_rank_sum"),
+    sums = c.agg(
+        F.sum("n_pos").cast("double").alias("p"),
+        F.sum(F.col("n_tot") - F.col("n_pos")).cast("double").alias("nneg"),
+        F.sum(term.cast("decimal(38,0)")).cast("double").alias("prs2"),
     )
     return sums.select(
         F.col("p").cast("long").alias("n_pos"),
         F.col("nneg").cast("long").alias("n_neg"),
         (
-            (F.col("pos_rank_sum") - F.col("p") * (F.col("p") + 1.0) / 2.0)
+            (F.col("prs2") / 2.0 - F.col("p") * (F.col("p") + 1.0) / 2.0)
             / (F.col("p") * F.col("nneg"))
         ).alias("auc"),
     )
@@ -1411,11 +1421,11 @@ def d56_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     alarm for a replication pipeline (did the migrated column drift?)
     and for training-data source monitoring.
 
-    Scale: the ECDF prefix sum is NOT a single-partition window — the
-    distinct values are range-repartitioned, each partition computes a
-    local running sum, and per-partition totals (one row per
-    partition, collected and broadcast) provide the offsets: the
-    textbook two-phase parallel prefix sum. Everything else is
+    Scale: the ECDF prefix sum is NOT a single-partition window — it
+    runs as the two-phase parallel prefix sum (the shared
+    plans/prefix.py implementation this operator pioneered): distinct
+    values range-repartitioned, local running sums, per-partition
+    totals (<= 32 rows) broadcast back as offsets. Everything else is
     map-side-combinable aggregation; driver traffic is <= #partitions
     rows."""
     ev = load(spark, sf_dir, "events")
@@ -1427,41 +1437,13 @@ def d56_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = pts.groupBy("value").agg(
         F.sum("a").cast("long").alias("ca"), F.sum("b").cast("long").alias("cb")
     )
-    n_range = 32
-    ranged = g.repartitionByRange(n_range, "value").withColumn(
-        "pid", F.spark_partition_id()
+    cum, totals = running_sums(
+        g, ["value"], {"cca": F.col("ca"), "ccb": F.col("cb")}
     )
-    wloc = (
-        Window.partitionBy("pid")
-        .orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    loc = ranged.select(
-        "pid",
-        "value",
-        F.sum("ca").over(wloc).alias("la"),
-        F.sum("cb").over(wloc).alias("lb"),
-    ).localCheckpoint()  # pin partition ids before the two downstream uses
-    # per-partition totals -> exclusive running offsets (tiny: one row/pid)
-    totals = sorted(
-        loc.groupBy("pid")
-        .agg(F.max("la").alias("ta"), F.max("lb").alias("tb"))
-        .collect(),
-        key=lambda r: r["pid"],
-    )
-    offs, oa, ob = [], 0, 0
-    for r in totals:
-        offs.append((r["pid"], oa, ob))
-        oa += r["ta"]
-        ob += r["tb"]
-    na, nb = oa, ob
-    off_df = F.broadcast(
-        spark.createDataFrame(offs, "pid int, off_a long, off_b long")
-    )
-    gaps = loc.join(off_df, "pid").select(
+    na, nb = totals["cca"], totals["ccb"]
+    gaps = cum.select(
         F.abs(
-            (F.col("la") + F.col("off_a")) * F.lit(nb)
-            - (F.col("lb") + F.col("off_b")) * F.lit(na)
+            F.col("cca") * F.lit(nb) - F.col("ccb") * F.lit(na)
         ).alias("gap")
     )
     s = gaps.agg(F.max("gap").cast("long").alias("d_num")).select(

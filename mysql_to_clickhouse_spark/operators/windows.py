@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mysql_to_clickhouse_spark.functions.numeric import fixed_point, o_fixed_point
+from mysql_to_clickhouse_spark.plans.prefix import global_row_number, running_sums
 from mysql_to_clickhouse_spark.registry import register
 from mysql_to_clickhouse_spark.tables import load
 
@@ -261,19 +262,37 @@ def e6_ntile_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile/percent_rank/cume_dist over a unique total order (PK
     tie-break makes peer groups singletons → both engines agree).
 
-    Scale note: a global ORDER BY window sorts on one partition; for
-    percentiles over 100 TB use d8b sketches or range partitioning."""
-    cust = load(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return (
-        cust.select(
-            "c_custkey",
-            "c_acctbal",
-            F.ntile(4).over(w).cast("long").alias("quartile"),
-            F.percent_rank().over(w).alias("pct_rank"),
-            F.cume_dist().over(w).alias("cume"),
-        )
-        
+    Scale: with singleton peers all three distribution functions are
+    PURE ARITHMETIC over (global position i, total rows N):
+    percent_rank = (i−1)/(N−1), cume_dist = i/N, and ntile(4) assigns
+    the first N mod 4 buckets ⌈N/4⌉ rows (the ANSI fill rule both
+    engines implement). The position comes from the two-phase parallel
+    prefix scan (plans/prefix.py), so the plan has NO single-partition
+    WindowExec — the old ``Window.orderBy(...)`` form sorted every
+    customer row into one task; this one range-partitions the sort and
+    broadcasts 32 offset rows."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranked, n = global_row_number(
+        cust, ["c_acctbal", "c_custkey"], out_col="i"
+    )
+    q, r = divmod(n, 4)
+    if q == 0:  # fewer rows than buckets: bucket == position
+        quartile = F.col("i")
+    else:
+        # first r buckets take q+1 rows, the rest q — integer DIV only
+        quartile = F.when(
+            F.col("i") <= r * (q + 1),
+            F.expr(f"(i + {q}) DIV {q + 1}"),
+        ).otherwise(F.expr(f"{r} + (i - {r * (q + 1)} + {q - 1}) DIV {q}"))
+    pct_rank = (
+        ((F.col("i") - 1) / F.lit(n - 1)) if n > 1 else F.lit(0.0)
+    )
+    return ranked.select(
+        "c_custkey",
+        "c_acctbal",
+        quartile.cast("long").alias("quartile"),
+        pct_rank.alias("pct_rank"),
+        (F.col("i") / F.lit(n)).alias("cume"),
     )
 
 
@@ -646,10 +665,12 @@ def e12_running_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     before starts at equal timestamps (half-open intervals), matching
     d27's tie order.
 
-    Scale: 2× row union + one window — the demo uses a global order
-    (the CH function's own semantics); at 100 TB concurrency is
-    computed per partition key (user/shard) with the identical
-    expression partitioned by it."""
+    Scale: 2× row union + the two-phase parallel prefix sum
+    (plans/prefix.py) for the global sweep order — range-partitioned
+    endpoints, per-partition local running sums, 32 broadcast offset
+    rows. The CH-semantics GLOBAL order costs a parallel range sort,
+    not a single-partition WindowExec; per-user/shard variants just
+    add the partition key."""
     ev = load(spark, sf_dir, "events")
     iv = ev.filter(F.col("event_type") == "view").select(
         "event_id",
@@ -665,12 +686,10 @@ def e12_running_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).alias("is_end"),
     )
     pts = starts.unionByName(ends)
-    w = (
-        Window.orderBy("t", "is_end", F.desc("delta"), "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    swept = pts.withColumn(
-        "open_now", F.sum("delta").over(w).cast("long")
+    # delta is a function of is_end, so (t, is_end, event_id) states the
+    # oracle's (t, is_end, delta DESC, event_id) order exactly
+    swept, _ = running_sums(
+        pts, ["t", "is_end", "event_id"], {"open_now": F.col("delta")}
     )
     return (
         swept.filter(F.col("is_end") == 0)

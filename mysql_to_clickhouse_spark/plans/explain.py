@@ -56,3 +56,25 @@ def has_codegen(df: DataFrame) -> bool:
     # mode; formatted mode annotates operators with [codegen id : N]
     plan = plan_of(df, "formatted")
     return "codegen id" in plan or "WholeStageCodegen" in plan
+
+
+def global_window_nodes(df: DataFrame) -> list[str]:
+    """Class names of logical Window / WindowGroupLimit nodes with an
+    EMPTY partitionSpec in the optimized plan — each one plans a
+    physical WindowExec that funnels every row into a single task, the
+    global-sort scale-killer the two-phase prefix scan
+    (plans/prefix.py) exists to avoid. Detection walks the plan's JSON
+    tree, not the plan string (partition specs aren't reliably
+    printable)."""
+    import json
+
+    nodes = json.loads(df._jdf.queryExecution().optimizedPlan().toJSON())
+    return [
+        node["class"].rsplit(".", 1)[-1]
+        for node in nodes
+        if (
+            node.get("class", "").endswith(".Window")
+            or node.get("class", "").endswith(".WindowGroupLimit")
+        )
+        and not node.get("partitionSpec")
+    ]

@@ -1,0 +1,195 @@
+"""Two-phase parallel prefix sums — global running totals WITHOUT a
+single-partition WindowExec.
+
+A partition-less ``Window.orderBy(...)`` plans every row into ONE task:
+at 100 TB that is one executor sorting the fact table while 999 idle —
+the classic global-window scale-killer. The textbook fix (Blelloch's
+two-phase scan, the same shape every MPP engine uses for global
+ORDER-BY windows) is:
+
+  1. ``repartitionByRange`` on the order key — each of the N range
+     partitions holds a contiguous slice of the global order, so the
+     sort parallelizes across all executors;
+  2. a LOCAL inclusive running sum per partition (``Window.partitionBy
+     (spark_partition_id())`` — N concurrent window tasks);
+  3. per-partition totals (exactly N rows) collected to the driver,
+     folded into EXCLUSIVE offsets, and broadcast back;
+  4. global running value = local running value + partition offset.
+
+Driver traffic is <= N rows regardless of input size, every heavy step
+runs at full parallelism, and the arithmetic is integer/deterministic —
+bit-identical to the one-partition form it replaces (d56 proved the
+pattern; d50/e6/e12 reuse it through this module).
+
+Correctness notes baked into the implementation:
+
+- ``spark_partition_id()`` is recomputation-sensitive, so the locally
+  scanned frame is ``localCheckpoint``-ed before its two downstream
+  uses (totals aggregation + offsets join) — otherwise a lost executor
+  could re-derive DIFFERENT partition ids between the two reads.
+- RangePartitioner sends equal keys to the same partition, so running
+  sums over duplicate keys stay contiguous; callers still pass a
+  tie-broken (unique) ordering whenever peer order matters, exactly as
+  they would for the single-partition window.
+- Empty inputs produce an empty offsets frame and an empty join —
+  no driver-side special case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "__prefix_pid"
+
+
+def running_sums(
+    df: DataFrame,
+    order_cols: list,
+    sums: dict[str, Column],
+    n_range: int = 32,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Append one INCLUSIVE global running-sum column per ``sums`` entry
+    (name -> integer Column summed in global ``order_cols`` order),
+    plus grand totals, without any single-partition window.
+
+    Returns ``(frame, totals)`` where ``frame`` is ``df`` plus the
+    running-sum columns and ``totals[name]`` is the full-input sum of
+    each summed column (free: it is the last partition's offset plus
+    its total — no extra job). Ordering columns must form the exact
+    global order the caller would have given ``Window.orderBy``;
+    non-column sort expressions (e.g. ``F.desc(...)``) are accepted.
+    """
+    names = list(sums)
+    staged = df
+    sum_srcs = {}
+    for name in names:
+        src = f"__prefix_src_{name}"
+        staged = staged.withColumn(src, sums[name])
+        sum_srcs[name] = src
+
+    ranged = staged.repartitionByRange(n_range, *order_cols).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    wloc = (
+        Window.partitionBy(_PID)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    loc = ranged.select(
+        "*",
+        *[
+            F.sum(sum_srcs[name]).over(wloc).alias(f"__prefix_loc_{name}")
+            for name in names
+        ],
+    ).localCheckpoint()  # pin partition ids across the two reads below
+
+    part_totals = sorted(
+        loc.groupBy(_PID)
+        .agg(
+            *[
+                F.sum(sum_srcs[name]).alias(f"t_{name}")
+                for name in names
+            ]
+        )
+        .collect(),
+        key=lambda r: r[_PID],
+    )
+    offsets_rows = []
+    acc = {name: 0 for name in names}
+    for r in part_totals:
+        offsets_rows.append((r[_PID], *[acc[name] for name in names]))
+        for name in names:
+            acc[name] += r[f"t_{name}"] or 0
+    totals = dict(acc)
+
+    off_schema = ", ".join(
+        [f"{_PID} int"] + [f"__prefix_off_{name} long" for name in names]
+    )
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(offsets_rows, off_schema)
+    )
+    out = loc.join(off_df, _PID)
+    for name in names:
+        out = out.withColumn(
+            name,
+            (
+                F.col(f"__prefix_loc_{name}")
+                + F.col(f"__prefix_off_{name}")
+            ).cast("long"),
+        )
+    drop = (
+        [_PID]
+        + [f"__prefix_src_{n}" for n in names]
+        + [f"__prefix_loc_{n}" for n in names]
+        + [f"__prefix_off_{n}" for n in names]
+    )
+    return out.drop(*drop), totals
+
+
+def global_lag(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    out_col: str,
+    n_range: int = 32,
+) -> DataFrame:
+    """``lag(value_col) OVER (ORDER BY order_cols)`` without a
+    single-partition window: local lag inside each range partition,
+    then each partition's FIRST row takes the PREVIOUS partition's last
+    value as its carry-in — N boundary rows collected and broadcast,
+    exactly the prefix-sum offset trick specialized to lag-1. The
+    global first row gets NULL, matching the window function."""
+    ranged = df.repartitionByRange(n_range, *order_cols).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    wloc = Window.partitionBy(_PID).orderBy(*order_cols)
+    loc = ranged.select(
+        "*",
+        F.lag(value_col).over(wloc).alias("__lag_loc"),
+        F.row_number().over(wloc).alias("__lag_rn"),
+    ).localCheckpoint()  # pin partition ids across the two reads below
+
+    # last row's value per partition, keyed to the NEXT partition id.
+    # Non-empty partitions may be sparse (range partitioner can leave
+    # holes), so carries chain across empties in ascending pid order.
+    lasts = sorted(
+        loc.groupBy(_PID)
+        .agg(
+            F.max(F.struct("__lag_rn", F.col(value_col).alias("v")))[
+                "v"
+            ].alias("last_v")
+        )
+        .collect(),
+        key=lambda r: r[_PID],
+    )
+    carries = []
+    pids = [r[_PID] for r in lasts]
+    for i in range(1, len(lasts)):
+        carries.append((pids[i], lasts[i - 1]["last_v"]))
+    value_type = dict(df.dtypes)[value_col]
+    carry_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            carries, f"{_PID} int, __lag_carry {value_type}"
+        )
+    )
+    out = loc.join(carry_df, _PID, "left").withColumn(
+        out_col,
+        F.when(F.col("__lag_rn") == 1, F.col("__lag_carry")).otherwise(
+            F.col("__lag_loc")
+        ),
+    )
+    return out.drop(_PID, "__lag_loc", "__lag_rn", "__lag_carry")
+
+
+def global_row_number(
+    df: DataFrame, order_cols: list, out_col: str = "rn", n_range: int = 32
+) -> tuple[DataFrame, int]:
+    """Global 1-based row_number over ``order_cols`` via the two-phase
+    scan (running sum of 1). Returns ``(frame, total_rows)``. The
+    ordering must be a unique total order for a well-defined result —
+    same contract as ``row_number`` itself."""
+    out, totals = running_sums(
+        df, order_cols, {out_col: F.lit(1)}, n_range=n_range
+    )
+    return out, totals[out_col]

@@ -60,3 +60,47 @@ def test_no_unplanned_cartesian(spark, name):
     assert (
         "BroadcastNestedLoopJoin" not in plan
     ), f"{name} planned a broadcast nested loop:\n{plan}"
+
+
+# ---------------------------------------------------------------------------
+# No single-partition global windows (the other 100 TB detonator)
+# ---------------------------------------------------------------------------
+
+# A partition-less Window funnels its whole input into ONE task. The only
+# acceptable cases are windows whose INPUT is bounded by something other
+# than the data size — a fixed value domain or an explicit LIMIT — never
+# by "the data happens to be small". Everything else must use the
+# two-phase parallel prefix scan (plans/prefix.py).
+GLOBAL_WINDOW_OK = {
+    # input bounded by a fixed value domain (post-aggregate rows):
+    "e4_moving_avg": "|calendar days| rows (daily pre-aggregate)",
+    "s10b_with_fill_interpolate": "day-grid rows (WITH FILL sequence)",
+    "d40_cramers_v": "contingency cells <= |event_type| x 10",
+    "d40b_cramers_v_corrected": "same contingency grid (wraps d40)",
+    "d49_theils_u": "contingency cells <= |event_type| x 10",
+    "d62b_totals_after_having_inclusive": "|event_type| group rows",
+    # input bounded by the operator's own capacity/limit constant:
+    "i17b_topk_bound": "Misra-Gries summaries <= capacity x partitions",
+    "i17c_topk_weighted": "Misra-Gries summaries <= capacity x partitions",
+    "c20_paste_join": "TakeOrdered .limit(20) feeds the rank window",
+}
+
+
+@pytest.mark.parametrize("name", [n for n in QUERIES if n not in SKIP])
+def test_no_global_window(spark, name):
+    from mysql_to_clickhouse_spark.plans.explain import global_window_nodes
+
+    df = QUERIES[name].fn(spark, SMOKE_SF_DIR)
+    hits = global_window_nodes(df)
+    if name in GLOBAL_WINDOW_OK:
+        assert hits, (
+            f"{name} is whitelisted for a global window but no longer "
+            "plans one — remove it from GLOBAL_WINDOW_OK"
+        )
+        return
+    assert not hits, (
+        f"{name} plans partition-less window node(s) {hits}: every row "
+        "funnels into one task at scale. Use plans/prefix.py running_sums/"
+        "global_row_number/global_lag, or whitelist with a boundedness "
+        "reason."
+    )
