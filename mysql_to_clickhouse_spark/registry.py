@@ -116,59 +116,81 @@ _BASE_COUNTS = {
 _ID_RE = re.compile(r"^([a-z])(\d+)([a-z]?)_")
 
 
+# One long-green classic per §2 family, pinned to the head of the order
+# as regression sentinels: if a refactor breaks something fundamental,
+# the driver sees it in row 1-10 even while the rest of the cap samples
+# never-checked IDs.
+_SENTINELS = (
+    "a1_parquet_scan",
+    "b1_project_compute",
+    "c1_inner_equi",
+    "d1_group_basic",
+    "e1_row_number",
+    "f1_order_multi",
+    "g1_string_core",
+    "h1_tumbling",
+    "i1_exact_dedup",
+    "j1_python_udf",
+)
+
+
 def _priority_order(registry: dict[str, Query]) -> list[str]:
-    """Round-robin the 87 base §2 IDs across families A–J, extensions last.
+    """Sentinels, then NEVER-driver-checked IDs, then the verified rest.
 
-    The verification driver records correctness for only the first N entries
-    of ``queries()`` (N=50 in round 1, alphabetical order left families E–J
-    unverified).  Interleaving one ID per family per round guarantees ANY
-    prefix of ≥10 entries covers every §2 family, and a 50-entry prefix
-    covers each family 5 IDs deep. Within a family, oracle-backed IDs come
-    before rows-only ones so every capped driver row is a hash check, not an
-    ``err:"no_oracle"`` record.
+    The verification driver records correctness for only the first N
+    entries of ``queries()`` (N=50). Rounds 1-8 resampled mostly the
+    same family-interleaved prefix, leaving 255 of 335 IDs driver-
+    unchecked; this order rotates the cap onto the unchecked set each
+    round:
 
-    Extensions (a8+, c3b, d15+, and the k/m/s/x series) follow the base
-    87 under the SAME discipline: round-robin one per family (by leading
-    letter) per round, oracle-backed before rows-only within a family —
-    so a driver cap of ANY size sees a family-balanced, hash-check-first
-    prefix instead of an alphabetical run of one family's extras.
-    """
-    per_family: dict[str, list[tuple[int, int, str]]] = {f: [] for f in _BASE_COUNTS}
-    extras: list[str] = []
-    for n, q in registry.items():
+    1. the 10 ``_SENTINELS`` (one per §2 family, all previously green)
+       so a fundamental regression still trips inside any cap;
+    2. every ID absent from ``_driver_history.DRIVER_VERIFIED`` (the
+       union of all past CORRECTNESS_r*.json — regenerated per round by
+       scripts/gen_driver_history.py), round-robined one per family
+       (by leading letter) with oracle-backed before rows-only and base
+       §2 IDs before extensions inside each family — so a 50-cap takes
+       10 sentinels + 40 fresh hash checks, family-balanced;
+    3. the already-verified remainder under the same interleave.
+
+    Every prefix of >=10 therefore covers all ten §2 families, and every
+    registered query appears exactly once (totality guarded)."""
+    try:
+        from mysql_to_clickhouse_spark._driver_history import DRIVER_VERIFIED
+    except ImportError:  # pragma: no cover - history file is committed
+        DRIVER_VERIFIED = frozenset()
+
+    sentinels = [n for n in _SENTINELS if n in registry]
+    placed = set(sentinels)
+
+    def sub_key(n: str, q: Query) -> tuple:
         m = _ID_RE.match(n)
         if m and not m.group(3):
             fam, num = m.group(1), int(m.group(2))
             if num <= _BASE_COUNTS.get(fam, 0):
-                per_family[fam].append((0 if q.oracle else 1, num, n))
-                continue
-        extras.append(n)
-    for fam_list in per_family.values():
-        fam_list.sort()
-    # bound by the LONGEST live family list, not the static base counts:
-    # a family holding more entries than its _BASE_COUNTS value must not
-    # silently drop the tail from queries()
-    longest = max((len(v) for v in per_family.values()), default=0)
-    ordered = [
-        fam_list[k][2]
-        for k in range(longest)
-        for fam_list in per_family.values()
-        if k < len(fam_list)
-    ]
-    extras_by_fam: dict[str, list[tuple[int, str]]] = {}
-    for n in extras:
-        q = registry[n]
-        extras_by_fam.setdefault(n[0], []).append((0 if q.oracle else 1, n))
-    for fam_list_e in extras_by_fam.values():
-        fam_list_e.sort()
-    e_fams = sorted(extras_by_fam)
-    longest_e = max((len(extras_by_fam[f]) for f in e_fams), default=0)
-    ordered.extend(
-        extras_by_fam[f][k][1]
-        for k in range(longest_e)
-        for f in e_fams
-        if k < len(extras_by_fam[f])
-    )
+                return (0 if q.oracle else 1, 0, num, n)  # base §2 ID
+        num = int(m.group(2)) if m else 0
+        return (0 if q.oracle else 1, 1, num, n)  # extension
+
+    tiers: dict[int, dict[str, list[tuple]]] = {0: {}, 1: {}}
+    for n, q in registry.items():
+        if n in placed:
+            continue
+        t = 1 if n in DRIVER_VERIFIED else 0
+        tiers[t].setdefault(n[0], []).append((sub_key(n, q), n))
+
+    ordered = list(sentinels)
+    for t in (0, 1):
+        by_fam = {f: sorted(v) for f, v in tiers[t].items()}
+        fams = sorted(by_fam)
+        # bound by the LONGEST live family list so no tail is dropped
+        longest = max((len(v) for v in by_fam.values()), default=0)
+        ordered.extend(
+            by_fam[f][k][1]
+            for k in range(longest)
+            for f in fams
+            if k < len(by_fam[f])
+        )
     if len(ordered) != len(registry):  # pragma: no cover - totality guard
         raise AssertionError(
             f"priority order dropped {len(registry) - len(ordered)} entries"

@@ -1,38 +1,56 @@
 """Registry ordering contract: the verification driver records correctness
-for only a prefix of ``queries()`` (50 entries in round 1), so the emitted
-order must cover every SURVEY.md §2 family in any reasonable prefix."""
+for only a prefix of ``queries()`` (50 entries). The order must (a) keep
+one green sentinel per SURVEY.md §2 family at the head, (b) fill the rest
+of the cap with IDs the driver has NEVER hash-checked (rotating coverage
+across rounds), and (c) still emit every registered query exactly once."""
 
 from __future__ import annotations
 
-from mysql_to_clickhouse_spark.registry import _BASE_COUNTS, all_queries
+from mysql_to_clickhouse_spark._driver_history import DRIVER_VERIFIED
+from mysql_to_clickhouse_spark.registry import (
+    _BASE_COUNTS,
+    _SENTINELS,
+    all_queries,
+)
 
 
-def test_every_family_in_any_10_prefix():
+def test_sentinels_lead_and_cover_every_family():
     names = list(all_queries())
-    first10 = names[:10]
-    assert {n[0] for n in first10} == set(_BASE_COUNTS), first10
+    assert tuple(names[:10]) == _SENTINELS
+    assert {n[0] for n in names[:10]} == set(_BASE_COUNTS)
+    # sentinels must be previously-green IDs, or they're not sentinels
+    assert all(n in DRIVER_VERIFIED for n in _SENTINELS)
 
 
-def test_50_prefix_covers_each_family_five_deep():
+def test_50_prefix_rotates_onto_unchecked_ids():
     qs = all_queries()
     names = list(qs)[:50]
-    for fam in _BASE_COUNTS:
-        fam_names = [n for n in names if n[0] == fam]
-        assert len(fam_names) == 5, (fam, fam_names)
-    # every capped driver row is a hash check: all 50 prefix entries
-    # carry oracles (j3 gained its fixed-point oracle in round 5)
+    fresh = [n for n in names[10:] if n not in DRIVER_VERIFIED]
+    # the non-sentinel cap slots must all be never-driver-checked (until
+    # fewer than 40 unchecked IDs remain in the whole registry)
+    unchecked_total = sum(1 for n in qs if n not in DRIVER_VERIFIED)
+    assert len(fresh) == min(40, unchecked_total), fresh
+    # every capped driver row is a hash check, not an err:"no_oracle"
     rows_only = [n for n in names if qs[n].oracle is None]
     assert rows_only == [], rows_only
 
 
-def test_base_ids_before_extensions():
-    names = list(all_queries())
-    n_base = sum(_BASE_COUNTS.values())
-    base_prefix = names[:n_base]
-    # No extension (letter-suffixed or beyond-family-count id) in base zone.
-    for n in base_prefix:
-        fam, rest = n[0], n[1:].split("_", 1)[0]
-        assert rest.isdigit() and int(rest) <= _BASE_COUNTS[fam], n
+def test_unchecked_tier_is_family_balanced():
+    """Within the never-checked tier no family may run 2+ rounds ahead
+    of another family that still has unseen entries."""
+    qs = all_queries()
+    names = [n for n in list(qs)[10:] if n not in DRIVER_VERIFIED]
+    totals: dict[str, int] = {}
+    for n in names:
+        totals[n[0]] = totals.get(n[0], 0) + 1
+    for cap in (14, 40, 100, len(names)):
+        seen: dict[str, int] = {}
+        for n in names[:cap]:
+            seen[n[0]] = seen.get(n[0], 0) + 1
+        for fam, cnt in seen.items():
+            for other, tot in totals.items():
+                if tot > seen.get(other, 0):
+                    assert cnt <= seen.get(other, 0) + 1, (cap, fam, other)
 
 
 def test_registry_complete():
@@ -64,38 +82,17 @@ def test_priority_order_is_total():
     assert set(ordered) == set(fake.keys())
 
 
-def test_extension_prefixes_family_balanced():
-    """Extras round-robin by family too: for any driver cap, the slice
-    of extension IDs it sees is family-balanced (no family may hold 2+
-    more slots than another family that still has unseen extras), and
-    within each family oracle-backed extras precede rows-only ones."""
-    from mysql_to_clickhouse_spark.registry import _BASE_COUNTS
-    from mysql_to_clickhouse_spark import registry as reg
-
+def test_oracle_first_within_family_and_tier():
+    """Inside each (tier, family) list, oracle-backed IDs precede
+    rows-only ones so any cap maximizes hash checks."""
     qs = all_queries()
-    names = list(qs)
-    n_base = sum(_BASE_COUNTS.values())
-    extras = names[n_base:]
-    totals = {}
-    for n in extras:
-        totals[n[0]] = totals.get(n[0], 0) + 1
-    for cap in (10, 50, 100, 200, len(names)):
-        seen = {}
-        for n in names[n_base:cap]:
-            seen[n[0]] = seen.get(n[0], 0) + 1
-        for fam, cnt in seen.items():
-            for other, tot in totals.items():
-                if totals.get(other, 0) > seen.get(other, 0):
-                    # family `other` still has unseen extras → no family
-                    # may be more than one round ahead of it
-                    assert cnt <= seen.get(other, 0) + 1, (cap, fam, other)
-    # oracle-first within each family's extra list
-    by_fam = {}
-    for n in extras:
-        by_fam.setdefault(n[0], []).append(n)
-    for fam, fam_names in by_fam.items():
+    by_bucket: dict[tuple, list[str]] = {}
+    for n in list(qs)[10:]:
+        tier = 1 if n in DRIVER_VERIFIED else 0
+        by_bucket.setdefault((tier, n[0]), []).append(n)
+    for bucket, fam_names in by_bucket.items():
         tiers = [0 if qs[n].oracle else 1 for n in fam_names]
-        assert tiers == sorted(tiers), (fam, fam_names)
+        assert tiers == sorted(tiers), (bucket, fam_names)
 
 
 def test_rows_only_debt_ledger_complete():
