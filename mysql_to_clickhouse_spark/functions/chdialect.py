@@ -50,6 +50,7 @@ docs table):
 
 from __future__ import annotations
 
+import re as _RE
 import weakref
 from typing import NamedTuple
 
@@ -383,10 +384,14 @@ def _scan_string(sql: str, i: int, quote: str) -> int:
 
 def _parse_group(sql: str, i: int) -> tuple[list[str], int]:
     """Parse the balanced paren group starting at ``sql[i] == '('``;
-    return (top-level-comma-split raw args, index just past ')')."""
+    return (top-level-comma-split raw args, index just past ')').
+    Square brackets (CH array literals / element access) count as a
+    nesting level too, so ``has([1,2], x)`` splits into exactly two
+    args instead of tripping arity checks on the comma inside [..]."""
     assert sql[i] == "("
     n = len(sql)
     depth = 0
+    brackets = 0
     args: list[str] = []
     buf: list[str] = []
     j = i
@@ -409,7 +414,13 @@ def _parse_group(sql: str, i: int) -> tuple[list[str], int]:
                     args.append(arg)
                 return args, j + 1
             buf.append(c)
-        elif c == "," and depth == 1:
+        elif c == "[":
+            brackets += 1
+            buf.append(c)
+        elif c == "]":
+            brackets -= 1
+            buf.append(c)
+        elif c == "," and depth == 1 and brackets == 0:
             args.append("".join(buf).strip())
             buf = []
         else:
@@ -497,10 +508,34 @@ def _rewrite_call(word: str, args: list[str], params: list[str] | None) -> str:
     raise AssertionError(f"unhandled CH function {word}")  # pragma: no cover
 
 
+def _bracket_literal_end(sql: str, i: int) -> int:
+    """Index just past the ']' matching ``sql[i] == '['`` (strings and
+    nested brackets/parens respected)."""
+    depth, n = 0, len(sql)
+    j = i
+    while j < n:
+        c = sql[j]
+        if c in "'\"`":
+            j = _scan_string(sql, j, c)
+            continue
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+            if depth == 0:
+                return j + 1
+        j += 1
+    raise ValueError(f"unbalanced brackets in CH SQL at offset {i}")
+
+
 def _translate_functions(sql: str) -> str:
     """The function-call pass: rewrite the CH-dialect CALL forms Spark
     cannot register into Spark SQL (see translate_ch_sql for the full
-    pipeline). Recursive over argument lists."""
+    pipeline). Recursive over argument lists. Also rewrites CH array
+    LITERALS ``[a, b, c]`` to ``array(a, b, c)`` — but only in
+    expression position: a '[' directly following an identifier, ')',
+    or ']' is ELEMENT ACCESS (``arr[1]``, ``f(x)[2]``) and passes
+    through untouched."""
     out: list[str] = []
     i = 0
     n = len(sql)
@@ -511,6 +546,22 @@ def _translate_functions(sql: str) -> str:
             out.append(sql[i:end])
             i = end
             continue
+        if c == "[":
+            prev_txt = "".join(out).rstrip()
+            is_access = bool(prev_txt) and (
+                prev_txt[-1].isalnum() or prev_txt[-1] in "_)]"
+            )
+            if not is_access:
+                end = _bracket_literal_end(sql, i)
+                inner = sql[i + 1 : end - 1]
+                items = _split_order_items(inner)
+                out.append(
+                    "array(" + ", ".join(
+                        _translate_functions(x) for x in items
+                    ) + ")"
+                )
+                i = end
+                continue
         if c.isalpha() or c == "_":
             j = i
             while j < n and (sql[j].isalnum() or sql[j] == "_"):
@@ -521,6 +572,19 @@ def _translate_functions(sql: str) -> str:
                 k += 1
             if word in _TRANSLATED and k < n and sql[k] == "(":
                 first, end = _parse_group(sql, k)
+                # SQL's quantified comparison `x = any (SELECT ...)` is
+                # NOT the CH any() aggregate: a lone subquery argument
+                # passes through with only its inside translated.
+                if (
+                    word in ("any", "all")
+                    and len(first) == 1
+                    and _RE.match(r"(?i)(SELECT|WITH)\b", first[0].lstrip())
+                ):
+                    out.append(
+                        f"{word} ({_translate_functions(first[0])})"
+                    )
+                    i = end
+                    continue
                 params = None
                 if word in _QUANTILES:
                     # peek for the parametric second group
@@ -778,8 +842,8 @@ def _rewrite_limit_by(sql: str) -> str:
 
 
 def _split_order_items(order_txt: str) -> list[str]:
-    """Split ORDER BY text at top-level commas (strings and nested
-    parens respected)."""
+    """Split ORDER BY text at top-level commas (strings, nested parens,
+    and square brackets respected)."""
     items: list[str] = []
     buf: list[str] = []
     i, depth, n = 0, 0, len(order_txt)
@@ -790,9 +854,9 @@ def _split_order_items(order_txt: str) -> list[str]:
             buf.append(order_txt[i:end])
             i = end
             continue
-        if c == "(":
+        if c in "([":
             depth += 1
-        elif c == ")":
+        elif c in ")]":
             depth -= 1
         elif c == "," and depth == 0:
             items.append("".join(buf).strip())
@@ -863,8 +927,8 @@ register_final_spec(
 )
 
 
-def _final_subquery(table: str) -> str:
-    spec = _FINAL_SPECS[table]
+def _final_subquery(table: str, spec_name: str, alias: str) -> str:
+    spec = _FINAL_SPECS[spec_name]
     drop = (
         f" AND NOT ({spec.delete_where})" if spec.delete_where else ""
     )
@@ -873,44 +937,114 @@ def _final_subquery(table: str) -> str:
         f"SELECT *, ROW_NUMBER() OVER ("
         f"PARTITION BY {', '.join(spec.keys)} ORDER BY {spec.order_by}"
         f") AS __rn FROM {table}"
-        f") WHERE __rn = 1{drop}) {table}"
+        f") WHERE __rn = 1{drop}) {alias}"
     )
 
 
+# Keywords that can never be a table alias — used by the FINAL / ANY
+# JOIN rewrites to tell `FROM t alias` from `FROM t WHERE ...`.
+_NON_ALIAS_WORDS = {
+    "FROM", "JOIN", "WHERE", "PREWHERE", "ON", "USING", "AS", "AND",
+    "OR", "NOT", "GROUP", "ORDER", "BY", "SELECT", "LIMIT", "OFFSET",
+    "SAMPLE", "FINAL", "SETTINGS", "FORMAT", "UNION", "INTERSECT",
+    "EXCEPT", "HAVING", "WINDOW", "QUALIFY", "LEFT", "RIGHT", "INNER",
+    "OUTER", "FULL", "CROSS", "GLOBAL", "ANY", "ALL", "ASOF", "SEMI",
+    "ANTI", "WITH", "PASTE", "DISTINCT",
+}
+
+
+def _gather_ident_chain(sql: str, toks: list, idx: int) -> tuple[str, int, int]:
+    """Starting from the identifier token at ``toks[idx]``, walk LEFT
+    through '.'-joined segments and return (dotted_name, chain_start,
+    first_segment_index). ``toks`` entries are (word, start, end,
+    depth) from _scan_words."""
+    parts = [toks[idx][0]]
+    start = toks[idx][1]
+    i = idx
+    while i > 0:
+        prev = toks[i - 1]
+        between = sql[prev[2] : toks[i][1]]
+        if between.strip() == "." and prev[3] == toks[i][3]:
+            parts.insert(0, prev[0])
+            start = prev[1]
+            i -= 1
+        else:
+            break
+    return ".".join(parts), start, i
+
+
 def _rewrite_final(sql: str) -> str:
-    """CH ``FROM <table> FINAL`` → the a4 latest-per-key collapse as an
-    inline subquery (aliased back to the table name, so downstream
-    column references resolve unchanged). Detected only as the token
-    triple FROM/JOIN + identifier + FINAL, so a column or alias merely
-    named "final" elsewhere is untouched (naming a TABLE ALIAS literally
-    ``final`` right after FROM is the one documented collision). The
-    table must have a registered FinalSpec — an unknown table is a loud
-    error, because silently ignoring FINAL would serve stale row
-    versions."""
+    """CH ``FROM <table> [AS alias] FINAL`` → the a4 latest-per-key
+    collapse as an inline subquery (aliased back to the table name or
+    explicit alias, so downstream column references resolve
+    unchanged). Handles qualified names (``FROM db.events FINAL``) and
+    aliased refs (``FROM events AS e FINAL`` / ``FROM events e
+    FINAL``). Any FINAL that terminates a table reference the rewriter
+    CANNOT expand (no FinalSpec for the table, or FINAL on a subquery
+    alias) raises — silently passing it through would let Spark parse
+    FINAL as a table alias and serve stale row versions. A column/
+    identifier named "final" outside a FROM/JOIN table reference is
+    untouched."""
     while True:
+        toks = list(_scan_words(sql))
         hit = None
-        prev2 = prev = None  # (word, start, end)
-        for word, s, e, _d in _scan_words(sql):
-            if (
-                word.upper() == "FINAL"
-                and prev is not None
-                and prev2 is not None
-                and prev2[0].upper() in ("FROM", "JOIN")
-            ):
-                hit = (prev[0], prev[1], e)
+        for i, (word, s, e, d) in enumerate(toks):
+            if word.upper() != "FINAL" or i == 0:
+                continue
+            prev = toks[i - 1]
+            if prev[0].upper() in _NON_ALIAS_WORDS:
+                continue  # e.g. "ORDER BY final" — not a table FINAL
+            if sql[prev[2] : s].strip():
+                continue  # "a, final" / "x > final": not adjacent
+            if prev[3] != d:
+                # "(SELECT ...) sub FINAL": FINAL on a subquery alias —
+                # not expandable; passing it through would make Spark
+                # read FINAL as another alias and serve stale versions
+                raise ValueError(
+                    "FINAL after a subquery alias is not an expandable "
+                    "table reference — collapse inside the subquery "
+                    "instead (FROM <table> [AS alias] FINAL)"
+                )
+            # prev ends an identifier chain: table ref or alias
+            chain, chain_start, ci = _gather_ident_chain(sql, toks, i - 1)
+            before = toks[ci - 1] if ci > 0 else None
+            bword = before[0].upper() if before else ""
+            if bword in ("FROM", "JOIN"):
+                # FROM <chain> FINAL
+                hit = (chain, chain.split(".")[-1], chain_start, e)
                 break
-            prev2, prev = prev, (word, s, e)
+            if bword == "AS" and ci >= 2:
+                tchain, tstart, ti = _gather_ident_chain(sql, toks, ci - 2)
+                b2 = toks[ti - 1] if ti > 0 else None
+                if b2 and b2[0].upper() in ("FROM", "JOIN"):
+                    # FROM <tchain> AS <alias> FINAL
+                    hit = (tchain, chain, tstart, e)
+                    break
+            elif (
+                bword
+                and bword not in _NON_ALIAS_WORDS
+                and before[3] == d
+            ):
+                tchain, tstart, ti = _gather_ident_chain(sql, toks, ci - 1)
+                b2 = toks[ti - 1] if ti > 0 else None
+                if b2 and b2[0].upper() in ("FROM", "JOIN"):
+                    # FROM <tchain> <alias> FINAL  (bare alias)
+                    hit = (tchain, chain, tstart, e)
+                    break
         if hit is None:
             return sql
-        table, ts, fe = hit
-        if table not in _FINAL_SPECS:
+        table, alias, ts, fe = hit
+        spec_name = (
+            table if table in _FINAL_SPECS else table.split(".")[-1]
+        )
+        if spec_name not in _FINAL_SPECS:
             raise ValueError(
                 f"FROM {table} FINAL: no FinalSpec registered for "
                 f"{table!r}; declare its keys/version/delete rule with "
                 f"register_final_spec() (FINAL silently ignored would "
                 f"serve stale row versions)"
             )
-        sql = sql[:ts] + _final_subquery(table) + sql[fe:]
+        sql = sql[:ts] + _final_subquery(table, spec_name, alias) + sql[fe:]
 
 
 _SAMPLE_SPECS: dict[str, str] = {}
@@ -1037,22 +1171,10 @@ def _strip_join_modifiers(sql: str) -> str:
                 prev is not None
                 and prev[0].upper() in _JOIN_STRICTNESS
                 and word.upper()
-                in ("JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS")
+                in ("JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "ANY")
             ):
                 hit = prev
                 break
-            if (
-                prev is not None
-                and prev[0].upper() == "ANY"
-                and word.upper()
-                in ("JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS")
-            ):
-                raise ValueError(
-                    "ANY JOIN strictness changes row multiplicity and has "
-                    "no silent Spark translation — use the c22 ANY-join "
-                    "operator (latest-per-key collapse on the build side) "
-                    "and restate the query without ANY"
-                )
             prev = (word, s, e)
         if hit is None:
             return sql
@@ -1062,31 +1184,247 @@ def _strip_join_modifiers(sql: str) -> str:
         sql = sql[:s] + sql[cut:]
 
 
+# Deterministic keep-one orderings for ANY JOIN's build-side collapse.
+# ClickHouse keeps an ARBITRARY first match per key; a reproducible
+# engine must pin the rule (the c22 operator's contract), so the
+# statement layer requires a registered ORDER BY per table — exactly
+# like FinalSpec for FINAL.
+_ANY_ORDER: dict[str, str] = {}
+
+
+def register_any_order(table: str, order_by: str) -> None:
+    """Declare the deterministic 'first match' ordering ANY JOIN uses
+    when collapsing ``table`` to one row per join key."""
+    _ANY_ORDER[table] = order_by
+
+
+# Testbed defaults: primary-key ascending (unique => fully
+# deterministic); orders pins c22's earliest-order rule.
+for _t, _o in (
+    ("region", "r_regionkey"),
+    ("nation", "n_nationkey"),
+    ("customer", "c_custkey"),
+    ("supplier", "s_suppkey"),
+    ("part", "p_partkey"),
+    ("orders", "o_orderdate, o_orderkey"),
+    ("lineitem", "l_orderkey, l_linenumber"),
+    ("events", "ts, event_id"),
+    ("documents", "doc_id"),
+    ("embeddings", "vec_id"),
+):
+    register_any_order(_t, _o)
+
+_JOIN_TYPE_WORDS = {"LEFT", "RIGHT", "INNER", "FULL", "CROSS", "OUTER"}
+_ANY_UNSUPPORTED = {"RIGHT", "FULL", "CROSS"}
+
+
+def _split_top_and(cond: str) -> list[str]:
+    """Split a predicate at top-level AND keywords (parens/strings/
+    brackets respected)."""
+    parts: list[str] = []
+    last = 0
+    for word, s, e, d in _scan_words(cond):
+        if d == 0 and word.upper() == "AND":
+            parts.append(cond[last:s].strip())
+            last = e
+    parts.append(cond[last:].strip())
+    return [p for p in parts if p]
+
+
+def _any_join_keys(cond: str, right_alias: str) -> list[str]:
+    """Right-side key columns from an ON condition: every top-level
+    conjunct must be an equality with exactly one side qualified by
+    the right alias. Anything else is a loud error — a mis-extracted
+    key would silently change ANY JOIN's row multiplicity."""
+    keys: list[str] = []
+    for conj in _split_top_and(cond):
+        # exactly one PLAIN '=' (not <=, >=, !=, ==) splits the conjunct
+        eqs = [
+            m.start()
+            for m in _RE.finditer(r"(?<![<>!=])=(?!=)", conj)
+        ]
+        if len(eqs) != 1:
+            raise ValueError(
+                f"ANY JOIN ON supports conjunctions of equalities only; "
+                f"cannot extract a join key from {conj!r}"
+            )
+        sides = [conj[: eqs[0]], conj[eqs[0] + 1 :]]
+        r_side = [
+            s.strip()
+            for s in sides
+            if s.strip().startswith(right_alias + ".")
+        ]
+        if len(r_side) != 1:
+            raise ValueError(
+                f"ANY JOIN ON conjunct {conj!r} must reference the "
+                f"right side exactly once, qualified as "
+                f"{right_alias}.<col>"
+            )
+        keys.append(r_side[0].split(".", 1)[1])
+    return keys
+
+
+def _rewrite_any_join(sql: str) -> str:
+    """CH ``[LEFT|INNER] ANY JOIN t [alias] ON/USING ...`` → the c22
+    build-side collapse: the right table is reduced to ONE row per
+    join key (deterministically, via the table's registered
+    ``register_any_order`` rule — CH's own pick is arbitrary) inside
+    an inline subquery, then joined normally, so each left row matches
+    at most one right row. Supports ``LEFT ANY JOIN`` / ``ANY LEFT
+    JOIN`` / ``INNER ANY JOIN`` / bare ``ANY JOIN``; RIGHT/FULL ANY
+    raise (they collapse the LEFT side — restate the join reversed)."""
+    while True:
+        toks = list(_scan_words(sql))
+        hit = None
+        for i, (word, s, e, d) in enumerate(toks):
+            if word.upper() != "ANY" or i + 1 >= len(toks):
+                continue
+            nxt = toks[i + 1][0].upper()
+            if nxt == "JOIN":
+                jt = toks[i - 1][0].upper() if i > 0 else ""
+                join_type = jt if jt in _JOIN_TYPE_WORDS else ""
+                join_idx = i + 1
+            elif nxt in _JOIN_TYPE_WORDS and i + 2 < len(toks) and (
+                toks[i + 2][0].upper() == "JOIN"
+            ):
+                join_type = nxt
+                join_idx = i + 2
+            else:
+                continue
+            if join_type in _ANY_UNSUPPORTED:
+                raise ValueError(
+                    f"{join_type} ANY JOIN collapses the LEFT side — "
+                    f"restate with the build side on the right "
+                    f"(LEFT/INNER ANY JOIN)"
+                )
+            hit = (i, join_idx, s, d)
+            break
+        if hit is None:
+            return sql
+        i, join_idx, any_start, d = hit
+        # table ref (+ optional alias) after JOIN
+        ti = join_idx + 1
+        if ti >= len(toks):
+            raise ValueError("ANY JOIN: missing right table reference")
+        # walk the dotted chain FORWARD from its first segment
+        tstart = toks[ti][1]
+        tend_idx = ti
+        while (
+            tend_idx + 1 < len(toks)
+            and sql[toks[tend_idx][2] : toks[tend_idx + 1][1]].strip() == "."
+        ):
+            tend_idx += 1
+        table = sql[tstart : toks[tend_idx][2]].replace(" ", "")
+        alias = table.split(".")[-1]
+        after_idx = tend_idx + 1
+        if after_idx < len(toks) and toks[after_idx][0].upper() == "AS":
+            alias = toks[after_idx + 1][0]
+            after_idx += 2
+        elif (
+            after_idx < len(toks)
+            and toks[after_idx][0].upper() not in _NON_ALIAS_WORDS
+        ):
+            alias = toks[after_idx][0]
+            after_idx += 1
+        ref_end = toks[after_idx - 1][2]
+        if after_idx >= len(toks):
+            raise ValueError("ANY JOIN requires an ON or USING clause")
+        clause = toks[after_idx][0].upper()
+        if clause == "USING":
+            k = toks[after_idx][2]
+            while k < len(sql) and sql[k].isspace():
+                k += 1
+            if k < len(sql) and sql[k] == "(":
+                cols, _past = _parse_group(sql, k)
+                keys = [c.strip() for c in cols]
+            else:
+                keys = [toks[after_idx + 1][0]]
+        elif clause == "ON":
+            on_start = toks[after_idx][2]
+            on_end, _term, _past = _clause_end(sql, on_start)
+            # a following JOIN also terminates the ON clause
+            for w2, s2, _e2, d2 in _scan_words(sql[on_start:on_end]):
+                if d2 == 0 and w2.upper() in (
+                    "JOIN", "LEFT", "RIGHT", "INNER", "FULL", "CROSS",
+                    "ASOF", "ANY", "SEMI", "ANTI",
+                ):
+                    on_end = on_start + s2
+                    break
+            keys = _any_join_keys(sql[on_start:on_end], alias)
+        else:
+            raise ValueError("ANY JOIN requires an ON or USING clause")
+        order = _ANY_ORDER.get(table) or _ANY_ORDER.get(
+            table.split(".")[-1]
+        )
+        if order is None:
+            raise ValueError(
+                f"ANY JOIN on {table!r}: no deterministic keep-one "
+                f"ordering registered — declare one with "
+                f"register_any_order() (ClickHouse keeps an arbitrary "
+                f"first match; a reproducible engine must pin the rule)"
+            )
+        sub = (
+            f"(SELECT * EXCEPT (__rn) FROM ("
+            f"SELECT *, ROW_NUMBER() OVER ("
+            f"PARTITION BY {', '.join(keys)} ORDER BY {order}"
+            f") AS __rn FROM {table}"
+            f") WHERE __rn = 1) {alias}"
+        )
+        # drop the ANY token, swap the table ref for the subquery
+        any_end = toks[i][2]
+        cut = any_end + 1 if sql[any_end : any_end + 1] == " " else any_end
+        sql = sql[:any_start] + sql[cut:tstart] + sub + sql[ref_end:]
+
+
+# SETTINGS must be followed by k = v pairs (optionally a FORMAT tail),
+# FORMAT by exactly one identifier — both running to end-of-statement.
+_SETTINGS_TAIL = _RE.compile(
+    r"(?is)^SETTINGS\s+\w+\s*=\s*[^,\s;]+"
+    r"(\s*,\s*\w+\s*=\s*[^,\s;]+)*"
+    r"(\s+FORMAT\s+\w+)?\s*;?\s*$"
+)
+_FORMAT_TAIL = _RE.compile(r"(?is)^FORMAT\s+\w+\s*;?\s*$")
+
+
 def _strip_trailing_clauses(sql: str) -> str:
     """Drop CH's trailing ``SETTINGS k=v, ...`` and ``FORMAT Name``
     clauses — per-query engine knobs and client wire-format directives
     that have no Spark statement equivalent (session confs and the
     DataFrame writer are the Spark-side homes for those decisions).
-    Only a TOP-LEVEL (depth-0) occurrence terminates the statement;
-    anything after it is CH grammar, not data, so stripping is safe."""
+    Stripped only in TRAILING-CLAUSE POSITION: depth 0, not directly
+    after a select-list comma, and the grammar from the keyword must
+    run to end-of-statement (``SETTINGS`` as k=v pairs, ``FORMAT`` as
+    one identifier). A projected COLUMN named settings/format —
+    ``SELECT event_type AS fmt, format FROM events`` — therefore
+    survives instead of having the statement truncated mid-list."""
     for word, s, _e, d in _scan_words(sql):
-        if d == 0 and word.upper() in ("SETTINGS", "FORMAT"):
-            return sql[:s].rstrip()
+        if d != 0 or word.upper() not in ("SETTINGS", "FORMAT"):
+            continue
+        before = sql[:s].rstrip()
+        if before.endswith(","):
+            continue  # select-list item, not a trailing clause
+        tail = sql[s:]
+        if word.upper() == "SETTINGS" and _SETTINGS_TAIL.match(tail):
+            return before
+        if word.upper() == "FORMAT" and _FORMAT_TAIL.match(tail):
+            return before
     return sql
 
 
 def translate_ch_sql(sql: str) -> str:
     """Full CH-dialect translation pipeline: trailing SETTINGS/FORMAT
-    strip, GLOBAL/ALL join-modifier strip (ANY is a loud error),
+    strip (position-checked), GLOBAL/ALL join-modifier strip,
+    LEFT/INNER ANY JOIN → deterministic build-side collapse,
     LIMIT n BY → ranked-window rewrite, SAMPLE → hash-band filter,
     PREWHERE → WHERE merge, FROM <t> FINAL → latest-per-key collapse,
     then the function-call pass (renames, -If combinators, parametric
-    quantiles, casts). Pure text-to-text; identifiers it does not
-    know, string literals, and quoted identifiers pass through
-    byte-identical. (Comments are not stripped — don't put CH calls
-    in comments.)"""
+    quantiles, casts, [..] array literals). Pure text-to-text;
+    identifiers it does not know, string literals, and quoted
+    identifiers pass through byte-identical. (Comments are not
+    stripped — don't put CH calls in comments.)"""
     sql = _strip_trailing_clauses(sql)
     sql = _strip_join_modifiers(sql)
+    sql = _rewrite_any_join(sql)
     sql = _rewrite_limit_by(sql)
     sql = _rewrite_sample(sql)
     return _translate_functions(_rewrite_final(_rewrite_prewhere(sql)))

@@ -3233,9 +3233,13 @@ WITH ev AS (
          {o_cosine('c.embedding', 'ev.e')} AS cos_sim
   FROM corpus c CROSS JOIN ev
 ), best AS (
+  -- argmax key (quantized cos, then LOWEST eval_id) as one HUGEINT:
+  -- the 1e19 multiplier strictly dominates any int64 eval_id, so the
+  -- tie-break is order-preserving for the entire id range (the old
+  -- 1e5 multiplier overflowed past 100k ids)
   SELECT vec_id,
-         MAX_BY(eval_id, CAST(FLOOR(cos_sim * 1000000000000.0) AS BIGINT)
-                * 100000 - eval_id) AS nearest_eval_id,
+         MAX_BY(eval_id, CAST(FLOOR(cos_sim * 1000000000000.0) AS HUGEINT)
+                * 10000000000000000000 - eval_id) AS nearest_eval_id,
          MAX(cos_sim) AS max_cos
   FROM scored GROUP BY vec_id
 )
@@ -3295,9 +3299,16 @@ def _i28_best_blocked(
         l_ids, l_q, l_n = _np_block(lpdf)
         r_ids, r_q, r_n = _np_block(rpdf)
         cos = np_fixed_cosines(l_q, l_n, r_q, r_n)
-        # int64 mirror of the DataFrame argmax key — exact (≤ ~1e17)
-        key = np.floor(cos * 1e12).astype(np.int64) * 100000 - r_ids[None, :]
-        by_key = key.argmax(axis=1)
+        # lexicographic argmax (quantized cos DESC, eval_id ASC) with no
+        # packed-scalar range limit: among the max-q columns of each row
+        # take the SMALLEST eval id (the old floor(cos·1e12)·1e5 − id
+        # packing stopped being order-preserving past 100k eval ids)
+        q = np.floor(cos * 1e12).astype(np.int64)
+        q_max = q.max(axis=1, keepdims=True)
+        id_or_inf = np.where(
+            q == q_max, r_ids[None, :], np.iinfo(np.int64).max
+        )
+        by_key = id_or_inf.argmin(axis=1)
         by_cos = cos.argmax(axis=1)
         rows = np.arange(len(l_ids))
         return pd.DataFrame(
@@ -3353,12 +3364,19 @@ def i28_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     else:
         scored = _i28_best_blocked(spark, corpus, ev)
+    # struct argmax key: (quantized cos DESC, eval_id ASC via negation) —
+    # lexicographic struct ordering has no packed-scalar range limit, so
+    # the tie-break is exact for any int64 eval_id (the oracle states
+    # the same ordering as one HUGEINT key)
     best = scored.groupBy("vec_id").agg(
         F.max_by(
             "eval_id",
-            F.floor(F.col("cos_sim") * 1000000000000.0).cast("long")
-            * 100000
-            - F.col("eval_id"),
+            F.struct(
+                F.floor(F.col("cos_sim") * 1000000000000.0)
+                .cast("long")
+                .alias("q"),
+                (-F.col("eval_id")).alias("t"),
+            ),
         ).alias("nearest_eval_id"),
         F.max("cos_sim").alias("max_cos"),
     )

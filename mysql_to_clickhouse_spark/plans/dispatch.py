@@ -188,26 +188,31 @@ def broadcast_when_small(
     )
     memo = None
     key = None
+    analyzed = None
     if memo_on:
         memo = _PROBE_MEMO.setdefault(spark, {})
-        key = (
-            int(build._jdf.queryExecution().analyzed().semanticHash()),
-            limit,
-        )
+        analyzed = build._jdf.queryExecution().analyzed()
+        key = (int(analyzed.semanticHash()), limit)
         hit = memo.get(key)
         if hit is not None:
-            decision, cached = hit
-            if decision and cached is not None:
-                # full prepared-statement replay: serve the broadcast
-                # from the FIRST invocation's materialized build cache —
-                # zero probe jobs AND zero build re-evaluation. The
-                # cache is bounded by the probe row limit (it only
-                # exists because count() proved ≤ limit rows), held
-                # until release_probe_state(spark).
-                return F.broadcast(cached)
-            # remembered DECLINE (probe- or estimate-based): no jobs at
-            # all — the honest shuffle evaluates the build exactly once
-            return F.broadcast(build) if decision else build
+            decision, cached, cached_plan = hit
+            # semanticHash is 32-bit: confirm the memo hit is OUR plan,
+            # not a colliding one — sameResult is a cheap driver-side
+            # canonicalized-plan comparison. On mismatch fall through
+            # to a fresh probe (replaying a colliding entry's persisted
+            # build would silently join the WRONG broadcast side).
+            if cached_plan is not None and analyzed.sameResult(cached_plan):
+                if decision and cached is not None:
+                    # full prepared-statement replay: serve the
+                    # broadcast from the FIRST invocation's materialized
+                    # build cache — zero probe jobs AND zero build
+                    # re-evaluation. The cache is bounded by the probe
+                    # row limit (it only exists because count() proved
+                    # ≤ limit rows), held until release_probe_state.
+                    return F.broadcast(cached)
+                # remembered DECLINE (probe- or estimate-based): no jobs
+                # at all — the honest shuffle evaluates the build once
+                return F.broadcast(build) if decision else build
     if build_rows_estimate is not None:
         est = (
             build_rows_estimate()
@@ -219,7 +224,7 @@ def broadcast_when_small(
                 # memoize the estimate-skip too: the estimator may cost
                 # a dim-sized job (x16's selectivity count) — pay it
                 # once per session, not per invocation
-                memo[key] = (False, None)
+                memo[key] = (False, None, analyzed)
             return build
     # One evaluation, not two: cache the reduced side through the count
     # so an ACCEPT feeds the broadcast exchange from the cache instead
@@ -229,7 +234,7 @@ def broadcast_when_small(
     if memo_on:
         # an ACCEPT keeps the cache alive until its first replay (or
         # release_probe_state); a DECLINE releases it right here
-        memo[key] = (decision, build if decision else None)
+        memo[key] = (decision, build if decision else None, analyzed)
     if decision:
         return F.broadcast(build)
     build.unpersist(blocking=False)
@@ -242,6 +247,6 @@ def release_probe_state(spark: SparkSession) -> None:
     and forget the memoized decisions. Long-lived shared sessions call
     this between workloads — same discipline as
     ``operators.llmops.release_caches``."""
-    for _decision, cached in _PROBE_MEMO.pop(spark, {}).values():
+    for _decision, cached, _plan in _PROBE_MEMO.pop(spark, {}).values():
         if cached is not None:
             cached.unpersist(blocking=True)

@@ -269,9 +269,44 @@ STMT_CASES = [
 ]
 
 
-def test_any_join_is_loud():
-    with pytest.raises(ValueError, match="ANY JOIN"):
-        translate_ch_sql("SELECT a FROM t ANY LEFT JOIN u ON t.k = u.k")
+def test_any_join_rewrites_to_build_side_collapse():
+    for src in (
+        "SELECT a FROM t LEFT ANY JOIN orders o ON t.k = o.o_custkey",
+        "SELECT a FROM t ANY LEFT JOIN orders o ON t.k = o.o_custkey",
+    ):
+        out = translate_ch_sql(src)
+        assert "ANY" not in out.upper().replace("ANY_VALUE", "")
+        assert "PARTITION BY o_custkey" in out
+        assert "ORDER BY o_orderdate, o_orderkey" in out
+        assert out.endswith("ON t.k = o.o_custkey")
+
+
+def test_any_join_using_and_inner_forms():
+    out = translate_ch_sql(
+        "SELECT c_custkey FROM customer ANY JOIN orders USING (o_custkey)"
+    )
+    assert "PARTITION BY o_custkey" in out and out.endswith(
+        "USING (o_custkey)"
+    )
+
+
+def test_any_join_unregistered_table_is_loud():
+    with pytest.raises(ValueError, match="register_any_order"):
+        translate_ch_sql("SELECT a FROM t ANY JOIN u ON t.k = u.k")
+
+
+def test_right_any_join_is_loud():
+    with pytest.raises(ValueError, match="RIGHT ANY"):
+        translate_ch_sql(
+            "SELECT a FROM t RIGHT ANY JOIN orders o ON t.k = o.o_custkey"
+        )
+
+
+def test_any_join_non_equi_condition_is_loud():
+    with pytest.raises(ValueError, match="equalities"):
+        translate_ch_sql(
+            "SELECT a FROM t ANY JOIN orders o ON t.k < o.o_custkey"
+        )
 
 
 @pytest.mark.parametrize("src,expected", STMT_CASES)

@@ -328,8 +328,11 @@ def test_probe_memo_hit_replays_from_build_cache(spark):
             return load(spark, TEST_SF_DIR, "orders").select("o_orderkey")
 
         first = broadcast_when_small(build_df(), li, spark)
-        (key, (decision, cached)) = next(iter(_PROBE_MEMO[spark].items()))
+        (key, (decision, cached, plan0)) = next(
+            iter(_PROBE_MEMO[spark].items())
+        )
         assert decision is True and cached is not None
+        assert plan0 is not None  # collision guard: plan stored with hit
 
         replay = broadcast_when_small(build_df(), li, spark)  # memo hit
         replay.collect()
@@ -339,6 +342,46 @@ def test_probe_memo_hit_replays_from_build_cache(spark):
         assert sorted(r[0] for r in replay.collect()) == sorted(
             r[0] for r in first.collect()
         )
+    finally:
+        _restore(spark, saved)
+        release_probe_state(spark)
+
+
+def test_probe_memo_collision_falls_back_to_fresh_probe(spark):
+    """A memo hit whose STORED plan is not sameResult as the incoming
+    build (32-bit semanticHash collision) must NOT replay the cached
+    build — it re-probes and serves the correct data."""
+    from mysql_to_clickhouse_spark.plans.dispatch import (
+        _PROBE_MEMO,
+        release_probe_state,
+    )
+
+    saved = _with_conf(spark, {_GATE: "0", _ROWS: "10000000"})
+    try:
+        release_probe_state(spark)
+        li = load(spark, TEST_SF_DIR, "lineitem")
+        wrong = load(spark, TEST_SF_DIR, "nation").select(
+            F.col("n_nationkey").alias("o_orderkey")
+        )
+        wrong.persist()
+        build = load(spark, TEST_SF_DIR, "orders").select("o_orderkey")
+        # poison the memo: the incoming build's key mapped to a
+        # DIFFERENT plan's decision + cache (a simulated collision)
+        limit = 10000000
+        key = (
+            int(build._jdf.queryExecution().analyzed().semanticHash()),
+            limit,
+        )
+        _PROBE_MEMO.setdefault(spark, {})[key] = (
+            True,
+            wrong,
+            wrong._jdf.queryExecution().analyzed(),
+        )
+        out = broadcast_when_small(build, li, spark)
+        got = sorted(r[0] for r in out.collect())
+        want = sorted(r[0] for r in build.collect())
+        assert got == want  # fresh probe served OUR rows, not `wrong`'s
+        wrong.unpersist(blocking=True)
     finally:
         _restore(spark, saved)
         release_probe_state(spark)
