@@ -1050,3 +1050,55 @@ def s15_ch_sample_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     7/8 of rows drop before the one group-by exchange (a32's bound)."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return ch_sql(spark, _S15_CH_SQL)
+
+
+_S16_CH_SQL = """
+SELECT c.c_custkey, c.c_name,
+       COALESCE(o.o_orderkey, -1) AS first_orderkey,
+       COALESCE(toInt64(FLOOR(o.o_totalprice * 10000.0)), -1)
+         AS first_price_fp,
+       o.o_custkey IS NOT NULL AS matched
+FROM customer AS c
+LEFT ANY JOIN orders AS o ON c.c_custkey = o.o_custkey
+ORDER BY c.c_custkey
+"""
+
+_S16_ORACLE = """
+WITH one AS (
+  SELECT * FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS __rn
+    FROM orders
+  ) WHERE __rn = 1
+)
+SELECT c.c_custkey, c.c_name,
+       CAST(COALESCE(o.o_orderkey, -1) AS BIGINT) AS first_orderkey,
+       CAST(COALESCE(CAST(FLOOR(o.o_totalprice * 10000.0) AS BIGINT), -1)
+            AS BIGINT) AS first_price_fp,
+       o.o_custkey IS NOT NULL AS matched
+FROM customer c LEFT JOIN one o ON c.c_custkey = o.o_custkey
+ORDER BY c.c_custkey
+"""
+
+
+@register("s16_ch_any_join", oracle=_S16_ORACLE, tier="T3")
+def s16_ch_any_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``LEFT ANY JOIN`` as STATEMENT TEXT — the c22 semantics
+    (at most one right row per key) reached through the dialect
+    layer's rewrite instead of the DataFrame operator: the right side
+    collapses to one row per join key under the table's registered
+    deterministic keep-one rule (orders: earliest o_orderdate, then
+    o_orderkey — CH itself keeps an ARBITRARY first match, which no
+    engine pair can hash-check), then joins normally. A CH user's
+    pasted `LEFT ANY JOIN` statement now runs instead of raising
+    (round-8 verdict gap #3).
+
+    Scale: the collapse is a per-key ranked window PARTITIONED by the
+    join key (no global window), and the join itself is whatever
+    Catalyst picks for the collapsed side — identical shape to c22's
+    dedup-then-join."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return ch_sql(spark, _S16_CH_SQL)

@@ -749,7 +749,7 @@ def test_random_condagg_parity(spark, duck, i):
 # (ClickHouse text, DuckDB restatement) in lockstep.
 # ---------------------------------------------------------------------------
 
-N_CH_QUERIES = 60
+N_CH_QUERIES = 84
 
 _CH_KEYS = [
     # (CH expr for Spark, DuckDB restatement)
@@ -884,10 +884,15 @@ def _gen_ch_query(rng: random.Random) -> tuple[str, str]:
                 a,
             )
 
-    # statement-level idioms: FROM events FINAL (the a4 latest-per-key
-    # collapse — restated on the DuckDB side as the window CTE) and
-    # WHERE spelled as PREWHERE (merged into WHERE by the translator)
+    # statement-level idioms, COMPOSABLE in one statement: FROM events
+    # [FINAL] [SAMPLE k/m [OFFSET a/b]] [PREWHERE|WHERE cond]. FINAL is
+    # the a4 latest-per-key collapse (restated on the DuckDB side as
+    # the window CTE); SAMPLE is the a32 md5 hash-band predicate
+    # (restated as the identical integer band); the CH processing
+    # order — collapse first, then band — matches the translator's
+    # FINAL-inside-SAMPLE nesting.
     use_final = rng.random() < 0.35
+    use_sample = rng.random() < 0.3
     src_ch = "events FINAL" if use_final else "events"
     src_dk = (
         "(SELECT * FROM ("
@@ -898,11 +903,27 @@ def _gen_ch_query(rng: random.Random) -> tuple[str, str]:
         if use_final
         else "events"
     )
+    sample_pred_dk = ""
+    if use_sample:
+        denom = rng.choice([4, 8, 16])
+        off_num = rng.randint(0, denom - 2)
+        src_ch += f" SAMPLE 1/{denom} OFFSET {off_num}/{denom}"
+        lo = ((1 << 32) * off_num) // denom
+        hi = lo + (1 << 32) // denom
+        band = (
+            "CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8))"
+            " AS BIGINT)"
+        )
+        sample_pred_dk = f"{band} >= {lo} AND {band} < {hi}"
     w_ch = w_dk = ""
     if rng.random() < 0.4:
         c_ch, c_dk = _ch_cond(rng)
         kw = "PREWHERE" if rng.random() < 0.5 else "WHERE"
         w_ch, w_dk = f"{kw} {c_ch}", f"WHERE {c_dk}"
+        if sample_pred_dk:
+            w_dk = f"WHERE ({sample_pred_dk}) AND ({c_dk})"
+    elif sample_pred_dk:
+        w_dk = f"WHERE {sample_pred_dk}"
     tail_ch = (
         " SETTINGS max_threads = 4" if rng.random() < 0.2 else ""
     )
