@@ -51,11 +51,15 @@ SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_orderkey
 def a2_jdbc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parallel chunked full load: the JDBC partitionColumn pattern.
 
-    sources/jdbc.py holds the real MySQL reader config; with no server
-    in the testbed, the same keyset chunking (chunk_ranges) is applied
-    as 8 disjoint key-range reads of the parquet table and unioned —
-    proving every key lands in exactly one chunk (the oracle is simply
-    the whole table)."""
+    sources/jdbc.py holds the real MySQL reader config; with no MySQL
+    server in the testbed, the same keyset chunking (chunk_ranges) is
+    applied as 8 disjoint key-range reads of the parquet table and
+    unioned — proving every key lands in exactly one chunk (the oracle
+    is simply the whole table). The builders themselves ARE exercised
+    against a live database: tests/test_jdbc_roundtrip.py runs
+    mysql_reader/clickhouse_writer end-to-end against embedded Derby
+    (ships with Spark) — batched inserts, 8-way partitionColumn reads,
+    filter/projection pushdown into the remote SELECT."""
     orders = load(spark, sf_dir, "orders")
     lo, hi = orders.agg(
         F.min("o_orderkey"), F.max("o_orderkey")
