@@ -82,21 +82,34 @@ _HAS_SOUNDFILE = _ilu.find_spec("soundfile") is not None
 
 
 def codec_support() -> dict[str, bool]:
-    """Which real codecs this host ships (probed once at import)."""
-    return {"image": _HAS_PIL, "audio": _HAS_SOUNDFILE}
+    """Which real codecs this host ships (probed once at import).
+    image is always True: PNG decode needs only stdlib zlib
+    (functions/png.py), with Pillow preferred when present for the
+    non-PNG formats."""
+    return {"image": True, "audio": _HAS_SOUNDFILE}
 
 
 def real_decode(payload: bytes, mime: str) -> tuple[int, int, int]:
-    """Real codec decode — Pillow for image/*, soundfile for audio/*.
+    """Real codec decode — Pillow for image/* when installed, the
+    stdlib PNG codec (functions/png.py) for image/png otherwise,
+    soundfile for audio/*.
 
     Returns (width, height, channels) for images and
     (frames, samplerate, channels) for audio. Raises
-    NotImplementedError when the codec for ``mime`` is absent (this
-    sandbox ships none); the codec's own error propagates when the
-    bytes don't decode — ``decode_with_fallback`` catches both."""
+    NotImplementedError when no codec covers ``mime`` (e.g. image/jpeg
+    without Pillow, any video/*); the codec's own error propagates
+    when the bytes don't decode — ``decode_with_fallback`` catches
+    both."""
     if mime.startswith("image/"):
         if not _HAS_PIL:
-            raise NotImplementedError("Pillow not installed; image decode gated off")
+            if mime == "image/png":
+                from mysql_to_clickhouse_spark.functions.png import png_decode
+
+                return png_decode(payload)
+            raise NotImplementedError(
+                f"Pillow not installed; only image/png decodes via the "
+                f"stdlib codec, not {mime!r}"
+            )
         import io
 
         from PIL import Image
@@ -146,31 +159,45 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
 # ---------------------------------------------------------------------------
 
 
+def synthesize_payload(text_bytes: bytes, mime: str) -> bytes:
+    """Deterministic binary payload for a doc: image/png rows carry a
+    REAL PNG (the text bytes packed into an 8-bit grayscale raster via
+    the stdlib encoder), audio/video rows carry the raw text bytes
+    (no in-sandbox synthesizer for those containers)."""
+    if mime == "image/png":
+        from mysql_to_clickhouse_spark.functions.png import png_encode_gray
+
+        return png_encode_gray(text_bytes)
+    return text_bytes
+
+
 @register(
     "m2_decode_features",
     oracle=None,
     tier="T3",
     no_oracle_reason=(
-        "decode runs behind the codec feature gate (Pillow/soundfile "
-        "absent in this sandbox -> deterministic fake with decode_src "
-        "audit column); the Spark-side schema/partitioning is real and "
-        "pinned by the test"
+        "image/png rows decode for REAL in-sandbox (stdlib PNG codec, "
+        "decode_src='real'); audio/video stay behind the codec gate "
+        "(soundfile absent -> deterministic fake, decode_src='fake'); "
+        "decoded dims aren't SQL-expressible, so the compensating test "
+        "pins the real-path split, geometry, and round-trip pixels"
     ),
     test="tests/test_multimodal.py::test_m2_decode_schema_and_determinism",
 )
 def m2_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract over binary payloads via mapInPandas
-    (Arrow batches in, Arrow batches out). Decode goes through the
-    feature-gated ``decode_with_fallback`` — real Pillow/soundfile when
-    the host ships them and the bytes decode, the deterministic fake
-    otherwise (always the fake in this sandbox: no codecs, and the
-    synthetic payloads are text bytes). The schema contract, batch
-    iteration, and resize metadata (fit into 256×256 preserving
-    aspect) are real on both paths; ``decode_src`` records the path.
+    (Arrow batches in, Arrow batches out). Payloads come from
+    ``synthesize_payload`` — image/png rows are genuine PNG bytes, so
+    their decode runs the REAL path (stdlib codec, or Pillow when the
+    host ships it) and returns true raster geometry; audio/video rows
+    are undecodable text bytes and degrade to the deterministic fake.
+    The schema contract, batch iteration, and resize metadata (fit
+    into 256×256 preserving aspect) are identical on both paths;
+    ``decode_src`` records per-row which path ran.
 
-    Scale: mapInPandas streams batches — no per-group materialization,
-    so this shape handles arbitrarily large partitions; decode-heavy
-    workloads repartition by byte_len to balance skew."""
+    Scale: payload synthesis + decode are map-only inside one
+    mapInPandas pass — no shuffle at all; decode-heavy workloads
+    repartition by byte_len to balance skew."""
     mime = (
         F.when(F.col("doc_id") % 3 == 0, "image/png")
         .when(F.col("doc_id") % 3 == 1, "audio/wav")
@@ -182,6 +209,12 @@ def m2_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            pdf = pdf.assign(
+                payload=[
+                    synthesize_payload(bytes(p), m)
+                    for p, m in zip(pdf["payload"], pdf["mime"])
+                ]
+            )
             dims = pd.Series(
                 [
                     decode_with_fallback(bytes(p), m)

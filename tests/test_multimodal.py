@@ -37,12 +37,25 @@ def test_m2_decode_schema_and_determinism(spark):
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
-    assert a.equals(b), "stub decode must be deterministic across runs"
+    assert a.equals(b), "decode must be deterministic across runs"
     # resize contract: fits 256x256, aspect preserved within rounding
     assert (a["resized_w"] <= 256).all() and (a["resized_h"] <= 256).all()
-    assert (a["channels"] == 3).all()
+    png = a[a["doc_id"] % 3 == 0]
+    other = a[a["doc_id"] % 3 != 0]
+    # png rows: REAL decode of the synthesized grayscale raster —
+    # 64-wide, 1 channel, height = ceil(byte_len / 64)
+    assert (png["channels"] == 1).all() and (png["width"] == 64).all()
+    assert (other["channels"] == 3).all()
     n_docs = load(spark, SMOKE_SF_DIR, "documents").count()
     assert len(a) == n_docs
+    docs = (
+        load(spark, SMOKE_SF_DIR, "documents")
+        .select("doc_id", "n_chars")
+        .toPandas()
+        .set_index("doc_id")["n_chars"]
+    )
+    expect_h = png["doc_id"].map(lambda d: -(-max(int(docs[d]), 1) // 64))
+    assert (png["height"].values == expect_h.values).all()
 
 
 def test_m3_frames_tile_payload_exactly(spark):
@@ -68,11 +81,14 @@ def test_m3_frames_tile_payload_exactly(spark):
         ]
 
 
-def test_m2_text_payloads_take_fake_path(spark):
-    # the synthetic payloads are text bytes — never decodable by a real
-    # codec — so decode_src must be 'fake' whether or not PIL is present
+def test_m2_decode_src_split(spark):
+    # image/png rows carry a genuine synthesized PNG -> the REAL codec
+    # path runs (stdlib zlib decoder, or Pillow when present); audio/
+    # video payloads are text bytes no real codec accepts -> fake path
     pdf = QUERIES["m2_decode_features"].fn(spark, SMOKE_SF_DIR).toPandas()
-    assert (pdf["decode_src"] == "fake").all()
+    is_png = pdf["doc_id"] % 3 == 0
+    assert (pdf.loc[is_png, "decode_src"] == "real").all()
+    assert (pdf.loc[~is_png, "decode_src"] == "fake").all()
 
 
 class TestDecodeGate:
@@ -84,10 +100,24 @@ class TestDecodeGate:
         from mysql_to_clickhouse_spark.operators import multimodal as mm
 
         if not mm._HAS_PIL:
-            with pytest.raises(NotImplementedError):
+            # png always has a real codec now (stdlib); undecodable
+            # bytes are a decode ERROR, not a missing-codec gate...
+            with pytest.raises(ValueError):
                 mm.real_decode(b"bytes", "image/png")
+            # ...while non-PNG image formats stay gated on Pillow
+            with pytest.raises(NotImplementedError):
+                mm.real_decode(b"bytes", "image/jpeg")
         with pytest.raises(NotImplementedError):
             mm.real_decode(b"bytes", "video/mp4")  # no video codec wired
+
+    def test_stdlib_png_real_path(self):
+        # no gate needed: PNG decode is stdlib-only, runs on every host
+        from mysql_to_clickhouse_spark.functions.png import png_encode_gray
+        from mysql_to_clickhouse_spark.operators import multimodal as mm
+
+        payload = png_encode_gray(bytes(range(200)), width=16)
+        w, h, c, src = mm.decode_with_fallback(payload, "image/png")
+        assert (w, h, c, src) == (16, 13, 1, "real")
 
     @pytest.mark.parametrize("path", ["fake", "real"])
     def test_fallback_dispatch(self, path):
