@@ -95,6 +95,92 @@ def _ship_package(spark: SparkSession) -> None:
 _TZ_WARNED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 
 
+# ---------------------------------------------------------------------------
+# Bucketed fact layout — the ClickHouse ORDER-BY-key analog for Spark.
+#
+# CH pays one sort at INSERT time (the MergeTree ORDER BY key) and every
+# subsequent key-joined query reads pre-ordered parts. The Spark
+# equivalent is a bucketed+sorted table: pay one shuffle at ingest
+# (bucketBy the join key), and every later fact⋈fact join or groupBy on
+# that key is exchange-free — HashPartitioning(key, n) from the bucketed
+# scan satisfies the join/aggregation distribution outright, including
+# subset-clustering groupBys like (l_orderkey, l_suppkey).
+#
+# ``ensure_bucketed`` is OPT-IN (the verification driver never calls
+# it, so oracle drives always read the pristine parquet): it writes the
+# bucketed copy once per (sf_dir, buckets) and routes this session's
+# subsequent ``load()`` calls for those tables to it. bench_scale wires
+# it into the big tiers as the one-time ingest-layout step.
+# ---------------------------------------------------------------------------
+
+BUCKET_KEYS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
+
+_BUCKET_ROUTES: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], str]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def ensure_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    names: tuple[str, ...] = ("lineitem", "orders"),
+    buckets: int = 64,
+    warehouse: str | None = None,
+) -> dict[str, str]:
+    """Write bucketed+sorted copies of fact tables (one file per bucket:
+    repartition on the key first, so bucketed scans also satisfy sort
+    orders) and route this session's ``load(spark, sf_dir, name)`` to
+    them. Idempotent per (sf_dir, buckets): an existing table with live
+    files is reused, not rewritten. Returns {name: qualified_table}."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    for name in names:
+        if name not in BUCKET_KEYS:
+            raise KeyError(
+                f"no bucket key defined for {name!r}; add it to BUCKET_KEYS"
+            )
+    wh = warehouse or os.path.join(tempfile.gettempdir(), "m2c_layout_wh")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS m2c_layout LOCATION '{wh}'")
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{buckets}".encode()
+    ).hexdigest()[:8]
+    routes = _BUCKET_ROUTES.setdefault(spark, {})
+    out: dict[str, str] = {}
+    for name in names:
+        key = BUCKET_KEYS[name]
+        fq = f"m2c_layout.{name}_{tag}"
+        loc = f"{wh}/{name}_{tag}"
+        have = spark.catalog.tableExists(fq) and os.path.isdir(loc)
+        if not have:
+            # a catalog-less leftover dir (or a dropped table's files)
+            # blocks saveAsTable with LOCATION_ALREADY_EXISTS
+            spark.sql(f"DROP TABLE IF EXISTS {fq}")
+            shutil.rmtree(loc, ignore_errors=True)
+            src = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            (
+                src.repartition(buckets, key)
+                .write.bucketBy(buckets, key)
+                .sortBy(key)
+                # explicit path: the db's LOCATION is fixed at first
+                # CREATE, so a different warehouse arg must still win
+                .option("path", loc)
+                .mode("overwrite")
+                .saveAsTable(fq)
+            )
+        routes[(os.path.abspath(sf_dir), name)] = fq
+        out[name] = fq
+    return out
+
+
+def release_bucketed(spark: SparkSession) -> None:
+    """Stop routing this session's loads to bucketed copies (the files
+    and catalog entries stay for a later ensure_bucketed to reuse)."""
+    _BUCKET_ROUTES.pop(spark, None)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testbed table (cached per session+path).
 
@@ -138,12 +224,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Set before ANY read so schemas don't depend on table load order.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     _ship_package(spark)
+    import os as _os
+
+    routed = _BUCKET_ROUTES.get(spark, {}).get(
+        (_os.path.abspath(sf_dir), name)
+    )
     per_session = _LOAD_CACHE.setdefault(spark, {})
-    key = (sf_dir, name)
+    # routed loads cache under the table name so toggling the layout
+    # (ensure_bucketed / release_bucketed) never serves a stale plan
+    key = (sf_dir, name, routed) if routed else (sf_dir, name)
     cached = per_session.get(key)
     if cached is not None:
         return cached
-    if name == "events":
+    if routed:
+        df = spark.table(routed)
+    elif name == "events":
         df = _load_events(spark, sf_dir)
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -213,6 +213,9 @@ def main() -> None:
     ap.add_argument("--keep-dir", action="store_true")
     ap.add_argument("--duck-mem", default="48GB",
                     help="DuckDB memory_limit; both engines share the box")
+    ap.add_argument("--no-layout", action="store_true",
+                    help="skip the bucketed ingest layout (measure the "
+                         "plain-parquet plans)")
     args = ap.parse_args()
     n = args.rows
     n_vec = args.vectors if args.vectors is not None else max(n // 1000, 2000)
@@ -257,6 +260,26 @@ def main() -> None:
         gen_s = time.time() - t0
         print(f"synthesized {n:,} fact rows (+{n_vec:,} vectors) "
               f"in {gen_s:.0f}s at {sf_dir}", flush=True)
+
+    # One-time ingest layout (CH pays this as the MergeTree ORDER BY
+    # sort at insert): bucket lineitem+orders on orderkey so every
+    # orderkey join/groupBy in the headliners reads pre-partitioned
+    # buckets instead of shuffling the fact table per query. Timed and
+    # reported separately — it amortizes across ALL queries, exactly
+    # like CH's insert-time sort. Spark then reads ITS native layout
+    # the way DuckDB reads the parquet straight (its native protocol).
+    layout_s = 0.0
+    if not args.no_layout:
+        from mysql_to_clickhouse_spark.tables import ensure_bucketed
+
+        t0 = time.time()
+        ensure_bucketed(
+            spark, sf_dir, buckets=64,
+            warehouse=os.path.join(sf_dir, "_layout_wh"),
+        )
+        layout_s = time.time() - t0
+        print(f"bucketed layout (lineitem+orders, 64 buckets) in "
+              f"{layout_s:.0f}s", flush=True)
 
     con = duckdb.connect()
     # Cap DuckDB so both engines fit the box TOGETHER at the 1e8 tier:
@@ -333,7 +356,17 @@ def main() -> None:
         "",
         f"Synthesized in {gen_s:.0f}s (deterministic hash-counter, "
         "FIXTURES.md domains; orders = rows/4, customer = rows/40, "
-        "supplier = rows/600). Warm = median of "
+        "supplier = rows/600). "
+        + (
+            f"Spark reads lineitem+orders from a bucketed/sorted layout "
+            f"(64 buckets on orderkey, built once in {layout_s:.0f}s — "
+            f"the MergeTree ORDER-BY-key analog, amortized across all "
+            f"queries; every orderkey join/groupBy is then "
+            f"exchange-free on the fact side). "
+            if layout_s
+            else "Plain-parquet plans (--no-layout). "
+        )
+        + "Warm = median of "
         f"{RUNS} prepared-plan runs; cold = first run (incl. one-time "
         "session caches). w1/d1/v1 consumed via the same count+sum "
         "digest on BOTH engines (operator cost, not fetch cost). "

@@ -1,0 +1,110 @@
+"""ensure_bucketed — the opt-in CH ORDER-BY-key storage layout.
+
+Parity: every lineitem/orders-joining golden query returns identical
+rows whether load() serves pristine parquet or the bucketed copies.
+Plans: with the layout routed, the fact side never crosses an
+``Exchange hashpartitioning(l_orderkey...)`` — the scan itself carries
+the join/aggregation distribution (``Bucketed: true``), which is the
+entire point of paying the one ingest-time shuffle.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mysql_to_clickhouse_spark.registry import all_queries
+from mysql_to_clickhouse_spark.tables import (
+    ensure_bucketed,
+    load,
+    release_bucketed,
+)
+
+SF = "/root/testdata/sf0.01"
+QIDS = [
+    "c12_q3_shipping",
+    "x6_tpch_q10",
+    "x7_tpch_q18",
+    "x14_tpch_q21",
+    "x16_tpch_q9",
+]
+
+
+@pytest.fixture()
+def bucketed(spark):
+    """Route loads to bucketed copies for one test, then always restore
+    the session-shared fixture to pristine-parquet routing."""
+    try:
+        yield ensure_bucketed(spark, SF, buckets=8)
+    finally:
+        release_bucketed(spark)
+
+
+def test_parity_plain_vs_bucketed(spark):
+    qs = all_queries()
+    plain = {
+        qid: sorted(map(tuple, qs[qid].fn(spark, SF).collect()))
+        for qid in QIDS
+    }
+    try:
+        ensure_bucketed(spark, SF, buckets=8)
+        for qid in QIDS:
+            got = sorted(map(tuple, qs[qid].fn(spark, SF).collect()))
+            assert got == plain[qid], f"{qid} diverged under bucketed layout"
+    finally:
+        release_bucketed(spark)
+
+
+def test_no_fact_exchange_on_orderkey(spark, bucketed):
+    qs = all_queries()
+    for qid in QIDS:
+        plan = (
+            qs[qid].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Bucketed: true" in plan, f"{qid} did not use the bucketed scan"
+        for key in ("l_orderkey", "o_orderkey"):
+            assert f"Exchange hashpartitioning({key}" not in plan, (
+                f"{qid} still shuffles the fact on {key} despite the "
+                f"bucketed layout:\n{plan}"
+            )
+
+
+def test_routing_is_reversible_and_cached_separately(spark):
+    plain = load(spark, SF, "lineitem")
+    assert "m2c_layout" not in plain._jdf.queryExecution().analyzed().toString()
+    try:
+        tabs = ensure_bucketed(spark, SF, buckets=8)
+        routed = load(spark, SF, "lineitem")
+        assert tabs["lineitem"].split(".")[1] in (
+            routed._jdf.queryExecution().analyzed().toString()
+        )
+        # identical schema + content through the routed path
+        assert routed.schema == plain.schema
+        assert routed.count() == plain.count()
+    finally:
+        release_bucketed(spark)
+    back = load(spark, SF, "lineitem")
+    assert "m2c_layout" not in back._jdf.queryExecution().analyzed().toString()
+
+
+def test_idempotent_reuse(spark):
+    try:
+        a = ensure_bucketed(spark, SF, buckets=8)
+        import os
+        import time
+
+        loc = None
+        for f in os.listdir("/tmp/m2c_layout_wh"):
+            if f.startswith("lineitem_"):
+                loc = f"/tmp/m2c_layout_wh/{f}"
+        mtime = os.path.getmtime(loc)
+        time.sleep(0.05)
+        b = ensure_bucketed(spark, SF, buckets=8)
+        assert a == b
+        assert os.path.getmtime(loc) == mtime, "second call rewrote the layout"
+    finally:
+        release_bucketed(spark)
+
+
+def test_unknown_table_rejected(spark):
+    with pytest.raises(KeyError, match="bucket key"):
+        ensure_bucketed(spark, SF, names=("documents",))
