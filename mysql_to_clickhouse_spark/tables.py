@@ -113,7 +113,14 @@ _TZ_WARNED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 # it into the big tiers as the one-time ingest-layout step.
 # ---------------------------------------------------------------------------
 
-BUCKET_KEYS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
+BUCKET_KEYS = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    # user_id is the CDC primary key: the x17 FINAL-collapse window,
+    # a4/a8 versioned reads, and d3's (day, user_id) distinct dedup all
+    # hash on it (subset-clustering includes it first)
+    "events": "user_id",
+}
 
 _BUCKET_ROUTES: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], str]]" = (
     weakref.WeakKeyDictionary()
@@ -126,17 +133,23 @@ def ensure_bucketed(
     names: tuple[str, ...] = ("lineitem", "orders"),
     buckets: int = 64,
     warehouse: str | None = None,
+    partition_cols: dict[str, tuple[str, ...]] | None = None,
 ) -> dict[str, str]:
-    """Write bucketed+sorted copies of fact tables (one file per bucket:
-    repartition on the key first, so bucketed scans also satisfy sort
-    orders) and route this session's ``load(spark, sf_dir, name)`` to
-    them. Idempotent per (sf_dir, buckets): an existing table with live
-    files is reused, not rewritten. Returns {name: qualified_table}."""
+    """Write bucketed+sorted copies of fact tables (one file per
+    (partition, bucket): repartition on the key first, so bucketed
+    scans also satisfy sort orders) and route this session's
+    ``load(spark, sf_dir, name)`` to them. ``partition_cols`` adds
+    CH-style PARTITION BY pruning on low-cardinality columns (e.g.
+    lineitem by l_returnflag): an equality filter on the column prunes
+    whole directories before any byte is read. Idempotent per
+    (sf_dir, buckets, partitioning): an existing table with live files
+    is reused, not rewritten. Returns {name: qualified_table}."""
     import hashlib
     import os
     import shutil
     import tempfile
 
+    pcols = partition_cols or {}
     for name in names:
         if name not in BUCKET_KEYS:
             raise KeyError(
@@ -144,13 +157,14 @@ def ensure_bucketed(
             )
     wh = warehouse or os.path.join(tempfile.gettempdir(), "m2c_layout_wh")
     spark.sql(f"CREATE DATABASE IF NOT EXISTS m2c_layout LOCATION '{wh}'")
-    tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{buckets}".encode()
-    ).hexdigest()[:8]
     routes = _BUCKET_ROUTES.setdefault(spark, {})
     out: dict[str, str] = {}
     for name in names:
         key = BUCKET_KEYS[name]
+        parts = tuple(pcols.get(name, ()))
+        tag = hashlib.md5(
+            f"{os.path.abspath(sf_dir)}|{buckets}|{','.join(parts)}".encode()
+        ).hexdigest()[:8]
         fq = f"m2c_layout.{name}_{tag}"
         loc = f"{wh}/{name}_{tag}"
         have = spark.catalog.tableExists(fq) and os.path.isdir(loc)
@@ -159,10 +173,17 @@ def ensure_bucketed(
             # blocks saveAsTable with LOCATION_ALREADY_EXISTS
             spark.sql(f"DROP TABLE IF EXISTS {fq}")
             shutil.rmtree(loc, ignore_errors=True)
-            src = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-            (
+            # through load(), not a raw read: events needs its
+            # ts-encoding normalization baked into the bucketed copy
+            src = load(spark, sf_dir, name)
+            writer = (
                 src.repartition(buckets, key)
-                .write.bucketBy(buckets, key)
+                .write
+            )
+            if parts:
+                writer = writer.partitionBy(*parts)
+            (
+                writer.bucketBy(buckets, key)
                 .sortBy(key)
                 # explicit path: the db's LOCATION is fixed at first
                 # CREATE, so a different warehouse arg must still win

@@ -274,12 +274,16 @@ def main() -> None:
 
         t0 = time.time()
         ensure_bucketed(
-            spark, sf_dir, buckets=64,
-            warehouse=os.path.join(sf_dir, "_layout_wh"),
+            spark, sf_dir, names=("lineitem", "orders", "events"),
+            buckets=64, warehouse=os.path.join(sf_dir, "_layout_wh"),
+            # CH PARTITION BY analog: x6's l_returnflag='R' prunes 2/3
+            # of the lineitem scan at the directory level
+            partition_cols={"lineitem": ("l_returnflag",)},
         )
         layout_s = time.time() - t0
-        print(f"bucketed layout (lineitem+orders, 64 buckets) in "
-              f"{layout_s:.0f}s", flush=True)
+        print(f"bucketed layout (lineitem+orders+events, 64 buckets, "
+              f"lineitem partitioned by returnflag) in {layout_s:.0f}s",
+              flush=True)
 
     con = duckdb.connect()
     # Cap DuckDB so both engines fit the box TOGETHER at the 1e8 tier:
@@ -358,11 +362,12 @@ def main() -> None:
         "FIXTURES.md domains; orders = rows/4, customer = rows/40, "
         "supplier = rows/600). "
         + (
-            f"Spark reads lineitem+orders from a bucketed/sorted layout "
-            f"(64 buckets on orderkey, built once in {layout_s:.0f}s — "
-            f"the MergeTree ORDER-BY-key analog, amortized across all "
-            f"queries; every orderkey join/groupBy is then "
-            f"exchange-free on the fact side). "
+            f"Spark reads lineitem/orders/events from a bucketed/sorted "
+            f"layout (64 buckets on orderkey / user_id, built once in "
+            f"{layout_s:.0f}s — the MergeTree ORDER-BY-key analog, "
+            f"amortized across all queries; orderkey joins/groupBys and "
+            f"user_id windows/distincts are then exchange-free on the "
+            f"fact side). "
             if layout_s
             else "Plain-parquet plans (--no-layout). "
         )

@@ -108,3 +108,33 @@ def test_idempotent_reuse(spark):
 def test_unknown_table_rejected(spark):
     with pytest.raises(KeyError, match="bucket key"):
         ensure_bucketed(spark, SF, names=("documents",))
+
+
+EVENT_QIDS = ["d3_count_distinct", "a4_cdc_apply_latest", "x17_replication_pipeline"]
+
+
+def test_events_bucketed_by_user_id(spark):
+    """events bucketed on the CDC primary key: the x17/a4 FINAL-collapse
+    window and d3's (day, user_id) distinct dedup are satisfied by the
+    scan's HashPartitioning(user_id) — no user_id fact exchange."""
+    import re
+
+    qs = all_queries()
+    plain = {
+        qid: sorted(map(tuple, qs[qid].fn(spark, SF).collect()))
+        for qid in EVENT_QIDS
+    }
+    try:
+        ensure_bucketed(spark, SF, names=("events",), buckets=8)
+        for qid in EVENT_QIDS:
+            df = qs[qid].fn(spark, SF)
+            got = sorted(map(tuple, df.collect()))
+            assert got == plain[qid], f"{qid} diverged under bucketed layout"
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "Bucketed: true" in plan, f"{qid} skipped the bucketed scan"
+            for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+                assert "user_id" not in m.group(1), (
+                    f"{qid} still shuffles the fact on user_id:\n{plan}"
+                )
+    finally:
+        release_bucketed(spark)
