@@ -18,7 +18,7 @@ from mysql_to_clickhouse_spark.plans.dispatch import (
 )
 from mysql_to_clickhouse_spark.plans.prefix import running_sums
 from mysql_to_clickhouse_spark.registry import register
-from mysql_to_clickhouse_spark.tables import load
+from mysql_to_clickhouse_spark.tables import bucket_routed_key, load
 
 # ---------------------------------------------------------------------------
 # x1_tpch_q6 — forecast revenue change (pure filter + global agg)
@@ -273,14 +273,22 @@ LIMIT 20
 @register("x6_tpch_q10", oracle=_X6_ORACLE)
 def x6_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: customers who returned goods in a quarter,
-    ranked by lost revenue. Scale plan: the quarter filter prunes the
-    orders scan, the returnflag filter prunes lineitem row-groups;
-    customer and nation broadcast (bounded dims), so the only shuffle
-    is orders⋈lineitem on orderkey + the final 20-row TakeOrdered —
-    top-N never materializes a global sort. The quarter-reduced orders
-    side (~1/28th of orders) goes through the probe gate: when one
-    count proves it small, the lineitem side skips even that shuffle
-    write. Tie-break: c_custkey."""
+    ranked by lost revenue.
+
+    Scale plan — aggregate first, decorate last: every output dim
+    attribute (c_name, c_acctbal, n_name) is functionally dependent on
+    the group key, so revenue is aggregated per o_custkey and
+    TakeOrdered to 20 rows BEFORE any dimension joins — the 20
+    survivors then broadcast INTO customer/nation. The old shape
+    broadcast the whole customer dim into the fact stream, which is
+    2.5e6 rows at the 1e8 tier — a multi-second hash-relation rebuild
+    per run for rows that were about to be thrown away. With the
+    bucketed layout routed, the orders⋈lineitem join runs shuffle-hash
+    on co-bucketed scans (no exchange, no sort, no broadcast rebuild);
+    otherwise the quarter-reduced orders side (~1/24th) goes through
+    the probe gate as before. The returnflag filter prunes lineitem
+    partitions at the directory level under the layout. Tie-break:
+    c_custkey (== the group key)."""
     cust = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
     orders = load(spark, sf_dir, "orders").filter(
@@ -288,20 +296,29 @@ def x6_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    orders = broadcast_when_small(orders, li, spark)
-    return (
+    if bucket_routed_key(spark, sf_dir, "lineitem") == "l_orderkey" and (
+        bucket_routed_key(spark, sf_dir, "orders") == "o_orderkey"
+    ):
+        orders = orders.hint("shuffle_hash")
+    else:
+        orders = broadcast_when_small(orders, li, spark)
+    top = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
-        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .groupBy("o_custkey")
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             )
         )
+        .orderBy(F.col("revenue").desc(), F.col("o_custkey"))
+        .limit(20)
+    )
+    return (
+        F.broadcast(top)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
-        .limit(20)
     )
 
 
@@ -764,6 +781,12 @@ def x14_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
+    if bucket_routed_key(spark, sf_dir, "lineitem") == "l_orderkey" and (
+        bucket_routed_key(spark, sf_dir, "orders") == "o_orderkey"
+    ):
+        # co-bucketed layout: hash-join the status-F orders per bucket
+        # instead of sort-merging (which re-sorts the 1e8-row fact)
+        orders = orders.hint("shuffle_hash")
     tagged = li.join(orders, F.col("o_orderkey") == F.col("l_orderkey")).select(
         "l_orderkey",
         "l_suppkey",
@@ -947,9 +970,17 @@ def x16_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     li_red = li.join(
         F.broadcast(part_sel), F.col("p_partkey") == F.col("l_partkey")
     )
-    li_red = broadcast_when_small(
-        li_red, orders, spark, build_rows_estimate=_li_red_rows_est
-    )
+    if bucket_routed_key(spark, sf_dir, "lineitem") == "l_orderkey" and (
+        bucket_routed_key(spark, sf_dir, "orders") == "o_orderkey"
+    ):
+        # co-bucketed layout: shuffle-hash on the orderkey join — no
+        # exchange either side (the part broadcast preserves lineitem's
+        # bucket partitioning), no sort-merge re-sort of the fact
+        li_red = li_red.hint("shuffle_hash")
+    else:
+        li_red = broadcast_when_small(
+            li_red, orders, spark, build_rows_estimate=_li_red_rows_est
+        )
     return (
         li_red
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from mysql_to_clickhouse_spark.functions.numeric import dsum, epoch_us, o_dsum
 from mysql_to_clickhouse_spark.plans.dispatch import broadcast_when_small
 from mysql_to_clickhouse_spark.registry import register
-from mysql_to_clickhouse_spark.tables import load
+from mysql_to_clickhouse_spark.tables import bucket_routed_key, load
 
 # ---------------------------------------------------------------------------
 # c1_inner_equi — orders ⋈ customer (row-level check)
@@ -529,7 +529,16 @@ def c12_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     WRITE, which AQE cannot avoid (it only localizes the read); the
     size-gated probe (plans/dispatch.py) removes it when one count job
     proves the reduced orders side broadcast-small. At sf0.1 the fact
-    gate leaves the plan byte-identical."""
+    gate leaves the plan byte-identical.
+
+    With the bucketed layout routed (tables.ensure_bucketed), both
+    sides already carry HashPartitioning(orderkey): a shuffle-hash
+    join then beats BOTH alternatives — no exchange on either side,
+    no sort (sort-merge re-sorts 3.3e7 rows per run), and no per-run
+    broadcast hash-relation rebuild, whose cost scales with the
+    reduced-orders side (2.4e6 rows at 1e8). Measured 2.5 s -> 1.6 s
+    warm at the 1e8 tier; the groupBy reuses the join's orderkey
+    partitioning either way."""
     cust = load(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -543,7 +552,12 @@ def c12_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .select("o_orderkey", "o_orderdate", "o_orderpriority")
     )
-    small_orders = broadcast_when_small(small_orders, li, spark)
+    if bucket_routed_key(spark, sf_dir, "lineitem") == "l_orderkey" and (
+        bucket_routed_key(spark, sf_dir, "orders") == "o_orderkey"
+    ):
+        small_orders = small_orders.hint("shuffle_hash")
+    else:
+        small_orders = broadcast_when_small(small_orders, li, spark)
     return (
         li.join(small_orders, li.l_orderkey == small_orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
