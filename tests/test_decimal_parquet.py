@@ -69,9 +69,10 @@ def test_decimal_aggregates_agree_with_duckdb(spark, money_parquet):
         .orderBy("l_returnflag")
         .collect()
     )
+    con = duckdb.connect()  # keep a ref: a chained temp connection is
+    # GC'd before fetch ("Connection has already been closed")
     want = (
-        duckdb.connect()
-        .sql(
+        con.sql(
             f"""
             SELECT l_returnflag,
                    CAST(COUNT(*) AS BIGINT) AS n,
@@ -88,11 +89,8 @@ def test_decimal_aggregates_agree_with_duckdb(spark, money_parquet):
 
 
 def test_duckdb_sees_decimal_type(money_parquet):
-    (dtype,) = (
-        duckdb.connect()
-        .sql(
-            f"SELECT typeof(price_dec) FROM '{money_parquet}/*.parquet' LIMIT 1"
-        )
-        .fetchone()
-    )
+    con = duckdb.connect()
+    (dtype,) = con.sql(
+        f"SELECT typeof(price_dec) FROM '{money_parquet}/*.parquet' LIMIT 1"
+    ).fetchone()
     assert dtype == "DECIMAL(14,2)"
