@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from mysql_to_clickhouse_spark.functions.numeric import fixed_point, o_fixed_point
 from mysql_to_clickhouse_spark.plans.prefix import global_row_number, running_sums
 from mysql_to_clickhouse_spark.registry import register
-from mysql_to_clickhouse_spark.tables import load
+from mysql_to_clickhouse_spark.tables import load, load_clustered
 
 # ---------------------------------------------------------------------------
 # e1_row_number — ranking trio, top-3 orders per customer
@@ -43,8 +43,13 @@ ORDER BY o_custkey, rn
 @register("e1_row_number", oracle=_E1_ORACLE, tier="T1")
 def e1_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     """row_number/rank/dense_rank: top-3 orders per customer.
-    One shuffle on o_custkey; the filter keeps ≤3 rows per key."""
-    orders = load(spark, sf_dir, "orders")
+    One shuffle on o_custkey; the filter keeps ≤3 rows per key —
+    Spark plans a partial WindowGroupLimit BELOW the exchange, so at
+    most 3 rows per (key, map partition) ship. When the session routes
+    an o_custkey projection (tables.ensure_projection — the CH
+    PROJECTION analog), even that exchange disappears: the scan itself
+    carries HashPartitioning(o_custkey)."""
+    orders = load_clustered(spark, sf_dir, "orders", "o_custkey")
     w = Window.partitionBy("o_custkey").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )

@@ -202,6 +202,74 @@ def release_bucketed(spark: SparkSession) -> None:
     _BUCKET_ROUTES.pop(spark, None)
 
 
+def ensure_projection(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    key: str,
+    buckets: int = 64,
+    warehouse: str | None = None,
+) -> str:
+    """A ClickHouse PROJECTION analog: a SECOND bucketed+sorted copy of
+    ``name`` clustered on an alternate key (e.g. orders by o_custkey
+    next to the primary orderkey layout). Queries opt in per-use via
+    ``load_clustered`` — the default ``load()`` route is untouched, so
+    orderkey joins keep their layout while custkey windows read
+    theirs. Returns the qualified table name."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    wh = warehouse or os.path.join(tempfile.gettempdir(), "m2c_layout_wh")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS m2c_layout LOCATION '{wh}'")
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{buckets}|proj:{key}".encode()
+    ).hexdigest()[:8]
+    fq = f"m2c_layout.{name}_{tag}"
+    loc = f"{wh}/{name}_{tag}"
+    if not (spark.catalog.tableExists(fq) and os.path.isdir(loc)):
+        spark.sql(f"DROP TABLE IF EXISTS {fq}")
+        shutil.rmtree(loc, ignore_errors=True)
+        src = load(spark, sf_dir, name)
+        (
+            src.repartition(buckets, key)
+            .write.bucketBy(buckets, key)
+            .sortBy(key)
+            .option("path", loc)
+            .mode("overwrite")
+            .saveAsTable(fq)
+        )
+    routes = _BUCKET_ROUTES.setdefault(spark, {})
+    routes[(os.path.abspath(sf_dir), name, key)] = fq
+    return fq
+
+
+def load_clustered(
+    spark: SparkSession, sf_dir: str, name: str, key: str
+) -> DataFrame:
+    """``load()``, but preferring a projection clustered on ``key``
+    when this session routes one (ensure_projection); identical rows
+    either way — the projection only changes physical layout. Window/
+    groupBy consumers keyed on ``key`` then read HashPartitioning
+    straight off the scan instead of exchanging the table."""
+    import os
+
+    fq = _BUCKET_ROUTES.get(spark, {}).get(
+        (os.path.abspath(sf_dir), name, key)
+    )
+    if fq is None:
+        return load(spark, sf_dir, name)
+    per_session = _LOAD_CACHE.setdefault(spark, {})
+    cache_key = (sf_dir, name, "proj", key)
+    cached = per_session.get(cache_key)
+    if cached is None:
+        cached = spark.table(fq)
+        _check_schema(name, cached)
+        per_session[cache_key] = cached
+    return cached
+
+
 def bucket_routed_key(spark: SparkSession, sf_dir: str, name: str) -> str | None:
     """The bucket key if this session routes ``name`` to a bucketed
     copy, else None. Queries use it to pick the join strategy: two

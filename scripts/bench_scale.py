@@ -270,7 +270,10 @@ def main() -> None:
     # the way DuckDB reads the parquet straight (its native protocol).
     layout_s = 0.0
     if not args.no_layout:
-        from mysql_to_clickhouse_spark.tables import ensure_bucketed
+        from mysql_to_clickhouse_spark.tables import (
+            ensure_bucketed,
+            ensure_projection,
+        )
 
         t0 = time.time()
         ensure_bucketed(
@@ -280,10 +283,16 @@ def main() -> None:
             # of the lineitem scan at the directory level
             partition_cols={"lineitem": ("l_returnflag",)},
         )
+        # CH PROJECTION analog: a second orders copy clustered on
+        # o_custkey — w1's per-customer window reads it exchange-free
+        ensure_projection(
+            spark, sf_dir, "orders", "o_custkey", buckets=64,
+            warehouse=os.path.join(sf_dir, "_layout_wh"),
+        )
         layout_s = time.time() - t0
         print(f"bucketed layout (lineitem+orders+events, 64 buckets, "
-              f"lineitem partitioned by returnflag) in {layout_s:.0f}s",
-              flush=True)
+              f"lineitem partitioned by returnflag, orders@custkey "
+              f"projection) in {layout_s:.0f}s", flush=True)
 
     con = duckdb.connect()
     # Cap DuckDB so both engines fit the box TOGETHER at the 1e8 tier:

@@ -110,6 +110,40 @@ def test_unknown_table_rejected(spark):
         ensure_bucketed(spark, SF, names=("documents",))
 
 
+def test_custkey_projection(spark):
+    """ensure_projection (the CH PROJECTION analog): e1's per-customer
+    ranking window reads the o_custkey-clustered copy with NO exchange
+    and returns identical rows; unrouted sessions fall back to the
+    plain orders scan."""
+    import re
+
+    from mysql_to_clickhouse_spark.tables import ensure_projection
+
+    qs = all_queries()
+    plain = sorted(map(tuple, qs["e1_row_number"].fn(spark, SF).collect()))
+    try:
+        fq = ensure_projection(spark, SF, "orders", "o_custkey", buckets=8)
+        df = qs["e1_row_number"].fn(spark, SF)
+        assert fq.split(".")[1] in (
+            df._jdf.queryExecution().analyzed().toString()
+        )
+        got = sorted(map(tuple, df.collect()))
+        assert got == plain
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+            assert "o_custkey" not in m.group(1), (
+                f"e1 still exchanges on o_custkey despite the projection:"
+                f"\n{plan}"
+            )
+    finally:
+        release_bucketed(spark)
+    back = qs["e1_row_number"].fn(spark, SF)
+    assert "m2c_layout" not in (
+        back._jdf.queryExecution().analyzed().toString()
+    )
+
+
 EVENT_QIDS = ["d3_count_distinct", "a4_cdc_apply_latest", "x17_replication_pipeline"]
 
 
