@@ -212,6 +212,169 @@ _SCALAR_UDFS: dict[str, tuple[str, str, str]] = {
         "ARRAY<STRING>",
         "regexp_extract_all(s, re, 0)",
     ),
+    # ------------------------------------------------------------------
+    # tranche 3 (round 9): URL/IP families, more date bounds, numeric
+    # array folds, encodings — all Catalyst-inlined like the rest
+    # ------------------------------------------------------------------
+    "toQuarter": ("(ts TIMESTAMP)", "INT", "quarter(ts)"),
+    "toISOWeek": ("(ts TIMESTAMP)", "INT", "weekofyear(ts)"),
+    # CH default mode 0: week starts Sunday (unlike toMonday)
+    "toStartOfWeek": (
+        "(ts TIMESTAMP)",
+        "DATE",
+        "date_sub(CAST(ts AS DATE), dayofweek(ts) - 1)",
+    ),
+    "toLastDayOfMonth": ("(ts TIMESTAMP)", "DATE", "last_day(ts)"),
+    "addQuarters": (
+        "(ts TIMESTAMP, n INT)",
+        "TIMESTAMP",
+        "timestampadd(QUARTER, n, ts)",
+    ),
+    "subtractQuarters": (
+        "(ts TIMESTAMP, n INT)",
+        "TIMESTAMP",
+        "timestampadd(QUARTER, -n, ts)",
+    ),
+    "subtractWeeks": (
+        "(ts TIMESTAMP, n INT)",
+        "TIMESTAMP",
+        "timestampadd(WEEK, -n, ts)",
+    ),
+    "subtractMinutes": (
+        "(ts TIMESTAMP, n INT)",
+        "TIMESTAMP",
+        "timestampadd(MINUTE, -n, ts)",
+    ),
+    "subtractSeconds": (
+        "(ts TIMESTAMP, n INT)",
+        "TIMESTAMP",
+        "timestampadd(SECOND, -n, ts)",
+    ),
+    # URL family — Spark's parse_url is the workhorse; CH `path`
+    # excludes the query string (pathFull includes it), matched here
+    "protocol": ("(u STRING)", "STRING", "parse_url(u, 'PROTOCOL')"),
+    "domain": ("(u STRING)", "STRING", "parse_url(u, 'HOST')"),
+    "topLevelDomain": (
+        "(u STRING)",
+        "STRING",
+        "element_at(split(parse_url(u, 'HOST'), '\\\\.'), -1)",
+    ),
+    "path": ("(u STRING)", "STRING", "parse_url(u, 'PATH')"),
+    "pathFull": (
+        "(u STRING)",
+        "STRING",
+        "concat(parse_url(u, 'PATH'), "
+        "coalesce(concat('?', parse_url(u, 'QUERY')), ''))",
+    ),
+    "queryString": ("(u STRING)", "STRING", "parse_url(u, 'QUERY')"),
+    "extractURLParameter": (
+        "(u STRING, k STRING)",
+        "STRING",
+        "parse_url(u, 'QUERY', k)",
+    ),
+    "cutQueryString": (
+        "(u STRING)",
+        "STRING",
+        "IF(instr(u, '?') > 0, substring(u, 1, instr(u, '?') - 1), u)",
+    ),
+    # IPv4 (CH stores v4 addresses as UInt32)
+    "IPv4NumToString": (
+        "(n BIGINT)",
+        "STRING",
+        "concat(CAST(n div 16777216 % 256 AS STRING), '.', "
+        "CAST(n div 65536 % 256 AS STRING), '.', "
+        "CAST(n div 256 % 256 AS STRING), '.', CAST(n % 256 AS STRING))",
+    ),
+    "IPv4StringToNum": (
+        "(s STRING)",
+        "BIGINT",
+        "CAST(element_at(split(s, '\\\\.'), 1) AS BIGINT) * 16777216 + "
+        "CAST(element_at(split(s, '\\\\.'), 2) AS BIGINT) * 65536 + "
+        "CAST(element_at(split(s, '\\\\.'), 3) AS BIGINT) * 256 + "
+        "CAST(element_at(split(s, '\\\\.'), 4) AS BIGINT)",
+    ),
+    # encodings (CH works on strings; Spark's base64 wants binary)
+    "base64Encode": ("(s STRING)", "STRING", "base64(CAST(s AS BINARY))"),
+    "base64Decode": ("(s STRING)", "STRING", "CAST(unbase64(s) AS STRING)"),
+    # JSON additions
+    "JSONExtractBool": (
+        "(j STRING, k STRING)",
+        "BOOLEAN",
+        "CAST(get_json_object(j, concat('$.', k)) AS BOOLEAN)",
+    ),
+    "JSONLength": (
+        "(j STRING)",
+        "INT",
+        "CAST(json_array_length(j) AS INT)",
+    ),
+    # math
+    "exp2": ("(x DOUBLE)", "DOUBLE", "power(2.0, x)"),
+    "exp10": ("(x DOUBLE)", "DOUBLE", "power(10.0, x)"),
+    "intExp2": ("(x INT)", "BIGINT", "shiftleft(CAST(1 AS BIGINT), x)"),
+    "isInfinite": (
+        "(x DOUBLE)",
+        "BOOLEAN",
+        "abs(x) = CAST('Infinity' AS DOUBLE)",
+    ),
+    "isFinite": (
+        "(x DOUBLE)",
+        "BOOLEAN",
+        "NOT isnan(x) AND abs(x) != CAST('Infinity' AS DOUBLE)",
+    ),
+    "ifNotFinite": (
+        "(x DOUBLE, alt DOUBLE)",
+        "DOUBLE",
+        "IF(isnan(x) OR abs(x) = CAST('Infinity' AS DOUBLE), alt, x)",
+    ),
+    # strings
+    "countSubstrings": (
+        "(s STRING, n STRING)",
+        "INT",
+        "CAST((length(s) - length(replace(s, n, ''))) div length(n) AS INT)",
+    ),
+    # numeric array folds — CH's generic numeric forms, scoped to the
+    # BIGINT element type (the declared-parameter cost of SQL UDFs;
+    # narrower int arrays coerce up on call)
+    "arraySum": (
+        "(a ARRAY<BIGINT>)",
+        "BIGINT",
+        "aggregate(a, CAST(0 AS BIGINT), (acc, x) -> acc + x)",
+    ),
+    "arrayAvg": (
+        "(a ARRAY<BIGINT>)",
+        "DOUBLE",
+        "aggregate(a, CAST(0 AS BIGINT), (acc, x) -> acc + x) "
+        "/ CAST(size(a) AS DOUBLE)",
+    ),
+    # O(n^2) in the element count — fine for the in-row arrays these
+    # run on; a long-array cumsum belongs in a table, not a cell
+    "arrayCumSum": (
+        "(a ARRAY<BIGINT>)",
+        "ARRAY<BIGINT>",
+        "transform(a, (x, i) -> aggregate(slice(a, 1, i + 1), "
+        "CAST(0 AS BIGINT), (acc, y) -> acc + y))",
+    ),
+    "arrayDifference": (
+        "(a ARRAY<BIGINT>)",
+        "ARRAY<BIGINT>",
+        "transform(a, (x, i) -> "
+        "IF(i = 0, CAST(0 AS BIGINT), x - element_at(a, i)))",
+    ),
+    "hasAll": (
+        "(a ARRAY<BIGINT>, b ARRAY<BIGINT>)",
+        "BOOLEAN",
+        "forall(b, x -> array_contains(a, x))",
+    ),
+    "hasAny": (
+        "(a ARRAY<BIGINT>, b ARRAY<BIGINT>)",
+        "BOOLEAN",
+        "exists(b, x -> array_contains(a, x))",
+    ),
+    "arrayEnumerate": (
+        "(a ARRAY<BIGINT>)",
+        "ARRAY<INT>",
+        "transform(a, (x, i) -> i + 1)",
+    ),
 }
 
 _REGISTERED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
@@ -288,6 +451,27 @@ _RENAMES: dict[str, str] = {
     "isNotNull": "isnotnull",
     "bitShiftLeft": "shiftleft",
     "bitShiftRight": "shiftright",
+    # tranche 3
+    "arrayMin": "array_min",
+    "arrayMax": "array_max",
+    "arrayIntersect": "array_intersect",
+    "arrayPushBack": "array_append",
+    "arrayPushFront": "array_prepend",
+    "roundBankers": "bround",
+    "trimBoth": "trim",
+    "trimLeft": "ltrim",
+    "trimRight": "rtrim",
+    "reverseUTF8": "reverse",
+    "concatWithSeparator": "concat_ws",
+    # CH position(haystack, needle) matches Spark instr's arg order
+    # (Spark's own `position` takes (needle, haystack) — the reverse)
+    "position": "instr",
+    "xxHash64": "xxhash64",
+    "isNaN": "isnan",
+    # bit-reduction aggregates
+    "groupBitAnd": "bit_and",
+    "groupBitOr": "bit_or",
+    "groupBitXor": "bit_xor",
 }
 
 # -If aggregate combinators: agg(x, cond) -> agg(CASE WHEN cond THEN x END)
@@ -360,8 +544,63 @@ _TRANSLATED = (
         "splitByString",
         "arrayCount",
         "arrayUniq",
+        # tranche 3 custom forms
+        "dateDiff",
+        "avgWeighted",
+        "assumeNotNull",
+        "toNullable",
+        "formatDateTime",
+        "arrayPopBack",
+        "arrayPopFront",
     }
 )
+
+# CH dateDiff units -> Spark timestampdiff unit identifiers
+_DATEDIFF_UNITS = {
+    "second", "minute", "hour", "day", "week", "month", "quarter", "year",
+}
+
+# CH formatDateTime %-tokens (C strftime conventions) -> Java/Spark
+# date_format pattern fragments. Only literal format strings translate;
+# a computed format raises (CH evaluates per-row, Spark can't here).
+_FFMT_TOKENS = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd", "H": "HH",
+    "M": "mm", "i": "mm", "S": "ss", "j": "DDD", "e": "d",
+    "F": "yyyy-MM-dd", "T": "HH:mm:ss", "%": "%",
+}
+
+
+def _format_datetime_pattern(ch_fmt: str) -> str:
+    """Translate a CH formatDateTime literal to a Spark date_format
+    pattern: %-tokens map per _FFMT_TOKENS, everything else is quoted
+    verbatim so Java pattern letters in the literal text stay inert."""
+    out: list[str] = []
+    i, n = 0, len(ch_fmt)
+    while i < n:
+        c = ch_fmt[i]
+        if c == "%":
+            if i + 1 >= n:
+                raise ValueError("formatDateTime: dangling % in format")
+            tok = ch_fmt[i + 1]
+            mapped = _FFMT_TOKENS.get(tok)
+            if mapped is None:
+                raise ValueError(
+                    f"formatDateTime: unsupported token %{tok} "
+                    f"(supported: {sorted(_FFMT_TOKENS)})"
+                )
+            out.append(mapped)
+            i += 2
+        else:
+            lit = []
+            while i < n and ch_fmt[i] != "%":
+                lit.append(ch_fmt[i])
+                i += 1
+            text = "".join(lit)
+            if text.strip(" -:/.,") and any(ch.isalpha() for ch in text):
+                out.append("'" + text.replace("'", "''") + "'")
+            else:
+                out.append(text)
+    return "".join(out)
 
 
 def _scan_string(sql: str, i: int, quote: str) -> int:
@@ -488,6 +727,56 @@ def _rewrite_call(word: str, args: list[str], params: list[str] | None) -> str:
             for k in range(0, len(args) - 1, 2)
         )
         return f"CASE{whens} ELSE ({args[-1]}) END"
+    if word == "dateDiff":
+        # dateDiff('unit', start, end) -> timestampdiff(UNIT, start, end)
+        if len(args) != 3:
+            raise ValueError(f"dateDiff expects (unit, start, end), got {len(args)}")
+        unit = args[0].strip().strip("'\"").lower()
+        if unit not in _DATEDIFF_UNITS:
+            raise ValueError(
+                f"dateDiff: unsupported unit {args[0]!r} "
+                f"(supported: {sorted(_DATEDIFF_UNITS)})"
+            )
+        # CH counts unit-BOUNDARY crossings, not complete periods:
+        # dateDiff('day', 23:00, next 01:00) = 1. Truncate both ends to
+        # the unit first, then timestampdiff counts exactly the
+        # boundaries between them.
+        a, b = args[1], args[2]
+        return (
+            f"timestampdiff({unit.upper()}, date_trunc('{unit}', ({a})), "
+            f"date_trunc('{unit}', ({b})))"
+        )
+    if word == "avgWeighted":
+        # CH avgWeighted(x, w) = sum(x*w)/sum(w); NULL (not nan) when
+        # the weights sum to zero — documented divergence
+        if len(args) != 2:
+            raise ValueError(f"avgWeighted expects (x, w), got {len(args)}")
+        x, wgt = args
+        return f"(sum(({x}) * ({wgt})) / sum({wgt}))"
+    if word in ("assumeNotNull", "toNullable"):
+        # nullability bookkeeping only in CH; identity under Spark's
+        # uniformly-nullable model
+        if len(args) != 1:
+            raise ValueError(f"{word} expects 1 arg, got {len(args)}")
+        return f"({args[0]})"
+    if word == "formatDateTime":
+        if len(args) != 2:
+            raise ValueError(f"formatDateTime expects (ts, fmt), got {len(args)}")
+        fmt = args[1].strip()
+        if not (len(fmt) >= 2 and fmt[0] == "'" and fmt[-1] == "'"):
+            raise ValueError(
+                "formatDateTime: only a literal format string translates"
+            )
+        pattern = _format_datetime_pattern(fmt[1:-1].replace("''", "'"))
+        escaped = pattern.replace("'", "''")  # SQL string-literal escape
+        return f"date_format(({args[0]}), '{escaped}')"
+    if word in ("arrayPopBack", "arrayPopFront"):
+        if len(args) != 1:
+            raise ValueError(f"{word} expects 1 array, got {len(args)}")
+        a = args[0]
+        if word == "arrayPopBack":
+            return f"slice(({a}), 1, greatest(size({a}) - 1, 0))"
+        return f"slice(({a}), 2, greatest(size({a}) - 1, 0))"
     if word in _CASTS:
         if len(args) != 1:
             raise ValueError(f"{word} expects 1 arg, got {len(args)}")
@@ -1493,7 +1782,7 @@ CH_FUNCTION_DOC: list[tuple[str, str, str]] = (
         (
             "ALL",
             "statement: default join strictness dropped (bag semantics "
-            "is the Spark default); ANY is a loud error -> c22",
+            "is the Spark default)",
             "c1-c11 joins",
         ),
         (
@@ -1521,5 +1810,24 @@ CH_FUNCTION_DOC: list[tuple[str, str, str]] = (
             "sample key",
             "a32 sample",
         ),
+        (
+            "ANY",
+            "statement: LEFT/INNER ANY JOIN -> build-side keep-one "
+            "collapse under the table's registered deterministic order "
+            "(register_any_order); RIGHT/FULL ANY raise",
+            "c22 any-join / s16",
+        ),
+        # tranche 3 custom forms
+        ("dateDiff", "-> timestampdiff(UNIT, start, end)", "g6 date-arith"),
+        ("avgWeighted", "-> sum(x*w)/sum(w)", "d12 stats-agg"),
+        ("assumeNotNull", "identity (Spark is uniformly nullable)", "g8 null"),
+        ("toNullable", "identity (Spark is uniformly nullable)", "g8 null"),
+        (
+            "formatDateTime",
+            "literal %-format -> date_format Java pattern",
+            "g4/g5 date",
+        ),
+        ("arrayPopBack", "-> slice(arr, 1, size-1)", "g11 array-core"),
+        ("arrayPopFront", "-> slice(arr, 2, size-1)", "g11 array-core"),
     ]
 )

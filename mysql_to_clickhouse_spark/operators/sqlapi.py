@@ -1102,3 +1102,65 @@ def s16_ch_any_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return ch_sql(spark, _S16_CH_SQL)
+
+
+_S17_URL = (
+    "concat('https://sh', toString(user_id % 5), '.example.org/p/', "
+    "event_type, '?q=', toString(event_id % 97))"
+)
+
+_S17_CH_SQL = f"""
+SELECT formatDateTime(toStartOfMonth(ts), '%Y-%m') AS month,
+       domain({_S17_URL}) AS shard_domain,
+       count(*) AS n,
+       COALESCE(sumIf(toInt64(extractURLParameter({_S17_URL}, 'q')),
+                      event_type != 'error'), 0) AS q_sum,
+       groupBitOr(toInt64(user_id % 255)) AS bits,
+       toInt64(SUM(dateDiff('day', toStartOfWeek(ts), ts)))
+         AS days_into_week_sum,
+       MIN(IPv4NumToString(toUInt32(3232235776 + user_id % 64))) AS min_ip,
+       toInt64(SUM(arraySum(arrayMap(x -> toInt64(length(x)),
+                                     extractAll(props, '[0-9]+')))))
+         AS digitlen_sum
+FROM events
+GROUP BY month, shard_domain
+ORDER BY month, shard_domain
+"""
+
+_S17_ORACLE = """
+SELECT strftime(date_trunc('month', CAST(ts AS TIMESTAMP)), '%Y-%m') AS month,
+       concat('sh', CAST(user_id % 5 AS VARCHAR), '.example.org')
+         AS shard_domain,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COALESCE(SUM(event_id % 97)
+              FILTER (WHERE event_type != 'error'), 0) AS BIGINT) AS q_sum,
+       CAST(bit_or(CAST(user_id % 255 AS BIGINT)) AS BIGINT) AS bits,
+       CAST(SUM(date_diff('day',
+              CAST(ts AS DATE)
+                - CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS INT),
+              CAST(ts AS TIMESTAMP))) AS BIGINT) AS days_into_week_sum,
+       MIN(concat('192.168.1.', CAST(user_id % 64 AS VARCHAR))) AS min_ip,
+       CAST(SUM(COALESCE(list_sum(list_transform(
+              regexp_extract_all(props, '[0-9]+'),
+              x -> CAST(length(x) AS BIGINT))), 0)) AS BIGINT)
+         AS digitlen_sum
+FROM events
+GROUP BY month, shard_domain
+ORDER BY month, shard_domain
+"""
+
+
+@register("s17_ch_dialect_tranche3", oracle=_S17_ORACLE, tier="T3")
+def s17_ch_dialect_tranche3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tranche-3 CH-dialect surface in one statement: URL family
+    (domain/extractURLParameter over a synthesized per-row URL, so
+    Spark's parse_url round trip is checked against values DuckDB
+    computes directly), boundary-semantics dateDiff from the
+    Sunday-start toStartOfWeek, literal %-format formatDateTime,
+    IPv4NumToString octet math, groupBitOr bit reduction, and
+    arraySum/arrayMap numeric folds — all Catalyst-inlined (no Python).
+
+    Scale: map-only expressions above one (month, shard) hash
+    aggregate — identical shape to d1."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return ch_sql(spark, _S17_CH_SQL)

@@ -749,7 +749,7 @@ def test_random_condagg_parity(spark, duck, i):
 # (ClickHouse text, DuckDB restatement) in lockstep.
 # ---------------------------------------------------------------------------
 
-N_CH_QUERIES = 84
+N_CH_QUERIES = 100
 
 _CH_KEYS = [
     # (CH expr for Spark, DuckDB restatement)
@@ -764,6 +764,19 @@ _CH_KEYS = [
         "CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS INT)",
     ),
     ("toInt32(user_id % 13)", "CAST(user_id % 13 AS INT)"),
+    # tranche 3: literal %-format translation and Sunday-start weeks
+    (
+        "formatDateTime(ts, '%Y-%m')",
+        "strftime(CAST(ts AS TIMESTAMP), '%Y-%m')",
+    ),
+    (
+        # DuckDB dayofweek: Sunday=0 — subtracting it lands on Sunday,
+        # matching CH's default mode-0 week start. Surfaced as a string:
+        # DATE columns come back as different pandas dtypes per engine.
+        "toString(toStartOfWeek(ts))",
+        "CAST(CAST(ts AS DATE) - "
+        "CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS INT) AS VARCHAR)",
+    ),
 ]
 
 _CH_FP = "CAST(FLOOR(value * 10000.0) AS BIGINT)"
@@ -795,7 +808,7 @@ def _gen_ch_query(rng: random.Random) -> tuple[str, str]:
         ch_aggs.append(f"{ch} AS {alias}")
         dk_aggs.append(f"{dk} AS {alias}")
 
-    for idx, which in enumerate(rng.sample(range(11), rng.randint(2, 4))):
+    for idx, which in enumerate(rng.sample(range(14), rng.randint(2, 4))):
         a = f"a{idx}"
         c_ch, c_dk = _ch_cond(rng)
         if which == 0:
@@ -868,7 +881,7 @@ def _gen_ch_query(rng: random.Random) -> tuple[str, str]:
                 " AS DOUBLE)",
                 a,
             )
-        else:
+        elif which == 10:
             # tranche 2: higher-order lambda (CH lambda-first arg swap)
             # over the digit runs in props; plain length() resolves as
             # a builtin on both engines
@@ -880,6 +893,41 @@ def _gen_ch_query(rng: random.Random) -> tuple[str, str]:
                 f"CAST(COALESCE(SUM(CAST(len(list_filter("
                 f"regexp_extract_all(props, '[0-9]+'), "
                 f"x -> length(x) > {m})) AS BIGINT)) "
+                f"FILTER (WHERE {c_dk}), 0) AS BIGINT)",
+                a,
+            )
+        elif which == 11:
+            # tranche 3: CH dateDiff counts unit boundaries — DuckDB's
+            # date_diff has the same boundary semantics
+            add(
+                f"COALESCE(sumIf(toInt64(dateDiff('day', "
+                f"toStartOfMonth(ts), ts)), {c_ch}), 0)",
+                f"CAST(COALESCE(SUM(date_diff('day', "
+                f"date_trunc('month', CAST(ts AS TIMESTAMP)), "
+                f"CAST(ts AS TIMESTAMP))) FILTER (WHERE {c_dk}), 0) "
+                f"AS BIGINT)",
+                a,
+            )
+        elif which == 12:
+            # tranche 3: bit-reduction aggregate
+            k = rng.choice([255, 4095])
+            add(
+                f"COALESCE(groupBitOr(toInt64(user_id % {k})), 0)",
+                f"CAST(COALESCE(bit_or(CAST(user_id % {k} AS BIGINT)), 0)"
+                " AS BIGINT)",
+                a,
+            )
+        else:
+            # tranche 3: URL family round trip — the parameter value is
+            # synthesized from event_id, so Spark's parse_url extraction
+            # must reproduce exactly what DuckDB computes directly
+            p = rng.choice([97, 101])
+            add(
+                f"COALESCE(sumIf(toInt64(extractURLParameter("
+                f"concat('https://sh', toString(user_id % 5), "
+                f"'.example.org/p/', event_type, '?q=', "
+                f"toString(event_id % {p})), 'q')), {c_ch}), 0)",
+                f"CAST(COALESCE(SUM(event_id % {p}) "
                 f"FILTER (WHERE {c_dk}), 0) AS BIGINT)",
                 a,
             )
