@@ -343,6 +343,14 @@ def main() -> None:
 
         release_caches(spark)
         release_probe_state(spark)
+        # Let the ContextCleaner reclaim dead broadcast relations NOW:
+        # Spark frees a TorrentBroadcast only after the driver GCs its
+        # handle, and spark.cleaner.periodicGC.interval defaults to
+        # 30 min — longer than this whole run. Without this, 10+
+        # headliners of accumulated broadcasts squeeze the late
+        # heap-hungry hash aggs into GC thrash (d1 measured 11 s
+        # isolated vs 29-49 s in-loop before this line).
+        spark.sparkContext._jvm.System.gc()
         if headline == last_headline:
             # All Spark measurements are done once the final headliner's
             # spark side finishes. v1's DuckDB digest (window-rank over
