@@ -439,7 +439,14 @@ def c10_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders_f.join(F.broadcast(dims), orders_f.o_custkey == dims.c_custkey)
         .select("o_orderkey", "c_nationkey", "n_name")
     )
-    small_orders = broadcast_when_small(small_orders, li, spark)
+    if bucket_routed_key(spark, sf_dir, "lineitem") == "l_orderkey" and (
+        bucket_routed_key(spark, sf_dir, "orders") == "o_orderkey"
+    ):
+        # co-bucketed layout: per-bucket hash join beats broadcasting a
+        # millions-row reduced-orders build per run (the q3/x6 lesson)
+        small_orders = small_orders.hint("shuffle_hash")
+    else:
+        small_orders = broadcast_when_small(small_orders, li, spark)
     return (
         li.join(small_orders, li.l_orderkey == small_orders.o_orderkey)
         .join(

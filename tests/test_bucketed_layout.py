@@ -21,6 +21,7 @@ from mysql_to_clickhouse_spark.tables import (
 
 SF = "/root/testdata/sf0.01"
 QIDS = [
+    "c10_star_multiway",
     "c12_q3_shipping",
     "x6_tpch_q10",
     "x7_tpch_q18",
