@@ -563,9 +563,12 @@ _DATEDIFF_UNITS = {
 # CH formatDateTime %-tokens (C strftime conventions) -> Java/Spark
 # date_format pattern fragments. Only literal format strings translate;
 # a computed format raises (CH evaluates per-row, Spark can't here).
+# %M follows MODERN ClickHouse (>=23.x default
+# formatdatetime_parsedatetime_m_is_month_name=1): full month name,
+# NOT minutes — use %i for minutes, exactly as current CH docs say.
 _FFMT_TOKENS = {
     "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd", "H": "HH",
-    "M": "mm", "i": "mm", "S": "ss", "j": "DDD", "e": "d",
+    "M": "MMMM", "i": "mm", "S": "ss", "j": "DDD", "e": "d",
     "F": "yyyy-MM-dd", "T": "HH:mm:ss", "%": "%",
 }
 
@@ -817,6 +820,17 @@ def _bracket_literal_end(sql: str, i: int) -> int:
     raise ValueError(f"unbalanced brackets in CH SQL at offset {i}")
 
 
+# A '[' directly after one of these words is an array LITERAL in
+# expression position ('SELECT [1,2,3]', 'x IN [1,2]', 'WHEN [..]'),
+# never element access — keywords don't evaluate to indexable values.
+_EXPR_KEYWORDS = {
+    "SELECT", "IN", "WHEN", "THEN", "ELSE", "CASE", "AND", "OR", "NOT",
+    "BETWEEN", "WHERE", "HAVING", "ON", "BY", "AS", "LIKE", "ILIKE",
+    "IS", "DISTINCT", "ALL", "UNION", "INTERSECT", "EXCEPT", "FROM",
+    "LIMIT", "OFFSET", "PREWHERE", "IF", "RETURN", "SET",
+}
+
+
 def _translate_functions(sql: str) -> str:
     """The function-call pass: rewrite the CH-dialect CALL forms Spark
     cannot register into Spark SQL (see translate_ch_sql for the full
@@ -837,18 +851,30 @@ def _translate_functions(sql: str) -> str:
             continue
         if c == "[":
             prev_txt = "".join(out).rstrip()
-            is_access = bool(prev_txt) and (
-                prev_txt[-1].isalnum() or prev_txt[-1] in "_)]"
-            )
+            last = prev_txt[-1] if prev_txt else ""
+            m = _RE.search(r"([A-Za-z_][A-Za-z0-9_]*)$", prev_txt)
+            prev_word = m.group(1).upper() if m else ""
+            if last in ")]":
+                is_access = True
+            elif last.isalnum() or last == "_":
+                # '[' after an identifier is element access — UNLESS
+                # the identifier is a SQL keyword ('SELECT [1,2,3]',
+                # 'x IN [1,2]'): keywords never evaluate to an
+                # indexable value, so there it's a literal.
+                is_access = prev_word not in _EXPR_KEYWORDS
+            else:
+                is_access = False
             if not is_access:
                 end = _bracket_literal_end(sql, i)
                 inner = sql[i + 1 : end - 1]
                 items = _split_order_items(inner)
-                out.append(
-                    "array(" + ", ".join(
-                        _translate_functions(x) for x in items
-                    ) + ")"
-                )
+                body = ", ".join(_translate_functions(x) for x in items)
+                if prev_word == "IN":
+                    # CH 'x IN [a, b]' is list membership; Spark's IN
+                    # wants a parenthesized value list, not an array
+                    out.append("(" + body + ")")
+                else:
+                    out.append("array(" + body + ")")
                 i = end
                 continue
         if c.isalpha() or c == "_":
@@ -1262,6 +1288,39 @@ def _gather_ident_chain(sql: str, toks: list, idx: int) -> tuple[str, int, int]:
     return ".".join(parts), start, i
 
 
+def _comma_anchored_from(sql: str, toks: list, ci: int, depth: int) -> bool:
+    """True when the identifier chain whose FIRST segment is token
+    ``ci`` sits in a comma-join table list anchored to FROM: walks left
+    through ``, <table> [alias]`` pairs at the same paren depth until
+    FROM/JOIN. Lets _rewrite_final give 'FROM a, b FINAL' the CH
+    semantics (FINAL collapses `b`, the table it follows) instead of
+    misreading 'a, b' as 'a AS b'. A walk that hits anything else (a
+    keyword, a parenthesized subquery, a depth change) answers False
+    and the caller leaves the text alone — e.g. 'SELECT a, b final'
+    stays a plain column alias."""
+    j = ci
+    for _ in range(64):
+        if j <= 0:
+            return False
+        pchain, pstart, pj = _gather_ident_chain(sql, toks, j - 1)
+        anchor = toks[pj - 1] if pj > 0 else None
+        if anchor is None or anchor[3] != depth:
+            return False
+        aword = anchor[0].upper()
+        sep = sql[anchor[2] : pstart].strip()
+        if aword in ("FROM", "JOIN") and sep == "":
+            return True
+        if aword in _NON_ALIAS_WORDS:
+            return False
+        if sep == "," or sep == "":
+            # ',' steps to the previous table ref; '' means pchain was
+            # an alias — step to ITS table chain next iteration
+            j = pj
+            continue
+        return False
+    return False
+
+
 def _rewrite_final(sql: str) -> str:
     """CH ``FROM <table> [AS alias] FINAL`` → the a4 latest-per-key
     collapse as an inline subquery (aliased back to the table name or
@@ -1309,16 +1368,50 @@ def _rewrite_final(sql: str) -> str:
                     # FROM <tchain> AS <alias> FINAL
                     hit = (tchain, chain, tstart, e)
                     break
+                if (
+                    b2
+                    and sql[b2[2] : tstart].strip() == ","
+                    and _comma_anchored_from(sql, toks, ti, d)
+                ):
+                    # FROM a, <tchain> AS <alias> FINAL (comma join)
+                    hit = (tchain, chain, tstart, e)
+                    break
             elif (
                 bword
                 and bword not in _NON_ALIAS_WORDS
                 and before[3] == d
             ):
-                tchain, tstart, ti = _gather_ident_chain(sql, toks, ci - 1)
-                b2 = toks[ti - 1] if ti > 0 else None
-                if b2 and b2[0].upper() in ("FROM", "JOIN"):
-                    # FROM <tchain> <alias> FINAL  (bare alias)
-                    hit = (tchain, chain, tstart, e)
+                sep = sql[before[2] : chain_start]
+                if sep.strip() == "":
+                    # bare alias requires WHITESPACE-only adjacency
+                    # between table chain and alias: 'FROM events,
+                    # other FINAL' is a comma join (FINAL applies to
+                    # `other`), NOT 'events AS other' — misreading it
+                    # would silently drop `other` and collapse the
+                    # wrong table.
+                    tchain, tstart, ti = _gather_ident_chain(
+                        sql, toks, ci - 1
+                    )
+                    b2 = toks[ti - 1] if ti > 0 else None
+                    if b2 and b2[0].upper() in ("FROM", "JOIN"):
+                        # FROM <tchain> <alias> FINAL  (bare alias)
+                        hit = (tchain, chain, tstart, e)
+                        break
+                    if (
+                        b2
+                        and sql[b2[2] : tstart].strip() == ","
+                        and _comma_anchored_from(sql, toks, ti, d)
+                    ):
+                        # FROM a, <tchain> <alias> FINAL (comma join)
+                        hit = (tchain, chain, tstart, e)
+                        break
+                elif sep.strip() == "," and _comma_anchored_from(
+                    sql, toks, ci, d
+                ):
+                    # FROM a, <chain> FINAL: CH applies FINAL to the
+                    # table it directly follows (the comma-join's
+                    # SECOND table), aliased back to itself
+                    hit = (chain, chain.split(".")[-1], chain_start, e)
                     break
         if hit is None:
             return sql

@@ -224,7 +224,7 @@ def broadcast_when_small(
                 # memoize the estimate-skip too: the estimator may cost
                 # a dim-sized job (x16's selectivity count) — pay it
                 # once per session, not per invocation
-                memo[key] = (False, None, analyzed)
+                _memo_put(memo, key, (False, None, analyzed))
             return build
     # One evaluation, not two: cache the reduced side through the count
     # so an ACCEPT feeds the broadcast exchange from the cache instead
@@ -234,11 +234,24 @@ def broadcast_when_small(
     if memo_on:
         # an ACCEPT keeps the cache alive until its first replay (or
         # release_probe_state); a DECLINE releases it right here
-        memo[key] = (decision, build if decision else None, analyzed)
+        _memo_put(memo, key, (decision, build if decision else None, analyzed))
     if decision:
         return F.broadcast(build)
     build.unpersist(blocking=False)
     return build
+
+
+def _memo_put(memo: dict, key, entry) -> None:
+    """Overwrite-safe memo insert. On a 32-bit semanticHash collision
+    where ``sameResult`` rejected the resident entry, a plain
+    ``memo[key] = entry`` would drop the displaced entry's persisted
+    build DataFrame with no remaining reference — ``release_probe_state``
+    iterates only current values, so the executor cache would leak until
+    session end. Unpersist the displaced cache before overwriting."""
+    displaced = memo.get(key)
+    if displaced is not None and displaced[1] is not None:
+        displaced[1].unpersist(blocking=False)
+    memo[key] = entry
 
 
 def release_probe_state(spark: SparkSession) -> None:

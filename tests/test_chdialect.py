@@ -532,3 +532,61 @@ def test_sample_band_matches_a32_operator(spark):
         .collect()[0][0]
     )
     assert got.n == a32
+
+
+# ---------------------------------------------------------------------------
+# r10 ADVICE fixes: comma-join FINAL, keyword-adjacent array literals,
+# modern-CH %M
+# ---------------------------------------------------------------------------
+
+
+def test_final_comma_join_applies_to_second_table():
+    """'FROM a, b FINAL' is a comma join — FINAL collapses the table it
+    FOLLOWS (CH semantics), it is NOT 'FROM a AS b' (which would drop
+    `a`'s partner and collapse the wrong table; ADVICE r9)."""
+    out = translate_ch_sql("SELECT * FROM orders, events FINAL")
+    assert "FROM orders," in out  # first table survives untouched
+    assert "PARTITION BY user_id" in out  # events collapsed
+    assert out.rstrip().endswith(") events")  # aliased back to itself
+
+
+def test_final_comma_join_with_alias_forms():
+    out = translate_ch_sql("SELECT * FROM orders o, events AS e FINAL")
+    assert "FROM orders o," in out
+    assert out.rstrip().endswith(") e")
+    out2 = translate_ch_sql("SELECT * FROM orders o, events e FINAL")
+    assert "FROM orders o," in out2
+    assert out2.rstrip().endswith(") e")
+
+
+def test_select_list_final_alias_untouched():
+    """'SELECT a, b final' is a plain column alias — the comma walk
+    anchors to SELECT, not FROM, so the text passes through."""
+    src = "SELECT a, b final FROM orders"
+    assert translate_ch_sql(src) == src
+
+
+def test_array_literal_after_keywords():
+    """'[' after SELECT/IN/THEN is a literal in expression position,
+    not element access (ADVICE r9); IN gets a value LIST."""
+    assert translate_ch_sql("SELECT [1,2,3]") == "SELECT array(1, 2, 3)"
+    assert (
+        translate_ch_sql("SELECT x FROM t WHERE x IN [1,2]")
+        == "SELECT x FROM t WHERE x IN (1, 2)"
+    )
+    assert (
+        translate_ch_sql("SELECT CASE WHEN c THEN [1] ELSE [2] END")
+        == "SELECT CASE WHEN c THEN array(1) ELSE array(2) END"
+    )
+    # element access still passes through
+    assert translate_ch_sql("SELECT arr[1] FROM t") == "SELECT arr[1] FROM t"
+    assert (
+        translate_ch_sql("SELECT f(x)[2] FROM t") == "SELECT f(x)[2] FROM t"
+    )
+
+
+def test_format_datetime_m_is_month_name():
+    """%M follows modern CH (>=23.x default): full month name. %i is
+    minutes (ADVICE r9)."""
+    out = translate_ch_sql("SELECT formatDateTime(ts, '%H:%i %M') FROM t")
+    assert "HH:mm MMMM" in out

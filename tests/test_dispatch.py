@@ -385,3 +385,44 @@ def test_probe_memo_collision_falls_back_to_fresh_probe(spark):
     finally:
         _restore(spark, saved)
         release_probe_state(spark)
+
+
+def test_probe_memo_collision_unpersists_displaced_cache(spark):
+    """When a fresh probe overwrites a colliding memo entry, the
+    displaced entry's persisted build cache must be unpersisted —
+    release_probe_state iterates only CURRENT memo values, so a plain
+    overwrite would leak the displaced cache until session end
+    (ADVICE r9, plans/dispatch.py _memo_put)."""
+    from mysql_to_clickhouse_spark.plans.dispatch import (
+        _PROBE_MEMO,
+        release_probe_state,
+    )
+
+    saved = _with_conf(spark, {_GATE: "0", _ROWS: "10000000"})
+    try:
+        release_probe_state(spark)
+        li = load(spark, TEST_SF_DIR, "lineitem")
+        wrong = load(spark, TEST_SF_DIR, "nation").select(
+            F.col("n_nationkey").alias("o_orderkey")
+        )
+        wrong.persist()
+        build = load(spark, TEST_SF_DIR, "orders").select("o_orderkey")
+        limit = 10000000
+        key = (
+            int(build._jdf.queryExecution().analyzed().semanticHash()),
+            limit,
+        )
+        _PROBE_MEMO.setdefault(spark, {})[key] = (
+            True,
+            wrong,
+            wrong._jdf.queryExecution().analyzed(),
+        )
+        assert wrong.storageLevel.useMemory or wrong.storageLevel.useDisk
+        broadcast_when_small(build, li, spark)
+        # the fresh probe replaced the colliding entry AND released
+        # its cache — no orphaned executor memory
+        lvl = wrong.storageLevel
+        assert not (lvl.useMemory or lvl.useDisk)
+    finally:
+        _restore(spark, saved)
+        release_probe_state(spark)
