@@ -1758,6 +1758,181 @@ def _rewrite_any_join(sql: str) -> str:
         sql = sql[:any_start] + sql[cut:tstart] + sub + sql[ref_end:]
 
 
+# Words that terminate an ARRAY JOIN item list (clause keywords, the
+# next join, or another table modifier).
+_ARRAY_JOIN_STOPPERS = _CLAUSE_ENDERS | {
+    "PREWHERE", "JOIN", "LEFT", "RIGHT", "INNER", "FULL", "CROSS",
+    "ASOF", "ANY", "SEMI", "ANTI", "ARRAY", "FINAL", "SAMPLE", "ON",
+    "USING",
+}
+
+_IDENT_CHAIN_RE = _RE.compile(
+    r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*$"
+)
+
+
+def _split_array_join_item(item: str) -> tuple[str, str | None]:
+    """One ARRAY JOIN list item → (expression text, alias or None). The
+    alias is a trailing TOP-LEVEL ``AS name`` — ``CAST(x AS INT)``
+    keeps its AS inside parens and is not an alias."""
+    last_as = None
+    for word, s, e, d in _scan_words(item):
+        if d == 0 and word.upper() == "AS":
+            last_as = (s, e)
+    if last_as is not None:
+        s, e = last_as
+        tail = item[e:].strip()
+        if _RE.match(r"^[A-Za-z_][A-Za-z0-9_]*$", tail):
+            return item[:s].strip(), tail
+    return item.strip(), None
+
+
+def _rewrite_array_join(sql: str) -> str:
+    """CH ``FROM <t> [alias] [LEFT] ARRAY JOIN x [AS a][, y AS b ...]``
+    clause text → Spark Generate plans — the statement-level twin of
+    the ``arrayJoin()`` function translation (g21 explode_outer / g37
+    lockstep zip are the operator models).
+
+    Two rewrite shapes:
+
+    * ONE aliased item → a spliced ``LATERAL VIEW [OUTER] explode`` in
+      place of the clause (keeps the array column in scope, exposes the
+      element under the alias — CH's aliased semantics). Composes with
+      FINAL on the same table ref (FINAL rewrites afterwards).
+    * A bare item (CH semantics: the element REPLACES the array column
+      in scope) or a MULTI-item lockstep list → an inline subquery over
+      ``explode([arrays_zip])`` aliased back to the table name, so
+      downstream references resolve unchanged.
+
+    Documented divergences: LEFT ARRAY JOIN yields NULL elements for
+    empty arrays (CH fills the element type's default; Spark is
+    uniformly nullable — same convention as assumeNotNull); the
+    lockstep zip pads unequal-length arrays with NULL rows (CH throws).
+    Unsupported shapes raise — bare/multi forms over subquery sources
+    or through FINAL/SAMPLE, non-column bare items: a loud error beats
+    silently wrong rows."""
+    while True:
+        toks = list(_scan_words(sql))
+        hit = None
+        for i, (word, _s, _e, _d) in enumerate(toks):
+            if (
+                word.upper() == "ARRAY"
+                and i + 1 < len(toks)
+                and toks[i + 1][0].upper() == "JOIN"
+            ):
+                hit = i
+                break
+        if hit is None:
+            return sql
+        i = hit
+        _word, s, _e, d = toks[i]
+        jend = toks[i + 1][2]
+        left = i > 0 and toks[i - 1][0].upper() == "LEFT"
+        kw_start = toks[i - 1][1] if left else s
+        before_idx = i - 2 if left else i - 1
+        # --- item-list extent: to the next clause keyword/join/modifier
+        base_end, _t, _p = _clause_end(sql, jend)
+        items_end = base_end
+        for w2, s2, _e2, d2 in _scan_words(sql[jend:base_end]):
+            if d2 == 0 and w2.upper() in _ARRAY_JOIN_STOPPERS:
+                items_end = jend + s2
+                break
+        parsed = [
+            _split_array_join_item(x)
+            for x in _split_order_items(sql[jend:items_end])
+        ]
+        if not parsed or any(not ex for ex, _a in parsed):
+            raise ValueError("ARRAY JOIN: empty item list")
+        outer = "OUTER " if left else ""
+        if len(parsed) == 1 and parsed[0][1] is not None:
+            # aliased single item: splice a LATERAL VIEW, no wrap needed
+            expr, name = parsed[0]
+            repl = f"LATERAL VIEW {outer}explode({expr}) __ajv AS {name} "
+            sql = sql[:kw_start] + repl + sql[items_end:]
+            continue
+        # --- wrap path: locate the plain FROM <table> [AS alias] source
+        table_txt = None
+        alias = ""
+        ref_start = -1
+        if before_idx >= 0:
+            b = toks[before_idx]
+            if b[0].upper() not in _NON_ALIAS_WORDS and b[3] == d:
+                chain, cstart, ci = _gather_ident_chain(sql, toks, before_idx)
+                prev = toks[ci - 1] if ci > 0 else None
+                pword = prev[0].upper() if prev else ""
+                if pword == "FROM":
+                    table_txt = sql[cstart : b[2]]
+                    alias = chain.split(".")[-1]
+                    ref_start = cstart
+                elif pword == "AS" and ci >= 2:
+                    _tc, tstart, ti = _gather_ident_chain(sql, toks, ci - 2)
+                    anc2 = toks[ti - 1] if ti > 0 else None
+                    if anc2 and anc2[0].upper() == "FROM":
+                        table_txt = sql[tstart : b[2]]
+                        alias = chain
+                        ref_start = tstart
+                elif (
+                    pword
+                    and pword not in _NON_ALIAS_WORDS
+                    and prev[3] == d
+                    and sql[prev[2] : cstart].strip() == ""
+                ):
+                    _tc, tstart, ti = _gather_ident_chain(sql, toks, ci - 1)
+                    anc2 = toks[ti - 1] if ti > 0 else None
+                    if anc2 and anc2[0].upper() == "FROM":
+                        table_txt = sql[tstart : b[2]]
+                        alias = chain
+                        ref_start = tstart
+        if table_txt is None:
+            raise ValueError(
+                "ARRAY JOIN: the bare-item and multi-item forms need a "
+                "plain FROM <table> [AS alias] source — subquery "
+                "sources, prior joins, or FINAL/SAMPLE between the "
+                "table and ARRAY JOIN are not rewritable here (alias "
+                "every item with AS, or collapse first in a subquery)"
+            )
+        if len(parsed) == 1:
+            expr, _name = parsed[0]  # bare single item
+            if not _IDENT_CHAIN_RE.match(expr):
+                raise ValueError(
+                    f"ARRAY JOIN: a bare item must be a plain array "
+                    f"column (got {expr!r}) — give it an AS alias"
+                )
+            leaf = expr.split(".")[-1]
+            except_cols = [leaf, "__aj"]
+            projs = [f"__aj AS {leaf}"]
+            gen = f"explode({expr})"
+        else:
+            fields = []
+            for expr, name in parsed:
+                if not _IDENT_CHAIN_RE.match(expr):
+                    raise ValueError(
+                        f"ARRAY JOIN: lockstep items must be plain "
+                        f"array columns (got {expr!r}) — precompute "
+                        f"expressions in a subquery"
+                    )
+                fields.append((expr, expr.split(".")[-1], name))
+            if len({lf for _x, lf, _n in fields}) != len(fields):
+                raise ValueError(
+                    "ARRAY JOIN: duplicate column names in lockstep list"
+                )
+            except_cols = ["__aj"] + [
+                lf for _x, lf, nm in fields if nm is None
+            ]
+            projs = [f"__aj.{lf} AS {nm or lf}" for _x, lf, nm in fields]
+            gen = (
+                "explode(arrays_zip("
+                + ", ".join(x for x, _lf, _n in fields)
+                + "))"
+            )
+        sub = (
+            f"(SELECT * EXCEPT ({', '.join(except_cols)}), "
+            f"{', '.join(projs)} FROM {table_txt} "
+            f"LATERAL VIEW {outer}{gen} __ajv AS __aj) {alias}"
+        )
+        sql = sql[:ref_start] + sub + " " + sql[items_end:]
+
+
 # SETTINGS must be followed by k = v pairs (optionally a FORMAT tail),
 # FORMAT by exactly one identifier — both running to end-of-statement.
 _SETTINGS_TAIL = _RE.compile(
@@ -1807,6 +1982,7 @@ def translate_ch_sql(sql: str) -> str:
     sql = _strip_trailing_clauses(sql)
     sql = _strip_join_modifiers(sql)
     sql = _rewrite_any_join(sql)
+    sql = _rewrite_array_join(sql)
     sql = _rewrite_limit_by(sql)
     sql = _rewrite_sample(sql)
     return _translate_functions(_rewrite_final(_rewrite_prewhere(sql)))
@@ -1909,6 +2085,15 @@ CH_FUNCTION_DOC: list[tuple[str, str, str]] = (
             "collapse under the table's registered deterministic order "
             "(register_any_order); RIGHT/FULL ANY raise",
             "c22 any-join / s16",
+        ),
+        (
+            "ARRAY JOIN",
+            "statement: FROM <t> [LEFT] ARRAY JOIN x [AS a][, y AS b] "
+            "-> LATERAL VIEW [OUTER] explode; lockstep multi-item via "
+            "arrays_zip; bare items use CH replacement semantics "
+            "(* EXCEPT). LEFT yields NULL elements (Spark is uniformly "
+            "nullable); lockstep pads unequal lengths (CH throws)",
+            "g21/g37 explode / s18",
         ),
         # tranche 3 custom forms
         ("dateDiff", "-> timestampdiff(UNIT, start, end)", "g6 date-arith"),

@@ -1164,3 +1164,73 @@ def s17_ch_dialect_tranche3(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate — identical shape to d1."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return ch_sql(spark, _S17_CH_SQL)
+
+
+_S18_CH_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         arrayFilter(w -> length(w) >= 8, splitByChar(' ', text)) AS words
+  FROM documents
+), pairs AS (
+  SELECT doc_id, words, arrayMap(w -> length(w), words) AS lens
+  FROM toks
+)
+SELECT doc_id, w, toInt64(l) AS l
+FROM pairs ARRAY JOIN words AS w, lens AS l
+WHERE l >= 10
+UNION ALL
+SELECT doc_id, w, toInt64(-1) AS l
+FROM toks LEFT ARRAY JOIN words AS w
+WHERE w IS NULL
+UNION ALL
+SELECT doc_id, words AS w, toInt64(length(words)) - 100 AS l
+FROM toks ARRAY JOIN words
+WHERE length(words) = 8
+ORDER BY doc_id, w, l
+"""
+
+_S18_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), w -> length(w) >= 8) AS words
+  FROM documents
+), pairs AS (
+  SELECT doc_id, words, list_transform(words, w -> length(w)) AS lens
+  FROM toks
+), lock AS (
+  SELECT doc_id, UNNEST(words) AS w, UNNEST(lens) AS l FROM pairs
+)
+SELECT doc_id, w, CAST(l AS BIGINT) AS l FROM lock WHERE l >= 10
+UNION ALL
+SELECT doc_id, NULL AS w, CAST(-1 AS BIGINT) AS l
+FROM toks WHERE len(words) = 0
+UNION ALL
+SELECT doc_id, w, CAST(length(w) - 100 AS BIGINT) AS l
+FROM lock WHERE length(w) = 8
+ORDER BY doc_id, w, l
+"""
+
+
+@register("s18_ch_array_join", oracle=_S18_ORACLE, tier="T3")
+def s18_ch_array_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``ARRAY JOIN`` as STATEMENT TEXT (round-9 verdict gap #3) —
+    all three clause shapes in one statement, rewritten by the dialect
+    layer onto the g21/g37 explode machinery instead of raising a
+    Spark parse error:
+
+    * lockstep multi-item ``ARRAY JOIN words AS w, lens AS l`` →
+      inline subquery over ``explode(arrays_zip(...))`` (g37's shape);
+    * ``LEFT ARRAY JOIN words AS w`` → spliced ``LATERAL VIEW OUTER
+      explode`` keeping empty-array docs as NULL-element rows (g21);
+    * bare ``ARRAY JOIN words`` → CH's replacement semantics: the
+      element REPLACES the array column in scope, via ``* EXCEPT``.
+
+    The DuckDB oracle restates each branch natively (lockstep
+    multi-UNNEST, len()=0 for the LEFT branch, UNNEST replacement), so
+    the whole surface is hash-green, not rows-only.
+
+    Scale: every branch is a Generate (flatMap) over the document scan
+    — map-side only, zero shuffles before the final presentation sort;
+    the union is a plan-level concatenation of three narrow scans."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return ch_sql(spark, _S18_CH_SQL)

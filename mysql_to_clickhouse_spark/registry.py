@@ -172,15 +172,22 @@ def _priority_order(registry: dict[str, Query]) -> list[str]:
         num = int(m.group(2)) if m else 0
         return (0 if q.oracle else 1, 1, num, n)  # extension
 
-    tiers: dict[int, dict[str, list[tuple]]] = {0: {}, 1: {}}
+    # three tiers: unchecked+oracle-backed first (every cap slot is a
+    # hash check), then unchecked rows-only (they'd record a weaker
+    # rows-only row — spend cap slots on hash checks while any remain),
+    # then the already-verified remainder.
+    tiers: dict[int, dict[str, list[tuple]]] = {0: {}, 1: {}, 2: {}}
     for n, q in registry.items():
         if n in placed:
             continue
-        t = 1 if n in DRIVER_VERIFIED else 0
+        if n in DRIVER_VERIFIED:
+            t = 2
+        else:
+            t = 0 if q.oracle else 1
         tiers[t].setdefault(n[0], []).append((sub_key(n, q), n))
 
     ordered = list(sentinels)
-    for t in (0, 1):
+    for t in (0, 1, 2):
         by_fam = {f: sorted(v) for f, v in tiers[t].items()}
         fams = sorted(by_fam)
         # bound by the LONGEST live family list so no tail is dropped

@@ -36,21 +36,30 @@ def test_50_prefix_rotates_onto_unchecked_ids():
 
 
 def test_unchecked_tier_is_family_balanced():
-    """Within the never-checked tier no family may run 2+ rounds ahead
-    of another family that still has unseen entries."""
+    """Within the never-checked ORACLE-BACKED tier no family may run
+    2+ rounds ahead of another family that still has unseen entries.
+    (Rows-only unchecked IDs sort after ALL oracle-backed ones — a cap
+    slot spent on a rows-only row is a weaker check — so balance is
+    asserted per sub-tier, not across the mixed set.)"""
     qs = all_queries()
-    names = [n for n in list(qs)[10:] if n not in DRIVER_VERIFIED]
-    totals: dict[str, int] = {}
-    for n in names:
-        totals[n[0]] = totals.get(n[0], 0) + 1
-    for cap in (14, 40, 100, len(names)):
-        seen: dict[str, int] = {}
-        for n in names[:cap]:
-            seen[n[0]] = seen.get(n[0], 0) + 1
-        for fam, cnt in seen.items():
-            for other, tot in totals.items():
-                if tot > seen.get(other, 0):
-                    assert cnt <= seen.get(other, 0) + 1, (cap, fam, other)
+    unchecked = [n for n in list(qs)[10:] if n not in DRIVER_VERIFIED]
+    for names in (
+        [n for n in unchecked if qs[n].oracle],
+        [n for n in unchecked if not qs[n].oracle],
+    ):
+        totals: dict[str, int] = {}
+        for n in names:
+            totals[n[0]] = totals.get(n[0], 0) + 1
+        for cap in (14, 40, 100, len(names)):
+            seen: dict[str, int] = {}
+            for n in names[:cap]:
+                seen[n[0]] = seen.get(n[0], 0) + 1
+            for fam, cnt in seen.items():
+                for other, tot in totals.items():
+                    if tot > seen.get(other, 0):
+                        assert cnt <= seen.get(other, 0) + 1, (
+                            cap, fam, other,
+                        )
 
 
 def test_registry_complete():
