@@ -375,6 +375,116 @@ _SCALAR_UDFS: dict[str, tuple[str, str, str]] = {
         "ARRAY<INT>",
         "transform(a, (x, i) -> i + 1)",
     ),
+    # ------------------------------------------------------------------
+    # tranche 4 (round 10): frequency-ranked tail — more date anchors,
+    # MySQL-compat string forms, similarity/array math for the
+    # training-pipeline ops, multiSearch, epoch converters
+    # ------------------------------------------------------------------
+    "today": ("()", "DATE", "current_date()"),
+    "yesterday": ("()", "DATE", "date_sub(current_date(), 1)"),
+    # CH aligns sub-hour intervals to the epoch grid; so does unix
+    # arithmetic (UTC sessions — the engine's documented assumption)
+    "toStartOfFiveMinutes": (
+        "(ts TIMESTAMP)",
+        "TIMESTAMP",
+        "timestamp_seconds(unix_seconds(ts) div 300 * 300)",
+    ),
+    "toStartOfTenMinutes": (
+        "(ts TIMESTAMP)",
+        "TIMESTAMP",
+        "timestamp_seconds(unix_seconds(ts) div 600 * 600)",
+    ),
+    "toStartOfFifteenMinutes": (
+        "(ts TIMESTAMP)",
+        "TIMESTAMP",
+        "timestamp_seconds(unix_seconds(ts) div 900 * 900)",
+    ),
+    # CH timeSlot rounds to the half-hour grid
+    "timeSlot": (
+        "(ts TIMESTAMP)",
+        "TIMESTAMP",
+        "timestamp_seconds(unix_seconds(ts) div 1800 * 1800)",
+    ),
+    "fromUnixTimestamp": ("(n BIGINT)", "TIMESTAMP", "timestamp_seconds(n)"),
+    "toUnixTimestamp64Milli": (
+        "(ts TIMESTAMP)",
+        "BIGINT",
+        "unix_millis(ts)",
+    ),
+    "fromUnixTimestamp64Milli": (
+        "(n BIGINT)",
+        "TIMESTAMP",
+        "timestamp_millis(n)",
+    ),
+    # NOTE: monthName/locate/e/range collide with Spark builtins
+    # (CANNOT_REPLACE_NON_SQL_UDF_WITH_SQL_UDF) — locate and e() are
+    # natively argument-compatible (pass through untouched); monthName
+    # and range translate as custom forms instead (_rewrite_call).
+    "positionCaseInsensitive": (
+        "(h STRING, n STRING)",
+        "INT",
+        "instr(lower(h), lower(n))",
+    ),
+    "multiSearchAny": (
+        "(h STRING, ns ARRAY<STRING>)",
+        "BOOLEAN",
+        "exists(ns, x -> instr(h, x) > 0)",
+    ),
+    "splitByRegexp": (
+        "(re STRING, s STRING)",
+        "ARRAY<STRING>",
+        "split(s, re)",
+    ),
+    # CH emits no empty tokens for runs of whitespace
+    "splitByWhitespace": (
+        "(s STRING)",
+        "ARRAY<STRING>",
+        "filter(split(s, '\\\\s+'), x -> x != '')",
+    ),
+    "countMatches": (
+        "(s STRING, re STRING)",
+        "INT",
+        "size(regexp_extract_all(s, re, 0))",
+    ),
+    # math/conditional sugar
+    "clamp": (
+        "(x DOUBLE, lo DOUBLE, hi DOUBLE)",
+        "DOUBLE",
+        "least(greatest(x, lo), hi)",
+    ),
+    "isZeroOrNull": ("(x BIGINT)", "BOOLEAN", "x IS NULL OR x = 0"),
+    # array math — the similarity forms the i3/i4 pipeline speaks
+    "arrayProduct": (
+        "(a ARRAY<DOUBLE>)",
+        "DOUBLE",
+        "aggregate(a, 1.0D, (acc, x) -> acc * x)",
+    ),
+    "arrayDotProduct": (
+        "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)",
+        "DOUBLE",
+        "aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D, "
+        "(acc, v) -> acc + v)",
+    ),
+    "arrayJaccardIndex": (
+        "(a ARRAY<BIGINT>, b ARRAY<BIGINT>)",
+        "DOUBLE",
+        "size(array_intersect(a, b)) / CAST(size(array_union(a, b)) "
+        "AS DOUBLE)",
+    ),
+    "countEqual": (
+        "(a ARRAY<BIGINT>, x BIGINT)",
+        "INT",
+        "size(filter(a, e -> e = x))",
+    ),
+    # CH arrayCompact drops CONSECUTIVE duplicates (Spark's
+    # array_compact drops nulls — a different function entirely)
+    "arrayCompact": (
+        "(a ARRAY<BIGINT>)",
+        "ARRAY<BIGINT>",
+        "filter(a, (x, i) -> i = 0 OR x != element_at(a, i))",
+    ),
+    # same stable-but-different-values contract as cityHash64/sipHash64
+    "murmurHash3_64": ("(s STRING)", "BIGINT", "xxhash64(s, 3)"),
 }
 
 _REGISTERED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
@@ -472,6 +582,27 @@ _RENAMES: dict[str, str] = {
     "groupBitAnd": "bit_and",
     "groupBitOr": "bit_or",
     "groupBitXor": "bit_xor",
+    # tranche 4
+    "lowerUTF8": "lower",
+    "upperUTF8": "upper",
+    "mid": "substring",
+    "substringIndex": "substring_index",
+    "editDistance": "levenshtein",
+    "levenshteinDistance": "levenshtein",
+    "concatAssumeInjective": "concat",
+    "arrayZip": "arrays_zip",
+    "mapKeys": "map_keys",
+    "mapValues": "map_values",
+    "mapContains": "map_contains_key",
+    "mapFromArrays": "map_from_arrays",
+    # CH tuple(a, b) is Spark's struct (field access differs: CH .1 is
+    # positional, Spark fields are col1/col2 — documented caveat)
+    "tuple": "struct",
+    "uniqTheta": "approx_count_distinct",
+    "uniqCombined64": "approx_count_distinct",
+    "sumWithOverflow": "sum",
+    # population skewness: same m3/m2^1.5 definition in both engines
+    "skewPop": "skewness",
 }
 
 # -If aggregate combinators: agg(x, cond) -> agg(CASE WHEN cond THEN x END)
@@ -517,6 +648,11 @@ _QUANTILES: dict[str, str] = {
     # median(x) = quantile-at-0.5; the bare form hits the 0.5 default
     "median": "percentile_approx",
     "medianExact": "percentile",
+    # tranche 4: the timing variants are CH's low-latency-histogram
+    # sketches — percentile_approx is the Spark-side approximate home
+    "quantileTiming": "percentile_approx",
+    "quantilesTiming": "percentile_approx",
+    "medianTiming": "percentile_approx",
 }
 
 # CH higher-order array functions put the lambda FIRST; Spark puts the
@@ -552,8 +688,70 @@ _TRANSLATED = (
         "formatDateTime",
         "arrayPopBack",
         "arrayPopFront",
+        # tranche 4 custom forms
+        "monthName",
+        "range",
+        "arrayFirst",
+        "arrayLast",
+        "arrayReverseSort",
+        "arrayWithConstant",
+        "kurtPop",
+        "retention",
+        "topK",
+        "windowFunnel",
+        "toStartOfInterval",
+        # tranche 4 guided errors (block-order functions CH itself
+        # deprecated in favor of window functions; pattern aggregates
+        # whose home is the h-family operators)
+        "runningDifference",
+        "runningAccumulate",
+        "neighbor",
+        "sequenceMatch",
+        "sequenceCount",
     }
 )
+
+# parametric (two-group) custom forms beyond the quantile family:
+# name(params)(args)
+_PARAMETRIC = {"topK", "windowFunnel"}
+
+# toStartOfInterval units that align to the epoch grid in both engines
+# (weeks align to Monday in CH — not epoch — and months aren't fixed
+# width; both raise with guidance)
+_INTERVAL_SECONDS = {
+    "second": 1, "minute": 60, "hour": 3600, "day": 86400,
+}
+
+# guided-error texts: the Spark rewrite a CH user should paste instead
+_GUIDED_ERRORS = {
+    "runningDifference": (
+        "runningDifference(x) is block-order-dependent (CH deprecated "
+        "it); use the window form: x - lag(x, 1, x) OVER (ORDER BY "
+        "<your sort key>) — e2_lag_lead is the operator model"
+    ),
+    "runningAccumulate": (
+        "runningAccumulate(agg_state) is block-order-dependent (CH "
+        "deprecated it); use the window form: sum(x) OVER (ORDER BY "
+        "<your sort key> ROWS UNBOUNDED PRECEDING) — e3_running_sum "
+        "is the operator model"
+    ),
+    "neighbor": (
+        "neighbor(x, offset) is block-order-dependent (CH deprecated "
+        "it); use lead(x, offset) / lag(x, -offset) OVER (ORDER BY "
+        "<your sort key>) — e2_lag_lead is the operator model"
+    ),
+    "sequenceMatch": (
+        "sequenceMatch('pattern')(ts, conds...) needs CH's pattern "
+        "grammar; use the h10_sequence_match operator "
+        "(operators/eventtime.py) which implements ordered-step "
+        "matching over event streams"
+    ),
+    "sequenceCount": (
+        "sequenceCount('pattern')(ts, conds...) needs CH's pattern "
+        "grammar; use the h10_sequence_match operator family "
+        "(operators/eventtime.py) and count its matches"
+    ),
+}
 
 # CH dateDiff units -> Spark timestampdiff unit identifiers
 _DATEDIFF_UNITS = {
@@ -780,6 +978,139 @@ def _rewrite_call(word: str, args: list[str], params: list[str] | None) -> str:
         if word == "arrayPopBack":
             return f"slice(({a}), 1, greatest(size({a}) - 1, 0))"
         return f"slice(({a}), 2, greatest(size({a}) - 1, 0))"
+    if word in _GUIDED_ERRORS:
+        raise ValueError(f"{word}: {_GUIDED_ERRORS[word]}")
+    if word == "monthName":
+        # Spark's builtin monthname() abbreviates ('May', 'Jan'); CH
+        # returns the full month name — and the builtin blocks a SQL
+        # UDF of the same name, so this is a custom form
+        if len(args) != 1:
+            raise ValueError(f"monthName expects 1 arg, got {len(args)}")
+        return f"date_format(({args[0]}), 'MMMM')"
+    if word == "range":
+        # CH range(n) = [0 .. n-1]; Spark's `range` is a table function
+        # (name blocked for UDFs) and sequence(0, -1) would count DOWN,
+        # so slice() guards n = 0
+        if len(args) != 1:
+            raise ValueError(
+                "range translates only the 1-arg form range(n) = "
+                "[0..n-1]; spell range(a, b[, s]) as sequence(a, b - 1"
+                "[, s]) directly"
+            )
+        n_ = args[0]
+        return (
+            f"slice(sequence(0, greatest(({n_}) - 1, 0)), 1, ({n_}))"
+        )
+    if word in ("arrayFirst", "arrayLast"):
+        if len(args) != 2 or "->" not in args[0]:
+            raise ValueError(f"{word} expects (lambda, array)")
+        lam, arr = args
+        pos = 1 if word == "arrayFirst" else -1
+        # try_element_at: CH returns the element type's default when
+        # nothing matches; NULL is this layer's uniform spelling
+        return f"try_element_at(filter(({arr}), {lam}), {pos})"
+    if word == "arrayReverseSort":
+        if len(args) != 1 or "->" in args[0]:
+            raise ValueError(
+                "arrayReverseSort expects (array) — the keyed-lambda "
+                "form is not supported; sort by a computed key column"
+            )
+        return f"sort_array(({args[0]}), false)"
+    if word == "arrayWithConstant":
+        if len(args) != 2:
+            raise ValueError(f"arrayWithConstant expects (n, x), got {len(args)}")
+        cnt, x = args
+        return f"array_repeat(({x}), ({cnt}))"
+    if word == "kurtPop":
+        # CH kurtPop is the RAW fourth moment m4/m2^2; Spark's kurtosis
+        # is EXCESS kurtosis (raw - 3)
+        if len(args) != 1:
+            raise ValueError(f"kurtPop expects 1 arg, got {len(args)}")
+        return f"(kurtosis({args[0]}) + 3.0D)"
+    if word == "retention":
+        # CH retention(c1, ..., cn): r[0] = cond1 ever met in the
+        # group; r[i] = cond1 met AND cond_i met (on any rows)
+        if not args:
+            raise ValueError("retention expects at least one condition")
+        conds = [f"coalesce(({a}), false)" for a in args]
+        m1 = f"max(IF({conds[0]}, 1, 0))"
+        items = [f"CAST({m1} AS INT)"] + [
+            f"CAST({m1} * max(IF({c}, 1, 0)) AS INT)" for c in conds[1:]
+        ]
+        return "array(" + ", ".join(items) + ")"
+    if word == "topK":
+        # topK(k)(x) -> the k most frequent values as an array (CH's
+        # SpaceSaving sketch; Spark's approx_top_k is the analog —
+        # both approximate, values not hash-portable by contract)
+        if len(args) != 1:
+            raise ValueError("topK expects exactly one aggregated column")
+        k = _translate_functions(params[0]) if params else "10"
+        return f"transform(approx_top_k(({args[0]}), ({k})), s -> s.item)"
+    if word == "windowFunnel":
+        # windowFunnel(window)(ts, cond1, ..., condN): max funnel level
+        # reached by any chain whose steps occur at increasing event
+        # times within `window` SECONDS of the chain's first step.
+        # Spark spelling: fold over the time-sorted event structs,
+        # state[k] = LATEST chain-start micros reaching level k+1
+        # (later starts dominate — strictly more window headroom).
+        # Divergences, documented: one event can't satisfy two
+        # consecutive levels (CH 'strict_increase' mode); events at
+        # identical timestamps chain in deterministic sort order.
+        # h6/h14 are the operator models (operators/eventtime.py).
+        if params is None or len(params) != 1:
+            raise ValueError(
+                "windowFunnel requires the (window)(ts, conds...) "
+                "parametric form"
+            )
+        if len(args) < 2:
+            raise ValueError("windowFunnel expects (ts, cond1[, ...])")
+        w = _translate_functions(params[0])
+        ts, conds = args[0], args[1:]
+        flags = ", ".join(f"coalesce(({c}), false)" for c in conds)
+        wmicros = f"(CAST(({w}) AS BIGINT) * 1000000)"
+        return (
+            f"aggregate("
+            f"array_sort(collect_list(struct("
+            f"unix_micros(CAST(({ts}) AS TIMESTAMP)) AS t, "
+            f"array({flags}) AS f))), "
+            f"array_repeat(CAST(NULL AS BIGINT), {len(conds)}), "
+            f"(acc, e) -> transform(acc, (s, j) -> "
+            f"CASE WHEN NOT element_at(e.f, j + 1) THEN s "
+            f"WHEN j = 0 THEN e.t "
+            f"WHEN element_at(acc, j) IS NOT NULL "
+            f"AND e.t - element_at(acc, j) <= {wmicros} "
+            f"THEN greatest(coalesce(s, element_at(acc, j)), "
+            f"element_at(acc, j)) ELSE s END), "
+            f"acc -> CAST(size(filter(acc, x -> x IS NOT NULL)) AS INT))"
+        )
+    if word == "toStartOfInterval":
+        if len(args) != 2:
+            raise ValueError(
+                "toStartOfInterval expects (ts, INTERVAL n unit)"
+            )
+        m = _RE.match(
+            r"(?is)^\s*INTERVAL\s+(\d+)\s+"
+            r"(second|minute|hour|day|week|month|quarter|year)s?\s*$",
+            args[1],
+        )
+        if not m:
+            raise ValueError(
+                "toStartOfInterval: second argument must be a literal "
+                "INTERVAL n unit"
+            )
+        num, unit = int(m.group(1)), m.group(2).lower()
+        if unit not in _INTERVAL_SECONDS or num <= 0:
+            raise ValueError(
+                f"toStartOfInterval: unit {unit!r} does not translate "
+                f"(epoch-aligned second/minute/hour/day do; CH aligns "
+                f"weeks to Monday — use toMonday — and months aren't "
+                f"fixed-width — use toStartOfMonth)"
+            )
+        secs = num * _INTERVAL_SECONDS[unit]
+        return (
+            f"timestamp_seconds(unix_seconds(({args[0]})) "
+            f"div {secs} * {secs})"
+        )
     if word in _CASTS:
         if len(args) != 1:
             raise ValueError(f"{word} expects 1 arg, got {len(args)}")
@@ -790,7 +1121,7 @@ def _rewrite_call(word: str, args: list[str], params: list[str] | None) -> str:
         levels = [_translate_functions(p) for p in params] if params else ["0.5"]
         if len(args) != 1:
             raise ValueError(f"{word} expects exactly one aggregated column")
-        plural = word in ("quantiles", "quantilesExact")
+        plural = word.startswith("quantiles")
         lv = (
             "array(" + ", ".join(levels) + ")"
             if plural or len(levels) > 1
@@ -854,7 +1185,7 @@ def _translate_functions(sql: str) -> str:
             last = prev_txt[-1] if prev_txt else ""
             m = _RE.search(r"([A-Za-z_][A-Za-z0-9_]*)$", prev_txt)
             prev_word = m.group(1).upper() if m else ""
-            if last in ")]":
+            if last and last in ")]":
                 is_access = True
             elif last.isalnum() or last == "_":
                 # '[' after an identifier is element access — UNLESS
@@ -901,7 +1232,7 @@ def _translate_functions(sql: str) -> str:
                     i = end
                     continue
                 params = None
-                if word in _QUANTILES:
+                if word in _QUANTILES or word in _PARAMETRIC:
                     # peek for the parametric second group
                     m = end
                     while m < n and sql[m].isspace():
@@ -2107,5 +2438,87 @@ CH_FUNCTION_DOC: list[tuple[str, str, str]] = (
         ),
         ("arrayPopBack", "-> slice(arr, 1, size-1)", "g11 array-core"),
         ("arrayPopFront", "-> slice(arr, 2, size-1)", "g11 array-core"),
+        # tranche 4 custom forms
+        (
+            "topK",
+            "parametric -> transform(approx_top_k(x, k), s -> s.item) "
+            "(both approximate SpaceSaving-style sketches)",
+            "d13/i17 top-k",
+        ),
+        (
+            "windowFunnel",
+            "parametric -> time-sorted collect_list fold (latest "
+            "chain-start per level; strict_increase semantics)",
+            "h6/h14 funnel",
+        ),
+        (
+            "retention",
+            "-> array(max(IF(c1)), max(IF(c1)) * max(IF(ci)) ...)",
+            "h9 retention",
+        ),
+        (
+            "toStartOfInterval",
+            "literal INTERVAL n second/minute/hour/day -> epoch-grid "
+            "div arithmetic (week/month raise with guidance)",
+            "g4/g5 date",
+        ),
+        ("arrayFirst", "-> try_element_at(filter(arr, f), 1)", "g13"),
+        ("arrayLast", "-> try_element_at(filter(arr, f), -1)", "g13"),
+        (
+            "monthName",
+            "-> date_format(ts, 'MMMM') (Spark's own monthname() "
+            "abbreviates; CH is the full name)",
+            "g4/g5 date",
+        ),
+        (
+            "range",
+            "-> slice(sequence(0, greatest(n-1, 0)), 1, n) (1-arg form)",
+            "g11 array-core",
+        ),
+        (
+            "locate",
+            "native: Spark's locate(needle, haystack) already matches "
+            "CH/MySQL's needle-first order",
+            "g1 string-core",
+        ),
+        (
+            "e",
+            "native: Spark's e() is the same Euler constant",
+            "g7 math",
+        ),
+        ("arrayReverseSort", "-> sort_array(arr, false)", "g11"),
+        ("arrayWithConstant", "arg-swap -> array_repeat(x, n)", "g11"),
+        (
+            "kurtPop",
+            "-> kurtosis(x) + 3 (CH is raw m4/m2^2, Spark is excess)",
+            "d12 stats-agg",
+        ),
+        # tranche 4 guided errors: loud ValueError carrying the exact
+        # window-function / operator rewrite to paste instead
+        (
+            "runningDifference",
+            "guided error -> x - lag(x, 1, x) OVER (ORDER BY ...)",
+            "e2 lag-lead",
+        ),
+        (
+            "runningAccumulate",
+            "guided error -> sum(x) OVER (... ROWS UNBOUNDED PRECEDING)",
+            "e3 running-sum",
+        ),
+        (
+            "neighbor",
+            "guided error -> lead/lag(x, offset) OVER (ORDER BY ...)",
+            "e2 lag-lead",
+        ),
+        (
+            "sequenceMatch",
+            "guided error -> h10_sequence_match operator",
+            "h10 sequence",
+        ),
+        (
+            "sequenceCount",
+            "guided error -> h10_sequence_match operator family",
+            "h10 sequence",
+        ),
     ]
 )

@@ -1234,3 +1234,99 @@ def s18_ch_array_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the union is a plan-level concatenation of three narrow scans."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return ch_sql(spark, _S18_CH_SQL)
+
+
+_S19_CH_SQL = """
+SELECT user_id,
+  windowFunnel(86400)(ts, event_type = 'view', event_type = 'click',
+                      event_type = 'purchase') AS funnel_lvl,
+  arrayStringConcat(arrayMap(x -> toString(x),
+    retention(event_type = 'view', event_type = 'purchase',
+              event_type = 'signup')), ',') AS ret,
+  uniqExact(toStartOfFiveMinutes(CAST(ts AS TIMESTAMP))) AS n_slot5,
+  uniqExact(timeSlot(CAST(ts AS TIMESTAMP))) AS n_slot30,
+  uniqExact(toStartOfInterval(CAST(ts AS TIMESTAMP), INTERVAL 6 hour))
+    AS n_slot6h,
+  toInt64(SUM(locate('u', event_type))) AS loc_sum,
+  toInt64(SUM(countMatches(props, '[0-9]'))) AS digit_sum,
+  toInt64(SUM(countEqual(range(5), toInt64(length(event_type)) % 5)))
+    AS rng_eq_sum,
+  toInt64(SUM(toInt64(arrayDotProduct(
+    array(toFloat64(event_id % 7), toFloat64(1)),
+    array(toFloat64(2), toFloat64(3)))))) AS dot_sum,
+  monthName(MIN(CAST(ts AS TIMESTAMP))) AS first_month
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+_S19_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+         event_type, props, ts
+  FROM events
+),
+l1 AS (SELECT DISTINCT user_id, t FROM e WHERE event_type = 'view'),
+l2 AS (SELECT DISTINCT e.user_id, e.t, l1.t AS t0
+       FROM e JOIN l1 ON e.user_id = l1.user_id AND e.t > l1.t
+        AND e.t - l1.t <= 86400000000
+       WHERE e.event_type = 'click'),
+l3 AS (SELECT DISTINCT e.user_id
+       FROM e JOIN l2 ON e.user_id = l2.user_id AND e.t > l2.t
+        AND e.t - l2.t0 <= 86400000000
+       WHERE e.event_type = 'purchase'),
+l2u AS (SELECT DISTINCT user_id FROM l2),
+agg AS (
+  SELECT user_id,
+    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_v,
+    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_p,
+    MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS has_s,
+    COUNT(DISTINCT t // 300000000) AS n_slot5,
+    COUNT(DISTINCT t // 1800000000) AS n_slot30,
+    COUNT(DISTINCT t // 21600000000) AS n_slot6h,
+    CAST(SUM(strpos(event_type, 'u')) AS BIGINT) AS loc_sum,
+    CAST(SUM(length(regexp_extract_all(props, '[0-9]'))) AS BIGINT)
+      AS digit_sum,
+    CAST(COUNT(*) AS BIGINT) AS rng_eq_sum,
+    CAST(SUM(2 * (event_id % 7) + 3) AS BIGINT) AS dot_sum,
+    strftime(MIN(CAST(ts AS TIMESTAMP)), '%B') AS first_month
+  FROM e GROUP BY user_id
+)
+SELECT a.user_id,
+  CAST(CASE WHEN l3.user_id IS NOT NULL THEN 3
+            WHEN l2u.user_id IS NOT NULL THEN 2
+            WHEN a.has_v = 1 THEN 1 ELSE 0 END AS INT) AS funnel_lvl,
+  array_to_string([CAST(a.has_v AS INT), CAST(a.has_v * a.has_p AS INT),
+   CAST(a.has_v * a.has_s AS INT)], ',') AS ret,
+  a.n_slot5, a.n_slot30, a.n_slot6h, a.loc_sum, a.digit_sum,
+  a.rng_eq_sum, a.dot_sum, a.first_month
+FROM agg a
+LEFT JOIN l3 ON a.user_id = l3.user_id
+LEFT JOIN l2u ON a.user_id = l2u.user_id
+ORDER BY a.user_id
+"""
+
+
+@register("s19_ch_dialect_tranche4", oracle=_S19_ORACLE, tier="T3")
+def s19_ch_dialect_tranche4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tranche-4 CH-dialect surface in one statement (round-9 verdict
+    gap #4): ``windowFunnel(w)(ts, conds...)`` as a time-sorted
+    collect_list fold (latest-chain-start dominance — strictly more
+    window headroom, so the greedy fold is exact; the DuckDB oracle
+    restates the semantics from first principles as EXISTS-chains over
+    strict time inequalities, valid because the testdata has no
+    duplicate (user_id, ts) pairs at any SF), ``retention`` as the
+    max-IF product array, epoch-grid ``toStartOfFiveMinutes`` /
+    ``timeSlot`` / ``toStartOfInterval``, MySQL-compat ``locate``
+    (native needle-first builtin), ``countMatches``, ``countEqual`` +
+    ``range``, ``arrayDotProduct`` (integer-valued doubles — exact),
+    and full-name ``monthName``.
+
+    Scale: the funnel fold is ONE hash aggregate whose per-group state
+    is the user's event structs — bounded by per-user event count
+    (dozens here; a 100 TB funnel with pathological per-user
+    cardinality belongs in h6/h14's two-phase operator instead, which
+    this translation cites). Everything else is map-side expressions
+    over the same single aggregate — d1's shape."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return ch_sql(spark, _S19_CH_SQL)

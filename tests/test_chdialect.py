@@ -712,3 +712,180 @@ def test_array_join_statement_parity(spark, duck, idx):
     duck_pdf = duck.sql(duck_text).df()
     res = compare_frames(spark_pdf, duck_pdf)
     assert res.ok, f"divergence on CH text:\n{ch_text}\n{res.detail}"
+
+
+# ---------------------------------------------------------------------------
+# tranche 4 (round 10): frequency-ranked tail
+# ---------------------------------------------------------------------------
+
+_T4_CASES = [
+    # (CH expression over `documents`/`events` literals, DuckDB twin)
+    ("lowerUTF8('AbC')", "lower('AbC')"),
+    ("upperUTF8('AbC')", "upper('AbC')"),
+    ("mid('abcdef', 2, 3)", "substring('abcdef', 2, 3)"),
+    ("substringIndex('a.b.c', '.', 2)", "'a.b'"),
+    ("editDistance('kitten', 'sitting')", "CAST(3 AS INT)"),
+    ("CAST(positionCaseInsensitive('Hello', 'LL') AS INT)", "CAST(3 AS INT)"),
+    ("multiSearchAny('haystack', ['st', 'zz'])", "TRUE"),
+    (
+        "arrayStringConcat(splitByRegexp('[0-9]+', 'a1b22c'), ',')",
+        "'a,b,c'",
+    ),
+    (
+        "arrayStringConcat(splitByWhitespace('  a b  c'), ',')",
+        "'a,b,c'",
+    ),
+    ("countMatches('a1b22c333', '[0-9]+')", "CAST(3 AS INT)"),
+    ("clamp(7.0, 0.0, 5.0)", "CAST(5.0 AS DOUBLE)"),
+    ("isZeroOrNull(0)", "TRUE"),
+    ("isZeroOrNull(3)", "FALSE"),
+    ("arrayProduct([2.0, 3.0, 4.0])", "CAST(24.0 AS DOUBLE)"),
+    ("arrayDotProduct([1.0, 2.0], [3.0, 4.0])", "CAST(11.0 AS DOUBLE)"),
+    ("arrayJaccardIndex([1, 2], [2, 3])", "CAST(1.0 / 3.0 AS DOUBLE)"),
+    ("countEqual([1, 2, 2, 3], 2)", "CAST(2 AS INT)"),
+    (
+        "arrayStringConcat(arrayMap(x -> toString(x), "
+        "arrayCompact([1, 1, 2, 2, 3, 1])), ',')",
+        "'1,2,3,1'",
+    ),
+    (
+        "arrayStringConcat(arrayMap(x -> toString(x), range(4)), ',')",
+        "'0,1,2,3'",
+    ),
+    ("size(range(0))", "CAST(0 AS INT)"),
+    (
+        "arrayStringConcat(arrayMap(x -> toString(x), "
+        "arrayReverseSort([2, 3, 1])), ',')",
+        "'3,2,1'",
+    ),
+    (
+        "arrayStringConcat(arrayMap(x -> toString(x), "
+        "arrayWithConstant(3, 7)), ',')",
+        "'7,7,7'",
+    ),
+    ("arrayFirst(x -> x > 1, [1, 2, 3])", "CAST(2 AS INT)"),
+    ("arrayLast(x -> x > 1, [1, 2, 3])", "CAST(3 AS INT)"),
+    ("arrayFirst(x -> x > 9, [1, 2, 3])", "CAST(NULL AS INT)"),
+    ("monthName(toDateTime('1995-03-04 05:06:07'))", "'March'"),
+    (
+        "CAST(toStartOfFiveMinutes(toDateTime('1995-03-04 05:17:33')) "
+        "AS STRING)",
+        "'1995-03-04 05:15:00'",
+    ),
+    (
+        "CAST(timeSlot(toDateTime('1995-03-04 05:47:33')) AS STRING)",
+        "'1995-03-04 05:30:00'",
+    ),
+    (
+        "CAST(toStartOfInterval(toDateTime('1995-03-04 05:47:33'), "
+        "INTERVAL 6 hour) AS STRING)",
+        "'1995-03-04 00:00:00'",
+    ),
+    (
+        "CAST(fromUnixTimestamp(794296053) AS STRING)",
+        "'1995-03-04 05:47:33'",
+    ),
+    ("toUnixTimestamp64Milli(toDateTime('1995-03-04 05:47:33'))",
+     "CAST(794296053000 AS BIGINT)"),
+    ("CAST(today() AS STRING)", "CAST(current_date() AS VARCHAR)"),
+    ("CAST(yesterday() AS STRING)",
+     "CAST(current_date() - 1 AS VARCHAR)"),
+]
+
+
+@pytest.mark.parametrize("idx", range(len(_T4_CASES)))
+def test_tranche4_names_match_duck(spark, duck, idx):
+    from mysql_to_clickhouse_spark.verify import compare_frames
+
+    ch_expr, dk_expr = _T4_CASES[idx]
+    spark_pdf = ch_sql(spark, f"SELECT {ch_expr} AS r").toPandas()
+    duck_pdf = duck.sql(f"SELECT {dk_expr} AS r").df()
+    res = compare_frames(spark_pdf, duck_pdf)
+    assert res.ok, f"{ch_expr} vs {dk_expr}: {res.detail}"
+
+
+def test_tranche4_renames_translate():
+    out = translate_ch_sql(
+        "SELECT mapKeys(m), mapValues(m), mapContains(m, 1), "
+        "tuple(a, b), uniqTheta(x), sumWithOverflow(x), skewPop(x), "
+        "kurtPop(x), quantileTiming(0.9)(x), arrayZip(a, b) FROM t"
+    )
+    for frag in (
+        "map_keys(m)", "map_values(m)", "map_contains_key(m, 1)",
+        "struct(a, b)", "approx_count_distinct(x)", "sum(x)",
+        "skewness(x)", "(kurtosis(x) + 3.0D)",
+        "percentile_approx((x), 0.9)", "arrays_zip(a, b)",
+    ):
+        assert frag in out, (frag, out)
+
+
+def test_tranche4_guided_errors():
+    for name, call in [
+        ("runningDifference", "runningDifference(x)"),
+        ("runningAccumulate", "runningAccumulate(x)"),
+        ("neighbor", "neighbor(x, 1)"),
+        ("sequenceMatch", "sequenceMatch('(?1)(?2)')(ts, a, b)"),
+        ("sequenceCount", "sequenceCount('(?1)(?2)')(ts, a, b)"),
+    ]:
+        with pytest.raises(ValueError, match=name):
+            translate_ch_sql(f"SELECT {call} FROM t")
+
+
+def test_topk_translates_to_approx_top_k(spark):
+    out = translate_ch_sql("SELECT topK(3)(event_type) FROM events")
+    assert "transform(approx_top_k((event_type), (3)), s -> s.item)" in out
+    load(spark, TEST_SF_DIR, "events").createOrReplaceTempView("events")
+    rows = ch_sql(
+        spark, "SELECT topK(2)(event_type) AS top2 FROM events"
+    ).collect()
+    assert len(rows[0][0]) == 2  # two most frequent event types
+
+
+def test_window_funnel_semantics(spark):
+    """Hand-built event set pinning the fold semantics: chain within
+    the window counts, an expired window doesn't, and a LATER restart
+    of the funnel can still complete it (latest-start dominance)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(uid, sec, typ):
+        return (uid, base + dt.timedelta(seconds=sec), typ)
+
+    rows = [
+        # u1: full chain inside 100 s window -> 3
+        ev(1, 0, "view"), ev(1, 10, "click"), ev(1, 20, "purchase"),
+        # u2: purchase outside the 100 s window from the only view -> 2
+        ev(2, 0, "view"), ev(2, 10, "click"), ev(2, 200, "purchase"),
+        # u3: first chain expires, later restart completes -> 3
+        ev(3, 0, "view"), ev(3, 10, "click"),
+        ev(3, 500, "view"), ev(3, 510, "click"), ev(3, 520, "purchase"),
+        # u4: steps out of order -> 1
+        ev(4, 0, "purchase"), ev(4, 10, "click"), ev(4, 20, "view"),
+        # u5: no first step -> 0
+        ev(5, 0, "click"), ev(5, 10, "purchase"),
+    ]
+    spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_type string"
+    ).createOrReplaceTempView("wf_events")
+    got = {
+        r["user_id"]: r["lvl"]
+        for r in ch_sql(
+            spark,
+            "SELECT user_id, windowFunnel(100)(ts, "
+            "event_type = 'view', event_type = 'click', "
+            "event_type = 'purchase') AS lvl "
+            "FROM wf_events GROUP BY user_id",
+        ).collect()
+    }
+    assert got == {1: 3, 2: 2, 3: 3, 4: 1, 5: 0}, got
+
+
+def test_retention_translates_and_runs(spark):
+    load(spark, TEST_SF_DIR, "events").createOrReplaceTempView("events")
+    rows = ch_sql(
+        spark,
+        "SELECT retention(event_type = 'view', event_type = 'zzz') AS r "
+        "FROM events",
+    ).collect()
+    assert list(rows[0][0]) == [1, 0]
