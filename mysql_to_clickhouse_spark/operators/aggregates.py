@@ -133,8 +133,32 @@ def d3_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: count(distinct) expands to a two-phase aggregate
     (dedup-by-(day,user) then count) — Spark plans this automatically;
-    the first shuffle carries distinct pairs only.
-    """
+    the first shuffle carries distinct pairs only. When the session
+    routes the events/day_user AGGREGATE PROJECTION
+    (tables.ensure_agg_projection — the CH projection contract: the
+    (day, user) dedup is paid once at insert time), pick() answers
+    from it instead: uniq_users is then a plain COUNT over
+    pre-distinct pairs and n_events a SUM of their p_count partials —
+    tens of thousands of rows instead of a full event-stream
+    re-deduplication per run (the same move that took w1 from 3.08 s
+    to 0.75 s at the 1e8 tier). Identical results either way; the
+    drive path never routes a projection."""
+    from mysql_to_clickhouse_spark.plans.projection import Projection, pick
+    from mysql_to_clickhouse_spark.tables import load_agg_projection
+
+    state = load_agg_projection(spark, sf_dir, "events", "day_user")
+    candidates = (
+        [Projection("events_day_user", ("day", "user_id"), state)]
+        if state is not None
+        else []
+    )
+    proj = pick({"day"}, candidates)
+    if proj is not None:
+        # projection rows ARE the distinct (day, user) pairs
+        return proj.state.groupBy("day").agg(
+            F.count(F.lit(1)).alias("uniq_users"),
+            F.sum("p_count").alias("n_events"),
+        )
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy(F.date_trunc("day", "ts").alias("day"))
@@ -142,7 +166,7 @@ def d3_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("uniq_users"),
             F.count(F.lit(1)).alias("n_events"),
         )
-        
+
     )
 
 

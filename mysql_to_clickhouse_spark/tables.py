@@ -245,6 +245,86 @@ def ensure_projection(
     return fq
 
 
+def ensure_agg_projection(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str = "events",
+    proj: str = "day_user",
+    warehouse: str | None = None,
+) -> str:
+    """A ClickHouse AGGREGATE-PROJECTION analog: a materialized partial
+    aggregate of ``name`` in the plans/projection.py state shape
+    (grouping keys + ``p_count`` + ``p_sum_fp``), routed per session the
+    way ensure_projection routes clustered copies. Consumers opt in via
+    ``load_agg_projection`` + plans.projection.pick(); drives never
+    build one, so the default path is untouched.
+
+    The one registered spec, ``events/day_user``: keys (day, user_id)
+    with day = date_trunc('day', ts). Its cardinality is bounded by
+    |days| x |users| — the e1/d3 daily-active query then reads tens of
+    thousands of pre-distinct pairs instead of re-deduplicating the
+    full event stream every run (the CH projection contract: pay the
+    aggregate once at insert time). p_count makes n_events exact;
+    p_sum_fp carries the fixed-point value sum so rollup() algebra
+    stays available to other consumers."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mysql_to_clickhouse_spark.functions.numeric import fixed_point
+
+    if (name, proj) != ("events", "day_user"):
+        raise KeyError(
+            f"no aggregate-projection spec for ({name!r}, {proj!r}); "
+            f"events/day_user is the registered one"
+        )
+    wh = warehouse or os.path.join(tempfile.gettempdir(), "m2c_layout_wh")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS m2c_layout LOCATION '{wh}'")
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|aggproj:{name}:{proj}".encode()
+    ).hexdigest()[:8]
+    fq = f"m2c_layout.{name}_{tag}"
+    loc = f"{wh}/{name}_{tag}"
+    if not (spark.catalog.tableExists(fq) and os.path.isdir(loc)):
+        spark.sql(f"DROP TABLE IF EXISTS {fq}")
+        shutil.rmtree(loc, ignore_errors=True)
+        src = load(spark, sf_dir, name)
+        state = src.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "user_id"
+        ).agg(
+            F.count(F.lit(1)).alias("p_count"),
+            F.sum(fixed_point("value")).alias("p_sum_fp"),
+        )
+        (
+            # tiny by construction (|days| x |users|): one sorted file
+            state.repartition(1)
+            .sortWithinPartitions("day", "user_id")
+            .write.option("path", loc)
+            .mode("overwrite")
+            .saveAsTable(fq)
+        )
+    routes = _BUCKET_ROUTES.setdefault(spark, {})
+    routes[(os.path.abspath(sf_dir), name, f"agg:{proj}")] = fq
+    return fq
+
+
+def load_agg_projection(
+    spark: SparkSession, sf_dir: str, name: str, proj: str
+) -> DataFrame | None:
+    """The aggregate-projection state frame when this session routes
+    one (ensure_agg_projection), else None — callers fall back to the
+    raw table, so correctness never depends on the layout."""
+    import os
+
+    fq = _BUCKET_ROUTES.get(spark, {}).get(
+        (os.path.abspath(sf_dir), name, f"agg:{proj}")
+    )
+    return spark.table(fq) if fq is not None else None
+
+
 def load_clustered(
     spark: SparkSession, sf_dir: str, name: str, key: str
 ) -> DataFrame:

@@ -196,6 +196,10 @@ def _headliners():
         "x14_late_suppliers": ("x14_tpch_q21", None),
         "x16_product_profit": ("x16_tpch_q9", None),
         "x17_cdc_pipeline": ("x17_replication_pipeline", None),
+        # the LLM-pipeline capstone (VERDICT r9 #7): quality gate ->
+        # exact dedup -> prefix-sum shard packing -> manifest, digest-
+        # consumed (the manifest is one row per 2000-char shard)
+        "p1_corpus_build": ("x21_corpus_build", dig("n_docs")),
         "d1_dedup_docs": ("i1_exact_dedup", dig("n_copies")),
         "v1_cosine_topk": ("i4_topk_similar", dig("rk")),
     }
@@ -289,10 +293,20 @@ def main() -> None:
             spark, sf_dir, "orders", "o_custkey", buckets=64,
             warehouse=os.path.join(sf_dir, "_layout_wh"),
         )
+        # CH AGGREGATE-PROJECTION analog: pre-distinct (day, user)
+        # partials — e1/d3 then reads |days| x |users| rows instead of
+        # re-deduplicating the event stream per run
+        from mysql_to_clickhouse_spark.tables import ensure_agg_projection
+
+        ensure_agg_projection(
+            spark, sf_dir, "events", "day_user",
+            warehouse=os.path.join(sf_dir, "_layout_wh"),
+        )
         layout_s = time.time() - t0
         print(f"bucketed layout (lineitem+orders+events, 64 buckets, "
               f"lineitem partitioned by returnflag, orders@custkey "
-              f"projection) in {layout_s:.0f}s", flush=True)
+              f"projection, events@(day,user) aggregate projection) "
+              f"in {layout_s:.0f}s", flush=True)
 
     con = duckdb.connect()
     # Cap DuckDB so both engines fit the box TOGETHER at the 1e8 tier:
@@ -331,7 +345,8 @@ def main() -> None:
             return time.time() - t0, len(out)
 
         s_cold, s_rows = run_spark()
-        s_warm = statistics.median(run_spark()[0] for _ in range(RUNS))
+        s_times = sorted(run_spark()[0] for _ in range(RUNS))
+        s_warm = statistics.median(s_times)
         # inter-workload hygiene between headliners (the documented
         # long-lived-session discipline): drop probe build caches and
         # llmops persisted state so one query's pinned memory doesn't
@@ -361,11 +376,16 @@ def main() -> None:
             spark.stop()
             con.sql("SET memory_limit='100GB'")
         d_cold, d_rows = run_duck()
-        d_warm = statistics.median(run_duck()[0] for _ in range(RUNS))
-        results.append((headline, s_cold, s_warm, d_cold, d_warm))
+        d_times = sorted(run_duck()[0] for _ in range(RUNS))
+        d_warm = statistics.median(d_times)
+        results.append(
+            (headline, s_cold, s_warm, d_cold, d_warm, s_times, d_times)
+        )
         print(
-            f"{headline}: spark {s_warm:.2f}s (cold {s_cold:.2f}s, "
-            f"{s_rows} rows) | duckdb {d_warm:.2f}s (cold {d_cold:.2f}s, "
+            f"{headline}: spark {s_warm:.2f}s "
+            f"[{s_times[0]:.2f}..{s_times[-1]:.2f}] (cold {s_cold:.2f}s, "
+            f"{s_rows} rows) | duckdb {d_warm:.2f}s "
+            f"[{d_times[0]:.2f}..{d_times[-1]:.2f}] (cold {d_cold:.2f}s, "
             f"{d_rows} rows)",
             flush=True,
         )
@@ -404,14 +424,22 @@ def main() -> None:
         "temp and dies on disk — each engine gets the whole box for "
         "the quadratic protocol.",
         "",
+        "Warm columns show median [min..max] across the "
+        f"{RUNS} in-run warm repeats — join-heavy shapes swing "
+        "±15-40 % run-to-run at the 1e8 tier, so a ratio whose "
+        "spread brackets overlap is noise, not a regression; compare "
+        "medians within ONE run only.",
+        "",
         "| query | spark warm (s) | duckdb warm (s) | ratio | "
         "spark cold | duckdb cold |",
         "|---|---|---|---|---|---|",
     ]
-    for headline, s_cold, s_warm, d_cold, d_warm in results:
+    for headline, s_cold, s_warm, d_cold, d_warm, s_times, d_times in results:
         ratio = s_warm / d_warm if d_warm > 0 else float("inf")
         tier_lines.append(
-            f"| {headline} | {s_warm:.2f} | {d_warm:.2f} | "
+            f"| {headline} | {s_warm:.2f} [{s_times[0]:.2f}.."
+            f"{s_times[-1]:.2f}] | {d_warm:.2f} [{d_times[0]:.2f}.."
+            f"{d_times[-1]:.2f}] | "
             f"{ratio:.2f}x | {s_cold:.2f} | {d_cold:.2f} |"
         )
     s_tot = sum(r[2] for r in results)

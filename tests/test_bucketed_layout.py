@@ -173,3 +173,46 @@ def test_events_bucketed_by_user_id(spark):
                 )
     finally:
         release_bucketed(spark)
+
+
+def test_agg_projection_d3_parity_and_plan(spark, tmp_path):
+    """The events/day_user AGGREGATE projection: d3 answers from
+    pre-distinct (day, user) partials with IDENTICAL rows, and its plan
+    reads the tiny projection table instead of the event stream (no
+    events scan, no two-phase distinct expansion)."""
+    from mysql_to_clickhouse_spark.tables import (
+        ensure_agg_projection,
+        load_agg_projection,
+    )
+
+    qs = all_queries()
+    plain = sorted(map(tuple, qs["d3_count_distinct"].fn(spark, SF).collect()))
+    try:
+        fq = ensure_agg_projection(
+            spark, SF, "events", "day_user", warehouse=str(tmp_path / "wh")
+        )
+        state = load_agg_projection(spark, SF, "events", "day_user")
+        assert state is not None
+        # projection cardinality = |distinct (day, user) pairs|
+        assert state.count() < load(spark, SF, "events").count()
+        df = qs["d3_count_distinct"].fn(spark, SF)
+        got = sorted(map(tuple, df.collect()))
+        assert got == plain, "d3 diverged under the aggregate projection"
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert fq.split(".")[-1] in plan  # reads the projection table
+        assert "events.parquet" not in plan  # not the raw stream
+    finally:
+        release_bucketed(spark)
+    # route released -> raw path again
+    assert load_agg_projection(spark, SF, "events", "day_user") is None
+    back = sorted(
+        map(tuple, qs["d3_count_distinct"].fn(spark, SF).collect())
+    )
+    assert back == plain
+
+
+def test_agg_projection_unknown_spec_rejected(spark):
+    from mysql_to_clickhouse_spark.tables import ensure_agg_projection
+
+    with pytest.raises(KeyError):
+        ensure_agg_projection(spark, SF, "orders", "nope")
