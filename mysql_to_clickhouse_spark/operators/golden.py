@@ -346,13 +346,19 @@ def x7_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: orders whose total quantity exceeds 300. The
     classic formulation (IN-subquery + re-join lineitem) scans lineitem
     twice; this plan aggregates lineitem ONCE — (orderkey, qty) is all
-    that shuffles — carries total_qty out of that aggregate, and joins
-    the (rare) qualifying keys to orders then broadcast-customer. The
-    HAVING filter runs map-side-partial first, so the join probe side
-    is tiny at any scale — which makes ``big`` the canonical probe-gate
-    build side: one count (cached through to the broadcast) proves the
-    qualifying-order set small and the orders fact skips its shuffle
-    write entirely. Tie-break: o_orderkey."""
+    that shuffles — carries total_qty out of that aggregate, filters
+    HAVING map-side-partial first, and joins the qualifying keys to
+    orders. Under the bucketed layout the aggregate inherits
+    HashPartitioning(l_orderkey) straight off the lineitem scan and the
+    orders scan carries the matching partitioning, so that join is an
+    exchange-free shuffle-hash — no probe count job, and no per-run
+    broadcast rebuild of the full orders side (the r10 plan audit
+    caught exactly that: a 147 MiB orders BroadcastExchange rebuilt
+    every warm run). Decorate-last: c_name is functionally dependent on
+    o_custkey, so the ≤100 ORDER BY/LIMIT survivors broadcast INTO
+    customer instead of customer (2.5e6 rows at the 1e8 tier)
+    broadcasting into the stream — the same move that fixed x6.
+    Tie-break: o_orderkey."""
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
@@ -363,16 +369,29 @@ def x7_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sum on BOTH engines, not an order-dependent double accumulation
         .filter(F.col("total_qty") > 300.0)
     )
-    big = broadcast_when_small(big, orders, spark)
-    return (
+    if bucket_routed_key(spark, sf_dir, "lineitem") == "l_orderkey" and (
+        bucket_routed_key(spark, sf_dir, "orders") == "o_orderkey"
+    ):
+        big = big.hint("shuffle_hash")
+    else:
+        big = broadcast_when_small(big, orders, spark)
+    top = (
         big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+    return (
+        F.broadcast(top)
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .select(
             "c_name", "c_custkey", "o_orderkey", "o_orderdate",
             "o_totalprice", "total_qty",
         )
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-        .limit(100)
     )
 
 
