@@ -18,7 +18,11 @@ from mysql_to_clickhouse_spark.plans.dispatch import (
 )
 from mysql_to_clickhouse_spark.plans.prefix import running_sums
 from mysql_to_clickhouse_spark.registry import register
-from mysql_to_clickhouse_spark.tables import bucket_routed_key, load
+from mysql_to_clickhouse_spark.tables import (
+    bucket_routed_key,
+    load,
+    load_flat_lineitem,
+)
 
 # ---------------------------------------------------------------------------
 # x1_tpch_q6 — forecast revenue change (pure filter + global agg)
@@ -287,24 +291,40 @@ def x6_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     on co-bucketed scans (no exchange, no sort, no broadcast rebuild);
     otherwise the quarter-reduced orders side (~1/24th) goes through
     the probe gate as before. The returnflag filter prunes lineitem
-    partitions at the directory level under the layout. Tie-break:
-    c_custkey (== the group key)."""
+    partitions at the directory level under the layout. Under the flat
+    lineitem⨝orders MV (ensure_flat_lineitem — the CH insert-time
+    materialized-view analog), the fact join disappears entirely: the
+    quarter filter prunes to 3 of the o_month partition directories
+    (toYYYYMM-style) and the only per-run work is that pruned scan
+    plus the custkey aggregate. Tie-break: c_custkey (== the group
+    key)."""
     cust = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
-    orders = load(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
-    )
-    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    if bucket_routed_key(spark, sf_dir, "lineitem") == "l_orderkey" and (
-        bucket_routed_key(spark, sf_dir, "orders") == "o_orderkey"
-    ):
-        orders = orders.hint("shuffle_hash")
+    flat = load_flat_lineitem(spark, sf_dir)
+    if flat is not None:
+        joined = flat.filter(
+            F.col("o_month").between(199601, 199603)
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+            & (F.col("l_returnflag") == "R")
+        )
     else:
-        orders = broadcast_when_small(orders, li, spark)
+        orders = load(spark, sf_dir, "orders").filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        li = load(spark, sf_dir, "lineitem").filter(
+            F.col("l_returnflag") == "R"
+        )
+        if bucket_routed_key(spark, sf_dir, "lineitem") == "l_orderkey" and (
+            bucket_routed_key(spark, sf_dir, "orders") == "o_orderkey"
+        ):
+            orders = orders.hint("shuffle_hash")
+        else:
+            orders = broadcast_when_small(orders, li, spark)
+        joined = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
     top = (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("o_custkey")
+        joined.groupBy("o_custkey")
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
@@ -358,32 +378,54 @@ def x7_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_custkey, so the ≤100 ORDER BY/LIMIT survivors broadcast INTO
     customer instead of customer (2.5e6 rows at the 1e8 tier)
     broadcasting into the stream — the same move that fixed x6.
+    Under the flat lineitem⨝orders MV (ensure_flat_lineitem) even that
+    co-bucketed join disappears: the orders decorations are constant
+    within each l_orderkey group, so ONE exchange-free aggregate over
+    the MV yields total_qty AND the decoration columns (max() of a
+    per-group constant), leaving zero joins on the fact path.
     Tie-break: o_orderkey."""
-    li = load(spark, sf_dir, "lineitem")
-    orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(dsum("l_quantity").alias("total_qty"))
-        # boundary-safe: the threshold compares the bit-exact fixed-point
-        # sum on BOTH engines, not an order-dependent double accumulation
-        .filter(F.col("total_qty") > 300.0)
-    )
-    if bucket_routed_key(spark, sf_dir, "lineitem") == "l_orderkey" and (
-        bucket_routed_key(spark, sf_dir, "orders") == "o_orderkey"
-    ):
-        big = big.hint("shuffle_hash")
-    else:
-        big = broadcast_when_small(big, orders, spark)
-    top = (
-        big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .select(
-            "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
-            "total_qty",
+    flat = load_flat_lineitem(spark, sf_dir)
+    if flat is not None:
+        top = (
+            flat.groupBy("l_orderkey")
+            .agg(
+                dsum("l_quantity").alias("total_qty"),
+                F.max("o_custkey").alias("o_custkey"),
+                F.max("o_orderdate").alias("o_orderdate"),
+                F.max("o_totalprice").alias("o_totalprice"),
+            )
+            .filter(F.col("total_qty") > 300.0)
+            .withColumnRenamed("l_orderkey", "o_orderkey")
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+            .limit(100)
         )
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-        .limit(100)
-    )
+    else:
+        li = load(spark, sf_dir, "lineitem")
+        orders = load(spark, sf_dir, "orders")
+        big = (
+            li.groupBy("l_orderkey")
+            .agg(dsum("l_quantity").alias("total_qty"))
+            # boundary-safe: the threshold compares the bit-exact
+            # fixed-point sum on BOTH engines, not an order-dependent
+            # double accumulation
+            .filter(F.col("total_qty") > 300.0)
+        )
+        if bucket_routed_key(spark, sf_dir, "lineitem") == "l_orderkey" and (
+            bucket_routed_key(spark, sf_dir, "orders") == "o_orderkey"
+        ):
+            big = big.hint("shuffle_hash")
+        else:
+            big = broadcast_when_small(big, orders, spark)
+        top = (
+            big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+            .select(
+                "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+                "total_qty",
+            )
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+            .limit(100)
+        )
     return (
         F.broadcast(top)
         .join(cust, F.col("c_custkey") == F.col("o_custkey"))
@@ -794,25 +836,42 @@ def x14_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation produces."""
     sup = load(spark, sf_dir, "supplier")
     nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
-    orders = load(spark, sf_dir, "orders").filter(
-        F.col("o_orderstatus") == "F"
-    ).select("o_orderkey", "o_orderdate")
-    li = load(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_shipdate"
-    )
-    if bucket_routed_key(spark, sf_dir, "lineitem") == "l_orderkey" and (
-        bucket_routed_key(spark, sf_dir, "orders") == "o_orderkey"
-    ):
-        # co-bucketed layout: hash-join the status-F orders per bucket
-        # instead of sort-merging (which re-sorts the 1e8-row fact)
-        orders = orders.hint("shuffle_hash")
-    tagged = li.join(orders, F.col("o_orderkey") == F.col("l_orderkey")).select(
-        "l_orderkey",
-        "l_suppkey",
-        (
-            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-        ).alias("_late"),
-    )
+    flat = load_flat_lineitem(spark, sf_dir)
+    if flat is not None:
+        # flat MV: o_orderstatus/o_orderdate ride the fact row, so the
+        # orderkey join vanishes — one pruned-column scan feeds the
+        # (still exchange-free, still bucket-clustered) aggregates
+        tagged = flat.filter(F.col("o_orderstatus") == "F").select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).alias("_late"),
+        )
+    else:
+        orders = load(spark, sf_dir, "orders").filter(
+            F.col("o_orderstatus") == "F"
+        ).select("o_orderkey", "o_orderdate")
+        li = load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey", "l_shipdate"
+        )
+        if bucket_routed_key(spark, sf_dir, "lineitem") == "l_orderkey" and (
+            bucket_routed_key(spark, sf_dir, "orders") == "o_orderkey"
+        ):
+            # co-bucketed layout: hash-join the status-F orders per
+            # bucket instead of sort-merging (re-sorts the 1e8 fact)
+            orders = orders.hint("shuffle_hash")
+        tagged = li.join(
+            orders, F.col("o_orderkey") == F.col("l_orderkey")
+        ).select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).alias("_late"),
+        )
     # Two-stage aggregate instead of two COUNT(DISTINCT)s: Spark plans
     # multiple distinct aggregates via an Expand that triples the fact
     # rows through the exchange; grouping by (orderkey, suppkey) first
@@ -975,34 +1034,48 @@ def x16_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = load(spark, sf_dir, "nation")
-    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    li = load(spark, sf_dir, "lineitem")
     profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
         0.01
     ) * F.col("p_retailprice") * F.col("l_quantity")
 
-    def _li_red_rows_est() -> float:
-        n_sel = part_sel.count()  # dim-sized job: the stats lookup
-        n_all = max(parquet_rows_estimate(sf_dir, "part"), 1)
-        return parquet_rows_estimate(sf_dir, "lineitem") * (n_sel / n_all)
-
-    li_red = li.join(
-        F.broadcast(part_sel), F.col("p_partkey") == F.col("l_partkey")
-    )
-    if bucket_routed_key(spark, sf_dir, "lineitem") == "l_orderkey" and (
-        bucket_routed_key(spark, sf_dir, "orders") == "o_orderkey"
-    ):
-        # co-bucketed layout: shuffle-hash on the orderkey join — no
-        # exchange either side (the part broadcast preserves lineitem's
-        # bucket partitioning), no sort-merge re-sort of the fact
-        li_red = li_red.hint("shuffle_hash")
+    flat = load_flat_lineitem(spark, sf_dir)
+    if flat is not None:
+        # flat MV: o_orderdate rides the fact row — no orderkey join at
+        # all; the plan is one scan through two dim broadcasts into a
+        # |nations|x|years| aggregate
+        li_red = flat.join(
+            F.broadcast(part_sel), F.col("p_partkey") == F.col("l_partkey")
+        )
     else:
-        li_red = broadcast_when_small(
-            li_red, orders, spark, build_rows_estimate=_li_red_rows_est
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderdate"
+        )
+        li = load(spark, sf_dir, "lineitem")
+
+        def _li_red_rows_est() -> float:
+            n_sel = part_sel.count()  # dim-sized job: the stats lookup
+            n_all = max(parquet_rows_estimate(sf_dir, "part"), 1)
+            return parquet_rows_estimate(sf_dir, "lineitem") * (n_sel / n_all)
+
+        li_red = li.join(
+            F.broadcast(part_sel), F.col("p_partkey") == F.col("l_partkey")
+        )
+        if bucket_routed_key(spark, sf_dir, "lineitem") == "l_orderkey" and (
+            bucket_routed_key(spark, sf_dir, "orders") == "o_orderkey"
+        ):
+            # co-bucketed layout: shuffle-hash on the orderkey join — no
+            # exchange either side (the part broadcast preserves
+            # lineitem's bucket partitioning), no sort-merge re-sort
+            li_red = li_red.hint("shuffle_hash")
+        else:
+            li_red = broadcast_when_small(
+                li_red, orders, spark, build_rows_estimate=_li_red_rows_est
+            )
+        li_red = li_red.join(
+            orders, F.col("o_orderkey") == F.col("l_orderkey")
         )
     return (
         li_red
-        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(

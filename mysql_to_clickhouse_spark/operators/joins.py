@@ -25,7 +25,11 @@ from pyspark.sql import functions as F
 from mysql_to_clickhouse_spark.functions.numeric import dsum, epoch_us, o_dsum
 from mysql_to_clickhouse_spark.plans.dispatch import broadcast_when_small
 from mysql_to_clickhouse_spark.registry import register
-from mysql_to_clickhouse_spark.tables import bucket_routed_key, load
+from mysql_to_clickhouse_spark.tables import (
+    bucket_routed_key,
+    load,
+    load_flat_lineitem,
+)
 
 # ---------------------------------------------------------------------------
 # c1_inner_equi — orders ⋈ customer (row-level check)
@@ -415,18 +419,15 @@ def c10_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reduced orders side and broadcasts it if genuinely small, so
     lineitem never shuffle-writes (1e8-tier numbers in
     docs/BENCH_SCALE.md); at sf0.1 the gate keeps the plan
-    byte-identical."""
+    byte-identical. Under the flat lineitem⨝orders MV
+    (tables.ensure_flat_lineitem) the fact join disappears: the date
+    window prunes o_month directories and o_custkey rides the fact
+    row, leaving only dim broadcasts before the final aggregate."""
     region = load(spark, sf_dir, "region")
     nation = load(spark, sf_dir, "nation")
     cust = load(spark, sf_dir, "customer")
-    orders = load(spark, sf_dir, "orders")
-    li = load(spark, sf_dir, "lineitem")
     supp = load(spark, sf_dir, "supplier")
 
-    orders_f = orders.filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
-    )
     dims = (
         cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(
@@ -435,23 +436,56 @@ def c10_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("c_custkey", "c_nationkey", "n_name")
     )
-    small_orders = (
-        orders_f.join(F.broadcast(dims), orders_f.o_custkey == dims.c_custkey)
-        .select("o_orderkey", "c_nationkey", "n_name")
-    )
-    if bucket_routed_key(spark, sf_dir, "lineitem") == "l_orderkey" and (
-        bucket_routed_key(spark, sf_dir, "orders") == "o_orderkey"
-    ):
-        # co-bucketed layout: per-bucket hash join beats broadcasting a
-        # millions-row reduced-orders build per run (the q3/x6 lesson)
-        small_orders = small_orders.hint("shuffle_hash")
+    flat = load_flat_lineitem(spark, sf_dir)
+    if flat is not None:
+        # flat lineitem⨝orders MV: the date window prunes o_month
+        # directories (24 of ~72) and o_custkey rides the fact row, so
+        # the only joins left are the dim broadcasts — zero fact-side
+        # exchanges before the |nations|-sized aggregate
+        fact = flat.filter(
+            F.col("o_month").between(199601, 199712)
+            & (
+                F.col("o_orderdate")
+                >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+            )
+            & (
+                F.col("o_orderdate")
+                < F.lit("1998-01-01 00:00:00").cast("timestamp")
+            )
+        ).join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
     else:
-        small_orders = broadcast_when_small(small_orders, li, spark)
+        orders = load(spark, sf_dir, "orders")
+        li = load(spark, sf_dir, "lineitem")
+        orders_f = orders.filter(
+            (
+                F.col("o_orderdate")
+                >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+            )
+            & (
+                F.col("o_orderdate")
+                < F.lit("1998-01-01 00:00:00").cast("timestamp")
+            )
+        )
+        small_orders = (
+            orders_f.join(
+                F.broadcast(dims), orders_f.o_custkey == dims.c_custkey
+            )
+            .select("o_orderkey", "c_nationkey", "n_name")
+        )
+        if bucket_routed_key(spark, sf_dir, "lineitem") == "l_orderkey" and (
+            bucket_routed_key(spark, sf_dir, "orders") == "o_orderkey"
+        ):
+            # co-bucketed layout: per-bucket hash join beats broadcasting
+            # a millions-row reduced-orders build per run (the q3/x6
+            # lesson)
+            small_orders = small_orders.hint("shuffle_hash")
+        else:
+            small_orders = broadcast_when_small(small_orders, li, spark)
+        fact = li.join(small_orders, li.l_orderkey == small_orders.o_orderkey)
     return (
-        li.join(small_orders, li.l_orderkey == small_orders.o_orderkey)
-        .join(
+        fact.join(
             F.broadcast(supp),
-            (li.l_suppkey == supp.s_suppkey)
+            (F.col("l_suppkey") == supp.s_suppkey)
             & (supp.s_nationkey == F.col("c_nationkey")),
         )
         .groupBy("n_name")

@@ -325,6 +325,108 @@ def load_agg_projection(
     return spark.table(fq) if fq is not None else None
 
 
+def ensure_flat_lineitem(
+    spark: SparkSession,
+    sf_dir: str,
+    buckets: int = 64,
+    warehouse: str | None = None,
+) -> str:
+    """A ClickHouse MATERIALIZED-VIEW analog: the denormalized flat
+    fact CH replication users build at insert time (the canonical
+    "flatten the star on ingest" pattern — an MV over the lineitem
+    stream joining the orders dimension, landing in its own MergeTree
+    PARTITION BY toYYYYMM(o_orderdate) ORDER BY l_orderkey).
+
+    Concretely: lineitem decorated with the four orders columns the
+    headline analytics actually read (``o_orderdate``,
+    ``o_orderstatus``, ``o_custkey``, ``o_totalprice``), partitioned
+    by ``o_month``
+    (yyyymm int — CH's toYYYYMM) for directory-level date pruning, and
+    bucketed+sorted on ``l_orderkey`` so per-order groupBys stay
+    exchange-free. Row set == lineitem ⨝ orders (inner), which is
+    byte-identical input for every consumer that inner-joined the two
+    anyway (x6/x7/x14/x16/c10) — those queries then run with ZERO
+    fact-side joins: the date window prunes month directories, and the
+    only per-run work is one pruned scan plus a small aggregate.
+
+    Opt-in and session-routed exactly like ensure_bucketed: the
+    verification driver never builds one, so oracle drives always take
+    the base join plans; parity between the two worlds is pinned by
+    tests/test_bucketed_layout.py. The ingest join is the MV's insert
+    cost — paid once, amortized across every query, reported in the
+    bench artifact's layout line."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    wh = warehouse or os.path.join(tempfile.gettempdir(), "m2c_layout_wh")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS m2c_layout LOCATION '{wh}'")
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{buckets}|flat:lineitem".encode()
+    ).hexdigest()[:8]
+    fq = f"m2c_layout.lineitem_flat_{tag}"
+    loc = f"{wh}/lineitem_flat_{tag}"
+    if not (spark.catalog.tableExists(fq) and os.path.isdir(loc)):
+        spark.sql(f"DROP TABLE IF EXISTS {fq}")
+        shutil.rmtree(loc, ignore_errors=True)
+        li = load(spark, sf_dir, "lineitem")
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderdate",
+            "o_orderstatus",
+            "o_custkey",
+            "o_totalprice",
+        )
+        flat = (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .drop("o_orderkey")
+            .withColumn(
+                "o_month",
+                (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast(
+                    "int"
+                ),
+            )
+        )
+        (
+            flat.repartition(buckets, "l_orderkey")
+            .write.partitionBy("o_month")
+            .bucketBy(buckets, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", loc)
+            .mode("overwrite")
+            .saveAsTable(fq)
+        )
+    routes = _BUCKET_ROUTES.setdefault(spark, {})
+    routes[(os.path.abspath(sf_dir), "lineitem", "flat")] = fq
+    return fq
+
+
+def load_flat_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame | None:
+    """The flat lineitem⨝orders MV when this session routes one
+    (ensure_flat_lineitem), else None — callers fall back to the base
+    join plan, so correctness never depends on the layout. Consumers
+    filtering on o_orderdate should ALSO filter o_month (the derived
+    partition column) to get directory pruning — same contract as a CH
+    toYYYYMM partition key."""
+    import os
+
+    fq = _BUCKET_ROUTES.get(spark, {}).get(
+        (os.path.abspath(sf_dir), "lineitem", "flat")
+    )
+    if fq is None:
+        return None
+    per_session = _LOAD_CACHE.setdefault(spark, {})
+    cache_key = (sf_dir, "lineitem", "flat", fq)
+    cached = per_session.get(cache_key)
+    if cached is None:
+        cached = spark.table(fq)
+        per_session[cache_key] = cached
+    return cached
+
+
 def load_clustered(
     spark: SparkSession, sf_dir: str, name: str, key: str
 ) -> DataFrame:

@@ -302,10 +302,20 @@ def main() -> None:
             spark, sf_dir, "events", "day_user",
             warehouse=os.path.join(sf_dir, "_layout_wh"),
         )
+        # CH MATERIALIZED-VIEW analog: the denormalized flat fact
+        # (lineitem decorated with orders cols, PARTITION BY toYYYYMM)
+        # — x6/x7/x14/x16/q5 then run with zero fact-side joins
+        from mysql_to_clickhouse_spark.tables import ensure_flat_lineitem
+
+        ensure_flat_lineitem(
+            spark, sf_dir, buckets=64,
+            warehouse=os.path.join(sf_dir, "_layout_wh"),
+        )
         layout_s = time.time() - t0
         print(f"bucketed layout (lineitem+orders+events, 64 buckets, "
               f"lineitem partitioned by returnflag, orders@custkey "
-              f"projection, events@(day,user) aggregate projection) "
+              f"projection, events@(day,user) aggregate projection, "
+              f"flat lineitem(x)orders MV by o_month) "
               f"in {layout_s:.0f}s", flush=True)
 
     con = duckdb.connect()

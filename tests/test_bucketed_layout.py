@@ -216,3 +216,79 @@ def test_agg_projection_unknown_spec_rejected(spark):
 
     with pytest.raises(KeyError):
         ensure_agg_projection(spark, SF, "orders", "nope")
+
+
+FLAT_QIDS = [
+    "c10_star_multiway",
+    "x6_tpch_q10",
+    "x7_tpch_q18",
+    "x14_tpch_q21",
+    "x16_tpch_q9",
+]
+
+
+def test_flat_lineitem_mv_parity_and_plan(spark, tmp_path):
+    """The flat lineitem⨝orders MV (CH materialized-view analog): every
+    consumer returns IDENTICAL rows with or without the MV routed; with
+    it routed the plan reads the MV table instead of base lineitem AND
+    base orders (the fact join is gone), x6/c10 carry o_month partition
+    filters (directory pruning), and x7/x14's per-order aggregates stay
+    exchange-free on the MV's l_orderkey buckets."""
+    from mysql_to_clickhouse_spark.tables import (
+        ensure_flat_lineitem,
+        load_flat_lineitem,
+    )
+
+    qs = all_queries()
+    plain = {
+        qid: sorted(map(tuple, qs[qid].fn(spark, SF).collect()))
+        for qid in FLAT_QIDS
+    }
+    assert load_flat_lineitem(spark, SF) is None
+    try:
+        fq = ensure_flat_lineitem(
+            spark, SF, buckets=8, warehouse=str(tmp_path / "wh")
+        )
+        flat = load_flat_lineitem(spark, SF)
+        assert flat is not None
+        # the MV row set IS lineitem ⨝ orders (inner)
+        assert flat.count() == load(spark, SF, "lineitem").count()
+        for qid in FLAT_QIDS:
+            df = qs[qid].fn(spark, SF)
+            got = sorted(map(tuple, df.collect()))
+            assert got == plain[qid], f"{qid} diverged under the flat MV"
+            analyzed = df._jdf.queryExecution().analyzed().toString()
+            assert fq.split(".")[-1] in analyzed, f"{qid} skipped the MV"
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "lineitem.parquet" not in plan, (
+                f"{qid} still scans base lineitem alongside the MV"
+            )
+            assert "orders.parquet" not in plan, (
+                f"{qid} still joins base orders — the MV's whole point "
+                f"is removing that join"
+            )
+        # directory pruning: the quarter filter reaches PartitionFilters
+        x6_plan = (
+            qs["x6_tpch_q10"].fn(spark, SF)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "o_month" in x6_plan.split("PartitionFilters")[1][:200], (
+            f"x6's o_month range did not prune partitions:\n{x6_plan}"
+        )
+        # exchange-free per-order aggregates on the MV buckets
+        for qid in ("x7_tpch_q18", "x14_tpch_q21"):
+            plan = (
+                qs[qid].fn(spark, SF)
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "Exchange hashpartitioning(l_orderkey" not in plan, (
+                f"{qid} shuffles on l_orderkey despite the MV buckets:"
+                f"\n{plan}"
+            )
+    finally:
+        release_bucketed(spark)
+    assert load_flat_lineitem(spark, SF) is None
+    back = sorted(
+        map(tuple, qs["x6_tpch_q10"].fn(spark, SF).collect())
+    )
+    assert back == plain["x6_tpch_q10"]
