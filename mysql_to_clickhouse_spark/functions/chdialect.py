@@ -465,6 +465,54 @@ _SCALAR_UDFS: dict[str, tuple[str, str, str]] = {
         "aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D, "
         "(acc, v) -> acc + v)",
     ),
+    # vector-search distance family (tranche 5): pure fold/zip_with
+    # expressions, JVM-side, same kernels i3/i4 build on
+    "dotProduct": (
+        "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)",
+        "DOUBLE",
+        "aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D, "
+        "(acc, v) -> acc + v)",
+    ),
+    "L1Norm": (
+        "(a ARRAY<DOUBLE>)",
+        "DOUBLE",
+        "aggregate(a, 0.0D, (acc, x) -> acc + abs(x))",
+    ),
+    "L2Norm": (
+        "(a ARRAY<DOUBLE>)",
+        "DOUBLE",
+        "sqrt(aggregate(a, 0.0D, (acc, x) -> acc + x * x))",
+    ),
+    "LinfNorm": (
+        "(a ARRAY<DOUBLE>)",
+        "DOUBLE",
+        "array_max(transform(a, x -> abs(x)))",
+    ),
+    "L1Distance": (
+        "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)",
+        "DOUBLE",
+        "aggregate(zip_with(a, b, (x, y) -> abs(x - y)), 0.0D, "
+        "(acc, v) -> acc + v)",
+    ),
+    "L2Distance": (
+        "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)",
+        "DOUBLE",
+        "sqrt(aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), "
+        "0.0D, (acc, v) -> acc + v))",
+    ),
+    "LinfDistance": (
+        "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)",
+        "DOUBLE",
+        "array_max(zip_with(a, b, (x, y) -> abs(x - y)))",
+    ),
+    "cosineDistance": (
+        "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)",
+        "DOUBLE",
+        "1.0D - aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D, "
+        "(acc, v) -> acc + v) / "
+        "(sqrt(aggregate(a, 0.0D, (acc, x) -> acc + x * x)) * "
+        "sqrt(aggregate(b, 0.0D, (acc, x) -> acc + x * x)))",
+    ),
     "arrayJaccardIndex": (
         "(a ARRAY<BIGINT>, b ARRAY<BIGINT>)",
         "DOUBLE",
@@ -672,10 +720,21 @@ _TRANSLATED = (
     | set(_QUANTILES)
     | set(_HIGHER_ORDER)
     | {
+        "count",
         "countIf",
         "uniqExact",
         "uniqExactIf",
         "multiIf",
+        "sumMap",
+        "minMap",
+        "maxMap",
+        "boundingRatio",
+        "entropy",
+        "age",
+        "deltaSum",
+        "exponentialMovingAverage",
+        "largestTriangleThreeBuckets",
+        "intervalLengthSum",
         "splitByChar",
         "splitByString",
         "arrayCount",
@@ -871,6 +930,13 @@ def _parse_group(sql: str, i: int) -> tuple[list[str], int]:
 
 def _rewrite_call(word: str, args: list[str], params: list[str] | None) -> str:
     args = [_translate_functions(a) for a in args]
+    if word == "count":
+        # CH's bare row count: count() -> count(*) (Spark rejects the
+        # zero-arg form without a legacy conf); count(x) and
+        # count(DISTINCT x) pass through with translated arguments
+        if not any(a.strip() for a in args):
+            return "count(*)"
+        return f"count({', '.join(args)})"
     if word in _RENAMES:
         return f"{_RENAMES[word]}({', '.join(args)})"
     if word in _IF_COMBINATORS:
@@ -911,6 +977,99 @@ def _rewrite_call(word: str, args: list[str], params: list[str] | None) -> str:
         if len(args) != 1:
             raise ValueError(f"arrayUniq expects 1 array, got {len(args)}")
         return f"size(array_distinct({args[0]}))"
+    if word in ("sumMap", "minMap", "maxMap"):
+        # CH Map-family aggregate over (keys[], values[]) rows: merge
+        # by key across the group, keys sorted, null keys dropped (a
+        # Spark map cannot hold one; CH arrays are non-nullable). The
+        # rewrite is a pure aggregate EXPRESSION (collect the pairs,
+        # fold per distinct key) — quadratic in |distinct keys| ×
+        # |pairs| per group, right for monitoring-cardinality maps;
+        # for large maps use the d19 two-aggregate plan instead.
+        if len(args) != 2:
+            raise ValueError(f"{word} expects (keys, values), got {len(args)}")
+        k, v = args
+        pairs = (
+            f"flatten(collect_list(zip_with(({k}), ({v}), "
+            f"(mk, mv) -> struct(mk, mv))))"
+        )
+        sel = f"filter({pairs}, e -> e.mk <=> kk)"
+        if word == "sumMap":
+            val = (
+                f"aggregate(transform({sel}, e -> CAST(e.mv AS DOUBLE)), "
+                f"0.0D, (acc, x) -> acc + x)"
+            )
+        elif word == "minMap":
+            val = f"array_min(transform({sel}, e -> e.mv))"
+        else:
+            val = f"array_max(transform({sel}, e -> e.mv))"
+        return (
+            f"map_from_entries(transform(filter(array_sort(array_distinct("
+            f"flatten(collect_list(({k}))))), kk -> kk IS NOT NULL), "
+            f"kk -> struct(kk, {val})))"
+        )
+    if word == "boundingRatio":
+        # slope between the points at min(x) and max(x) — the same
+        # tie-arbitrariness as CH's (max_by picks one row per extreme)
+        if len(args) != 2:
+            raise ValueError(f"boundingRatio expects (x, y), got {len(args)}")
+        x, y = args
+        return (
+            f"((max_by(({y}), ({x})) - min_by(({y}), ({x}))) / "
+            f"(CAST(max(({x})) AS DOUBLE) - min(({x}))))"
+        )
+    if word == "entropy":
+        # Shannon entropy of the value distribution (log2, CH's base).
+        # Aggregate expression over the collected group — quadratic in
+        # |distinct| × |rows| per group; bounded-cardinality columns.
+        if len(args) != 1:
+            raise ValueError(f"entropy expects 1 column, got {len(args)}")
+        x = args[0]
+        lst = f"collect_list(({x}))"
+        return (
+            f"aggregate(transform(array_distinct({lst}), "
+            f"v -> size(filter({lst}, e -> e <=> v)) / "
+            f"CAST(size({lst}) AS DOUBLE)), "
+            f"0.0D, (acc, p) -> acc - p * log2(p))"
+        )
+    if word == "age":
+        # CH age(unit, start, end): COMPLETE elapsed units, truncated
+        # toward zero (signed). Sub-day units are exact epoch math;
+        # month-family units ride months_between's calendar handling.
+        if len(args) != 3:
+            raise ValueError("age expects ('unit', start, end)")
+        unit = args[0].strip().strip("'\"").lower()
+        a, b = args[1], args[2]
+        us = {
+            "second": 1_000_000,
+            "minute": 60_000_000,
+            "hour": 3_600_000_000,
+            "day": 86_400_000_000,
+            "week": 604_800_000_000,
+        }
+        if unit in us:
+            diff = f"(unix_micros(({b})) - unix_micros(({a})))"
+            return f"CAST(({diff}) DIV {us[unit]} AS BIGINT)"
+        if unit in ("month", "quarter", "year"):
+            m = f"months_between(({b}), ({a}))"
+            div = {"month": 1, "quarter": 3, "year": 12}[unit]
+            # truncate toward zero: months_between is signed-fractional
+            return (
+                f"CAST(CASE WHEN ({m}) >= 0 THEN floor(({m}) / {div}) "
+                f"ELSE -floor(-({m}) / {div}) END AS BIGINT)"
+            )
+        raise ValueError(
+            f"age: unsupported unit {unit!r} (second/minute/hour/day/"
+            f"week/month/quarter/year)"
+        )
+    if word in ("deltaSum", "exponentialMovingAverage",
+                "largestTriangleThreeBuckets", "intervalLengthSum"):
+        raise ValueError(
+            f"{word} is order-dependent in ClickHouse (block order, "
+            f"nondeterministic under distribution) and is not silently "
+            f"translated — use the explicit-order operators instead: "
+            f"e10_nonneg_derivative (deltaSum), e4_moving_avg "
+            f"(exponentialMovingAverage), h-family event-time windows"
+        )
     if word in ("splitByChar", "splitByString"):
         # ALSO registered as SQL UDFs, but Spark rejects SQL-UDF calls
         # under a Generate (UNSUPPORTED_SQL_UDF_USAGE), which is exactly
@@ -1485,6 +1644,80 @@ def _rewrite_limit_by(sql: str) -> str:
             out += f" LIMIT {final_limit}"
         return out + tail_after
     return sql
+
+
+def _rewrite_with_totals(sql: str) -> str:
+    """CH ``GROUP BY k1, k2 WITH TOTALS`` — the per-group rows plus one
+    extra row aggregating ALL rows — rewritten onto standard grouping
+    sets: ``GROUP BY GROUPING SETS ((k1, k2), ())``. Spark and every
+    ANSI engine emit the totals row with NULL group keys; ClickHouse
+    renders them as the column type's default (0, '') instead — a
+    representation difference on the KEY columns only (the aggregate
+    values are identical), documented in CH_FUNCTION_DOC. Applies at
+    any subquery depth (the rewrite is local to its GROUP BY clause).
+
+    ``WITH TOTALS HAVING ...`` raises: CH's totals row under HAVING
+    depends on the ``totals_mode`` setting (before_having vs the
+    after_having_* family), so a silent pick could diverge — restate
+    with an explicit grouping-sets query instead. ``WITH ROLLUP`` /
+    ``WITH CUBE`` pass through untouched (Spark SQL accepts the same
+    syntax natively)."""
+    while True:
+        words = list(_scan_words(sql))
+        hit = None
+        for idx, (w, s, e, d) in enumerate(words):
+            if w.upper() != "GROUP":
+                continue
+            if idx + 1 >= len(words) or words[idx + 1][0].upper() != "BY":
+                continue
+            by_end = words[idx + 1][2]
+            # walk the clause at this depth looking for WITH TOTALS
+            k = idx + 2
+            while k < len(words):
+                w2, s2, e2, d2 = words[k]
+                if d2 < d:
+                    break  # left the enclosing (sub)query
+                if d2 == d and w2.upper() in _CLAUSE_ENDERS:
+                    break
+                if (
+                    d2 == d
+                    and w2.upper() == "WITH"
+                    and k + 1 < len(words)
+                    and words[k + 1][3] == d
+                    and words[k + 1][0].upper() == "TOTALS"
+                ):
+                    hit = (by_end, s2, words[k + 1][2], d)
+                    break
+                k += 1
+            if hit:
+                break
+        if hit is None:
+            return sql
+        by_end, w_start, t_end, depth = hit
+        keys = sql[by_end:w_start].strip().rstrip(",").strip()
+        if not keys:
+            raise ValueError(
+                "WITH TOTALS requires at least one GROUP BY key"
+            )
+        # HAVING after TOTALS at the same depth -> totals_mode ambiguity
+        rest = sql[t_end:]
+        for w3, _s3, _e3, d3 in _scan_words(rest):
+            if d3 < 0:
+                break
+            if d3 == 0 and w3.upper() in _CLAUSE_ENDERS:
+                if w3.upper() == "HAVING":
+                    raise ValueError(
+                        "WITH TOTALS ... HAVING is not translated: the "
+                        "CH totals row depends on totals_mode "
+                        "(before_having vs after_having_*); restate "
+                        "with explicit GROUPING SETS"
+                    )
+                break
+        sql = (
+            sql[:by_end]
+            + f" GROUPING SETS (({keys}), ())"
+            + sql[t_end:]
+        )
 
 
 def _split_order_items(order_txt: str) -> list[str]:
@@ -2303,7 +2536,8 @@ def translate_ch_sql(sql: str) -> str:
     """Full CH-dialect translation pipeline: trailing SETTINGS/FORMAT
     strip (position-checked), GLOBAL/ALL join-modifier strip,
     LEFT/INNER ANY JOIN → deterministic build-side collapse,
-    LIMIT n BY → ranked-window rewrite, SAMPLE → hash-band filter,
+    LIMIT n BY → ranked-window rewrite, WITH TOTALS → grouping sets,
+    SAMPLE → hash-band filter,
     PREWHERE → WHERE merge, FROM <t> FINAL → latest-per-key collapse,
     then the function-call pass (renames, -If combinators, parametric
     quantiles, casts, [..] array literals). Pure text-to-text;
@@ -2315,6 +2549,7 @@ def translate_ch_sql(sql: str) -> str:
     sql = _rewrite_any_join(sql)
     sql = _rewrite_array_join(sql)
     sql = _rewrite_limit_by(sql)
+    sql = _rewrite_with_totals(sql)
     sql = _rewrite_sample(sql)
     return _translate_functions(_rewrite_final(_rewrite_prewhere(sql)))
 
@@ -2357,6 +2592,23 @@ CH_FUNCTION_DOC: list[tuple[str, str, str]] = (
        for n in _HIGHER_ORDER]
     + [
         ("countIf", "rename / combinator", "d5 cond-agg"),
+        ("count", "count() -> count(*) (parameterless row count)",
+         "d1/d2 agg"),
+        ("sumMap", "-> map_from_entries per-key fold over collected "
+         "(k,v) pairs", "d19 summap"),
+        ("minMap", "-> per-key array_min fold (sumMap family)", "d19"),
+        ("maxMap", "-> per-key array_max fold (sumMap family)", "d19"),
+        ("boundingRatio", "-> (max_by(y,x)-min_by(y,x)) / "
+         "(max(x)-min(x))", "d6 argmax"),
+        ("entropy", "-> log2 Shannon fold over collected distribution",
+         "d12 stats"),
+        ("age", "-> complete-units date diff (epoch math / "
+         "months_between)", "g6 date-arith"),
+        ("deltaSum", "RAISES: order-dependent; use e10", "e10"),
+        ("exponentialMovingAverage", "RAISES: order-dependent; use e4",
+         "e4"),
+        ("largestTriangleThreeBuckets", "RAISES: order-dependent", "—"),
+        ("intervalLengthSum", "RAISES: order-dependent", "—"),
         ("uniqExact", "-> count(DISTINCT ...)", "d3 count-distinct"),
         ("uniqExactIf", "-> count(DISTINCT CASE WHEN ...)", "d3/d5"),
         ("arrayCount", "-> size(filter(arr, lambda))", "g13 higher-order"),
@@ -2409,6 +2661,14 @@ CH_FUNCTION_DOC: list[tuple[str, str, str]] = (
             "deterministic md5 hash-band filter on the registered "
             "sample key",
             "a32 sample",
+        ),
+        (
+            "WITH TOTALS",
+            "statement: GROUP BY ... WITH TOTALS -> GROUPING SETS "
+            "((keys), ()); totals-row keys are NULL (ANSI) where CH "
+            "renders type defaults; TOTALS+HAVING raises (totals_mode "
+            "ambiguity)",
+            "d10 cube/sets / s20",
         ),
         (
             "ANY",

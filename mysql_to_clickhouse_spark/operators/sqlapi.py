@@ -1330,3 +1330,147 @@ def s19_ch_dialect_tranche4(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the same single aggregate — d1's shape."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return ch_sql(spark, _S19_CH_SQL)
+
+
+_S20_CH_SQL = """
+SELECT coalesce(event_type, '<TOTAL>') AS etype, n, uniq_users, val_fp
+FROM (
+  SELECT event_type,
+         count() AS n,
+         uniqExact(user_id) AS uniq_users,
+         toInt64(sum(floor(value * 10000))) AS val_fp
+  FROM events PREWHERE value > 50
+  GROUP BY event_type WITH TOTALS
+)
+ORDER BY etype
+"""
+
+_S20_ORACLE = """
+SELECT COALESCE(event_type, '<TOTAL>') AS etype,
+       COUNT(*) AS n,
+       COUNT(DISTINCT user_id) AS uniq_users,
+       CAST(SUM(FLOOR(value * 10000)) AS BIGINT) AS val_fp
+FROM events
+WHERE value > 50
+GROUP BY GROUPING SETS ((event_type), ())
+ORDER BY etype
+"""
+
+
+@register("s20_ch_with_totals", oracle=_S20_ORACLE, tier="T3")
+def s20_ch_with_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``GROUP BY ... WITH TOTALS`` as STATEMENT TEXT, composed with
+    PREWHERE and taken from SUBQUERY depth (the rewrite is local to its
+    clause, so nesting works): translated onto GROUPING SETS
+    ((keys), ()) — the per-group rows plus the all-rows totals row.
+    The outer coalesce shows the portability seam explicitly: ANSI
+    grouping sets emit NULL totals keys where CH renders the column
+    type's default; aggregate VALUES are identical. TOTALS+HAVING
+    raises by contract (CH totals_mode ambiguity) — pinned in
+    tests/test_chdialect.py.
+
+    Scale: one hash aggregate with a 2-set Expand over the filtered
+    scan — the same physical shape as d10_cube_sets; no joins, no
+    windows."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return ch_sql(spark, _S20_CH_SQL)
+
+
+_S21_CH_SQL = """
+SELECT event_type,
+  arrayStringConcat(arrayMap(e -> concat(toString(e.key), ':',
+      toString(toInt64(e.value))),
+    map_entries(sumMap(array(user_id % 4), array(toInt64(1))))), ',')
+    AS smap,
+  toInt64(floor(entropy(user_id % 8) * 10000)) AS ent_fp,
+  toInt64(floor(boundingRatio(toFloat64(event_id), floor(value * 100))
+      * 1000)) AS br_fp,
+  age('day', min(CAST(ts AS TIMESTAMP)), max(CAST(ts AS TIMESTAMP)))
+    AS span_days,
+  age('hour', min(CAST(ts AS TIMESTAMP)), max(CAST(ts AS TIMESTAMP)))
+    AS span_hours,
+  toInt64(sum(toInt64(floor(L2Distance(
+      array(toFloat64(user_id % 9), toFloat64(event_id % 4)),
+      array(toFloat64(1), toFloat64(5))) * 1000)))) AS l2_fp,
+  toInt64(sum(toInt64(floor(cosineDistance(
+      array(toFloat64(user_id % 9 + 1), toFloat64(event_id % 4 + 1)),
+      array(toFloat64(2), toFloat64(3))) * 1000000)))) AS cosd_fp
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+# DuckDB restatement: per-key counts as the sorted k:v string (the d19
+# canonical-map idiom), native entropy() (log2 in both engines — the
+# floor(x*1e4) grid absorbs cross-libm ulps at fixture scale),
+# arg_max/arg_min for boundingRatio, complete-unit epoch math for age,
+# and the SAME correctly-rounded IEEE sequence (exact integer inputs →
+# sqrt → multiply/divide) for the distance columns.
+_S21_ORACLE = """
+WITH base AS (
+  SELECT event_type, event_id, user_id, value,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS t_us
+  FROM events
+),
+smap AS (
+  SELECT event_type,
+         string_agg(CAST(k AS VARCHAR) || ':' || CAST(cnt AS VARCHAR),
+                    ',' ORDER BY k) AS smap
+  FROM (SELECT event_type, user_id % 4 AS k, COUNT(*) AS cnt
+        FROM base GROUP BY 1, 2) kv
+  GROUP BY event_type
+),
+agg AS (
+  SELECT event_type,
+    CAST(FLOOR(entropy(user_id % 8) * 10000) AS BIGINT) AS ent_fp,
+    CAST(FLOOR((arg_max(FLOOR(value * 100), CAST(event_id AS DOUBLE))
+        - arg_min(FLOOR(value * 100), CAST(event_id AS DOUBLE)))
+        / (CAST(MAX(CAST(event_id AS DOUBLE)) AS DOUBLE)
+           - MIN(CAST(event_id AS DOUBLE))) * 1000) AS BIGINT) AS br_fp,
+    CAST((MAX(t_us) - MIN(t_us)) // 86400000000 AS BIGINT) AS span_days,
+    CAST((MAX(t_us) - MIN(t_us)) // 3600000000 AS BIGINT) AS span_hours,
+    CAST(SUM(CAST(FLOOR(sqrt(
+        (CAST(user_id % 9 AS DOUBLE) - 1) * (CAST(user_id % 9 AS DOUBLE) - 1)
+      + (CAST(event_id % 4 AS DOUBLE) - 5) * (CAST(event_id % 4 AS DOUBLE) - 5)
+      ) * 1000) AS BIGINT)) AS BIGINT) AS l2_fp,
+    CAST(SUM(CAST(FLOOR((1.0 -
+        (CAST(user_id % 9 + 1 AS DOUBLE) * 2
+         + CAST(event_id % 4 + 1 AS DOUBLE) * 3)
+        / (sqrt(CAST(user_id % 9 + 1 AS DOUBLE) * CAST(user_id % 9 + 1 AS DOUBLE)
+                + CAST(event_id % 4 + 1 AS DOUBLE) * CAST(event_id % 4 + 1 AS DOUBLE))
+           * sqrt(2.0 * 2.0 + 3.0 * 3.0))) * 1000000) AS BIGINT)) AS BIGINT)
+      AS cosd_fp
+  FROM base
+  GROUP BY event_type
+)
+SELECT agg.event_type, smap.smap, ent_fp, br_fp, span_days, span_hours,
+       l2_fp, cosd_fp
+FROM agg JOIN smap ON agg.event_type = smap.event_type
+ORDER BY agg.event_type
+"""
+
+
+@register("s21_ch_dialect_tranche5", oracle=_S21_ORACLE, tier="T3")
+def s21_ch_dialect_tranche5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tranche-5 CH-dialect surface in one statement: ``sumMap`` (the
+    Map-combinator family, surfaced as the canonical sorted k:v string
+    so the hash covers keys AND values), ``entropy`` (log2 Shannon fold
+    — DuckDB's native entropy() is the oracle), ``boundingRatio``
+    (max_by/min_by slope), ``age`` in complete units (epoch math), and
+    the vector-distance family ``L2Distance``/``cosineDistance`` on
+    integer-valued double arrays (exact inputs → correctly-rounded
+    IEEE sqrt/divide — bit-identical across engines, the s19
+    arrayDotProduct precedent). minMap/maxMap and the remaining norms
+    are pinned against explode-reference plans in tests/test_chdialect.
+
+    deltaSum / exponentialMovingAverage / largestTriangleThreeBuckets /
+    intervalLengthSum RAISE by contract: they are block-order-dependent
+    in CH itself, so a silent translation could not be
+    order-deterministic — the error names the explicit-order operators
+    (e10/e4/h-family) instead.
+
+    Scale: one hash aggregate; the sumMap/entropy folds carry
+    bounded-cardinality per-group state (4 and 8 distinct values here);
+    the distance columns are map-side scalar expressions."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return ch_sql(spark, _S21_CH_SQL)

@@ -889,3 +889,165 @@ def test_retention_translates_and_runs(spark):
         "FROM events",
     ).collect()
     assert list(rows[0][0]) == [1, 0]
+
+
+# ---------------------------------------------------------------------------
+# WITH TOTALS (s20) + parameterless count()
+# ---------------------------------------------------------------------------
+
+
+def test_with_totals_rewrites_to_grouping_sets():
+    out = translate_ch_sql(
+        "SELECT a, b, sum(v) FROM t GROUP BY a, b WITH TOTALS ORDER BY a"
+    )
+    assert "GROUPING SETS ((a, b), ())" in out
+    assert "TOTALS" not in out
+
+
+def test_with_totals_in_subquery_and_cte_with_untouched():
+    out = translate_ch_sql(
+        "SELECT * FROM (SELECT a, count() c FROM t GROUP BY a WITH TOTALS) q"
+    )
+    assert "GROUPING SETS ((a), ())" in out
+    # a CTE's WITH is not a TOTALS: untouched
+    same = "WITH x AS (SELECT 1) SELECT a FROM t GROUP BY a"
+    assert translate_ch_sql(same) == same
+
+
+def test_with_rollup_cube_pass_through():
+    for mod in ("ROLLUP", "CUBE"):
+        sql = f"SELECT a FROM t GROUP BY a WITH {mod}"
+        assert translate_ch_sql(sql) == sql
+
+
+def test_with_totals_having_raises():
+    with pytest.raises(ValueError, match="totals_mode"):
+        translate_ch_sql(
+            "SELECT a, count() FROM t GROUP BY a WITH TOTALS "
+            "HAVING count() > 2"
+        )
+
+
+def test_with_totals_no_keys_raises():
+    with pytest.raises(ValueError, match="GROUP BY key"):
+        translate_ch_sql("SELECT count() FROM t GROUP BY WITH TOTALS")
+
+
+def test_parameterless_count_translates():
+    out = translate_ch_sql("SELECT count() AS n, count(x), count(DISTINCT y) FROM t")
+    assert out == "SELECT count(*) AS n, count(x), count(DISTINCT y) FROM t"
+
+
+def test_with_totals_runs_and_matches_explicit_sets(spark):
+    load(spark, TEST_SF_DIR, "events").createOrReplaceTempView("events")
+    got = ch_sql(
+        spark,
+        "SELECT event_type, count() AS n FROM events "
+        "GROUP BY event_type WITH TOTALS",
+    ).collect()
+    want = spark.sql(
+        "SELECT event_type, count(*) AS n FROM events "
+        "GROUP BY GROUPING SETS ((event_type), ())"
+    ).collect()
+    key = lambda r: (r[0] is None, r[0], r[1])  # noqa: E731
+    assert sorted(map(tuple, got), key=key) == sorted(
+        map(tuple, want), key=key
+    )
+    # exactly one totals row, equal to the table row count
+    totals = [r for r in got if r["event_type"] is None]
+    from mysql_to_clickhouse_spark.tables import load as _ld
+
+    assert len(totals) == 1
+    assert totals[0]["n"] == _ld(spark, TEST_SF_DIR, "events").count()
+
+
+# ---------------------------------------------------------------------------
+# tranche 5: map aggregates, vector distances, age, loud raises (s21)
+# ---------------------------------------------------------------------------
+
+
+def test_summap_family_vs_explode_reference(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", [1, 2], [10.0, 20.0]),
+            ("a", [2, 3], [5.0, 7.0]),
+            ("b", [1], [4.0]),
+        ],
+        "g string, ks array<int>, vs array<double>",
+    )
+    df.createOrReplaceTempView("t_maps")
+    got = {
+        r["g"]: (dict(r["sm"]), dict(r["mn"]), dict(r["mx"]))
+        for r in ch_sql(
+            spark,
+            "SELECT g, sumMap(ks, vs) AS sm, minMap(ks, vs) AS mn, "
+            "maxMap(ks, vs) AS mx FROM t_maps GROUP BY g",
+        ).collect()
+    }
+    assert got["a"][0] == {1: 10.0, 2: 25.0, 3: 7.0}
+    assert got["a"][1] == {1: 10.0, 2: 5.0, 3: 7.0}
+    assert got["a"][2] == {1: 10.0, 2: 20.0, 3: 7.0}
+    assert got["b"][0] == {1: 4.0}
+
+
+def test_vector_norms_and_distances(spark):
+    import math
+
+    row = ch_sql(
+        spark,
+        "SELECT L1Norm(array(3.0, -4.0)) AS l1, "
+        "L2Norm(array(3.0, 4.0)) AS l2, "
+        "LinfNorm(array(3.0, -4.0)) AS li, "
+        "L1Distance(array(1.0, 2.0), array(4.0, -2.0)) AS d1, "
+        "L2Distance(array(1.0, 2.0), array(4.0, 6.0)) AS d2, "
+        "LinfDistance(array(1.0, 2.0), array(4.0, -2.0)) AS di, "
+        "dotProduct(array(1.0, 2.0), array(3.0, 4.0)) AS dp, "
+        "cosineDistance(array(1.0, 0.0), array(0.0, 1.0)) AS cd, "
+        "cosineDistance(array(2.0, 0.0), array(5.0, 0.0)) AS cz",
+    ).collect()[0]
+    assert row["l1"] == 7.0 and row["l2"] == 5.0 and row["li"] == 4.0
+    assert row["d1"] == 7.0 and row["d2"] == 5.0 and row["di"] == 4.0
+    assert row["dp"] == 11.0
+    assert math.isclose(row["cd"], 1.0) and math.isclose(row["cz"], 0.0)
+
+
+def test_age_complete_units(spark):
+    row = ch_sql(
+        spark,
+        "SELECT age('day', TIMESTAMP '2024-01-31 10:00:00', "
+        "TIMESTAMP '2024-02-01 09:59:59') AS d0, "
+        "age('day', TIMESTAMP '2024-01-31 10:00:00', "
+        "TIMESTAMP '2024-02-01 10:00:00') AS d1, "
+        "age('month', TIMESTAMP '2024-01-15 00:00:00', "
+        "TIMESTAMP '2024-03-14 23:00:00') AS m1, "
+        "age('year', TIMESTAMP '2020-02-29 00:00:00', "
+        "TIMESTAMP '2024-02-29 00:00:00') AS y4, "
+        "age('hour', TIMESTAMP '2024-01-01 10:30:00', "
+        "TIMESTAMP '2024-01-01 09:00:00') AS neg",
+    ).collect()[0]
+    assert row["d0"] == 0 and row["d1"] == 1
+    assert row["m1"] == 1
+    assert row["y4"] == 4
+    assert row["neg"] == -1  # truncated toward zero, signed
+
+
+def test_order_dependent_aggregates_raise():
+    for name in (
+        "deltaSum(x)",
+        "exponentialMovingAverage(0.5)(x, t)",
+        "largestTriangleThreeBuckets(100)(t, x)",
+        "intervalLengthSum(a, b)",
+    ):
+        with pytest.raises(ValueError, match="order-dependent"):
+            translate_ch_sql(f"SELECT {name} FROM t")
+
+
+def test_entropy_matches_manual(spark):
+    import math
+
+    spark.createDataFrame(
+        [(1,), (1,), (2,), (3,)], "x int"
+    ).createOrReplaceTempView("t_ent")
+    got = ch_sql(spark, "SELECT entropy(x) AS h FROM t_ent").collect()[0]["h"]
+    want = -(0.5 * math.log2(0.5) + 0.25 * math.log2(0.25) * 2)
+    assert math.isclose(got, want)
