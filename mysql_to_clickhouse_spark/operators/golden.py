@@ -294,19 +294,21 @@ def x6_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions at the directory level under the layout. Under the flat
     lineitem⨝orders MV (ensure_flat_lineitem — the CH insert-time
     materialized-view analog), the fact join disappears entirely: the
-    quarter filter prunes to 3 of the o_month partition directories
-    (toYYYYMM-style) and the only per-run work is that pruned scan
-    plus the custkey aggregate. Tie-break: c_custkey (== the group
-    key)."""
+    quarter filter prunes to ONE o_quarter partition directory (1/24
+    of the fact) and the only per-run work is that pruned scan plus
+    the custkey aggregate. Tie-break: c_custkey (== the group key)."""
     cust = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
-    flat = load_flat_lineitem(spark, sf_dir)
+    # file-based MV read: no bucket-key groupBy here, so the one-quarter
+    # scan coalesces into a few full splits instead of 64 tiny tasks
+    flat = load_flat_lineitem(spark, sf_dir, bucketed=False)
     if flat is not None:
+        # o_quarter == 19961 IS the window [1996-01-01, 1996-04-01):
+        # the partition value derives exactly from o_orderdate, so no
+        # residual timestamp filter — the scan never decodes the
+        # o_orderdate column at all (column pruning + dir pruning)
         joined = flat.filter(
-            F.col("o_month").between(199601, 199603)
-            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
-            & (F.col("l_returnflag") == "R")
+            (F.col("o_quarter") == 19961) & (F.col("l_returnflag") == "R")
         )
     else:
         orders = load(spark, sf_dir, "orders").filter(
@@ -836,42 +838,33 @@ def x14_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation produces."""
     sup = load(spark, sf_dir, "supplier")
     nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
-    flat = load_flat_lineitem(spark, sf_dir)
-    if flat is not None:
-        # flat MV: o_orderstatus/o_orderdate ride the fact row, so the
-        # orderkey join vanishes — one pruned-column scan feeds the
-        # (still exchange-free, still bucket-clustered) aggregates
-        tagged = flat.filter(F.col("o_orderstatus") == "F").select(
-            "l_orderkey",
-            "l_suppkey",
-            (
-                F.col("l_shipdate")
-                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-            ).alias("_late"),
-        )
-    else:
-        orders = load(spark, sf_dir, "orders").filter(
-            F.col("o_orderstatus") == "F"
-        ).select("o_orderkey", "o_orderdate")
-        li = load(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_suppkey", "l_shipdate"
-        )
-        if bucket_routed_key(spark, sf_dir, "lineitem") == "l_orderkey" and (
-            bucket_routed_key(spark, sf_dir, "orders") == "o_orderkey"
-        ):
-            # co-bucketed layout: hash-join the status-F orders per
-            # bucket instead of sort-merging (re-sorts the 1e8 fact)
-            orders = orders.hint("shuffle_hash")
-        tagged = li.join(
-            orders, F.col("o_orderkey") == F.col("l_orderkey")
-        ).select(
-            "l_orderkey",
-            "l_suppkey",
-            (
-                F.col("l_shipdate")
-                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-            ).alias("_late"),
-        )
+    # Deliberately NOT the flat MV: Q21 has no date window, so the MV
+    # offers no partition pruning — and its partitioned-by-quarter file
+    # layout made the full scan SLOWER than this co-bucketed join at
+    # the 1e8 tier (4.18 → 4.68 s measured at month granularity). The
+    # MV pays off only for pruned shapes (x6/x7/c10).
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    if bucket_routed_key(spark, sf_dir, "lineitem") == "l_orderkey" and (
+        bucket_routed_key(spark, sf_dir, "orders") == "o_orderkey"
+    ):
+        # co-bucketed layout: hash-join the status-F orders per bucket
+        # instead of sort-merging (which re-sorts the 1e8-row fact)
+        orders = orders.hint("shuffle_hash")
+    tagged = li.join(
+        orders, F.col("o_orderkey") == F.col("l_orderkey")
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("_late"),
+    )
     # Two-stage aggregate instead of two COUNT(DISTINCT)s: Spark plans
     # multiple distinct aggregates via an Expand that triples the fact
     # rows through the exchange; grouping by (orderkey, suppkey) first
@@ -1038,44 +1031,36 @@ def x16_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         0.01
     ) * F.col("p_retailprice") * F.col("l_quantity")
 
-    flat = load_flat_lineitem(spark, sf_dir)
-    if flat is not None:
-        # flat MV: o_orderdate rides the fact row — no orderkey join at
-        # all; the plan is one scan through two dim broadcasts into a
-        # |nations|x|years| aggregate
-        li_red = flat.join(
-            F.broadcast(part_sel), F.col("p_partkey") == F.col("l_partkey")
-        )
+    # Deliberately NOT the flat MV: Q9 scans every order year (no date
+    # window -> no partition pruning), and the MV's partitioned file
+    # layout measured SLOWER than this co-bucketed join for full scans
+    # at the 1e8 tier (2.67 -> 4.27 s at month granularity). The MV
+    # pays off only for pruned shapes (x6/x7/c10).
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem")
+
+    def _li_red_rows_est() -> float:
+        n_sel = part_sel.count()  # dim-sized job: the stats lookup
+        n_all = max(parquet_rows_estimate(sf_dir, "part"), 1)
+        return parquet_rows_estimate(sf_dir, "lineitem") * (n_sel / n_all)
+
+    li_red = li.join(
+        F.broadcast(part_sel), F.col("p_partkey") == F.col("l_partkey")
+    )
+    if bucket_routed_key(spark, sf_dir, "lineitem") == "l_orderkey" and (
+        bucket_routed_key(spark, sf_dir, "orders") == "o_orderkey"
+    ):
+        # co-bucketed layout: shuffle-hash on the orderkey join — no
+        # exchange either side (the part broadcast preserves lineitem's
+        # bucket partitioning), no sort-merge re-sort of the fact
+        li_red = li_red.hint("shuffle_hash")
     else:
-        orders = load(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_orderdate"
-        )
-        li = load(spark, sf_dir, "lineitem")
-
-        def _li_red_rows_est() -> float:
-            n_sel = part_sel.count()  # dim-sized job: the stats lookup
-            n_all = max(parquet_rows_estimate(sf_dir, "part"), 1)
-            return parquet_rows_estimate(sf_dir, "lineitem") * (n_sel / n_all)
-
-        li_red = li.join(
-            F.broadcast(part_sel), F.col("p_partkey") == F.col("l_partkey")
-        )
-        if bucket_routed_key(spark, sf_dir, "lineitem") == "l_orderkey" and (
-            bucket_routed_key(spark, sf_dir, "orders") == "o_orderkey"
-        ):
-            # co-bucketed layout: shuffle-hash on the orderkey join — no
-            # exchange either side (the part broadcast preserves
-            # lineitem's bucket partitioning), no sort-merge re-sort
-            li_red = li_red.hint("shuffle_hash")
-        else:
-            li_red = broadcast_when_small(
-                li_red, orders, spark, build_rows_estimate=_li_red_rows_est
-            )
-        li_red = li_red.join(
-            orders, F.col("o_orderkey") == F.col("l_orderkey")
+        li_red = broadcast_when_small(
+            li_red, orders, spark, build_rows_estimate=_li_red_rows_est
         )
     return (
         li_red
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(

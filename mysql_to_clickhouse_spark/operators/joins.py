@@ -436,22 +436,20 @@ def c10_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("c_custkey", "c_nationkey", "n_name")
     )
-    flat = load_flat_lineitem(spark, sf_dir)
+    # file-based MV read: q5 groups on n_name, not the bucket key, so
+    # the pruned scan coalesces into full splits, not 64 bucket tasks
+    flat = load_flat_lineitem(spark, sf_dir, bucketed=False)
     if flat is not None:
-        # flat lineitem⨝orders MV: the date window prunes o_month
-        # directories (24 of ~72) and o_custkey rides the fact row, so
+        # flat lineitem⨝orders MV: the date window prunes o_quarter
+        # directories (8 of ~24) and o_custkey rides the fact row, so
         # the only joins left are the dim broadcasts — zero fact-side
         # exchanges before the |nations|-sized aggregate
+        # o_quarter ∈ [19961, 19974] IS the two-year window — the
+        # partition value derives exactly from o_orderdate, so no
+        # residual timestamp filter and the scan never decodes
+        # o_orderdate at all (column pruning + dir pruning)
         fact = flat.filter(
-            F.col("o_month").between(199601, 199712)
-            & (
-                F.col("o_orderdate")
-                >= F.lit("1996-01-01 00:00:00").cast("timestamp")
-            )
-            & (
-                F.col("o_orderdate")
-                < F.lit("1998-01-01 00:00:00").cast("timestamp")
-            )
+            F.col("o_quarter").between(19961, 19974)
         ).join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
     else:
         orders = load(spark, sf_dir, "orders")

@@ -340,14 +340,22 @@ def ensure_flat_lineitem(
     Concretely: lineitem decorated with the four orders columns the
     headline analytics actually read (``o_orderdate``,
     ``o_orderstatus``, ``o_custkey``, ``o_totalprice``), partitioned
-    by ``o_month``
-    (yyyymm int — CH's toYYYYMM) for directory-level date pruning, and
-    bucketed+sorted on ``l_orderkey`` so per-order groupBys stay
-    exchange-free. Row set == lineitem ⨝ orders (inner), which is
-    byte-identical input for every consumer that inner-joined the two
-    anyway (x6/x7/x14/x16/c10) — those queries then run with ZERO
-    fact-side joins: the date window prunes month directories, and the
-    only per-run work is one pruned scan plus a small aggregate.
+    by ``o_quarter`` (yyyyq int — CH's toYYYYMM idea at quarter
+    granularity) for directory-level date pruning, and bucketed+sorted
+    on ``l_orderkey`` so per-order groupBys stay exchange-free. Row
+    set == lineitem ⨝ orders (inner), which is byte-identical input
+    for every consumer that inner-joined the two anyway (x6/x7/c10) —
+    those queries then run with ZERO fact-side joins: the date window
+    prunes quarter directories, and the only per-run work is one
+    pruned scan plus a small aggregate.
+
+    Partition granularity is a measured trade, not a default: month
+    granularity (72 dirs × 64 buckets = 4608 files at the 1e8 tier)
+    made FULL-scan consumers slower than the co-bucketed base join
+    (x16 2.67→4.27 s, x14 4.18→4.68 s — file-open overhead), which is
+    why (a) quarter granularity caps the MV at 24×64 files and (b)
+    x14/x16 deliberately do NOT read the MV: an MV earns its scan only
+    when the query's date window prunes directories.
 
     Opt-in and session-routed exactly like ensure_bucketed: the
     verification driver never builds one, so oracle drives always take
@@ -364,8 +372,10 @@ def ensure_flat_lineitem(
 
     wh = warehouse or os.path.join(tempfile.gettempdir(), "m2c_layout_wh")
     spark.sql(f"CREATE DATABASE IF NOT EXISTS m2c_layout LOCATION '{wh}'")
+    # the partition scheme is part of the identity: a granularity
+    # change must not silently reuse the old layout's files
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{buckets}|flat:lineitem".encode()
+        f"{os.path.abspath(sf_dir)}|{buckets}|flat:lineitem:oq".encode()
     ).hexdigest()[:8]
     fq = f"m2c_layout.lineitem_flat_{tag}"
     loc = f"{wh}/lineitem_flat_{tag}"
@@ -384,15 +394,15 @@ def ensure_flat_lineitem(
             li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
             .drop("o_orderkey")
             .withColumn(
-                "o_month",
-                (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast(
+                "o_quarter",
+                (F.year("o_orderdate") * 10 + F.quarter("o_orderdate")).cast(
                     "int"
                 ),
             )
         )
         (
             flat.repartition(buckets, "l_orderkey")
-            .write.partitionBy("o_month")
+            .write.partitionBy("o_quarter")
             .bucketBy(buckets, "l_orderkey")
             .sortBy("l_orderkey")
             .option("path", loc)
@@ -401,28 +411,43 @@ def ensure_flat_lineitem(
         )
     routes = _BUCKET_ROUTES.setdefault(spark, {})
     routes[(os.path.abspath(sf_dir), "lineitem", "flat")] = fq
+    routes[(os.path.abspath(sf_dir), "lineitem", "flat_path")] = loc
     return fq
 
 
-def load_flat_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame | None:
+def load_flat_lineitem(
+    spark: SparkSession, sf_dir: str, bucketed: bool = True
+) -> DataFrame | None:
     """The flat lineitem⨝orders MV when this session routes one
     (ensure_flat_lineitem), else None — callers fall back to the base
     join plan, so correctness never depends on the layout. Consumers
-    filtering on o_orderdate should ALSO filter o_month (the derived
+    filtering on o_orderdate should ALSO filter o_quarter (the derived
     partition column) to get directory pruning — same contract as a CH
-    toYYYYMM partition key."""
+    toYYYYMM partition key.
+
+    ``bucketed=False`` reads the SAME files as plain partitioned
+    parquet instead of the bucketed table: a bucketed scan pins one
+    task per bucket id (64 tasks over 24×64 small files), which is the
+    right shape for exchange-free per-order aggregates (x7) but pure
+    per-task overhead for consumers that don't group on the bucket key
+    — the file-based read coalesces the pruned directories into
+    maxPartitionBytes splits instead (x6's one-quarter scan: 64 tiny
+    tasks → a handful of full ones). Identical rows either way."""
     import os
 
-    fq = _BUCKET_ROUTES.get(spark, {}).get(
-        (os.path.abspath(sf_dir), "lineitem", "flat")
-    )
+    routes = _BUCKET_ROUTES.get(spark, {})
+    fq = routes.get((os.path.abspath(sf_dir), "lineitem", "flat"))
     if fq is None:
         return None
     per_session = _LOAD_CACHE.setdefault(spark, {})
-    cache_key = (sf_dir, "lineitem", "flat", fq)
+    cache_key = (sf_dir, "lineitem", "flat", fq, bucketed)
     cached = per_session.get(cache_key)
     if cached is None:
-        cached = spark.table(fq)
+        if bucketed:
+            cached = spark.table(fq)
+        else:
+            loc = routes[(os.path.abspath(sf_dir), "lineitem", "flat_path")]
+            cached = spark.read.option("basePath", loc).parquet(loc)
         per_session[cache_key] = cached
     return cached
 
