@@ -2671,6 +2671,15 @@ CH_FUNCTION_DOC: list[tuple[str, str, str]] = (
             "d10 cube/sets / s20",
         ),
         (
+            "CREATE MATERIALIZED VIEW",
+            "DDL: parsed into the k-family mergeable-partials "
+            "discipline (functions/chmv.py create_materialized_view); "
+            "initialize/apply_delta/read, merge == recompute "
+            "hash-proven (s22); joins/approx aggregates raise with "
+            "the supported set named",
+            "k1-k7 IVM / s22",
+        ),
+        (
             "ANY",
             "statement: LEFT/INNER ANY JOIN -> build-side keep-one "
             "collapse under the table's registered deterministic order "

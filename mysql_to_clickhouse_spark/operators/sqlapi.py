@@ -1474,3 +1474,72 @@ def s21_ch_dialect_tranche5(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distance columns are map-side scalar expressions."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return ch_sql(spark, _S21_CH_SQL)
+
+
+_S22_DDL = """
+CREATE MATERIALIZED VIEW mv_priority TO agg_priority
+ENGINE = AggregatingMergeTree() ORDER BY o_orderpriority
+AS SELECT o_orderpriority,
+          count() AS n_orders,
+          sum(o_totalprice) AS sum_price,
+          avg(o_totalprice) AS avg_price,
+          min(o_totalprice) AS min_price,
+          max(o_totalprice) AS max_price,
+          uniqExact(o_custkey) AS n_cust,
+          countIf(o_orderstatus = 'F') AS n_finished
+   FROM orders
+   WHERE o_orderpriority != 'P9'
+   GROUP BY o_orderpriority
+"""
+
+_S22_ORACLE = f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       {o_dsum('o_totalprice')} AS sum_price,
+       ({o_dsum('o_totalprice')}) / COUNT(*) AS avg_price,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+       CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT)
+         AS n_finished
+FROM orders
+WHERE o_orderpriority != 'P9'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("s22_ch_create_mv", oracle=_S22_ORACLE)
+def s22_ch_create_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``CREATE MATERIALIZED VIEW`` DDL as pasted TEXT, driven
+    through a full replication cycle: the DDL parses into the k-family
+    mergeable-partials discipline (functions/chmv.py), the view is
+    POPULATEd from the pre-1997 base, then two delta batches (1997-98,
+    1999+) apply as partial-merges — never recomputing the base — and
+    ``read()`` finalizes. The oracle is a flat full-recompute over the
+    same table, so the driver hash PROVES merge == recompute through
+    the DDL front door, the same claim k1 makes for the hand-built
+    state. count/sum/avg/min/max/uniqExact/countIf all exercise their
+    own partial shapes (fixed-point sums, distinct sets, gated counts).
+
+    Scale: identical to k1 — partials are map-side-combinable; a delta
+    merge shuffles one row per (group, batch) regardless of fact size;
+    uniqExact is the documented bounded-domain member."""
+    from pyspark.sql import functions as SF
+
+    from mysql_to_clickhouse_spark.functions.chmv import (
+        create_materialized_view,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    mv = create_materialized_view(spark, _S22_DDL)
+    cut1 = SF.lit("1997-01-01").cast("timestamp")
+    cut2 = SF.lit("1999-01-01").cast("timestamp")
+    mv.initialize(orders.filter(SF.col("o_orderdate") < cut1))
+    mv.apply_delta(
+        orders.filter(
+            (SF.col("o_orderdate") >= cut1) & (SF.col("o_orderdate") < cut2)
+        )
+    )
+    mv.apply_delta(orders.filter(SF.col("o_orderdate") >= cut2))
+    return mv.read().orderBy("o_orderpriority")

@@ -1,0 +1,138 @@
+"""CH CREATE MATERIALIZED VIEW DDL front door (functions/chmv.py):
+parse shapes, loud scope errors, and the merge==recompute property
+over arbitrary batch splits."""
+
+from __future__ import annotations
+
+import pytest
+
+from mysql_to_clickhouse_spark.functions.chmv import (
+    create_materialized_view,
+)
+from mysql_to_clickhouse_spark.tables import load
+
+from tests.conftest import TEST_SF_DIR
+
+DDL = """
+CREATE MATERIALIZED VIEW mv1 TO tgt ENGINE = AggregatingMergeTree()
+ORDER BY k AS
+SELECT o_orderpriority, count() AS n, sum(o_totalprice) AS s,
+       avg(o_totalprice) AS a, min(o_totalprice) AS lo,
+       max(o_totalprice) AS hi, uniqExact(o_custkey) AS u,
+       countIf(o_orderstatus = 'F') AS nf,
+       sumIf(o_totalprice, o_orderstatus = 'F') AS sf
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def test_parse_shape(spark):
+    mv = create_materialized_view(spark, DDL)
+    assert mv.name == "mv1" and mv.target == "tgt"
+    assert [n for n, _ in mv.keys] == ["o_orderpriority"]
+    assert [(a.out, a.kind) for a in mv.aggs] == [
+        ("n", "count"), ("s", "sum"), ("a", "avg"), ("lo", "min"),
+        ("hi", "max"), ("u", "uniqExact"), ("nf", "count"), ("sf", "sum"),
+    ]
+    assert mv.aggs[6].cond is not None and mv.aggs[7].cond is not None
+
+
+def test_merge_equals_recompute_any_split(spark):
+    from pyspark.sql import functions as F
+
+    orders = load(spark, TEST_SF_DIR, "orders")
+    full = {
+        tuple(r)[:1]: tuple(r)[1:]
+        for r in create_materialized_view(spark, DDL)
+        .initialize(orders)
+        .read()
+        .collect()
+    }
+    # an unrelated-to-the-group-key split into 3 uneven batches
+    mv = create_materialized_view(spark, DDL)
+    mv.initialize(orders.filter(F.col("o_orderkey") % 7 < 2))
+    mv.apply_delta(orders.filter(F.col("o_orderkey") % 7 == 2))
+    mv.apply_delta(orders.filter(F.col("o_orderkey") % 7 > 2))
+    inc = {tuple(r)[:1]: tuple(r)[1:] for r in mv.read().collect()}
+    assert inc == full
+
+
+def test_global_agg_without_group_by(spark):
+    mv = create_materialized_view(
+        spark,
+        "CREATE MATERIALIZED VIEW g AS "
+        "SELECT count() AS n, max(o_totalprice) AS hi FROM orders",
+    )
+    orders = load(spark, TEST_SF_DIR, "orders")
+    row = mv.initialize(orders).read().collect()[0]
+    assert row["n"] == orders.count()
+
+
+def test_where_applies_per_batch(spark):
+    from pyspark.sql import functions as F
+
+    orders = load(spark, TEST_SF_DIR, "orders")
+    ddl = (
+        "CREATE MATERIALIZED VIEW w AS SELECT o_orderpriority, "
+        "count() AS n FROM orders WHERE o_orderstatus = 'F' "
+        "GROUP BY o_orderpriority"
+    )
+    mv = create_materialized_view(spark, ddl)
+    mv.initialize(orders.filter(F.col("o_orderkey") % 2 == 0))
+    mv.apply_delta(orders.filter(F.col("o_orderkey") % 2 == 1))
+    got = {r[0]: r[1] for r in mv.read().collect()}
+    want = {
+        r[0]: r[1]
+        for r in orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .count()
+        .collect()
+    }
+    assert got == want
+
+
+def test_ch_scalar_key_translates(spark):
+    ddl = (
+        "CREATE MATERIALIZED VIEW t AS SELECT toYYYYMM(o_orderdate) AS ym, "
+        "count() AS n FROM orders GROUP BY toYYYYMM(o_orderdate)"
+    )
+    mv = create_materialized_view(spark, ddl)
+    orders = load(spark, TEST_SF_DIR, "orders")
+    rows = mv.initialize(orders).read().collect()
+    assert all(199000 < r["ym"] < 210013 for r in rows)
+    assert sum(r["n"] for r in rows) == orders.count()
+
+
+@pytest.mark.parametrize(
+    "ddl,msg",
+    [
+        ("SELECT 1", "not a CREATE MATERIALIZED"),
+        ("CREATE MATERIALIZED VIEW x AS SELECT count() AS n", "FROM"),
+        (
+            "CREATE MATERIALIZED VIEW x AS SELECT quantile(0.5)(v) AS q "
+            "FROM orders",
+            "no mergeable partial",
+        ),
+        (
+            "CREATE MATERIALIZED VIEW x AS SELECT count() AS n "
+            "FROM orders JOIN lineitem ON 1=1",
+            "JOIN",
+        ),
+        (
+            "CREATE MATERIALIZED VIEW x AS SELECT o_custkey, count() AS n "
+            "FROM orders",
+            "GROUP BY",
+        ),
+    ],
+)
+def test_loud_scope_errors(spark, ddl, msg):
+    with pytest.raises(ValueError, match=msg):
+        create_materialized_view(spark, ddl)
+
+
+def test_apply_before_initialize_raises(spark):
+    mv = create_materialized_view(
+        spark,
+        "CREATE MATERIALIZED VIEW y AS SELECT count() AS n FROM orders",
+    )
+    with pytest.raises(RuntimeError, match="initialize"):
+        mv.apply_delta(load(spark, TEST_SF_DIR, "orders"))
