@@ -2675,8 +2675,9 @@ CH_FUNCTION_DOC: list[tuple[str, str, str]] = (
             "DDL: parsed into the k-family mergeable-partials "
             "discipline (functions/chmv.py create_materialized_view); "
             "initialize/apply_delta/read, merge == recompute "
-            "hash-proven (s22); joins/approx aggregates raise with "
-            "the supported set named",
+            "hash-proven (s22); uniq = real mergeable HLL sketch "
+            "(uniqState/uniqMerge analog); joins and other aggregates "
+            "raise with the supported set named",
             "k1-k7 IVM / s22",
         ),
         (

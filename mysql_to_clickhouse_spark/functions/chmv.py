@@ -22,10 +22,12 @@ against a full-recompute DuckDB oracle, so the DDL path is hash-green,
 not just unit-tested.
 
 Scope (loud by design): single-table SELECT with optional WHERE and
-GROUP BY; aggregates count/countIf/sum/sumIf/min/max/avg/uniqExact.
-Joins, subqueries and other aggregates raise with the supported set
-named — CH's own MV guidance is single-source-block views, and wider
-shapes belong to the k3/k6 operators.
+GROUP BY; aggregates count/countIf/sum/sumIf/min/max/avg/uniqExact/
+uniq (the approximate one — a real mergeable HLL sketch via Spark's
+hll_sketch_agg/hll_union_agg, CH's uniqState/uniqMerge analog, O(1)
+state per group). Joins, subqueries and other aggregates raise with
+the supported set named — CH's own MV guidance is single-source-block
+views, and wider shapes belong to the k3/k6 operators.
 
 Scale: identical to the k-family — partials are map-side-combinable
 hash aggregates; a delta merge shuffles one row per (group, batch),
@@ -50,7 +52,7 @@ from mysql_to_clickhouse_spark.functions.chdialect import (
 from mysql_to_clickhouse_spark.functions.numeric import SUM_SCALE, fixed_point
 
 _SUPPORTED = ("count", "countIf", "sum", "sumIf", "min", "max", "avg",
-              "uniqExact")
+              "uniqExact", "uniq")
 
 
 @dataclass
@@ -101,6 +103,11 @@ class ChMaterializedView:
                 col = F.sum(fixed_point(val)).alias(f"p_sum_{a.out}")
             elif a.kind == "uniqExact":
                 col = F.collect_set(val).alias(f"p_set_{a.out}")
+            elif a.kind == "uniq":
+                # CH uniqState/uniqMerge, literally: a mergeable HLL
+                # sketch (binary) is the partial — state size is O(1)
+                # in the distinct count, unlike uniqExact's set
+                col = F.hll_sketch_agg(val).alias(f"p_hll_{a.out}")
             else:  # pragma: no cover - parser rejects earlier
                 raise AssertionError(a.kind)
             parts.append(col)
@@ -141,6 +148,12 @@ class ChMaterializedView:
                     F.array_distinct(
                         F.flatten(F.collect_list(f"p_set_{ag.out}"))
                     ).alias(f"p_set_{ag.out}")
+                )
+            elif ag.kind == "uniq":
+                merged.append(
+                    F.hll_union_agg(f"p_hll_{ag.out}").alias(
+                        f"p_hll_{ag.out}"
+                    )
                 )
         if key_names:
             return both.groupBy(*key_names).agg(*merged)
@@ -188,6 +201,10 @@ class ChMaterializedView:
                 )
             elif a.kind == "uniqExact":
                 cols.append(F.size(f"p_set_{a.out}").alias(a.out))
+            elif a.kind == "uniq":
+                cols.append(
+                    F.hll_sketch_estimate(f"p_hll_{a.out}").alias(a.out)
+                )
         return self.state.select(*cols)
 
 

@@ -136,3 +136,47 @@ def test_apply_before_initialize_raises(spark):
     )
     with pytest.raises(RuntimeError, match="initialize"):
         mv.apply_delta(load(spark, TEST_SF_DIR, "orders"))
+
+
+def test_uniq_hll_state_merges_within_tolerance(spark):
+    """uniq = CH uniqState/uniqMerge: the partial is a REAL mergeable
+    HLL sketch. The union-of-splits estimate and the single-shot
+    estimate may differ by a few counts (DataSketches sparse/dense
+    promotion differs along the two paths — same as CH uniq itself,
+    whose merged states are also not bit-identical to one-shot), but
+    BOTH must sit within HLL tolerance of the exact count, and the
+    merged path must be deterministic (re-running it reproduces the
+    same estimates)."""
+    from pyspark.sql import functions as F
+
+    orders = load(spark, TEST_SF_DIR, "orders")
+    ddl = (
+        "CREATE MATERIALIZED VIEW u AS SELECT o_orderpriority, "
+        "uniq(o_custkey) AS u FROM orders GROUP BY o_orderpriority"
+    )
+    single = {
+        r[0]: r[1]
+        for r in create_materialized_view(spark, ddl)
+        .initialize(orders)
+        .read()
+        .collect()
+    }
+
+    def run_merged():
+        mv = create_materialized_view(spark, ddl)
+        mv.initialize(orders.filter(F.col("o_orderkey") % 3 == 0))
+        mv.apply_delta(orders.filter(F.col("o_orderkey") % 3 == 1))
+        mv.apply_delta(orders.filter(F.col("o_orderkey") % 3 == 2))
+        return {r[0]: r[1] for r in mv.read().collect()}
+
+    merged = run_merged()
+    assert merged == run_merged()  # the merged path is deterministic
+    exact = {
+        r[0]: r[1]
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey"))
+        .collect()
+    }
+    for k in exact:
+        for est in (merged[k], single[k]):
+            assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
