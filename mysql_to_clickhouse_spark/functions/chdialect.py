@@ -2554,6 +2554,74 @@ def translate_ch_sql(sql: str) -> str:
     return _translate_functions(_rewrite_final(_rewrite_prewhere(sql)))
 
 
+_MUT_RE = _RE.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[A-Za-z_][\w.]*)\s+"
+    r"(?P<verb>DELETE|UPDATE)\b",
+    _RE.IGNORECASE,
+)
+
+
+def ch_mutation(sql: str, df: "DataFrame") -> "DataFrame":
+    """CH lightweight-mutation statements as TEXT, applied to a
+    DataFrame: ``ALTER TABLE t DELETE WHERE cond`` → the surviving
+    rows; ``ALTER TABLE t UPDATE a = expr[, b = expr] WHERE cond`` →
+    every row, mutated columns rewritten under the condition
+    (CASE WHEN cond THEN expr ELSE col). The caller resolves the table
+    name to ``df`` and owns persistence — in CH a mutation rewrites
+    parts asynchronously; here the returned plan IS the post-mutation
+    view, and the a5 sink writes it (the same rewrite CH's mutation
+    executes, expressed as one scan).
+
+    Loud scope: WHERE is mandatory (CH's own grammar), expressions run
+    through the dialect function pass, updating a column the frame
+    does not have raises at analysis with the column named, and
+    ``DELETE`` keeps NULL-condition rows (a NULL predicate deletes
+    nothing — CH semantics, pinned in tests)."""
+    from pyspark.sql import functions as F
+
+    m = _MUT_RE.match(sql)
+    if m is None:
+        raise ValueError(
+            "not an ALTER TABLE DELETE/UPDATE mutation statement"
+        )
+    rest = sql[m.end():]
+    wm = _RE.search(r"\bWHERE\b", rest, _RE.IGNORECASE)
+    if wm is None:
+        raise ValueError(
+            f"ALTER TABLE {m.group('verb').upper()} requires WHERE "
+            f"(CH grammar; an unconditional mutation must say WHERE 1)"
+        )
+    cond = _translate_functions(rest[wm.end():].strip())
+    if not cond:
+        raise ValueError("empty WHERE condition")
+    if m.group("verb").upper() == "DELETE":
+        # survivors: NOT cond, keeping NULL-cond rows (CH deletes only
+        # rows where the predicate is true)
+        return df.filter(~F.coalesce(F.expr(cond), F.lit(False)))
+    assigns_txt = rest[: wm.start()].strip()
+    if not assigns_txt:
+        raise ValueError("UPDATE needs at least one col = expr")
+    updated = df
+    gate = F.coalesce(F.expr(cond), F.lit(False))
+    for item in _split_order_items(assigns_txt):
+        am = _RE.match(r"^\s*([A-Za-z_]\w*)\s*=\s*(.+)$", item, _RE.DOTALL)
+        if not am:
+            raise ValueError(f"bad UPDATE assignment {item!r}")
+        col, expr = am.group(1), _translate_functions(am.group(2).strip())
+        if col not in df.columns:
+            raise ValueError(
+                f"UPDATE column {col!r} not in the table "
+                f"(have: {', '.join(df.columns)})"
+            )
+        updated = updated.withColumn(
+            col,
+            F.when(gate, F.expr(expr).cast(dict(df.dtypes)[col])).otherwise(
+                F.col(col)
+            ),
+        )
+    return updated
+
+
 def ch_sql(spark: SparkSession, text: str) -> DataFrame:
     """Run ClickHouse-dialect SQL text: register the scalar CH names,
     translate the unregistrable forms, hand the result to spark.sql
@@ -2669,6 +2737,14 @@ CH_FUNCTION_DOC: list[tuple[str, str, str]] = (
             "renders type defaults; TOTALS+HAVING raises (totals_mode "
             "ambiguity)",
             "d10 cube/sets / s20",
+        ),
+        (
+            "ALTER TABLE DELETE/UPDATE",
+            "statement: CH lightweight mutations applied to a frame "
+            "(ch_mutation) — DELETE = NOT-predicate survivors (NULL "
+            "predicate keeps the row), UPDATE = CASE WHEN rewrite with "
+            "the original dtype; WHERE mandatory; s23 hash-green",
+            "b2-b7 filters / a5 sink / s23",
         ),
         (
             "CREATE MATERIALIZED VIEW",

@@ -1543,3 +1543,67 @@ def s22_ch_create_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mv.apply_delta(orders.filter(SF.col("o_orderdate") >= cut2))
     return mv.read().orderBy("o_orderpriority")
+
+
+_S23_UPDATE = """
+ALTER TABLE events UPDATE value = value * 1.1, event_type = 'adjusted'
+WHERE event_type = 'error' AND value > 100
+"""
+
+_S23_DELETE = """
+ALTER TABLE events DELETE WHERE event_type = 'view' AND user_id % 10 = 3
+"""
+
+_S23_ORACLE = """
+WITH mutated AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_type = 'error' AND value > 100
+              THEN value * 1.1 ELSE value END AS value,
+         CASE WHEN event_type = 'error' AND value > 100
+              THEN 'adjusted' ELSE event_type END AS event_type
+  FROM events
+),
+survivors AS (
+  SELECT * FROM mutated
+  WHERE NOT COALESCE(event_type = 'view' AND user_id % 10 = 3, FALSE)
+)
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT) AS val_fp
+FROM survivors
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("s23_ch_mutations", oracle=_S23_ORACLE)
+def s23_ch_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH lightweight-mutation statements as pasted TEXT
+    (functions/chdialect.ch_mutation): an ``ALTER TABLE UPDATE``
+    (conditional column rewrite — CASE WHEN under the mutation
+    predicate, original dtype preserved) chained into an ``ALTER TABLE
+    DELETE`` (survivors = NOT predicate, NULL-predicate rows kept —
+    CH deletes only where the predicate is TRUE), then a digest
+    aggregate so the hash covers every surviving row's mutated values.
+    The oracle restates both mutations as one CASE/WHERE pipeline.
+
+    Scale: a CH mutation rewrites parts in the background; here the
+    returned plan IS the post-mutation view — one scan, two map-side
+    expressions, no shuffle before the digest aggregate. Writing it
+    back through the a5 sink is the same rewrite CH schedules."""
+    from pyspark.sql import functions as F
+
+    from mysql_to_clickhouse_spark.functions.chdialect import ch_mutation
+    from mysql_to_clickhouse_spark.functions.numeric import fixed_point
+
+    ev = load(spark, sf_dir, "events")
+    mutated = ch_mutation(_S23_UPDATE, ev)
+    survivors = ch_mutation(_S23_DELETE, mutated)
+    return (
+        survivors.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(fixed_point("value")).alias("val_fp"),
+        )
+        .orderBy("event_type")
+    )

@@ -1051,3 +1051,59 @@ def test_entropy_matches_manual(spark):
     got = ch_sql(spark, "SELECT entropy(x) AS h FROM t_ent").collect()[0]["h"]
     want = -(0.5 * math.log2(0.5) + 0.25 * math.log2(0.25) * 2)
     assert math.isclose(got, want)
+
+
+# ---------------------------------------------------------------------------
+# ALTER TABLE mutations (s23)
+# ---------------------------------------------------------------------------
+
+
+def test_mutation_delete_keeps_null_predicate_rows(spark):
+    from mysql_to_clickhouse_spark.functions.chdialect import ch_mutation
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 200.0)], "id int, v double"
+    )
+    out = ch_mutation("ALTER TABLE t DELETE WHERE v > 100", df)
+    assert sorted(r["id"] for r in out.collect()) == [1, 2]
+
+
+def test_mutation_update_rewrites_under_condition_only(spark):
+    from mysql_to_clickhouse_spark.functions.chdialect import ch_mutation
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 300.0, "b")], "id int, v double, tag string"
+    )
+    out = ch_mutation(
+        "ALTER TABLE t UPDATE v = v * 2, tag = 'big' WHERE v > 100", df
+    )
+    got = {r["id"]: (r["v"], r["tag"]) for r in out.collect()}
+    assert got == {1: (10.0, "a"), 2: (600.0, "big")}
+    # dtype preserved
+    assert dict(out.dtypes)["v"] == "double"
+
+
+def test_mutation_update_translates_ch_functions(spark):
+    from mysql_to_clickhouse_spark.functions.chdialect import (
+        ch_mutation,
+        register_ch_functions,
+    )
+
+    register_ch_functions(spark)
+    df = spark.createDataFrame([(1, 7)], "id int, v int")
+    out = ch_mutation(
+        "ALTER TABLE t UPDATE v = intDiv(v, 2) WHERE v > 0", df
+    )
+    assert out.collect()[0]["v"] == 3
+
+
+def test_mutation_loud_errors(spark):
+    from mysql_to_clickhouse_spark.functions.chdialect import ch_mutation
+
+    df = spark.createDataFrame([(1,)], "id int")
+    with pytest.raises(ValueError, match="WHERE"):
+        ch_mutation("ALTER TABLE t DELETE", df)
+    with pytest.raises(ValueError, match="not in the table"):
+        ch_mutation("ALTER TABLE t UPDATE nope = 1 WHERE id > 0", df)
+    with pytest.raises(ValueError, match="mutation"):
+        ch_mutation("OPTIMIZE TABLE t FINAL", df)
