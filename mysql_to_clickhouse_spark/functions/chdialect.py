@@ -1656,6 +1656,12 @@ def _rewrite_with_totals(sql: str) -> str:
     values are identical), documented in CH_FUNCTION_DOC. Applies at
     any subquery depth (the rewrite is local to its GROUP BY clause).
 
+    Empty-input edge (fuzz-found): over ZERO input rows Spark's
+    grouping sets emit no rows at all, where ANSI engines (and CH's
+    totals block) still emit the one global row — a guarded
+    ``count(*) > 0`` on the consumer side reproduces Spark if parity
+    with another engine matters there.
+
     ``WITH TOTALS HAVING ...`` raises: CH's totals row under HAVING
     depends on the ``totals_mode`` setting (before_having vs the
     after_having_* family), so a silent pick could diverge — restate

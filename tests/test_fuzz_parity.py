@@ -977,13 +977,28 @@ def _gen_ch_query(rng: random.Random) -> tuple[str, str]:
     )
     if rng.random() < 0.8:
         k_ch, k_dk = rng.choice(_CH_KEYS)
+        # WITH TOTALS composes with FINAL/SAMPLE/PREWHERE/SETTINGS in
+        # the same statement: the dialect rewrites it to GROUPING SETS
+        # ((k), ()), restated natively on the DuckDB side (NULL totals
+        # keys on both engines — the ANSI convention the translator
+        # documents)
+        use_totals = rng.random() < 0.3
+        tot_ch = " WITH TOTALS" if use_totals else ""
+        # HAVING COUNT(*) > 0 mirrors Spark's empty-input semantics:
+        # Spark's grouping sets emit NO rows over zero input where
+        # DuckDB still emits the one () row (documented translator edge)
+        group_dk = (
+            f"GROUP BY GROUPING SETS (({k_dk}), ()) HAVING COUNT(*) > 0"
+            if use_totals
+            else "GROUP BY 1"
+        )
         ch = (
             f"SELECT {k_ch} AS k0, {', '.join(ch_aggs)} FROM {src_ch} "
-            f"{w_ch} GROUP BY {k_ch} ORDER BY k0{tail_ch}"
+            f"{w_ch} GROUP BY {k_ch}{tot_ch} ORDER BY k0{tail_ch}"
         )
         dk = (
             f"SELECT {k_dk} AS k0, {', '.join(dk_aggs)} FROM {src_dk} "
-            f"{w_dk} GROUP BY 1 ORDER BY k0"
+            f"{w_dk} {group_dk} ORDER BY k0"
         )
     else:
         ch = f"SELECT {', '.join(ch_aggs)} FROM {src_ch} {w_ch}{tail_ch}"
