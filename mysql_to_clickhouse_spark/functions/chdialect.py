@@ -202,6 +202,27 @@ _SCALAR_UDFS: dict[str, tuple[str, str, str]] = {
     ),
     # bit ops (CH two-arg function forms of Spark's infix operators)
     "bitAnd": ("(a BIGINT, b BIGINT)", "BIGINT", "a & b"),
+    "bitCount": ("(a BIGINT)", "INT", "bit_count(a)"),
+    # CH toRelative*Num: epoch-grid ordinals (UTC) — interval counters
+    # for sessionization/dedup keys
+    "toRelativeDayNum": (
+        "(ts TIMESTAMP)", "INT", "CAST(unix_micros(ts) DIV 86400000000 AS INT)"
+    ),
+    "toRelativeHourNum": (
+        "(ts TIMESTAMP)", "INT", "CAST(unix_micros(ts) DIV 3600000000 AS INT)"
+    ),
+    "toRelativeMinuteNum": (
+        "(ts TIMESTAMP)", "INT", "CAST(unix_micros(ts) DIV 60000000 AS INT)"
+    ),
+    # CH normalizeQuery: literals -> placeholders (string literals,
+    # then standalone numbers; the common fingerprinting cases — CH
+    # also collapses IN-lists, which survive here as ?, ?, ?)
+    "normalizeQuery": (
+        "(s STRING)",
+        "STRING",
+        "regexp_replace(regexp_replace(s, \"'[^']*'\", '?'), "
+        "'(^|[^A-Za-z0-9_])[0-9]+(\\\\.[0-9]+)?', '$1?')",
+    ),
     "bitOr": ("(a BIGINT, b BIGINT)", "BIGINT", "a | b"),
     "bitXor": ("(a BIGINT, b BIGINT)", "BIGINT", "a ^ b"),
     # regex: whole-match extraction (CH extractAll's group-less case;
@@ -2538,6 +2559,41 @@ def _strip_trailing_clauses(sql: str) -> str:
     return sql
 
 
+_NON_SELECT_ROUTES = [
+    (r"CREATE\s+MATERIALIZED\s+VIEW",
+     "use functions.chmv.create_materialized_view(spark, ddl) — the "
+     "k-family incremental-view front door (s22)"),
+    (r"ALTER\s+TABLE\s+[\w.]+\s+(DELETE|UPDATE)\b",
+     "use functions.chdialect.ch_mutation(sql, df) — lightweight "
+     "mutations applied to the frame (s23)"),
+    (r"INSERT\s+INTO\b",
+     "use the a5 batch-sink writers (operators/scans.py) — the "
+     "DataFrame writer owns persistence"),
+    (r"OPTIMIZE\s+TABLE\b",
+     "use a10_compaction (small-file rewrite) or the FROM <t> FINAL "
+     "read-side collapse — there is no background merge to force"),
+    (r"(TRUNCATE|DROP)\s+TABLE\b",
+     "tables here are parquet paths — delete/overwrite through the a5 "
+     "sink, not statement text"),
+    (r"CREATE\s+TABLE\b",
+     "tables here are parquet paths — write one with the a5 sink; "
+     "only CREATE MATERIALIZED VIEW has a statement front door"),
+]
+
+
+def _route_non_select(sql: str) -> None:
+    """Pasted CH text that is not a query gets a pointed error naming
+    the engine surface that DOES cover it, instead of a Spark parse
+    error three layers down."""
+    head = sql.lstrip()
+    for pat, hint in _NON_SELECT_ROUTES:
+        if _RE.match(pat, head, _RE.IGNORECASE):
+            stmt = " ".join(head.split()[:3])
+            raise ValueError(
+                f"{stmt!r} is not a query — {hint}"
+            )
+
+
 def translate_ch_sql(sql: str) -> str:
     """Full CH-dialect translation pipeline: trailing SETTINGS/FORMAT
     strip (position-checked), GLOBAL/ALL join-modifier strip,
@@ -2550,6 +2606,7 @@ def translate_ch_sql(sql: str) -> str:
     identifiers it does not know, string literals, and quoted
     identifiers pass through byte-identical. (Comments are not
     stripped — don't put CH calls in comments.)"""
+    _route_non_select(sql)
     sql = _strip_trailing_clauses(sql)
     sql = _strip_join_modifiers(sql)
     sql = _rewrite_any_join(sql)

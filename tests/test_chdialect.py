@@ -1107,3 +1107,49 @@ def test_mutation_loud_errors(spark):
         ch_mutation("ALTER TABLE t UPDATE nope = 1 WHERE id > 0", df)
     with pytest.raises(ValueError, match="mutation"):
         ch_mutation("OPTIMIZE TABLE t FINAL", df)
+
+
+# ---------------------------------------------------------------------------
+# tranche 6 + non-SELECT statement routing
+# ---------------------------------------------------------------------------
+
+
+def test_tranche6_scalars(spark):
+    register_ch_functions(spark)
+    row = spark.sql(
+        "SELECT bitCount(255) AS bc, "
+        "toRelativeDayNum(TIMESTAMP '1970-01-02 12:00:00') AS d1, "
+        "toRelativeHourNum(TIMESTAMP '1970-01-01 03:30:00') AS h3, "
+        "toRelativeMinuteNum(TIMESTAMP '1970-01-01 00:02:30') AS m2, "
+        "normalizeQuery(\"SELECT a FROM t WHERE x = 42 AND s = 'abc' "
+        "AND y IN (1, 2.5)\") AS nq"
+    ).collect()[0]
+    assert (row.bc, row.d1, row.h3, row.m2) == (8, 1, 3, 2)
+    assert row.nq == "SELECT a FROM t WHERE x = ? AND s = ? AND y IN (?, ?)"
+
+
+@pytest.mark.parametrize(
+    "stmt,hint",
+    [
+        ("INSERT INTO t SELECT 1", "a5 batch-sink"),
+        ("OPTIMIZE TABLE events FINAL", "a10_compaction"),
+        ("TRUNCATE TABLE x", "parquet paths"),
+        ("CREATE TABLE t (a Int64) ENGINE = MergeTree", "a5 sink"),
+        ("ALTER TABLE t DELETE WHERE x > 1", "ch_mutation"),
+        ("CREATE MATERIALIZED VIEW m AS SELECT 1",
+         "create_materialized_view"),
+        ("DROP TABLE old", "parquet paths"),
+    ],
+)
+def test_non_select_statements_route_loudly(stmt, hint):
+    with pytest.raises(ValueError, match="not a query"):
+        try:
+            translate_ch_sql(stmt)
+        except ValueError as ex:
+            assert hint in str(ex)
+            raise
+
+
+def test_cte_with_still_translates():
+    src = "WITH x AS (SELECT 1 AS a) SELECT a FROM x"
+    assert translate_ch_sql(src) == src
