@@ -1153,3 +1153,38 @@ def test_non_select_statements_route_loudly(stmt, hint):
 def test_cte_with_still_translates():
     src = "WITH x AS (SELECT 1 AS a) SELECT a FROM x"
     assert translate_ch_sql(src) == src
+
+
+def test_with_totals_lexical_robustness():
+    """Case/whitespace/newline variants of WITH TOTALS all rewrite; a
+    quoted 'WITH TOTALS' string and a column named with_totals do
+    not."""
+    for src in (
+        "select a, count() from t group by a with totals",
+        "SELECT a, count() FROM t GROUP BY a\n  WITH\n  TOTALS\nORDER BY a",
+        "SELECT a FROM t GROUP BY a WITH  TOTALS",
+    ):
+        out = translate_ch_sql(src)
+        assert "GROUPING SETS" in out and "TOTALS" not in out.upper(), out
+    for src in (
+        "SELECT 'with totals' AS s, count() FROM t GROUP BY s",
+        "SELECT with_totals, count() FROM t GROUP BY with_totals",
+    ):
+        assert "GROUPING SETS" not in translate_ch_sql(src)
+
+
+def test_mutation_lexical_robustness(spark):
+    from mysql_to_clickhouse_spark.functions.chdialect import ch_mutation
+
+    df = spark.createDataFrame([(1, 5.0), (2, 150.0)], "id int, v double")
+    for stmt in (
+        "alter table t delete where v > 100",
+        "ALTER  TABLE\n  t\n  DELETE\nWHERE v > 100",
+    ):
+        out = ch_mutation(stmt, df)
+        assert sorted(r["id"] for r in out.collect()) == [1]
+    out = ch_mutation(
+        "alter table db.t update v = v + 1 where id = 1", df
+    )
+    got = {r["id"]: r["v"] for r in out.collect()}
+    assert got == {1: 6.0, 2: 150.0}
