@@ -269,3 +269,76 @@ def test_incremental_cdc_loop_against_live_derby(spark, tmp_path):
     # crash-replay: a cycle with no new source rows is a no-op
     assert _cdc_cycle(spark, db, wm_path, log_dir) == 0
     assert _cdc_serve(spark, log_dir).count() == len(oracle(3))
+
+
+def test_cdc_schema_evolution_mid_loop(spark, tmp_path):
+    """The reference loop's schema-evolution case (a14) against a LIVE
+    source: after two shipped batches the source table gains a column
+    (ALTER TABLE ADD COLUMN over the same JDBC connection a binlog
+    DDL event implies), the next delta carries it, the parquet replica
+    log absorbs it (mergeSchema), and the served state exposes the new
+    column with NULLs for every pre-evolution row — no rewrite of
+    shipped history, no failed cycle."""
+    import json
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    home = str(tmp_path / "derby_evo")
+    spark._jvm.System.setProperty("derby.system.home", home)
+    db = f"{home}/evodb"
+    url = f"jdbc:derby:{db};create=true"
+    wm_path = str(tmp_path / "wm.json")
+    log_dir = str(tmp_path / "log")
+
+    b1 = [(i, i, "U", f"u{i}", float(i)) for i in range(1, 11)]
+    src = spark.createDataFrame(
+        b1, "id bigint, ver bigint, op string, name string, bal double"
+    )
+    clickhouse_writer(
+        src, url=url, table="CHANGES", mode="overwrite", batch_size=100
+    ).option("driver", _DERBY_DRIVER).save()
+    assert _cdc_cycle(spark, db, wm_path, log_dir) == 10
+
+    # source DDL between cycles: the binlog-DDL analog
+    jdm = spark._jvm.java.sql.DriverManager
+    conn = jdm.getConnection(f"jdbc:derby:{db}")
+    conn.createStatement().execute(
+        "ALTER TABLE CHANGES ADD COLUMN tier VARCHAR(10)"
+    )
+    conn.close()
+
+    b2 = [
+        (11, 20, "U", "u11", 11.0, "gold"),
+        (1, 21, "U", "u1v2", 100.0, "silver"),
+    ]
+    src2 = spark.createDataFrame(
+        b2,
+        "id bigint, ver bigint, op string, name string, bal double, "
+        "tier string",
+    )
+    clickhouse_writer(
+        src2, url=url, table="CHANGES", mode="append", batch_size=100
+    ).option("driver", _DERBY_DRIVER).save()
+    assert _cdc_cycle(spark, db, wm_path, log_dir) == 2
+
+    log = spark.read.option("mergeSchema", "true").parquet(log_dir)
+    # Derby canonicalizes unquoted identifiers to UPPER case, so the
+    # evolved column comes back as TIER — the replicator normalizes
+    # identifier case at the serve boundary (MySQL/CH are lower-case
+    # conventions), exactly as a real cross-dialect loop must
+    log = log.toDF(*[c.lower() for c in log.columns])
+    assert "tier" in log.columns  # the log absorbed the evolution
+    w = Window.partitionBy("id").orderBy(F.desc("ver"))
+    served = (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("id", "name", "bal", "tier")
+    )
+    got = {r["id"]: (r["name"], r["bal"], r["tier"]) for r in served.collect()}
+    assert got[1] == ("u1v2", 100.0, "silver")  # post-evolution update
+    assert got[11] == ("u11", 11.0, "gold")     # post-evolution insert
+    for i in range(2, 11):                       # pre-evolution rows: NULL
+        assert got[i] == (f"u{i}", float(i), None)
+    with open(wm_path) as f:
+        assert json.load(f)["ver"] == 21
