@@ -581,24 +581,39 @@ def c12_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
-    orders = load(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
-    )
-    li = load(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1996-06-30").cast("timestamp")
-    )
-    small_orders = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .select("o_orderkey", "o_orderdate", "o_orderpriority")
-    )
-    if bucket_routed_key(spark, sf_dir, "lineitem") == "l_orderkey" and (
-        bucket_routed_key(spark, sf_dir, "orders") == "o_orderkey"
-    ):
-        small_orders = small_orders.hint("shuffle_hash")
+    # bucketed MV read (not path-based): the groupBy includes
+    # l_orderkey, so the bucket clustering keeps it exchange-free —
+    # the x7 shape, with the o_orderdate window pruning quarter
+    # directories on top (< 1998-01-01 aligns exactly with
+    # o_quarter <= 19974, so no residual timestamp decode)
+    flat = load_flat_lineitem(spark, sf_dir)
+    if flat is not None:
+        joined = flat.filter(
+            (F.col("o_quarter") <= 19974)
+            & (F.col("l_shipdate") > F.lit("1996-06-30").cast("timestamp"))
+        ).join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
     else:
-        small_orders = broadcast_when_small(small_orders, li, spark)
+        orders = load(spark, sf_dir, "orders").filter(
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+        )
+        li = load(spark, sf_dir, "lineitem").filter(
+            F.col("l_shipdate") > F.lit("1996-06-30").cast("timestamp")
+        )
+        small_orders = (
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        )
+        if bucket_routed_key(spark, sf_dir, "lineitem") == "l_orderkey" and (
+            bucket_routed_key(spark, sf_dir, "orders") == "o_orderkey"
+        ):
+            small_orders = small_orders.hint("shuffle_hash")
+        else:
+            small_orders = broadcast_when_small(small_orders, li, spark)
+        joined = li.join(
+            small_orders, li.l_orderkey == small_orders.o_orderkey
+        )
     return (
-        li.join(small_orders, li.l_orderkey == small_orders.o_orderkey)
+        joined
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(

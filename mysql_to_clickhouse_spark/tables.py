@@ -337,17 +337,17 @@ def ensure_flat_lineitem(
     stream joining the orders dimension, landing in its own MergeTree
     PARTITION BY toYYYYMM(o_orderdate) ORDER BY l_orderkey).
 
-    Concretely: lineitem decorated with the four orders columns the
+    Concretely: lineitem decorated with the five orders columns the
     headline analytics actually read (``o_orderdate``,
-    ``o_orderstatus``, ``o_custkey``, ``o_totalprice``), partitioned
-    by ``o_quarter`` (yyyyq int — CH's toYYYYMM idea at quarter
-    granularity) for directory-level date pruning, and bucketed+sorted
-    on ``l_orderkey`` so per-order groupBys stay exchange-free. Row
-    set == lineitem ⨝ orders (inner), which is byte-identical input
-    for every consumer that inner-joined the two anyway (x6/x7/c10) —
-    those queries then run with ZERO fact-side joins: the date window
-    prunes quarter directories, and the only per-run work is one
-    pruned scan plus a small aggregate.
+    ``o_orderstatus``, ``o_custkey``, ``o_totalprice``,
+    ``o_orderpriority``), partitioned by ``o_quarter`` (yyyyq int —
+    CH's toYYYYMM idea at quarter granularity) for directory-level
+    date pruning, and bucketed+sorted on ``l_orderkey`` so per-order
+    groupBys stay exchange-free. Row set == lineitem ⨝ orders (inner),
+    which is byte-identical input for every consumer that inner-joined
+    the two anyway (x6/x7/c10/c12) — those queries then run with ZERO
+    fact-side joins: the date window prunes quarter directories, and
+    the only per-run work is one pruned scan plus a small aggregate.
 
     Partition granularity is a measured trade, not a default: month
     granularity (72 dirs × 64 buckets = 4608 files at the 1e8 tier)
@@ -375,7 +375,7 @@ def ensure_flat_lineitem(
     # the partition scheme is part of the identity: a granularity
     # change must not silently reuse the old layout's files
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{buckets}|flat:lineitem:oq".encode()
+        f"{os.path.abspath(sf_dir)}|{buckets}|flat:lineitem:oq2".encode()
     ).hexdigest()[:8]
     fq = f"m2c_layout.lineitem_flat_{tag}"
     loc = f"{wh}/lineitem_flat_{tag}"
@@ -389,6 +389,7 @@ def ensure_flat_lineitem(
             "o_orderstatus",
             "o_custkey",
             "o_totalprice",
+            "o_orderpriority",
         )
         flat = (
             li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))

@@ -220,6 +220,7 @@ def test_agg_projection_unknown_spec_rejected(spark):
 
 FLAT_QIDS = [
     "c10_star_multiway",
+    "c12_q3_shipping",
     "x6_tpch_q10",
     "x7_tpch_q18",
 ]
