@@ -180,3 +180,40 @@ def test_uniq_hll_state_merges_within_tolerance(spark):
     for k in exact:
         for est in (merged[k], single[k]):
             assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
+
+
+def test_merge_recompute_property_random_splits(spark):
+    """Property: for ANY partition of the source rows into batches, the
+    incrementally-merged MV equals the single-shot recompute — the IVM
+    correctness claim over randomized splits (deterministic seeds; the
+    hash-based split is unrelated to the group key or any aggregate
+    input)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    orders = load(spark, TEST_SF_DIR, "orders")
+    ddl = (
+        "CREATE MATERIALIZED VIEW p AS SELECT o_orderstatus, "
+        "count() AS n, sum(o_totalprice) AS s, min(o_totalprice) AS lo, "
+        "max(o_totalprice) AS hi, uniqExact(o_custkey) AS u "
+        "FROM orders GROUP BY o_orderstatus"
+    )
+    full = {
+        tuple(r)[:1]: tuple(r)[1:]
+        for r in create_materialized_view(spark, ddl)
+        .initialize(orders)
+        .read()
+        .collect()
+    }
+    for seed in (7, 41, 1999):
+        rng = random.Random(seed)
+        n_batches = rng.randint(2, 5)
+        salt = rng.randint(1, 1 << 30)
+        bucket = F.pmod(F.xxhash64("o_orderkey", F.lit(salt)), n_batches)
+        mv = create_materialized_view(spark, ddl)
+        mv.initialize(orders.filter(bucket == 0))
+        for b in range(1, n_batches):
+            mv.apply_delta(orders.filter(bucket == b))
+        inc = {tuple(r)[:1]: tuple(r)[1:] for r in mv.read().collect()}
+        assert inc == full, f"seed {seed} ({n_batches} batches) diverged"
