@@ -204,15 +204,23 @@ _SCALAR_UDFS: dict[str, tuple[str, str, str]] = {
     "bitAnd": ("(a BIGINT, b BIGINT)", "BIGINT", "a & b"),
     "bitCount": ("(a BIGINT)", "INT", "bit_count(a)"),
     # CH toRelative*Num: epoch-grid ordinals (UTC) — interval counters
-    # for sessionization/dedup keys
+    # for sessionization/dedup keys. FLOOR division (DIV truncates
+    # toward zero, which would collapse pre-1970 timestamps onto the
+    # wrong interval): (a - pmod(a, n)) DIV n is exact integer floor.
     "toRelativeDayNum": (
-        "(ts TIMESTAMP)", "INT", "CAST(unix_micros(ts) DIV 86400000000 AS INT)"
+        "(ts TIMESTAMP)", "INT",
+        "CAST((unix_micros(ts) - pmod(unix_micros(ts), 86400000000)) "
+        "DIV 86400000000 AS INT)"
     ),
     "toRelativeHourNum": (
-        "(ts TIMESTAMP)", "INT", "CAST(unix_micros(ts) DIV 3600000000 AS INT)"
+        "(ts TIMESTAMP)", "INT",
+        "CAST((unix_micros(ts) - pmod(unix_micros(ts), 3600000000)) "
+        "DIV 3600000000 AS INT)"
     ),
     "toRelativeMinuteNum": (
-        "(ts TIMESTAMP)", "INT", "CAST(unix_micros(ts) DIV 60000000 AS INT)"
+        "(ts TIMESTAMP)", "INT",
+        "CAST((unix_micros(ts) - pmod(unix_micros(ts), 60000000)) "
+        "DIV 60000000 AS INT)"
     ),
     # CH normalizeQuery: literals -> placeholders (string literals,
     # then standalone numbers; the common fingerprinting cases — CH
@@ -1015,9 +1023,16 @@ def _rewrite_call(word: str, args: list[str], params: list[str] | None) -> str:
         )
         sel = f"filter({pairs}, e -> e.mk <=> kk)"
         if word == "sumMap":
+            # CH sums in the (widened) NATIVE value type — Int64 maps
+            # keep exact integer sums. Seed the accumulator with the
+            # first element (the slice is non-empty by construction:
+            # kk came from the collected keys) so the fold inherits
+            # the element type instead of forcing DOUBLE; a NULL value
+            # poisons that key's sum, same as the old DOUBLE fold.
+            vals = f"transform({sel}, e -> e.mv)"
             val = (
-                f"aggregate(transform({sel}, e -> CAST(e.mv AS DOUBLE)), "
-                f"0.0D, (acc, x) -> acc + x)"
+                f"aggregate(slice({vals}, 2, size({vals})), "
+                f"try_element_at({vals}, 1), (acc, x) -> acc + x)"
             )
         elif word == "minMap":
             val = f"array_min(transform({sel}, e -> e.mv))"
@@ -2657,15 +2672,24 @@ def ch_mutation(sql: str, df: "DataFrame") -> "DataFrame":
     cond = _translate_functions(rest[wm.end():].strip())
     if not cond:
         raise ValueError("empty WHERE condition")
+    # CH predicates are truthy integers ("WHERE 1" is the documented
+    # unconditional idiom) — cast to boolean before the null-guard so
+    # integer conditions work and NULL means "row not matched".
+    gate = F.coalesce(F.expr(cond).cast("boolean"), F.lit(False))
     if m.group("verb").upper() == "DELETE":
         # survivors: NOT cond, keeping NULL-cond rows (CH deletes only
         # rows where the predicate is true)
-        return df.filter(~F.coalesce(F.expr(cond), F.lit(False)))
+        return df.filter(~gate)
     assigns_txt = rest[: wm.start()].strip()
     if not assigns_txt:
         raise ValueError("UPDATE needs at least one col = expr")
-    updated = df
-    gate = F.coalesce(F.expr(cond), F.lit(False))
+    # Snapshot semantics (CH / standard UPDATE): the gate AND every
+    # assignment expression bind to the PRE-mutation row, so
+    # "UPDATE a = b, b = a" swaps and a gate on an assigned column is
+    # evaluated once against the original value. Build all new columns
+    # first, apply in one projection (withColumns), never sequentially.
+    dtypes = dict(df.dtypes)
+    new_cols: dict[str, "F.Column"] = {}
     for item in _split_order_items(assigns_txt):
         am = _RE.match(r"^\s*([A-Za-z_]\w*)\s*=\s*(.+)$", item, _RE.DOTALL)
         if not am:
@@ -2676,13 +2700,10 @@ def ch_mutation(sql: str, df: "DataFrame") -> "DataFrame":
                 f"UPDATE column {col!r} not in the table "
                 f"(have: {', '.join(df.columns)})"
             )
-        updated = updated.withColumn(
-            col,
-            F.when(gate, F.expr(expr).cast(dict(df.dtypes)[col])).otherwise(
-                F.col(col)
-            ),
-        )
-    return updated
+        new_cols[col] = F.when(
+            gate, F.expr(expr).cast(dtypes[col])
+        ).otherwise(F.col(col))
+    return df.withColumns(new_cols)
 
 
 def ch_sql(spark: SparkSession, text: str) -> DataFrame:
@@ -2726,7 +2747,8 @@ CH_FUNCTION_DOC: list[tuple[str, str, str]] = (
         ("count", "count() -> count(*) (parameterless row count)",
          "d1/d2 agg"),
         ("sumMap", "-> map_from_entries per-key fold over collected "
-         "(k,v) pairs", "d19 summap"),
+         "(k,v) pairs; sums in the NATIVE value type (seed-with-first "
+         "fold) so integer maps stay exact, matching CH", "d19 summap"),
         ("minMap", "-> per-key array_min fold (sumMap family)", "d19"),
         ("maxMap", "-> per-key array_max fold (sumMap family)", "d19"),
         ("boundingRatio", "-> (max_by(y,x)-min_by(y,x)) / "

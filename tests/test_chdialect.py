@@ -990,6 +990,38 @@ def test_summap_family_vs_explode_reference(spark):
     assert got["b"][0] == {1: 4.0}
 
 
+def test_summap_integer_values_stay_exact(spark):
+    """r11 ADVICE (low): sumMap sums in the NATIVE value type (CH
+    semantics) — Int64 values above 2^53 keep exact sums instead of
+    riding a lossy DOUBLE fold."""
+    big = (1 << 60) + 1  # not representable as float64
+    df = spark.createDataFrame(
+        [("a", [1, 2], [big, 3]), ("a", [1], [big])],
+        "g string, ks array<int>, vs array<bigint>",
+    )
+    df.createOrReplaceTempView("t_maps_int")
+    row = ch_sql(
+        spark,
+        "SELECT g, sumMap(ks, vs) AS sm FROM t_maps_int GROUP BY g",
+    ).collect()[0]
+    sm = dict(row["sm"])
+    assert sm == {1: 2 * big, 2: 3}
+    assert isinstance(sm[1], int)
+
+
+def test_torelative_floor_division_pre_epoch(spark):
+    """r11 ADVICE (low): floor division on the epoch grid — pre-1970
+    timestamps get distinct negative ordinals, not collapsed onto 0."""
+    register_ch_functions(spark)
+    row = spark.sql(
+        "SELECT toRelativeDayNum(TIMESTAMP '1969-12-31 23:00:00') AS dm1, "
+        "toRelativeDayNum(TIMESTAMP '1970-01-01 00:30:00') AS d0, "
+        "toRelativeHourNum(TIMESTAMP '1969-12-31 23:30:00') AS hm1, "
+        "toRelativeMinuteNum(TIMESTAMP '1969-12-31 23:59:30') AS mm1"
+    ).collect()[0]
+    assert (row.dm1, row.d0, row.hm1, row.mm1) == (-1, 0, -1, -1)
+
+
 def test_vector_norms_and_distances(spark):
     import math
 
@@ -1095,6 +1127,37 @@ def test_mutation_update_translates_ch_functions(spark):
         "ALTER TABLE t UPDATE v = intDiv(v, 2) WHERE v > 0", df
     )
     assert out.collect()[0]["v"] == 3
+
+
+def test_mutation_update_snapshot_semantics(spark):
+    """r11 ADVICE (high): gate + every assignment bind to the
+    PRE-mutation row — one projection, never sequential withColumn.
+    CH: 'UPDATE v = v/2, tag = big WHERE v > 100' on v=150 updates
+    BOTH columns; 'UPDATE a = b, b = a' swaps."""
+    from mysql_to_clickhouse_spark.functions.chdialect import ch_mutation
+
+    df = spark.createDataFrame([(1, 150.0, "x")], "id int, v double, tag string")
+    out = ch_mutation(
+        "ALTER TABLE t UPDATE v = v / 2, tag = 'big' WHERE v > 100", df
+    )
+    got = out.collect()[0]
+    assert (got["v"], got["tag"]) == (75.0, "big")
+
+    df2 = spark.createDataFrame([(1, 20, 10)], "id int, a int, b int")
+    out2 = ch_mutation("ALTER TABLE t UPDATE a = b, b = a WHERE id = 1", df2)
+    got2 = out2.collect()[0]
+    assert (got2["a"], got2["b"]) == (10, 20)
+
+
+def test_mutation_where_1_unconditional(spark):
+    """r11 ADVICE (medium): the documented 'WHERE 1' escape hatch must
+    work — CH predicates are truthy integers."""
+    from mysql_to_clickhouse_spark.functions.chdialect import ch_mutation
+
+    df = spark.createDataFrame([(1, 5.0), (2, 6.0)], "id int, v double")
+    assert ch_mutation("ALTER TABLE t DELETE WHERE 1", df).count() == 0
+    out = ch_mutation("ALTER TABLE t UPDATE v = 0 WHERE 1", df)
+    assert [r["v"] for r in out.collect()] == [0.0, 0.0]
 
 
 def test_mutation_loud_errors(spark):
