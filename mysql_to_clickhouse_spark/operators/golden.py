@@ -12,8 +12,10 @@ from pyspark.sql import functions as F
 
 from mysql_to_clickhouse_spark.functions.numeric import dmean, dsum, o_dmean, o_dsum
 from mysql_to_clickhouse_spark.functions.text import tokens
+from mysql_to_clickhouse_spark.plans.boundary import checkpoint_boundary
 from mysql_to_clickhouse_spark.plans.dispatch import (
     broadcast_when_small,
+    fact_bytes_estimate,
     parquet_rows_estimate,
 )
 from mysql_to_clickhouse_spark.plans.prefix import running_sums
@@ -1441,7 +1443,17 @@ def x21_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     the packing prefix-sum runs as the two-phase parallel scan
     (plans/prefix.py — range-partitioned doc order, 32 broadcast
     offsets), never a single-partition window, so the global manifest
-    sequence survives a corpus-scale kept set. No Python anywhere."""
+    sequence survives a corpus-scale kept set. No Python anywhere.
+
+    Corpus-tier segmentation (r10 postmortem: one mega-DAG OOMed the
+    24g driver at 1e8 docs): when the documents scan exceeds
+    ``spark.mysql2ch.corpus.boundaryBytes`` (default 2 GiB compressed),
+    the kept set is cut at a ``checkpoint_boundary`` — 2-column
+    parquet write-behind, fresh scan back, upstream tokenize/md5/join
+    shuffles force-released — so the prefix scan starts from a clean
+    slate instead of stacking on the dedup chain's retained state.
+    Fixture tiers stay on the single declarative DAG (hash-identical;
+    the boundary only moves WHERE stages materialize)."""
     docs = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     flags = docs.select(
@@ -1473,6 +1485,11 @@ def x21_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_chars")
     )
+    boundary_bytes = int(
+        spark.conf.get("spark.mysql2ch.corpus.boundaryBytes", str(2 << 30))
+    )
+    if fact_bytes_estimate(docs) > boundary_bytes:
+        kept = checkpoint_boundary(kept)
     cum, _ = running_sums(kept, ["doc_id"], {"cum_chars": F.col("n_chars")})
     packed = cum.withColumn(
         "shard",

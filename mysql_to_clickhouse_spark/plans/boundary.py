@@ -86,9 +86,20 @@ def release_shuffles(spark: SparkSession) -> list[int]:
     driver GC that a live plan reference may block forever. Returns
     the released shuffle IDs.
 
-    A python+JVM GC runs first so broadcast variables and RDDs whose
-    references truly died are swept in the same pass (the cleaner
-    processes their weak refs on the GC tick)."""
+    The inventory is taken BEFORE the GC pass: the async ContextCleaner
+    thread may sweep dead shuffles the moment the GC enqueues their
+    weak refs, and inventorying after it raced to an empty id list on a
+    busy session (r11 flake). Cleaning an id the GC already swept is a
+    no-op (doCleanupShuffle is idempotent), so inventory-first is both
+    race-free and safe. A python+JVM GC still runs before the explicit
+    cleans so broadcast variables and RDDs whose references truly died
+    are swept in the same pass."""
+    ids = sorted(
+        {
+            int(os.path.basename(p).split("_")[1])
+            for p in _local_shuffle_files(spark)
+        }
+    )
     gc.collect()  # drop dead py4j handles so the JVM refs can die too
     spark._jvm.System.gc()
     jsc = spark.sparkContext._jsc.sc()
@@ -96,12 +107,6 @@ def release_shuffles(spark: SparkSession) -> list[int]:
     if not cleaner_opt.isDefined():  # pragma: no cover - cleaner is on
         return []  # spark.cleaner.referenceTracking=false: nothing to do
     cleaner = cleaner_opt.get()
-    ids = sorted(
-        {
-            int(os.path.basename(p).split("_")[1])
-            for p in _local_shuffle_files(spark)
-        }
-    )
     for sid in ids:
         cleaner.doCleanupShuffle(sid, True)
     return ids

@@ -39,8 +39,18 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 _PID = "__prefix_pid"
+
+# Partition-id pinning stores the WHOLE scanned frame. The default
+# localCheckpoint level (MEMORY_AND_DISK, deserialized rows) pinned a
+# 1e8-row kept set as JVM objects and OOMed the 24g driver in local
+# mode (r10 p1_corpus_build postmortem); DISK_ONLY keeps the pin
+# serialized off-heap-of-concern — blocks are never evicted by memory
+# pressure, and lineage truncation (the determinism guarantee) is
+# identical.
+_PIN_LEVEL = StorageLevel.DISK_ONLY
 
 
 def running_sums(
@@ -82,7 +92,7 @@ def running_sums(
             F.sum(sum_srcs[name]).over(wloc).alias(f"__prefix_loc_{name}")
             for name in names
         ],
-    ).localCheckpoint()  # pin partition ids across the two reads below
+    ).localCheckpoint(True, _PIN_LEVEL)  # pin pids across the two reads
 
     part_totals = sorted(
         loc.groupBy(_PID)
@@ -148,7 +158,7 @@ def global_lag(
         "*",
         F.lag(value_col).over(wloc).alias("__lag_loc"),
         F.row_number().over(wloc).alias("__lag_rn"),
-    ).localCheckpoint()  # pin partition ids across the two reads below
+    ).localCheckpoint(True, _PIN_LEVEL)  # pin pids across the two reads
 
     # last row's value per partition, keyed to the NEXT partition id.
     # Non-empty partitions may be sparse (range partitioner can leave
