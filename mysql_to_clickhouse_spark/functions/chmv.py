@@ -25,9 +25,20 @@ Scope (loud by design): single-table SELECT with optional WHERE and
 GROUP BY; aggregates count/countIf/sum/sumIf/min/max/avg/uniqExact/
 uniq (the approximate one — a real mergeable HLL sketch via Spark's
 hll_sketch_agg/hll_union_agg, CH's uniqState/uniqMerge analog, O(1)
-state per group). Joins, subqueries and other aggregates raise with
-the supported set named — CH's own MV guidance is single-source-block
-views, and wider shapes belong to the k3/k6 operators.
+state per group) and quantile/median — the CH parametric
+``quantile(p)(x)`` form included — as a mergeable KLL sketch
+(kll_sketch_agg_double/kll_merge_agg_double, CH's quantileState/
+quantileMerge analog; approximate on both engines, so its registry
+entry s22b is rows-only-ledgered like d4). Joins, subqueries and
+other aggregates raise with the supported set named — CH's own MV
+guidance is single-source-block views, and wider shapes belong to the
+k3/k6 operators.
+
+``TO target`` is WIRED, not just parsed: every initialize/apply_delta
+writes the partial state through to the named catalog table (CH
+semantics — the MV is a trigger, the target table owns the data), and
+``attach()`` re-binds a freshly parsed MV to that table's state, which
+is the replicator's restart path.
 
 Scale: identical to the k-family — partials are map-side-combinable
 hash aggregates; a delta merge shuffles one row per (group, batch),
@@ -52,7 +63,7 @@ from mysql_to_clickhouse_spark.functions.chdialect import (
 from mysql_to_clickhouse_spark.functions.numeric import SUM_SCALE, fixed_point
 
 _SUPPORTED = ("count", "countIf", "sum", "sumIf", "min", "max", "avg",
-              "uniqExact", "uniq")
+              "uniqExact", "uniq", "quantile", "median")
 
 
 @dataclass
@@ -61,6 +72,7 @@ class _AggSpec:
     kind: str         # one of _SUPPORTED (If-forms folded into base)
     arg: str | None   # translated Spark SQL expr (None for count())
     cond: str | None  # translated condition for -If forms
+    param: float | None = None  # quantile level for the parametric form
 
 
 @dataclass
@@ -108,6 +120,17 @@ class ChMaterializedView:
                 # sketch (binary) is the partial — state size is O(1)
                 # in the distinct count, unlike uniqExact's set
                 col = F.hll_sketch_agg(val).alias(f"p_hll_{a.out}")
+            elif a.kind == "quantile":
+                # CH quantileState/quantileMerge analog: a mergeable
+                # KLL sketch (Apache DataSketches, binary) — bounded
+                # state per group, merge-associative, ~1.6 % rank
+                # error at the default k. Approximate on BOTH engines
+                # (CH's quantile is reservoir-sampled), so the s22b
+                # registry entry is rows-only by the same contract
+                # as d4.
+                col = F.kll_sketch_agg_double(
+                    val.cast("double")
+                ).alias(f"p_kll_{a.out}")
             else:  # pragma: no cover - parser rejects earlier
                 raise AssertionError(a.kind)
             parts.append(col)
@@ -155,13 +178,68 @@ class ChMaterializedView:
                         f"p_hll_{ag.out}"
                     )
                 )
+            elif ag.kind == "quantile":
+                merged.append(
+                    F.kll_merge_agg_double(f"p_kll_{ag.out}").alias(
+                        f"p_kll_{ag.out}"
+                    )
+                )
         if key_names:
             return both.groupBy(*key_names).agg(*merged)
         return both.agg(*merged)
 
+    # -- TO target: durable state table (CH's MV-writes-to-table form) ------
+    def _publish(self) -> None:
+        """When the DDL says ``TO target``, every state transition is
+        written through to that catalog table — CH semantics: the MV
+        is a trigger, the TARGET owns the data. The state (one row per
+        group: longs, sets, binary sketches — all parquet-native) is
+        localCheckpoint-ed first so the overwrite never reads the
+        table it replaces. The in-memory handle then POINTS AT the
+        table, so a restarted session can ``attach()`` and keep
+        applying deltas — the replicator's resume story."""
+        if self.target is None:
+            return
+        ckpt = self.state.localCheckpoint()
+        # Explicit location under the warehouse dir (external-table
+        # form): a MANAGED saveAsTable refuses to overwrite a stale
+        # location left by a previous process whose in-memory catalog
+        # died with it (LOCATION_ALREADY_EXISTS) — exactly the restart
+        # scenario attach() exists for.
+        (
+            ckpt.write.mode("overwrite")
+            .option("path", self._target_location())
+            .saveAsTable(self.target)
+        )
+        self.state = self.spark.table(self.target)
+
+    def _target_location(self) -> str:
+        wh = self.spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        )
+        return "/".join(
+            [wh.rstrip("/"), "mv_state", self.target.replace(".", "__")]
+        )
+
+    def attach(self) -> "ChMaterializedView":
+        """Re-bind to the target table's persisted state (restart
+        path: parse the same DDL, attach, apply new deltas). In a
+        fresh session whose in-memory catalog has not seen the table
+        yet, the state is read straight from the target location."""
+        if self.target is None:
+            raise RuntimeError(
+                f"MV {self.name!r}: attach() needs a 'TO target' table"
+            )
+        if self.spark.catalog.tableExists(self.target):
+            self.state = self.spark.table(self.target)
+        else:
+            self.state = self.spark.read.parquet(self._target_location())
+        return self
+
     # -- public contract ---------------------------------------------------
     def initialize(self, src: DataFrame) -> "ChMaterializedView":
         self.state = self._partials(src)
+        self._publish()
         return self
 
     def apply_delta(self, delta: DataFrame) -> "ChMaterializedView":
@@ -170,6 +248,7 @@ class ChMaterializedView:
                 f"MV {self.name!r}: initialize() before apply_delta()"
             )
         self.state = self._merge(self.state, self._partials(delta))
+        self._publish()
         return self
 
     def read(self) -> DataFrame:
@@ -204,6 +283,12 @@ class ChMaterializedView:
             elif a.kind == "uniq":
                 cols.append(
                     F.hll_sketch_estimate(f"p_hll_{a.out}").alias(a.out)
+                )
+            elif a.kind == "quantile":
+                cols.append(
+                    F.kll_sketch_get_quantile_double(
+                        F.col(f"p_kll_{a.out}"), F.lit(a.param)
+                    ).alias(a.out)
                 )
         return self.state.select(*cols)
 
@@ -280,6 +365,40 @@ def _leading_call(expr: str) -> tuple[str, list[str]] | None:
                 return m.group(1), (
                     _split_top_commas(inner) if inner.strip() else []
                 )
+        i += 1
+    return None
+
+
+_QUANTILE_RE = re.compile(
+    r"^\s*(quantile|quantileTDigest|quantileBFloat16)\s*"
+    r"\(\s*(?P<p>[0-9]*\.?[0-9]+)\s*\)\s*\(",
+)
+
+
+def _parametric_quantile(expr: str) -> tuple[float, str] | None:
+    """Match the CH parametric call shape ``quantile(p)(arg)`` (and
+    the TDigest/BFloat16 spellings — all map onto the one KLL
+    partial). Returns (p, arg) or None."""
+    m = _QUANTILE_RE.match(expr)
+    if not m:
+        return None
+    depth, i, n = 1, m.end(), len(expr)
+    while i < n:
+        c = expr[i]
+        if c in "'\"`":
+            i = _scan_string(expr, i, c)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                if expr[i + 1:].strip():
+                    return None  # trailing text -> composite expr
+                p = float(m.group("p"))
+                if not 0.0 <= p <= 1.0:
+                    raise ValueError(f"quantile level {p} outside [0, 1]")
+                return p, expr[m.end():i]
         i += 1
     return None
 
@@ -371,7 +490,37 @@ def create_materialized_view(
     auto = 0
     for item in _split_top_commas(items_txt):
         expr, alias = _strip_alias(item)
+        qc = _parametric_quantile(expr)
+        if qc is not None:
+            p, qarg = qc
+            out = alias or f"quantile_{auto}"
+            auto += 1
+            aggs.append(
+                _AggSpec(
+                    out=out,
+                    kind="quantile",
+                    arg=_translate_functions(qarg),
+                    cond=None,
+                    param=p,
+                )
+            )
+            continue
         call = _leading_call(expr)
+        if call and call[0] == "median":
+            if len(call[1]) != 1:
+                raise ValueError(f"MV {name!r}: median expects 1 arg")
+            out = alias or f"median_{auto}"
+            auto += 1
+            aggs.append(
+                _AggSpec(
+                    out=out,
+                    kind="quantile",
+                    arg=_translate_functions(call[1][0]),
+                    cond=None,
+                    param=0.5,
+                )
+            )
+            continue
         if call and call[0] in _SUPPORTED:
             fname, args = call
             base = fname[:-2] if fname.endswith("If") else fname
@@ -403,6 +552,9 @@ def create_materialized_view(
                     kind=base,
                     arg=_translate_functions(arg) if arg else None,
                     cond=_translate_functions(cond) if cond else None,
+                    # CH's parameterless quantile(x) defaults to the
+                    # median — same KLL partial as quantile(0.5)(x)
+                    param=0.5 if base == "quantile" else None,
                 )
             )
         elif re.match(

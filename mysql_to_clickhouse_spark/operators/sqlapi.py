@@ -1545,6 +1545,90 @@ def s22_ch_create_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mv.read().orderBy("o_orderpriority")
 
 
+_S22B_DDL = """
+CREATE MATERIALIZED VIEW mv_price_q TO agg_price_q
+ENGINE = AggregatingMergeTree() ORDER BY o_orderpriority
+AS SELECT o_orderpriority,
+          count() AS n_orders,
+          quantile(0.5)(o_totalprice) AS p50,
+          quantile(0.9)(o_totalprice) AS p90
+   FROM orders
+   GROUP BY o_orderpriority
+"""
+
+# The d4b pattern for approximate state: the HASHED columns are the
+# exact count plus rank-tolerance BOOLEANS (is the KLL estimate's
+# exact rank within ±5 % of its target? — ~3x the DataSketches
+# default-k bound, so a pass is meaningful and a sketch defect
+# diverges the hash). The raw estimates are approximate on both
+# engines and are deliberately NOT hashed.
+_S22B_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       TRUE AS p50_in_tol,
+       TRUE AS p90_in_tol
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("s22b_ch_mv_quantile_state", oracle=_S22B_ORACLE)
+def s22b_ch_mv_quantile_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``quantileState``-family MV through the DDL front door
+    (VERDICT r10 #6): ``quantile(p)(x)`` in CREATE MATERIALIZED VIEW
+    parses into a MERGEABLE KLL sketch partial (kll_sketch_agg_double /
+    kll_merge_agg_double — the quantileState/quantileMerge analog,
+    O(1) state per group), and ``TO target`` is wired: every state
+    transition writes through to the ``agg_price_q`` catalog table,
+    from which a FRESHLY PARSED view ``attach()``es mid-cycle here —
+    the replicator restart path, exercised inside the checked query.
+
+    Hash contract (the d4b discipline for approximate state): exact
+    per-group counts plus booleans asserting the merged sketch's p50/
+    p90 estimates sit within ±5 % rank of their targets, checked
+    against exact ``percentile`` rank windows computed on the same
+    frame. The estimates themselves are approximate on both engines
+    (CH quantile is reservoir-sampled) and are not hashed.
+
+    Scale: partials are map-side-combinable sketches; a delta merge
+    shuffles one ~1 KB sketch row per (group, batch) regardless of
+    fact cardinality; the tolerance join is per-group (5 rows)."""
+    from pyspark.sql import functions as SF
+
+    from mysql_to_clickhouse_spark.functions.chmv import (
+        create_materialized_view,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    cut = SF.lit("1997-01-01").cast("timestamp")
+    mv = create_materialized_view(spark, _S22B_DDL)
+    mv.initialize(orders.filter(SF.col("o_orderdate") < cut))
+    # restart: new parse of the same DDL, re-bound to the target table
+    mv2 = create_materialized_view(spark, _S22B_DDL).attach()
+    mv2.apply_delta(orders.filter(SF.col("o_orderdate") >= cut))
+    est = mv2.read()
+
+    windows = orders.groupBy("o_orderpriority").agg(
+        SF.expr("percentile(o_totalprice, 0.45)").alias("lo50"),
+        SF.expr("percentile(o_totalprice, 0.55)").alias("hi50"),
+        SF.expr("percentile(o_totalprice, 0.85)").alias("lo90"),
+        SF.expr("percentile(o_totalprice, 0.95)").alias("hi90"),
+    )
+    return (
+        est.join(windows, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            SF.col("n_orders").cast("long").alias("n_orders"),
+            SF.col("p50").between(SF.col("lo50"), SF.col("hi50"))
+            .alias("p50_in_tol"),
+            SF.col("p90").between(SF.col("lo90"), SF.col("hi90"))
+            .alias("p90_in_tol"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 _S23_UPDATE = """
 ALTER TABLE events UPDATE value = value * 1.1, event_type = 'adjusted'
 WHERE event_type = 'error' AND value > 100

@@ -108,9 +108,16 @@ def test_ch_scalar_key_translates(spark):
         ("SELECT 1", "not a CREATE MATERIALIZED"),
         ("CREATE MATERIALIZED VIEW x AS SELECT count() AS n", "FROM"),
         (
-            "CREATE MATERIALIZED VIEW x AS SELECT quantile(0.5)(v) AS q "
-            "FROM orders",
+            # quantile is supported since r11 (KLL partial) but the
+            # EXACT family still raises — no mergeable exact state
+            "CREATE MATERIALIZED VIEW x AS SELECT quantileExact(0.5)(v) "
+            "AS q FROM orders",
             "no mergeable partial",
+        ),
+        (
+            "CREATE MATERIALIZED VIEW x AS SELECT quantile(1.5)(v) AS q "
+            "FROM orders",
+            "outside",
         ),
         (
             "CREATE MATERIALIZED VIEW x AS SELECT count() AS n "
@@ -217,3 +224,140 @@ def test_merge_recompute_property_random_splits(spark):
             mv.apply_delta(orders.filter(bucket == b))
         inc = {tuple(r)[:1]: tuple(r)[1:] for r in mv.read().collect()}
         assert inc == full, f"seed {seed} ({n_batches} batches) diverged"
+
+
+# ---------------------------------------------------------------------------
+# r11: quantile KLL partials + TO-target wiring
+# ---------------------------------------------------------------------------
+
+QDDL = """
+CREATE MATERIALIZED VIEW mvq TO tgt_q ENGINE = AggregatingMergeTree()
+ORDER BY o_orderpriority AS
+SELECT o_orderpriority, count() AS n,
+       quantile(0.5)(o_totalprice) AS p50,
+       quantile(0.9)(o_totalprice) AS p90,
+       median(o_totalprice) AS med
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def test_quantile_parse_shapes(spark):
+    mv = create_materialized_view(spark, QDDL)
+    got = [(a.out, a.kind, a.param) for a in mv.aggs]
+    assert got == [
+        ("n", "count", None),
+        ("p50", "quantile", 0.5),
+        ("p90", "quantile", 0.9),
+        ("med", "quantile", 0.5),
+    ]
+    # parameterless CH quantile(x) defaults to the median
+    mv2 = create_materialized_view(
+        spark,
+        "CREATE MATERIALIZED VIEW m AS SELECT quantile(o_totalprice) "
+        "AS q FROM orders",
+    )
+    assert mv2.aggs[0].kind == "quantile" and mv2.aggs[0].param == 0.5
+
+
+def test_quantile_merge_stays_in_rank_tolerance(spark):
+    """KLL estimates are approximate; the merge property to pin is the
+    DataSketches rank-error bound (~1.7 % at default k), checked for
+    BOTH the one-pass and the delta-merged sketch against the exact
+    quantile."""
+    from pyspark.sql import functions as F
+
+    orders = load(spark, TEST_SF_DIR, "orders")
+    exact = {
+        tuple(r)[0]: (r["e50"], r["e90"])
+        for r in orders.groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("e50"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("e90"),
+        )
+        .collect()
+    }
+    ranks = {
+        tuple(r)[0]: sorted(v["o_totalprice"] for v in r["vs"])
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.collect_list(F.struct("o_totalprice")).alias("vs"))
+        .collect()
+    }
+
+    def rank_of(key, value):
+        vals = ranks[key]
+        import bisect
+        return bisect.bisect_right(vals, value) / len(vals)
+
+    def one_pass():
+        return create_materialized_view(spark, QDDL).initialize(orders)
+
+    def merged():
+        return (
+            create_materialized_view(spark, QDDL)
+            .initialize(orders.filter(F.col("o_orderkey") % 3 == 0))
+            .apply_delta(orders.filter(F.col("o_orderkey") % 3 == 1))
+            .apply_delta(orders.filter(F.col("o_orderkey") % 3 == 2))
+        )
+
+    # build+read one at a time: both MVs publish to the SAME target
+    # table (the DDL's TO tgt_q), and the target always shows the
+    # LATEST writer — CH semantics — so a stale handle must not be
+    # read across the other's publish
+    for label, build in (("one-pass", one_pass), ("merged", merged)):
+        for r in build().read().collect():
+            key = r["o_orderpriority"]
+            assert abs(rank_of(key, r["p50"]) - 0.5) < 0.05, label
+            assert abs(rank_of(key, r["p90"]) - 0.9) < 0.05, label
+            # median() is its own sketch instance: KLL compaction is
+            # randomized, so med ~= p50 within rank tolerance, not ==
+            assert abs(rank_of(key, r["med"]) - 0.5) < 0.05, label
+
+
+def test_to_target_publish_and_attach_restart(spark):
+    """TO target owns the data (CH semantics): state survives in the
+    catalog table, and a freshly parsed MV attach()es and continues."""
+    from pyspark.sql import functions as F
+
+    orders = load(spark, TEST_SF_DIR, "orders")
+    ddl = """
+    CREATE MATERIALIZED VIEW mv_r TO tgt_restart AS
+    SELECT o_orderpriority, count() AS n, sum(o_totalprice) AS s
+    FROM orders GROUP BY o_orderpriority
+    """
+    mv = create_materialized_view(spark, ddl)
+    mv.initialize(orders.filter(F.col("o_orderkey") % 2 == 0))
+    # the target table exists and holds PARTIAL state columns
+    tgt_cols = set(spark.table("tgt_restart").columns)
+    assert "p_count_n" in tgt_cols and "p_sum_s" in tgt_cols
+
+    # "restart": a brand-new MV object from the same DDL, no initialize
+    mv2 = create_materialized_view(spark, ddl).attach()
+    mv2.apply_delta(orders.filter(F.col("o_orderkey") % 2 == 1))
+    got = {
+        r["o_orderpriority"]: (r["n"], round(r["s"], 2))
+        for r in mv2.read().collect()
+    }
+    want = {
+        r["o_orderpriority"]: (r["n"], round(r["s"], 2))
+        for r in orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("s"),
+        )
+        .collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][0] == want[k][0]
+        # fixed-point partial sums vs a double fold: sub-cent-scale
+        # rounding differences are the documented discipline
+        assert abs(got[k][1] - want[k][1]) < 0.05
+
+
+def test_attach_without_target_raises(spark):
+    mv = create_materialized_view(
+        spark,
+        "CREATE MATERIALIZED VIEW m AS SELECT count() AS n FROM orders",
+    )
+    with pytest.raises(RuntimeError, match="TO target"):
+        mv.attach()
