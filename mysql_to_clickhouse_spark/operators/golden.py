@@ -23,6 +23,7 @@ from mysql_to_clickhouse_spark.registry import register
 from mysql_to_clickhouse_spark.tables import (
     bucket_routed_key,
     load,
+    load_dim,
     load_flat_lineitem,
 )
 
@@ -299,8 +300,8 @@ def x6_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     quarter filter prunes to ONE o_quarter partition directory (1/24
     of the fact) and the only per-run work is that pruned scan plus
     the custkey aggregate. Tie-break: c_custkey (== the group key)."""
-    cust = load(spark, sf_dir, "customer")
-    nation = load(spark, sf_dir, "nation")
+    cust = load_dim(spark, sf_dir, "customer")
+    nation = load_dim(spark, sf_dir, "nation")
     # file-based MV read: no bucket-key groupBy here, so the one-quarter
     # scan coalesces into a few full splits instead of 64 tiny tasks
     flat = load_flat_lineitem(spark, sf_dir, bucketed=False)
@@ -388,7 +389,7 @@ def x7_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     the MV yields total_qty AND the decoration columns (max() of a
     per-group constant), leaving zero joins on the fact path.
     Tie-break: o_orderkey."""
-    cust = load(spark, sf_dir, "customer")
+    cust = load_dim(spark, sf_dir, "customer")
     flat = load_flat_lineitem(spark, sf_dir)
     if flat is not None:
         top = (
@@ -838,8 +839,8 @@ def x14_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     count (all its late lines belong to the single late supplier),
     which sums to exactly the per-line count the classic per-row
     formulation produces."""
-    sup = load(spark, sf_dir, "supplier")
-    nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    sup = load_dim(spark, sf_dir, "supplier")
+    nation = load_dim(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     # Deliberately NOT the flat MV: Q21 has no date window, so the MV
     # offers no partition pruning — and its partitioned-by-quarter file
     # layout made the full scan SLOWER than this co-bucketed join at
@@ -1023,12 +1024,12 @@ def x16_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast (a very selective part filter at a big tier); otherwise
     the honest orderkey shuffle stands with zero probe cost."""
     part_sel = (
-        load(spark, sf_dir, "part")
+        load_dim(spark, sf_dir, "part")
         .filter(F.col("p_name").like("%bolt%"))
         .select("p_partkey", "p_retailprice")
     )
-    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    nation = load(spark, sf_dir, "nation")
+    sup = load_dim(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_dim(spark, sf_dir, "nation")
     profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
         0.01
     ) * F.col("p_retailprice") * F.col("l_quantity")

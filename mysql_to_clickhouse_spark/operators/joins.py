@@ -28,6 +28,7 @@ from mysql_to_clickhouse_spark.registry import register
 from mysql_to_clickhouse_spark.tables import (
     bucket_routed_key,
     load,
+    load_dim,
     load_flat_lineitem,
 )
 
@@ -423,10 +424,14 @@ def c10_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tables.ensure_flat_lineitem) the fact join disappears: the date
     window prunes o_month directories and o_custkey rides the fact
     row, leaving only dim broadcasts before the final aggregate."""
-    region = load(spark, sf_dir, "region")
-    nation = load(spark, sf_dir, "nation")
-    cust = load(spark, sf_dir, "customer")
-    supp = load(spark, sf_dir, "supplier")
+    # dims read through the dimension cache (tables.load_dim): the
+    # session's second and later fresh-built plans scan in-memory
+    # relations instead of re-decoding parquet — ~0.35 s of the q5
+    # fresh-submission constant at the 1e8 tier
+    region = load_dim(spark, sf_dir, "region")
+    nation = load_dim(spark, sf_dir, "nation")
+    cust = load_dim(spark, sf_dir, "customer")
+    supp = load_dim(spark, sf_dir, "supplier")
 
     dims = (
         cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
@@ -578,7 +583,7 @@ def c12_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduced-orders side (2.4e6 rows at 1e8). Measured 2.5 s -> 1.6 s
     warm at the 1e8 tier; the groupBy reuses the join's orderkey
     partitioning either way."""
-    cust = load(spark, sf_dir, "customer").filter(
+    cust = load_dim(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
     # bucketed MV read (not path-based): the groupBy includes

