@@ -1567,59 +1567,130 @@ _LTTB_N_OUT = 10
 
 
 def lttb_reference(ts_us, values, n_out: int):
-    """Pure-Python LTTB (Steinarsson 2013, public thesis algorithm):
-    keep the first and last points; for each interior bucket pick the
-    point forming the largest triangle with the PREVIOUSLY SELECTED
-    point and the NEXT bucket's centroid. Deterministic: ties resolve
-    to the earliest point (first argmax). Shared by the operator's
+    """Pure-Python LTTB (Steinarsson 2013, public thesis algorithm) on
+    the PORTABLE integer grid: keep the first and last points; for
+    each interior bucket pick the point forming the largest triangle
+    with the previously selected point and the NEXT bucket's centroid.
+    Triangle areas are EXACT integers — x is series-relative whole
+    seconds, y is floor(value·1e4), and the centroid fractions are
+    cleared by multiplying through the bucket count — so argmax ties
+    (earliest point wins) resolve identically on every engine/libm.
+    Bucket bounds use exact integer division, not float linspace.
+    This grid is what let r11 give d30 a DuckDB recursive-CTE oracle
+    and retire its rows-only ledger entry. Shared by the operator's
     per-key kernel and the differential test."""
+    import math
+
     n = len(ts_us)
     if n <= n_out:
         return list(range(n))
+    t0 = int(ts_us[0])
+    xs = [(int(t) - t0) // 1_000_000 for t in ts_us]
+    ys = [math.floor(float(v) * 10000) for v in values]
+    bounds = [1 + (k * (n - 2)) // (n_out - 2) for k in range(n_out - 1)]
     idx = [0]
-    # n_out-2 interior buckets over points 1..n-2
-    import numpy as np
-
-    bounds = np.linspace(1, n - 1, n_out - 1).astype(int)
     for b in range(n_out - 2):
         lo, hi = bounds[b], bounds[b + 1]
-        nlo, nhi = bounds[b + 1], (bounds[b + 2] if b + 2 < len(bounds) else n)
-        cx = float(np.mean(ts_us[nlo:nhi])) if nlo < nhi else float(ts_us[n - 1])
-        cy = float(np.mean(values[nlo:nhi])) if nlo < nhi else float(values[n - 1])
-        ax, ay = float(ts_us[idx[-1]]), float(values[idx[-1]])
-        seg_x = ts_us[lo:hi].astype("float64")
-        seg_y = values[lo:hi].astype("float64")
-        area2 = np.abs(
-            (ax - cx) * (seg_y - ay) - (ax - seg_x) * (cy - ay)
-        )
-        idx.append(int(lo + int(np.argmax(area2))))
+        nlo = bounds[b + 1]
+        nhi = bounds[b + 2] if b + 2 < len(bounds) else n
+        c = nhi - nlo
+        sx = sum(xs[nlo:nhi])
+        sy = sum(ys[nlo:nhi])
+        ax, ay = xs[idx[-1]], ys[idx[-1]]
+        best, best_a = lo, -1
+        for i in range(lo, hi):
+            # |(ax·c − Σx)·(y−ay) − (ax−x)·(Σy − ay·c)| — the triangle
+            # area ×2c, python ints so arbitrary precision (no silent
+            # int64 overflow on long series)
+            a2 = abs(
+                (ax * c - sx) * (ys[i] - ay) - (ax - xs[i]) * (sy - ay * c)
+            )
+            if a2 > best_a:
+                best, best_a = i, a2
+        idx.append(best)
     idx.append(n - 1)
     return idx
 
 
-@register(
-    "d30_lttb_downsample",
-    oracle=None,
-    tier="T3",
-    no_oracle_reason=(
-        "LTTB bucket selection argmaxes float triangle areas — cross-libm "
-        "area ties are not hash-portable; an exact reference "
-        "implementation is asserted per series instead"
-    ),
-    test="tests/test_aggregates.py::test_lttb_matches_reference_per_series",
+_D30_ORACLE = """
+WITH RECURSIVE base AS (
+  SELECT user_id, event_id, value,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+             ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) - 1 AS i,
+         COUNT(*) OVER (PARTITION BY user_id) AS n,
+         MIN(epoch_us(CAST(ts AS TIMESTAMP)))
+             OVER (PARTITION BY user_id) AS t0
+  FROM events
+), pts AS (
+  SELECT user_id, i, n, t_us, value,
+         CAST((t_us - t0) // 1000000 AS BIGINT) AS x,
+         CAST(FLOOR(value * 10000) AS BIGINT) AS y
+  FROM base
+), cent AS (
+  SELECT p.user_id, g.b,
+         COUNT(*) AS c, SUM(p.x) AS sx, SUM(p.y) AS sy
+  FROM pts p
+  JOIN generate_series(0, 7) AS g(b)
+    ON p.i >= 1 + ((g.b + 1) * (p.n - 2)) // 8
+   AND p.i < CASE WHEN g.b + 2 < 9
+                  THEN 1 + ((g.b + 2) * (p.n - 2)) // 8
+                  ELSE p.n END
+  WHERE p.n > 10
+  GROUP BY p.user_id, g.b
+), sel AS (
+  SELECT user_id, n, 0 AS b, CAST(0 AS BIGINT) AS sel_i, x AS ax, y AS ay
+  FROM pts WHERE n > 10 AND i = 0
+  UNION ALL
+  SELECT s.user_id, s.n, s.b + 1, pick.i, pick.x, pick.y
+  FROM sel s
+  JOIN cent c ON c.user_id = s.user_id AND c.b = s.b,
+  LATERAL (
+    SELECT p.i, p.x, p.y
+    FROM pts p
+    WHERE p.user_id = s.user_id
+      AND p.i >= 1 + (s.b * (s.n - 2)) // 8
+      AND p.i <  1 + ((s.b + 1) * (s.n - 2)) // 8
+    ORDER BY abs(
+        (CAST(s.ax AS HUGEINT) * c.c - c.sx) * (p.y - s.ay)
+        - CAST(s.ax - p.x AS HUGEINT)
+          * (c.sy - CAST(s.ay AS HUGEINT) * c.c)
+      ) DESC, p.i ASC
+    LIMIT 1
+  ) pick
+  WHERE s.b < 8
 )
+SELECT s.user_id, CAST(s.b AS INT) AS point_rank, p.t_us AS ts_us, p.value
+FROM sel s JOIN pts p ON p.user_id = s.user_id AND p.i = s.sel_i
+UNION ALL
+SELECT user_id, 9 AS point_rank, t_us AS ts_us, value
+FROM pts WHERE n > 10 AND i = n - 1
+UNION ALL
+SELECT user_id, CAST(i AS INT) AS point_rank, t_us AS ts_us, value
+FROM pts WHERE n <= 10
+ORDER BY user_id, point_rank
+"""
+
+
+@register("d30_lttb_downsample", oracle=_D30_ORACLE, tier="T3")
 def d30_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CH ``largestTriangleThreeBuckets(10)(ts, value)``: downsample
     each user's value series to 10 visually-representative points (the
     standard charting decimator). LTTB is inherently sequential within
     one series (each pick depends on the previous pick), so the right
     Spark shape is applyInPandas: one Arrow-batched Python call per
-    user group running the vectorized numpy kernel — parallel across
-    the millions of series, sequential only inside each (which CH's
-    implementation also is). No oracle: DuckDB has no LTTB and the
-    selection is not SQL-expressible; the differential unit test pins
-    the distributed result to the reference kernel per series, and
-    endpoints/monotonicity are structural invariants."""
+    user group running the exact-integer kernel — parallel across the
+    millions of series, sequential only inside each (which CH's
+    implementation also is).
+
+    Hash-portable since r11 (ledger entry retired): the selection grid
+    is exact-integer (relative seconds × fixed-point-1e4 values,
+    centroid fractions cleared by the bucket count, integer bucket
+    bounds), so argmax ties are deterministic on every engine and the
+    DuckDB oracle — LTTB as a recursive CTE carrying (prev point) state
+    with a LATERAL argmax per bucket — matches value-for-value. The
+    kernel's python ints are arbitrary-precision; the oracle's HUGEINT
+    casts serve the same no-silent-overflow contract."""
     import pandas as pd
 
     ev = load(spark, sf_dir, "events").select(
@@ -1629,9 +1700,7 @@ def d30_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     def downsample(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
         keep = lttb_reference(
-            pdf["ts_us"].to_numpy("int64"),
-            pdf["value"].to_numpy("float64"),
-            _LTTB_N_OUT,
+            pdf["ts_us"].tolist(), pdf["value"].tolist(), _LTTB_N_OUT
         )
         out = pdf.iloc[keep][["user_id", "ts_us", "value"]].copy()
         out["point_rank"] = range(len(keep))

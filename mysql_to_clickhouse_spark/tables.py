@@ -608,6 +608,23 @@ def load_dim(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return cached
 
 
+def release_dim_cache(spark: SparkSession) -> int:
+    """Unpersist every dimension-cache entry for the session (the
+    llmops.release_caches hygiene shape). Deliberately NOT part of the
+    inter-query hygiene sweep — a dim cache exists to survive across
+    queries — but a long-lived service rotating datasets calls this at
+    the boundary. Returns the number of entries dropped."""
+    per_session = _LOAD_CACHE.get(spark, {})
+    keys = [k for k in per_session if len(k) == 3 and k[2] == "__dimcache"]
+    for k in keys:
+        try:
+            per_session[k].unpersist(blocking=True)
+        except Exception:
+            pass
+        del per_session[k]
+    return len(keys)
+
+
 # Post-load Spark dtypes per FIXTURES.md — the guard that turns testdata
 # schema drift (which silently regenerated under the engine once, r2→r3,
 # costing 40 queries) into ONE clear error at load() time instead of an

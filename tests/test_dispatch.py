@@ -291,6 +291,13 @@ def test_release_probe_state_unpins_everything(spark):
 
     saved = _with_conf(spark, {_GATE: "0", _ROWS: "10000000"})
     try:
+        # other modules' LEGITIMATE long-lived pins (tables.load_dim's
+        # dimension cache) may exist in a shared session — the contract
+        # here is that THIS module's pins are gone, so assert on the
+        # delta, not a global zero
+        pinned_before = (
+            spark.sparkContext._jsc.getPersistentRDDs().size()
+        )
         li = load(spark, TEST_SF_DIR, "lineitem")
         build = load(spark, TEST_SF_DIR, "orders").select("o_orderkey")
         out = broadcast_when_small(build, li, spark)
@@ -299,7 +306,10 @@ def test_release_probe_state_unpins_everything(spark):
 
         release_probe_state(spark)
         assert spark not in _PROBE_MEMO
-        assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+        assert (
+            spark.sparkContext._jsc.getPersistentRDDs().size()
+            <= pinned_before
+        )
         # repeated release is a no-op; the dispatcher rebuilds cleanly
         release_probe_state(spark)
         build2 = load(spark, TEST_SF_DIR, "orders").select("o_orderkey")
