@@ -2393,6 +2393,53 @@ def _split_array_join_item(item: str) -> tuple[str, str | None]:
     return item.strip(), None
 
 
+def _inline_scalar_udfs(expr: str) -> str:
+    """Inline registered CH scalar SQL-UDF calls inside ``expr`` by
+    substituting the call's arguments into the UDF body (each arg
+    parenthesized). Needed ONLY where Spark bans SQL UDFs — Generate
+    (explode) rejects them with UNSUPPORTED_SQL_UDF_USAGE, so an
+    ``ARRAY JOIN extractAll(...)`` item must arrive pre-inlined (found
+    by the r11 composition fuzz axis). Recursive: inlined bodies may
+    themselves name UDFs. Unknown names pass through untouched."""
+    changed = True
+    guard = 0
+    while changed and guard < 8:
+        changed = False
+        guard += 1
+        for name, (sig, _ret, body) in _SCALAR_UDFS.items():
+            pat = _RE.compile(rf"\b{name}\s*\(")
+            m = pat.search(expr)
+            while m is not None:
+                # find the matching close paren (string-aware)
+                depth, i, n = 1, m.end(), len(expr)
+                while i < n and depth:
+                    c = expr[i]
+                    if c in "'\"`":
+                        i = _scan_string(expr, i, c)
+                        continue
+                    if c == "(":
+                        depth += 1
+                    elif c == ")":
+                        depth -= 1
+                    i += 1
+                if depth:  # unbalanced — leave it for the parser to flag
+                    break
+                args = _split_order_items(expr[m.end():i - 1])
+                params = _RE.findall(r"([A-Za-z_]\w*)\s+\w+", sig)
+                if len(args) != len(params):
+                    m = pat.search(expr, i)
+                    continue
+                inlined = body
+                for p, a in zip(params, args):
+                    inlined = _RE.sub(
+                        rf"\b{p}\b", lambda _m, a=a: f"({a})", inlined
+                    )
+                expr = expr[:m.start()] + f"({inlined})" + expr[i:]
+                changed = True
+                m = pat.search(expr)
+    return expr
+
+
 def _rewrite_array_join(sql: str) -> str:
     """CH ``FROM <t> [alias] [LEFT] ARRAY JOIN x [AS a][, y AS b ...]``
     clause text → Spark Generate plans — the statement-level twin of
@@ -2451,8 +2498,12 @@ def _rewrite_array_join(sql: str) -> str:
             raise ValueError("ARRAY JOIN: empty item list")
         outer = "OUTER " if left else ""
         if len(parsed) == 1 and parsed[0][1] is not None:
-            # aliased single item: splice a LATERAL VIEW, no wrap needed
+            # aliased single item: splice a LATERAL VIEW, no wrap
+            # needed. UDF names are inlined first — Spark's Generate
+            # rejects SQL UDFs (UNSUPPORTED_SQL_UDF_USAGE), so
+            # `ARRAY JOIN extractAll(...)` must arrive as the builtin
             expr, name = parsed[0]
+            expr = _inline_scalar_udfs(expr)
             repl = f"LATERAL VIEW {outer}explode({expr}) __ajv AS {name} "
             sql = sql[:kw_start] + repl + sql[items_end:]
             continue

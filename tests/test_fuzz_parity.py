@@ -1019,3 +1019,154 @@ def test_random_ch_dialect_parity(spark, duck, i):
         f"divergence on CH text:\n{ch_text}\n"
         f"vs duck:\n{duck_text}\n{res.detail}"
     )
+
+
+# ---------------------------------------------------------------------------
+# CH statement COMPOSITION axis (r11, VERDICT #4): mutations x ARRAY
+# JOIN x LIMIT BY x WITH TOTALS x subquery depth in one seeded stream.
+# The r10 axis composes TOTALS/FINAL/SAMPLE/PREWHERE; this one drives
+# the remaining statement families through ch_mutation + ch_sql against
+# native DuckDB restatements. The UPDATE shapes deliberately assign a
+# column the gate reads (value) — the r11 ADVICE snapshot-semantics
+# bug class stays permanently fuzzed.
+# ---------------------------------------------------------------------------
+
+N_CH_COMPOSE = 60
+
+_FP_V = "CAST(FLOOR(value * 10000.0) AS BIGINT)"
+
+
+def _gen_mutation(rng: random.Random) -> tuple[list[str], str]:
+    """([mutation statements for ch_mutation], DuckDB CTE body) over
+    events — the pre-aggregation mutation prefix."""
+    c_ch, c_dk = _ch_cond(rng)
+    if rng.random() < 0.5:
+        ch = f"ALTER TABLE events DELETE WHERE {c_ch}"
+        dk = (
+            "SELECT * FROM events "
+            f"WHERE NOT COALESCE(CAST(({c_dk}) AS BOOLEAN), FALSE)"
+        )
+        return [ch], dk
+    k = rng.randint(2, 5)
+    ch = (
+        f"ALTER TABLE events UPDATE "
+        f"value = value * 2 + (user_id % {k}), "
+        f"event_type = concat(event_type, '_m') "
+        f"WHERE {c_ch}"
+    )
+    gate = f"COALESCE(CAST(({c_dk}) AS BOOLEAN), FALSE)"
+    dk = (
+        "SELECT event_id, ts, user_id, "
+        f"CASE WHEN {gate} THEN event_type || '_m' "
+        "ELSE event_type END AS event_type, "
+        f"CASE WHEN {gate} THEN value * 2 + (user_id % {k}) "
+        "ELSE value END AS value, props "
+        "FROM events"
+    )
+    return [ch], dk
+
+
+def _gen_ch_compose(rng: random.Random):
+    """Returns (mutations, ch_text, duck_text). ch_text runs via
+    ch_sql against the (possibly mutated) view named events_m."""
+    mutations, dk_src = [], "SELECT * FROM events"
+    if rng.random() < 0.5:
+        mutations, dk_src = _gen_mutation(rng)
+    shape = rng.random()
+    if shape < 0.4:
+        # ARRAY JOIN over the digit runs in props, aggregated, with an
+        # optional WITH TOTALS on the group
+        m = rng.randint(3, 9)
+        use_totals = rng.random() < 0.4
+        tot = " WITH TOTALS" if use_totals else ""
+        w_ch = w_dk = ""
+        if rng.random() < 0.5:
+            c_ch, c_dk = _ch_cond(rng)
+            w_ch, w_dk = f"WHERE {c_ch}", f"AND ({c_dk})"
+        ch = (
+            f"SELECT user_id % {m} AS k0, count() AS n, "
+            f"COALESCE(sum(toInt64(d)), 0) AS s "
+            # regexp_extract_all, not the extractAll SQL UDF: Spark
+            # refuses SQL-UDF expressions inside Generate (explode)
+            f"FROM events_m ARRAY JOIN "
+            f"regexp_extract_all(props, '[0-9]+', 0) AS d "
+            f"{w_ch} GROUP BY user_id % {m}{tot} ORDER BY k0"
+        )
+        group = (
+            "GROUP BY GROUPING SETS ((k0), ()) HAVING COUNT(*) > 0"
+            if use_totals else "GROUP BY k0"
+        )
+        dk = (
+            f"WITH events_m AS ({dk_src}), ex AS ("
+            f"SELECT user_id % {m} AS k0, "
+            f"unnest(regexp_extract_all(props, '[0-9]+')) AS d "
+            f"FROM events_m WHERE TRUE {w_dk}) "
+            f"SELECT k0, CAST(COUNT(*) AS BIGINT) AS n, "
+            f"CAST(COALESCE(SUM(CAST(d AS BIGINT)), 0) AS BIGINT) AS s "
+            f"FROM ex {group} ORDER BY k0"
+        )
+        return mutations, ch, dk
+    if shape < 0.7:
+        # top-level LIMIT BY over a filtered scan (first-n-per-key in
+        # the query's ORDER BY; event_id is unique -> deterministic)
+        m = rng.randint(3, 8)
+        nper = rng.randint(1, 3)
+        c_ch, c_dk = _ch_cond(rng)
+        ch = (
+            f"SELECT user_id % {m} AS g, event_id, {_FP_V} AS v_fp "
+            f"FROM events_m WHERE {c_ch} "
+            f"ORDER BY g, event_id LIMIT {nper} BY g"
+        )
+        dk = (
+            f"WITH events_m AS ({dk_src}), r AS ("
+            f"SELECT user_id % {m} AS g, event_id, {_FP_V} AS v_fp, "
+            f"ROW_NUMBER() OVER (PARTITION BY user_id % {m} "
+            f"ORDER BY event_id) AS rn "
+            f"FROM events_m WHERE {c_dk}) "
+            f"SELECT g, event_id, v_fp FROM r WHERE rn <= {nper} "
+            f"ORDER BY g, event_id"
+        )
+        return mutations, ch, dk
+    # subquery depth: outer aggregate over an inner per-user rollup
+    m = rng.randint(2, 6)
+    kw = "PREWHERE" if rng.random() < 0.4 else "WHERE"
+    c_ch, c_dk = _ch_cond(rng)
+    ch = (
+        f"SELECT uk % {m} AS k0, count() AS n_users, "
+        f"COALESCE(sum(s_fp), 0) AS tot "
+        f"FROM (SELECT user_id AS uk, sum({_FP_V}) AS s_fp "
+        f"FROM events_m {kw} {c_ch} GROUP BY user_id) "
+        f"GROUP BY uk % {m} ORDER BY k0"
+    )
+    dk = (
+        f"WITH events_m AS ({dk_src}), inner_q AS ("
+        f"SELECT user_id AS uk, SUM({_FP_V}) AS s_fp "
+        f"FROM events_m WHERE {c_dk} GROUP BY user_id) "
+        f"SELECT uk % {m} AS k0, CAST(COUNT(*) AS BIGINT) AS n_users, "
+        f"CAST(COALESCE(SUM(s_fp), 0) AS BIGINT) AS tot "
+        f"FROM inner_q GROUP BY k0 ORDER BY k0"
+    )
+    return mutations, ch, dk
+
+
+@pytest.mark.parametrize("i", range(N_CH_COMPOSE))
+def test_random_ch_compose_parity(spark, duck, i):
+    from mysql_to_clickhouse_spark.functions.chdialect import (
+        ch_mutation,
+        ch_sql,
+    )
+    from mysql_to_clickhouse_spark.tables import load
+
+    rng = random.Random(SEED * 911 + i)
+    mutations, ch_text, duck_text = _gen_ch_compose(rng)
+    frame = load(spark, TEST_SF_DIR, "events")
+    for stmt in mutations:
+        frame = ch_mutation(stmt, frame)
+    frame.createOrReplaceTempView("events_m")
+    spark_pdf = ch_sql(spark, ch_text).toPandas()
+    duck_pdf = duck.sql(duck_text).df()
+    res = compare_frames(spark_pdf, duck_pdf)
+    assert res.ok, (
+        f"divergence; mutations={mutations}\nCH:\n{ch_text}\n"
+        f"duck:\n{duck_text}\n{res.detail}"
+    )
