@@ -220,6 +220,15 @@ def main() -> None:
     ap.add_argument("--no-layout", action="store_true",
                     help="skip the bucketed ingest layout (measure the "
                          "plain-parquet plans)")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated headliner names: re-measure "
+                         "ONLY these and patch their rows (plus the "
+                         "total) into the existing tier table. For "
+                         "re-driving rows polluted by host-level stall "
+                         "episodes (the r11 box logs 50 ms hrtimer "
+                         "interrupts; both engines wobble together for "
+                         "minutes) — the protocol per query is "
+                         "IDENTICAL to a full run.")
     args = ap.parse_args()
     n = args.rows
     n_vec = args.vectors if args.vectors is not None else max(n // 1000, 2000)
@@ -339,9 +348,17 @@ def main() -> None:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{glob}'")
 
     qs = all_queries()
+    only = set(args.only.split(",")) if args.only else None
+    if only:
+        unknown = only - set(_headliners())
+        if unknown:
+            sys.exit(f"--only: unknown headliners {sorted(unknown)}")
     results = []  # (headline, spark_cold, spark_warm, duck_cold, duck_warm)
-    last_headline = list(_headliners())[-1]
+    measured = [h for h in _headliners() if only is None or h in only]
+    last_headline = measured[-1]
     for headline, (qid, digest) in _headliners().items():
+        if only is not None and headline not in only:
+            continue
         # p1_corpus_build runs at EVERY tier since r11: the r10 OOM was
         # the prefix scan's deserialized MEMORY_AND_DISK partition-id
         # pin (plans/prefix.py now pins DISK_ONLY) stacked on the dedup
@@ -433,6 +450,63 @@ def main() -> None:
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     doc = os.path.join(repo, "docs", "BENCH_SCALE.md")
+
+    def _row_line(r) -> str:
+        (headline, s_cold, s_warm, d_cold, d_warm, s_times, d_times,
+         s_prep) = r
+        ratio = s_warm / d_warm if d_warm > 0 else float("inf")
+        return (
+            f"| {headline} | {s_warm:.2f} [{s_times[0]:.2f}.."
+            f"{s_times[-1]:.2f}] | {d_warm:.2f} [{d_times[0]:.2f}.."
+            f"{d_times[-1]:.2f}] | "
+            f"{ratio:.2f}x | {s_cold:.2f} | {d_cold:.2f} | "
+            f"{s_prep:.2f} |"
+        )
+
+    if only is not None:
+        # Patch mode: swap ONLY the re-measured rows into the existing
+        # tier table (preamble/synth/layout text untouched — the data
+        # and layout are byte-identical under the deterministic
+        # synthesis), then recompute the total row from the table.
+        with open(doc) as fh:
+            body = fh.read()
+        marker = f"## Tier: {n:,}"
+        if marker not in body:
+            sys.exit(f"--only: no existing section '{marker}' to patch")
+        pre, rest = body.split(marker, 1)
+        nxt = rest.find("\n## ")
+        section, post = (
+            (rest[:nxt + 1], rest[nxt + 1:]) if nxt >= 0 else (rest, "")
+        )
+        lines = section.split("\n")
+        by_name = {r[0]: r for r in results}
+        s_tot = d_tot = p_tot = 0.0
+        for i, ln in enumerate(lines):
+            cells = [c.strip() for c in ln.split("|")]
+            if len(cells) != 9 or not cells[1] or cells[1].startswith(
+                ("query", "---", "**total**")
+            ):
+                continue
+            name = cells[1]
+            if name in by_name:
+                lines[i] = _row_line(by_name[name])
+                cells = [c.strip() for c in lines[i].split("|")]
+            s_tot += float(cells[2].split()[0])
+            d_tot += float(cells[3].split()[0])
+            p_tot += float(cells[7])
+        for i, ln in enumerate(lines):
+            if ln.startswith("| **total** |"):
+                lines[i] = (
+                    f"| **total** | **{s_tot:.2f}** | **{d_tot:.2f}** | "
+                    f"**{s_tot / d_tot:.2f}x** | | | **{p_tot:.2f}** |"
+                )
+        with open(doc, "w") as fh:
+            fh.write(pre + marker + "\n".join(lines) + post)
+        print(f"patched {sorted(by_name)} in {doc}", flush=True)
+        if not (args.sf_dir or args.keep_dir):
+            shutil.rmtree(sf_dir, ignore_errors=True)
+        return
+
     tier_lines = [
         f"## Tier: {n:,} fact rows ({n_vec:,} vectors)",
         "",
@@ -490,16 +564,8 @@ def main() -> None:
         "spark cold | duckdb cold | spark prepared |",
         "|---|---|---|---|---|---|---|",
     ]
-    for (headline, s_cold, s_warm, d_cold, d_warm, s_times, d_times,
-         s_prep) in results:
-        ratio = s_warm / d_warm if d_warm > 0 else float("inf")
-        tier_lines.append(
-            f"| {headline} | {s_warm:.2f} [{s_times[0]:.2f}.."
-            f"{s_times[-1]:.2f}] | {d_warm:.2f} [{d_times[0]:.2f}.."
-            f"{d_times[-1]:.2f}] | "
-            f"{ratio:.2f}x | {s_cold:.2f} | {d_cold:.2f} | "
-            f"{s_prep:.2f} |"
-        )
+    for r in results:
+        tier_lines.append(_row_line(r))
     s_tot = sum(r[2] for r in results)
     d_tot = sum(r[4] for r in results)
     p_tot = sum(r[7] for r in results)
