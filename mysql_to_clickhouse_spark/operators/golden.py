@@ -1472,13 +1472,25 @@ def x21_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_tiny"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
     )
-    keepers = flags.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    # Keeper = min-doc_id row per hash, taken as ONE min(struct(...))
+    # aggregate (doc_id leads the struct, so struct-min IS the keeper
+    # row with its own flags): a single map-side-combinable shuffle.
+    # The previous groupBy+self-join re-evaluated the flag expressions
+    # AND shuffled both 1e8-row sides on the 32-char md5 key — 152 s
+    # vs ~40 s measured at the 1e8 tier (r11), identical rows.
+    keepers = flags.groupBy("h").agg(
+        F.min(
+            F.struct(
+                "doc_id", "n_chars", "n_words", "n_word_chars",
+                "n_tiny", "n_distinct",
+            )
+        ).alias("kr")
+    )
     mean_wl = F.col("n_word_chars").cast("double") / F.col("n_words")
     kept = (
-        flags.join(keepers, "h")
+        keepers.select("kr.*")
         .filter(
-            (F.col("doc_id") == F.col("keeper"))
-            & F.col("n_words").between(5, 100000)
+            F.col("n_words").between(5, 100000)
             & mean_wl.between(3.0, 12.0)
             & (F.col("n_tiny").cast("double") / F.col("n_words") <= 0.4)
             & (F.col("n_distinct").cast("double") / F.col("n_words") >= 0.2)
