@@ -2600,6 +2600,28 @@ _SETTINGS_TAIL = _RE.compile(
 _FORMAT_TAIL = _RE.compile(r"(?is)^FORMAT\s+\w+\s*;?\s*$")
 
 
+_STRING_LIT = _RE.compile(r"('(?:[^']|'')*')")
+_BLOCK_COMMENT = _RE.compile(r"/\*.*?\*/", _RE.DOTALL)
+_LINE_COMMENT = _RE.compile(r"--[^\n]*")
+
+
+def _strip_sql_comments(sql: str) -> str:
+    """Remove ``/* .. */`` and ``-- ..`` comments OUTSIDE single-quoted
+    string literals (CH's '' escape kept intact). Comments are replaced
+    with one space so token boundaries survive (``GROUP/*x*/BY`` stays
+    two words). Line comments do not consume their newline."""
+    parts = _STRING_LIT.split(sql)
+    out = []
+    for i, p in enumerate(parts):
+        if i % 2:  # a string literal — byte-identical
+            out.append(p)
+            continue
+        p = _BLOCK_COMMENT.sub(" ", p)
+        p = _LINE_COMMENT.sub(" ", p)
+        out.append(p)
+    return "".join(out)
+
+
 def _strip_trailing_clauses(sql: str) -> str:
     """Drop CH's trailing ``SETTINGS k=v, ...`` and ``FORMAT Name``
     clauses — per-query engine knobs and client wire-format directives
@@ -2670,8 +2692,18 @@ def translate_ch_sql(sql: str) -> str:
     then the function-call pass (renames, -If combinators, parametric
     quantiles, casts, [..] array literals). Pure text-to-text;
     identifiers it does not know, string literals, and quoted
-    identifiers pass through byte-identical. (Comments are not
-    stripped — don't put CH calls in comments.)"""
+    identifiers pass through byte-identical. Comments (/*..*/, --) and
+    trailing ';' are stripped up front, string-literal-aware (r11)."""
+    # Comments and trailing statement terminators first (r11 corpus-
+    # replay finds): a '/*..*/' or '-- ..' inside a clause the
+    # rewriters pattern-match breaks literal-argument checks
+    # (formatDateTime) and bare-item parsing (ARRAY JOIN), and a
+    # trailing ';' is swallowed into the LAST clause's expression
+    # ('LIMIT 3 BY event_type;' produced the key '(event_type;)').
+    # Both strips are string-literal-aware; spark.sql never needs the
+    # comments back.
+    sql = _strip_sql_comments(sql)
+    sql = _RE.sub(r"[\s;]+$", "", sql)
     _route_non_select(sql)
     sql = _strip_trailing_clauses(sql)
     sql = _strip_join_modifiers(sql)
