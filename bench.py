@@ -359,7 +359,15 @@ def main() -> None:
         h: (V1_ANCHOR_SQL if h == "v1_cosine_topk" else queries[qid].oracle)
         for h, qid in HEADLINERS.items()
     }
-    duck, duck_errors = _duckdb_same_host(duck_oracles, sf_dir)
+    # Setup failures (duckdb import, CREATE VIEW) must not lose the run:
+    # all Spark measurements are already in hand, so degrade to an empty
+    # same-host series with an error note and let the headline land.
+    try:
+        duck, duck_errors = _duckdb_same_host(duck_oracles, sf_dir)
+    except Exception as exc:  # noqa: BLE001 — r12 advisor fix
+        duck, duck_errors = {}, {
+            "__setup__": f"{type(exc).__name__}: {exc}"[:500]
+        }
     duck_total = round(sum(duck.values()), 4)
     measured_both = [h for h in warm if h in duck]
     vs_duck = (

@@ -2600,26 +2600,38 @@ _SETTINGS_TAIL = _RE.compile(
 _FORMAT_TAIL = _RE.compile(r"(?is)^FORMAT\s+\w+\s*;?\s*$")
 
 
-_STRING_LIT = _RE.compile(r"('(?:[^']|'')*')")
-_BLOCK_COMMENT = _RE.compile(r"/\*.*?\*/", _RE.DOTALL)
-_LINE_COMMENT = _RE.compile(r"--[^\n]*")
+# One left-to-right alternation: whichever token STARTS first wins.
+# Lexing literals and comments in separate passes is wrong in both
+# orders — literals-first lets an apostrophe inside a comment open a
+# phantom string that swallows the rest of the statement (r11 advisor
+# repro: "... -- don't strip\nWHERE x = 'foo'" lost its WHERE clause);
+# comments-first would mangle '--' inside a literal. Group 1 captures
+# the tokens to KEEP byte-identical (string literals with CH's ''
+# doubling and C-style backslash escapes, `backtick` and "double"
+# quoted identifiers); the un-captured alternatives are the comment
+# forms CH accepts (/*..*/, --, #!, #), replaced with one space.
+_LIT_OR_COMMENT = _RE.compile(
+    r"('(?:[^'\\]|''|\\.)*'"
+    r"|`(?:[^`]|``)*`"
+    r"|\"(?:[^\"\\]|\"\"|\\.)*\")"
+    r"|/\*.*?\*/"
+    r"|--[^\n]*"
+    r"|#![^\n]*"
+    r"|#[^\n]*",
+    _RE.DOTALL,
+)
 
 
 def _strip_sql_comments(sql: str) -> str:
-    """Remove ``/* .. */`` and ``-- ..`` comments OUTSIDE single-quoted
-    string literals (CH's '' escape kept intact). Comments are replaced
-    with one space so token boundaries survive (``GROUP/*x*/BY`` stays
-    two words). Line comments do not consume their newline."""
-    parts = _STRING_LIT.split(sql)
-    out = []
-    for i, p in enumerate(parts):
-        if i % 2:  # a string literal — byte-identical
-            out.append(p)
-            continue
-        p = _BLOCK_COMMENT.sub(" ", p)
-        p = _LINE_COMMENT.sub(" ", p)
-        out.append(p)
-    return "".join(out)
+    """Remove ``/* .. */``, ``-- ..`` and CH's ``#``/``#!`` line
+    comments OUTSIDE string literals and quoted identifiers (CH's
+    ``''`` doubling and C-style ``\\'`` escapes kept intact). Comments
+    are replaced with one space so token boundaries survive
+    (``GROUP/*x*/BY`` stays two words). Line comments do not consume
+    their newline. Single pass — a quote inside a comment, or comment
+    markers inside a literal, cannot confuse the lexer because the
+    earliest-starting token wins."""
+    return _LIT_OR_COMMENT.sub(lambda m: m.group(1) or " ", sql)
 
 
 def _strip_trailing_clauses(sql: str) -> str:

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import re
 import shutil
 import statistics
 import sys
@@ -470,10 +471,18 @@ def main() -> None:
         # synthesis), then recompute the total row from the table.
         with open(doc) as fh:
             body = fh.read()
-        marker = f"## Tier: {n:,}"
-        if marker not in body:
-            sys.exit(f"--only: no existing section '{marker}' to patch")
-        pre, rest = body.split(marker, 1)
+        # Full-heading match: a bare prefix ("## Tier: 200,000") would
+        # also hit "## Tier: 200,000,000 fact rows" if a bigger tier
+        # ever preceded it in the doc (r12 advisor fix).
+        m = re.search(
+            rf"^## Tier: {re.escape(f'{n:,}')} fact rows",
+            body,
+            re.MULTILINE,
+        )
+        if m is None:
+            sys.exit(f"--only: no existing section 'Tier: {n:,}' to patch")
+        marker = body[m.start():m.end()]
+        pre, rest = body[:m.start()], body[m.end():]
         nxt = rest.find("\n## ")
         section, post = (
             (rest[:nxt + 1], rest[nxt + 1:]) if nxt >= 0 else (rest, "")
@@ -496,9 +505,12 @@ def main() -> None:
             p_tot += float(cells[7])
         for i, ln in enumerate(lines):
             if ln.startswith("| **total** |"):
+                ratio_cell = (
+                    f"**{s_tot / d_tot:.2f}x**" if d_tot > 0 else "n/a"
+                )
                 lines[i] = (
                     f"| **total** | **{s_tot:.2f}** | **{d_tot:.2f}** | "
-                    f"**{s_tot / d_tot:.2f}x** | | | **{p_tot:.2f}** |"
+                    f"{ratio_cell} | | | **{p_tot:.2f}** |"
                 )
         with open(doc, "w") as fh:
             fh.write(pre + marker + "\n".join(lines) + post)

@@ -98,9 +98,23 @@ def _inject_comments(text: str, rng: random.Random) -> str:
         )
         for g in chosen:
             noise = rng.choice(
-                ["/* hint */", "/*x*/", "-- trailing\n", "/* a b */"]
+                [
+                    "/* hint */",
+                    "/*x*/",
+                    "-- trailing\n",
+                    "/* a b */",
+                    # quote-bearing payloads: the r11 stripper corrupted
+                    # statements when an apostrophe appeared inside a
+                    # comment (phantom string literal) — keep these in
+                    # the pool so that bug class can't ship green again
+                    "/* it's */",
+                    "-- don't\n",
+                    "/* o'brien's -- nested */",
+                    "# can't\n",
+                    "/* \"q\" `b` */",
+                ]
             )
-            if noise.startswith("--"):
+            if noise.startswith(("--", "#")):
                 s = s[:g] + " " + noise + s[g + 1:]
             else:
                 s = s[:g] + " " + noise + " " + s[g + 1:]

@@ -1275,3 +1275,61 @@ def test_array_join_inlines_scalar_udf_items(spark):
         "splitByChar('_', concat(event_type, '_x')) AS w",
     ).collect()
     assert rows2[0]["n"] > 0
+
+
+def test_comment_stripper_quote_in_comment():
+    """r12 advisor fix: an apostrophe INSIDE a comment must not open a
+    phantom string literal that swallows the rest of the statement
+    (r11 shipped exactly that bug). Single-pass lexer: the earliest-
+    starting token wins."""
+    from mysql_to_clickhouse_spark.functions.chdialect import (
+        _strip_sql_comments as strip,
+    )
+
+    # the r11 advisor repro — WHERE clause must survive
+    got = strip("SELECT a FROM t -- don't strip\nWHERE x = 'foo'")
+    assert "WHERE x = 'foo'" in got and "don" not in got
+    # apostrophe in a block comment: comment still stripped
+    assert strip("SELECT a /* it's */ FROM t") == "SELECT a   FROM t"
+    # comment markers inside literals are data, not comments
+    assert strip("SELECT 'a -- b /* c */' FROM t") == (
+        "SELECT 'a -- b /* c */' FROM t"
+    )
+    # CH '' doubling and C-style backslash escape both lex as one literal
+    assert strip("SELECT 'it''s' FROM t -- c").rstrip() == (
+        "SELECT 'it''s' FROM t"
+    )
+    assert strip("SELECT 'it\\'s' FROM t -- c").rstrip() == (
+        "SELECT 'it\\'s' FROM t"
+    )
+    # CH # and #! line comments
+    assert strip("SELECT x # hash\nFROM t") == "SELECT x  \nFROM t"
+    assert strip("SELECT x #! bang\nFROM t") == "SELECT x  \nFROM t"
+    # quoted identifiers pass through byte-identical
+    assert strip("SELECT `we--ird`, \"al/*so*/\" FROM t") == (
+        "SELECT `we--ird`, \"al/*so*/\" FROM t"
+    )
+    # token boundaries survive comment removal
+    assert strip("GROUP/*x*/BY") == "GROUP BY"
+
+
+def test_comment_stripper_end_to_end_translation(spark):
+    """A quote-bearing comment adjacent to a real literal translates
+    and executes correctly through ch_sql (the r11 bug was silent
+    wrong-rows at this layer)."""
+    from mysql_to_clickhouse_spark.tables import load
+    from tests.conftest import SMOKE_SF_DIR
+
+    load(spark, SMOKE_SF_DIR, "nation").createOrReplaceTempView("nation")
+    rows = ch_sql(
+        spark,
+        "SELECT count() AS n FROM nation -- don't count 'em twice\n"
+        "WHERE n_name = 'NATION_7'",
+    ).collect()
+    assert rows[0]["n"] == 1
+    rows2 = ch_sql(
+        spark,
+        "SELECT /* that's the key */ n_nationkey AS k FROM nation "
+        "WHERE n_name = 'NATION_7'",
+    ).collect()
+    assert len(rows2) == 1

@@ -131,11 +131,15 @@ def test_hot_lsh_bucket_pairs_bounded(spark, tmp_path):
 
 
 def test_release_caches_frees_persisted_state(spark):
-    """After release_caches(spark) nothing this module persisted or
-    broadcast survives: a long-lived shared session must not accrue
-    pinned executor memory across workloads."""
+    """After session.release_all(spark) NOTHING the engine persisted or
+    broadcast survives — session-wide, through the one central hygiene
+    API, so a newly added session-lifetime cache that isn't wired into
+    release_all fails HERE instead of silently pinning executor memory
+    (r11 shipped exactly that: the dim cache had its own release but
+    this test only knew about two modules)."""
     import mysql_to_clickhouse_spark.operators.llmops as llmops
     from mysql_to_clickhouse_spark.registry import all_queries
+    from mysql_to_clickhouse_spark.session import release_all
     from tests.conftest import SMOKE_SF_DIR
 
     qs = all_queries()
@@ -144,18 +148,17 @@ def test_release_caches_frees_persisted_state(spark):
     assert spark in llmops._SIGS_CACHE and spark in llmops._MATRIX_CACHE
     assert spark.sparkContext._jsc.getPersistentRDDs().size() > 0
 
-    llmops.release_caches(spark)
+    counts = release_all(spark)
     assert spark not in llmops._SIGS_CACHE
     assert spark not in llmops._MATRIX_CACHE
-    # the zero-persisted assertion is session-WIDE, so release the other
-    # module that persists session-lifetime state (probe caches from
-    # dispatch tests sharing this session) before asserting
-    from mysql_to_clickhouse_spark.plans.dispatch import release_probe_state
-
-    release_probe_state(spark)
+    assert counts["llmops_sigs"] >= 1
+    # the load-bearing assertion: zero persisted RDDs SESSION-WIDE —
+    # whatever other suites sharing this session persisted (dispatch
+    # probes, dim cache, prepared plans) must all drain through the
+    # one API
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
     # repeated release is a no-op, and the operators rebuild cleanly
-    llmops.release_caches(spark)
+    assert release_all(spark)["llmops_sigs"] == 0
     assert qs["i2_minhash_neardup"].fn(spark, SMOKE_SF_DIR).count() >= 0
 
 
