@@ -2009,3 +2009,148 @@ def a35_binlog_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") == 1) & (F.col("op") != "delete"))
         .select("user_id", "event_id", "ts_us", "event_type", "value")
     )
+
+
+# ---------------------------------------------------------------------------
+# a35b_binlog_wide_types — the full a22 column surface over the wire
+# ---------------------------------------------------------------------------
+
+_A35B_N = 1500
+
+_A35B_ORACLE = f"""
+WITH src AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+  FROM events ORDER BY event_id LIMIT {_A35B_N}
+), cents AS (
+  SELECT *, (event_id * 37) % 10000000 AS c FROM src
+)
+SELECT
+  event_id AS id,
+  CAST((event_id % 256) - 128 AS INTEGER) AS tiny,
+  CAST((event_id % 60000) - 30000 AS INTEGER) AS small,
+  CAST(((event_id * 7) % 8000000) - 4000000 AS INTEGER) AS med,
+  CAST(user_id % 1000000 AS INTEGER) AS cnt,
+  CAST((event_id % 1000) / 4.0 AS REAL) AS ratio,
+  CONCAT(CAST(c // 100 AS VARCHAR), '.',
+         LPAD(CAST(c % 100 AS VARCHAR), 2, '0')) AS amount,
+  ts AS created,
+  strftime(ts, '%Y-%m-%d') AS d,
+  event_type AS note,
+  CONCAT(event_type, '#', CAST(event_id AS VARCHAR)) AS payload
+FROM cents
+ORDER BY id
+"""
+
+
+@register("a35b_binlog_wide_types", oracle=_A35B_ORACLE)
+def a35b_binlog_wide_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 widening of the a35 binlog surface to the a22 DDL contract's
+    column types (VERDICT r11 #4): TINY/SHORT/INT24/LONG fixed-width
+    ints, FLOAT, NEWDECIMAL(12,2), DATETIME2(6) with microseconds,
+    DATE, VARCHAR and BLOB — every value derived deterministically
+    from the events table, serialized through real v4 ROW-format
+    bytes (GTID-framed transactions, a ROTATE_EVENT closing each
+    non-final file), decoded back distributed, and hash-checked
+    against a pure-SQL restatement that never sees the bytes. Any
+    defect in a type's wire layout (NEWDECIMAL's base-1e9 group
+    packing, DATETIME2's big-endian bit fields, a length prefix)
+    diverges the hash. NULL-bitmap and checkpoint-resume coverage
+    lives in tests/test_binlog.py (null handling across >8 columns,
+    prefix+suffix == full). Driver work is the bounded 1500-row
+    fixture collect, the a35 discipline; decode parallelism is
+    per rotation file."""
+    import datetime as _dt
+    import decimal as _decimal
+    import uuid as _uuid
+
+    from mysql_to_clickhouse_spark.functions.tmputil import scratch_dir
+    from mysql_to_clickhouse_spark.sources.binlog import (
+        MYSQL_TYPE_BLOB,
+        MYSQL_TYPE_DATE,
+        MYSQL_TYPE_DATETIME2,
+        MYSQL_TYPE_FLOAT,
+        MYSQL_TYPE_INT24,
+        MYSQL_TYPE_LONG,
+        MYSQL_TYPE_LONGLONG,
+        MYSQL_TYPE_NEWDECIMAL,
+        MYSQL_TYPE_SHORT,
+        MYSQL_TYPE_TINY,
+        MYSQL_TYPE_VARCHAR,
+        TableSchema,
+        read_binlog,
+        write_binlog,
+    )
+
+    rows = (
+        load(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(_A35B_N)
+        .select("event_id", "user_id", "ts", "event_type")
+        .collect()
+    )
+    tschema = TableSchema(
+        "app", "wide_cdc",
+        [
+            ("id", MYSQL_TYPE_LONGLONG, 0),
+            ("tiny", MYSQL_TYPE_TINY, 0),
+            ("small", MYSQL_TYPE_SHORT, 0),
+            ("med", MYSQL_TYPE_INT24, 0),
+            ("cnt", MYSQL_TYPE_LONG, 0),
+            ("ratio", MYSQL_TYPE_FLOAT, 4),
+            ("amount", MYSQL_TYPE_NEWDECIMAL, (12 << 8) | 2),
+            ("created", MYSQL_TYPE_DATETIME2, 6),
+            ("d", MYSQL_TYPE_DATE, 0),
+            ("note", MYSQL_TYPE_VARCHAR, 255),
+            ("payload", MYSQL_TYPE_BLOB, 2),
+        ],
+    )
+    ops = []
+    for r in rows:
+        e = r["event_id"]
+        cents = (e * 37) % 10000000
+        ops.append(("insert", (
+            e,
+            (e % 256) - 128,
+            (e % 60000) - 30000,
+            ((e * 7) % 8000000) - 4000000,
+            r["user_id"] % 1000000,
+            (e % 1000) / 4.0,
+            _decimal.Decimal(f"{cents // 100}.{cents % 100:02d}"),
+            r["ts"],
+            _dt.date(r["ts"].year, r["ts"].month, r["ts"].day),
+            r["event_type"],
+            f"{r['event_type']}#{e}".encode(),
+        )))
+
+    log_dir = scratch_dir("binlog_a35b_")
+    sid = _uuid.uuid5(_uuid.NAMESPACE_DNS, "a35b").bytes
+    per_file = (len(ops) + 2) // 3
+    gno = 1
+    for i in range(3):
+        chunk = ops[i * per_file:(i + 1) * per_file]
+        if chunk:
+            gno = write_binlog(
+                os.path.join(log_dir, f"binlog.{i + 1:06d}"),
+                tschema, chunk, gtid_sid=sid, gtid_start=gno,
+                rotate_to=(f"binlog.{i + 2:06d}" if i < 2 else None),
+            )
+
+    decoded = read_binlog(
+        spark, log_dir,
+        ["id", "tiny", "small", "med", "cnt", "ratio", "amount",
+         "created", "d", "note", "payload"],
+        ["long", "int", "int", "int", "int", "float", "decimal(12,2)",
+         "timestamp", "date", "string", "string"],
+    )
+    # amount/d surface as strings: DuckDB's pandas bridge degrades
+    # DECIMAL to float64 and DATE to datetime64, so the exact decimal
+    # render and the ISO date are the hash-stable projections (the
+    # typed decimal/date values themselves are asserted in
+    # tests/test_binlog.py round-trips)
+    return decoded.select(
+        "id", "tiny", "small", "med", "cnt", "ratio",
+        F.col("amount").cast("string").alias("amount"),
+        "created",
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        "note", "payload",
+    ).orderBy("id")
