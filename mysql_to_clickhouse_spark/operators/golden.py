@@ -18,7 +18,7 @@ from mysql_to_clickhouse_spark.plans.dispatch import (
     fact_bytes_estimate,
     parquet_rows_estimate,
 )
-from mysql_to_clickhouse_spark.plans.prefix import running_sums
+from mysql_to_clickhouse_spark.plans.prefix import running_sums_keyed
 from mysql_to_clickhouse_spark.registry import register
 from mysql_to_clickhouse_spark.tables import (
     bucket_routed_key,
@@ -846,9 +846,16 @@ def x14_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     # layout made the full scan SLOWER than this co-bucketed join at
     # the 1e8 tier (4.18 → 4.68 s measured at month granularity). The
     # MV pays off only for pruned shapes (x6/x7/c10).
+    # cutoff computed on the 2.5e7-row orders side, not per joined
+    # fact row (r12: measured neutral-to-slightly-better at 1e8, and
+    # strictly less work: one interval add per ORDER instead of per
+    # LINE)
     orders = load(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
-    ).select("o_orderkey", "o_orderdate")
+    ).select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("_cutoff"),
+    )
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
@@ -863,10 +870,7 @@ def x14_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "l_orderkey",
         "l_suppkey",
-        (
-            F.col("l_shipdate")
-            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-        ).alias("_late"),
+        (F.col("l_shipdate") > F.col("_cutoff")).alias("_late"),
     )
     # Two-stage aggregate instead of two COUNT(DISTINCT)s: Spark plans
     # multiple distinct aggregates via an Expand that triples the fact
@@ -1457,53 +1461,64 @@ def x21_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     the boundary only moves WHERE stages materialize)."""
     docs = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
+    n_words = F.size(toks).cast("long")
     flags = docs.select(
         "doc_id",
         "n_chars",
-        F.md5("text").alias("h"),
-        F.size(toks).cast("long").alias("n_words"),
-        F.aggregate(
-            F.transform(toks, lambda w: F.length(w).cast("long")),
-            F.lit(0).cast("long"),
-            lambda a, x: a + x,
-        ).alias("n_word_chars"),
+        # 16-byte binary key: same dedup groups as the hex string at
+        # half the shuffle-key bytes and memcmp compares (r12)
+        F.unhex(F.md5("text")).alias("h"),
+        n_words.alias("n_words"),
+        # identity: for a 1-char separator, sum(length(token)) ==
+        # length(text) - (n_words - 1) — split keeps empty tokens, so
+        # separators are exactly n_words - 1. Replaces the
+        # aggregate(transform(...)) pair, the two interpreted-lambda
+        # HOFs that dominated the flag scan (r12: 10.7 s of the 1e8
+        # stage); the oracle keeps the list_sum form, so the hash
+        # checks the identity every drive.
+        (F.length("text").cast("long") - n_words + 1).alias("n_word_chars"),
         F.size(F.filter(toks, lambda w: F.length(w) <= 2))
         .cast("long")
         .alias("n_tiny"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
     )
-    # Keeper = min-doc_id row per hash, taken as ONE min(struct(...))
-    # aggregate (doc_id leads the struct, so struct-min IS the keeper
-    # row with its own flags): a single map-side-combinable shuffle.
-    # The previous groupBy+self-join re-evaluated the flag expressions
-    # AND shuffled both 1e8-row sides on the 32-char md5 key — 152 s
-    # vs ~40 s measured at the 1e8 tier (r11), identical rows.
-    keepers = flags.groupBy("h").agg(
-        F.min(
-            F.struct(
-                "doc_id", "n_chars", "n_words", "n_word_chars",
-                "n_tiny", "n_distinct",
-            )
-        ).alias("kr")
-    )
+    # Gate BEFORE dedup (r12): every gate input (n_words, n_word_chars,
+    # n_tiny, n_distinct, and n_chars == length(text) by the FIXTURES.md
+    # contract, asserted in tests/test_pipeline_ops.py) is a function of
+    # the text, so all duplicates of a hash pass or fail together and
+    # keeper-then-gate == gate-then-keeper. Filtering first drops gated
+    # rows BEFORE the exchange and shrinks the keeper struct to its two
+    # surviving fields — 90 B -> ~32 B shuffle rows. With the binary
+    # key this took the 1e8 flags+gate+dedup stage 138.7 s -> 59 s.
     mean_wl = F.col("n_word_chars").cast("double") / F.col("n_words")
+    gated = flags.filter(
+        F.col("n_words").between(5, 100000)
+        & mean_wl.between(3.0, 12.0)
+        & (F.col("n_tiny").cast("double") / F.col("n_words") <= 0.4)
+        & (F.col("n_distinct").cast("double") / F.col("n_words") >= 0.2)
+        & F.col("n_chars").between(50, 5000)
+    ).select("h", "doc_id", "n_chars")
+    # Keeper = min-doc_id row per hash, ONE min(struct) map-side-
+    # combinable aggregate (r11; the groupBy+self-join it replaced
+    # shuffled both 1e8-row sides: 152 s -> ~40 s then, ~30 s now on
+    # the smaller gated rows).
     kept = (
-        keepers.select("kr.*")
-        .filter(
-            F.col("n_words").between(5, 100000)
-            & mean_wl.between(3.0, 12.0)
-            & (F.col("n_tiny").cast("double") / F.col("n_words") <= 0.4)
-            & (F.col("n_distinct").cast("double") / F.col("n_words") >= 0.2)
-            & F.col("n_chars").between(50, 5000)
-        )
-        .select("doc_id", "n_chars")
+        gated.groupBy("h")
+        .agg(F.min(F.struct("doc_id", "n_chars")).alias("kr"))
+        .select("kr.*")
     )
     boundary_bytes = int(
         spark.conf.get("spark.mysql2ch.corpus.boundaryBytes", str(2 << 30))
     )
     if fact_bytes_estimate(docs) > boundary_bytes:
         kept = checkpoint_boundary(kept)
-    cum, _ = running_sums(kept, ["doc_id"], {"cum_chars": F.col("n_chars")})
+    # Single-shuffle prefix (r12): deterministic sampled-boundary
+    # buckets instead of the RangePartitioner+DISK_ONLY-pin two-phase
+    # scan — see plans/prefix.py running_sums_keyed (80 s -> ~35 s for
+    # the prefix+pack stage at 1e8).
+    cum, _ = running_sums_keyed(
+        kept, "doc_id", {"cum_chars": F.col("n_chars")}
+    )
     packed = cum.withColumn(
         "shard",
         F.expr("CAST((cum_chars - n_chars) DIV 2000 AS BIGINT)"),

@@ -108,3 +108,84 @@ def test_no_global_window_in_helper_plans(spark):
     assert not global_window_nodes(got)
     lagged = global_lag(df, ["k"], "v", out_col="p")
     assert not global_window_nodes(lagged)
+
+
+def test_running_sums_keyed_matches_running_sums(spark):
+    """r12: the sampled-boundary single-shuffle variant is value- and
+    total-identical to the two-phase scan (and hence to the global
+    window) on non-contiguous shuffled keys."""
+    from mysql_to_clickhouse_spark.plans.prefix import running_sums_keyed
+
+    df = _seq_df(spark)
+    a, ta = running_sums(df, ["k"], {"cum": F.col("v")}, n_range=8)
+    b, tb = running_sums_keyed(df, "k", {"cum": F.col("v")}, n_buckets=8)
+    assert ta == tb
+    assert {(r["k"], r["cum"]) for r in a.collect()} == {
+        (r["k"], r["cum"]) for r in b.collect()
+    }
+
+
+def test_running_sums_keyed_degenerate_inputs(spark):
+    """Empty input, single row, and fewer distinct keys than buckets
+    (duplicate quantile boundaries collapse) all stay exact."""
+    from mysql_to_clickhouse_spark.plans.prefix import running_sums_keyed
+
+    empty = _seq_df(spark).filter(F.lit(False))
+    out, totals = running_sums_keyed(empty, "k", {"cum": F.col("v")})
+    assert out.count() == 0 and totals == {"cum": 0}
+
+    one = spark.createDataFrame([(5, 7)], "k long, v long")
+    out, totals = running_sums_keyed(one, "k", {"cum": F.col("v")})
+    assert out.collect()[0]["cum"] == 7 and totals == {"cum": 7}
+
+    few = spark.createDataFrame(
+        [(1, 10)] * 0 + [(k, k) for k in (1, 2, 3)], "k long, v long"
+    )
+    out, totals = running_sums_keyed(few, "k", {"cum": F.col("v")},
+                                     n_buckets=64)
+    got = {r["k"]: r["cum"] for r in out.collect()}
+    assert got == {1: 1, 2: 3, 3: 6} and totals == {"cum": 6}
+
+
+def test_running_sums_keyed_skewed_keys(spark):
+    """Heavily skewed key distribution (90% of rows in one narrow key
+    range): sampled boundaries adapt and values stay exact vs the
+    global window."""
+    from mysql_to_clickhouse_spark.plans.prefix import running_sums_keyed
+
+    df = spark.range(2000).select(
+        F.when(F.col("id") < 1800, F.col("id") % 10)
+        .otherwise(F.col("id") * 1000)
+        .alias("k_raw"),
+        F.lit(1).alias("v"),
+    )
+    # unique tie-broken key (duplicates would make peer order ambiguous)
+    df = df.select(
+        (F.col("k_raw") * 100000 + F.monotonically_increasing_id() % 100000)
+        .alias("k"),
+        "v",
+    ).localCheckpoint()  # pin: monotonically_increasing_id is not stable
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow)
+    want = {(r["k"], r["cum"]) for r in
+            df.select("k", F.sum("v").over(w).alias("cum")).collect()}
+    got_df, totals = running_sums_keyed(df, "k", {"cum": F.col("v")},
+                                        n_buckets=16)
+    got = {(r["k"], r["cum"]) for r in got_df.collect()}
+    assert got == want and totals == {"cum": 2000}
+
+
+def test_running_sums_keyed_no_global_window_or_pin(spark):
+    """The keyed variant's plan has no single-partition window AND no
+    localCheckpoint pin (its reason to exist over running_sums)."""
+    from mysql_to_clickhouse_spark.plans.prefix import running_sums_keyed
+
+    df = _seq_df(spark)
+    out, _ = running_sums_keyed(df, "k", {"cum": F.col("v")}, n_buckets=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every Window node must be partitioned (no global Sort+Window)
+    import re
+
+    for m in re.finditer(r"Window \[.*?\], \[(.*?)\]", plan):
+        assert m.group(1).strip(), f"unpartitioned window in plan:\n{plan}"
+    assert "LogicalRDD" not in plan or "Scan ExistingRDD" not in plan
