@@ -2290,31 +2290,55 @@ def _rewrite_any_join(sql: str) -> str:
         if hit is None:
             return sql
         i, join_idx, any_start, d = hit
-        # table ref (+ optional alias) after JOIN
+        # table ref (+ optional alias) after JOIN — a dotted table
+        # chain or (r12) a parenthesized subquery
         ti = join_idx + 1
         if ti >= len(toks):
             raise ValueError("ANY JOIN: missing right table reference")
-        # walk the dotted chain FORWARD from its first segment
-        tstart = toks[ti][1]
-        tend_idx = ti
-        while (
-            tend_idx + 1 < len(toks)
-            and sql[toks[tend_idx][2] : toks[tend_idx + 1][1]].strip() == "."
-        ):
-            tend_idx += 1
-        table = sql[tstart : toks[tend_idx][2]].replace(" ", "")
-        alias = table.split(".")[-1]
-        after_idx = tend_idx + 1
+        k = toks[join_idx][2]
+        while k < len(sql) and sql[k].isspace():
+            k += 1
+        is_subquery = k < len(sql) and sql[k] == "("
+        if is_subquery:
+            _parts, past = _parse_group(sql, k)
+            tstart, table = k, sql[k:past]
+            ref_end = past
+            after_idx = next(
+                (j for j, t in enumerate(toks) if t[1] >= past),
+                len(toks),
+            )
+            alias = None
+        else:
+            # walk the dotted chain FORWARD from its first segment
+            tstart = toks[ti][1]
+            tend_idx = ti
+            while (
+                tend_idx + 1 < len(toks)
+                and sql[toks[tend_idx][2] : toks[tend_idx + 1][1]].strip()
+                == "."
+            ):
+                tend_idx += 1
+            table = sql[tstart : toks[tend_idx][2]].replace(" ", "")
+            alias = table.split(".")[-1]
+            ref_end = toks[tend_idx][2]
+            after_idx = tend_idx + 1
         if after_idx < len(toks) and toks[after_idx][0].upper() == "AS":
             alias = toks[after_idx + 1][0]
             after_idx += 2
+            ref_end = toks[after_idx - 1][2]
         elif (
             after_idx < len(toks)
             and toks[after_idx][0].upper() not in _NON_ALIAS_WORDS
         ):
             alias = toks[after_idx][0]
             after_idx += 1
-        ref_end = toks[after_idx - 1][2]
+            ref_end = toks[after_idx - 1][2]
+        if is_subquery and alias is None:
+            raise ValueError(
+                "ANY JOIN on a subquery needs an alias (the "
+                "keep-one-row-per-key ordering rule is declared "
+                "against it with register_any_order(alias, ...))"
+            )
         if after_idx >= len(toks):
             raise ValueError("ANY JOIN requires an ON or USING clause")
         clause = toks[after_idx][0].upper()
@@ -2341,12 +2365,18 @@ def _rewrite_any_join(sql: str) -> str:
             keys = _any_join_keys(sql[on_start:on_end], alias)
         else:
             raise ValueError("ANY JOIN requires an ON or USING clause")
-        order = _ANY_ORDER.get(table) or _ANY_ORDER.get(
-            table.split(".")[-1]
-        )
+        if is_subquery:
+            # subqueries have no table name: the rule is keyed by the
+            # (mandatory) alias
+            order = _ANY_ORDER.get(alias)
+        else:
+            order = _ANY_ORDER.get(table) or _ANY_ORDER.get(
+                table.split(".")[-1]
+            )
         if order is None:
+            ref = alias if is_subquery else table
             raise ValueError(
-                f"ANY JOIN on {table!r}: no deterministic keep-one "
+                f"ANY JOIN on {ref!r}: no deterministic keep-one "
                 f"ordering registered — declare one with "
                 f"register_any_order() (ClickHouse keeps an arbitrary "
                 f"first match; a reproducible engine must pin the rule)"
@@ -2634,6 +2664,36 @@ def _strip_sql_comments(sql: str) -> str:
     return _LIT_OR_COMMENT.sub(lambda m: m.group(1) or " ", sql)
 
 
+# Double-quoted tokens are IDENTIFIERS in ClickHouse (ANSI rule; CH
+# has no double-quoted string form) but STRING LITERALS to Spark's
+# default parser — passing them through silently turns a column
+# reference into a constant (r12 corpus-replay find: SELECT
+# "l_orderkey" FROM lineitem returned the literal text, no error).
+# Convert them to Spark backtick identifiers, single-quoted literals
+# and existing backtick identifiers kept byte-identical.
+_DQ_IDENT = _RE.compile(
+    r"('(?:[^'\\]|''|\\.)*'"
+    r"|`(?:[^`]|``)*`)"
+    r"|\"((?:[^\"\\]|\"\"|\\.)*)\"",
+    _RE.DOTALL,
+)
+
+
+def _dq_idents_to_backticks(sql: str) -> str:
+    """Rewrite ClickHouse ``"ident"`` (with ``""`` doubling and ``\\"``
+    escapes) to Spark ``` `ident` ```; everything inside single quotes
+    or backticks is untouched."""
+
+    def sub(m: "_RE.Match") -> str:
+        if m.group(1) is not None:
+            return m.group(0)
+        body = m.group(2).replace('""', '"')
+        body = _RE.sub(r"\\(.)", r"\1", body)
+        return "`" + body.replace("`", "``") + "`"
+
+    return _DQ_IDENT.sub(sub, sql)
+
+
 def _strip_trailing_clauses(sql: str) -> str:
     """Drop CH's trailing ``SETTINGS k=v, ...`` and ``FORMAT Name``
     clauses — per-query engine knobs and client wire-format directives
@@ -2703,9 +2763,13 @@ def translate_ch_sql(sql: str) -> str:
     PREWHERE → WHERE merge, FROM <t> FINAL → latest-per-key collapse,
     then the function-call pass (renames, -If combinators, parametric
     quantiles, casts, [..] array literals). Pure text-to-text;
-    identifiers it does not know, string literals, and quoted
-    identifiers pass through byte-identical. Comments (/*..*/, --) and
-    trailing ';' are stripped up front, string-literal-aware (r11)."""
+    identifiers it does not know, string literals, and backtick
+    identifiers pass through byte-identical; CH's ANSI double-quoted
+    identifiers become backtick identifiers (to Spark's default
+    parser a double-quoted token is a STRING — passing it through
+    would silently constant-fold the column away; r12). Comments
+    (/*..*/, --) and trailing ';' are stripped up front,
+    string-literal-aware (r11)."""
     # Comments and trailing statement terminators first (r11 corpus-
     # replay finds): a '/*..*/' or '-- ..' inside a clause the
     # rewriters pattern-match breaks literal-argument checks
@@ -2715,6 +2779,7 @@ def translate_ch_sql(sql: str) -> str:
     # Both strips are string-literal-aware; spark.sql never needs the
     # comments back.
     sql = _strip_sql_comments(sql)
+    sql = _dq_idents_to_backticks(sql)
     sql = _RE.sub(r"[\s;]+$", "", sql)
     _route_non_select(sql)
     sql = _strip_trailing_clauses(sql)
@@ -2752,19 +2817,35 @@ def ch_mutation(sql: str, df: "DataFrame") -> "DataFrame":
     nothing — CH semantics, pinned in tests)."""
     from pyspark.sql import functions as F
 
+    # same lexical front door as translate_ch_sql (r12): comments out,
+    # CH double-quoted identifiers to backticks — the assignment/WHERE
+    # split below pattern-matches raw text and a '/*..*/' or "col"
+    # would otherwise corrupt it exactly like the r11 SELECT-side bugs
+    sql = _dq_idents_to_backticks(_strip_sql_comments(sql))
+    sql = _RE.sub(r"[\s;]+$", "", sql)
     m = _MUT_RE.match(sql)
     if m is None:
         raise ValueError(
             "not an ALTER TABLE DELETE/UPDATE mutation statement"
         )
     rest = sql[m.end():]
-    wm = _RE.search(r"\bWHERE\b", rest, _RE.IGNORECASE)
-    if wm is None:
+    # first DEPTH-0 WHERE via the quote-aware word scanner — a literal
+    # "... = 'where it was' WHERE v > 1" must split at the keyword,
+    # not inside the string (r12)
+    w_span = next(
+        (
+            (s, e)
+            for word, s, e, d in _scan_words(rest)
+            if d == 0 and word.upper() == "WHERE"
+        ),
+        None,
+    )
+    if w_span is None:
         raise ValueError(
             f"ALTER TABLE {m.group('verb').upper()} requires WHERE "
             f"(CH grammar; an unconditional mutation must say WHERE 1)"
         )
-    cond = _translate_functions(rest[wm.end():].strip())
+    cond = _translate_functions(rest[w_span[1]:].strip())
     if not cond:
         raise ValueError("empty WHERE condition")
     # CH predicates are truthy integers ("WHERE 1" is the documented
@@ -2775,7 +2856,7 @@ def ch_mutation(sql: str, df: "DataFrame") -> "DataFrame":
         # survivors: NOT cond, keeping NULL-cond rows (CH deletes only
         # rows where the predicate is true)
         return df.filter(~gate)
-    assigns_txt = rest[: wm.start()].strip()
+    assigns_txt = rest[: w_span[0]].strip()
     if not assigns_txt:
         raise ValueError("UPDATE needs at least one col = expr")
     # Snapshot semantics (CH / standard UPDATE): the gate AND every
@@ -2786,10 +2867,19 @@ def ch_mutation(sql: str, df: "DataFrame") -> "DataFrame":
     dtypes = dict(df.dtypes)
     new_cols: dict[str, "F.Column"] = {}
     for item in _split_order_items(assigns_txt):
-        am = _RE.match(r"^\s*([A-Za-z_]\w*)\s*=\s*(.+)$", item, _RE.DOTALL)
+        am = _RE.match(
+            r"^\s*(?:`((?:[^`]|``)*)`|([A-Za-z_]\w*))\s*=\s*(.+)$",
+            item,
+            _RE.DOTALL,
+        )
         if not am:
             raise ValueError(f"bad UPDATE assignment {item!r}")
-        col, expr = am.group(1), _translate_functions(am.group(2).strip())
+        col = (
+            am.group(1).replace("``", "`")
+            if am.group(1) is not None
+            else am.group(2)
+        )
+        expr = _translate_functions(am.group(3).strip())
         if col not in df.columns:
             raise ValueError(
                 f"UPDATE column {col!r} not in the table "

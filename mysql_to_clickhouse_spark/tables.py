@@ -375,7 +375,7 @@ def ensure_flat_lineitem(
     # the partition scheme is part of the identity: a granularity
     # change must not silently reuse the old layout's files
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{buckets}|flat:lineitem:oq2".encode()
+        f"{os.path.abspath(sf_dir)}|{buckets}|flat:lineitem:oq3".encode()
     ).hexdigest()[:8]
     fq = f"m2c_layout.lineitem_flat_{tag}"
     loc = f"{wh}/lineitem_flat_{tag}"
@@ -391,9 +391,19 @@ def ensure_flat_lineitem(
             "o_totalprice",
             "o_orderpriority",
         )
+        # o_n_supp: distinct suppliers per order, the same kind of
+        # order-level decoration as TPC-H's own o_totalprice (itself a
+        # per-order lineitem aggregate). Computed once at ingest on the
+        # orderkey-clustered stream; Q21-family consumers then read the
+        # EXISTS-another-supplier predicate off the row instead of
+        # re-aggregating every line of every order per query (r12).
+        n_supp = li.groupBy("l_orderkey").agg(
+            F.count_distinct("l_suppkey").cast("int").alias("o_n_supp")
+        )
         flat = (
             li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
             .drop("o_orderkey")
+            .join(n_supp, "l_orderkey")
             .withColumn(
                 "o_quarter",
                 (F.year("o_orderdate") * 10 + F.quarter("o_orderdate")).cast(

@@ -223,11 +223,15 @@ FLAT_QIDS = [
     "c12_q3_shipping",
     "x6_tpch_q10",
     "x7_tpch_q18",
+    # r12: joined the MV consumers — at QUARTER partition granularity
+    # the zero-join flat scan beats the co-bucketed base join at 1e8
+    # (the r10 month-granularity measurement said otherwise)
+    "x14_tpch_q21",
 ]
-# full-scan shapes that deliberately STAY on the co-bucketed base join
+# full-scan shape that deliberately STAYS on the co-bucketed base join
 # (no date window -> no partition pruning -> the MV's partitioned file
-# layout measured slower at 1e8; see the x14/x16 docstrings)
-FLAT_NON_QIDS = ["x14_tpch_q21", "x16_tpch_q9"]
+# layout measured slower at 1e8; see the x16 docstring)
+FLAT_NON_QIDS = ["x16_tpch_q9"]
 
 
 def test_flat_lineitem_mv_parity_and_plan(spark, tmp_path):
@@ -237,7 +241,7 @@ def test_flat_lineitem_mv_parity_and_plan(spark, tmp_path):
     base orders (the fact join is gone), x6/c10 carry o_quarter
     partition filters (directory pruning), x7's per-order aggregate
     stays exchange-free on the MV's l_orderkey buckets, and the
-    full-scan shapes (x14/x16) deliberately keep their base plans."""
+    full-scan shape x16 deliberately keeps its base plan."""
     from mysql_to_clickhouse_spark.tables import (
         ensure_flat_lineitem,
         load_flat_lineitem,
@@ -303,6 +307,16 @@ def test_flat_lineitem_mv_parity_and_plan(spark, tmp_path):
         )
         assert "Exchange hashpartitioning(l_orderkey" not in x7_plan, (
             f"x7 shuffles on l_orderkey despite the MV buckets:\n{x7_plan}"
+        )
+        # x14's two aggregate stages must also ride the MV buckets —
+        # no exchange on the fact path (r12)
+        x14_plan = (
+            qs["x14_tpch_q21"].fn(spark, SF)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange hashpartitioning(l_orderkey" not in x14_plan, (
+            f"x14 shuffles on l_orderkey despite the MV buckets:\n"
+            f"{x14_plan}"
         )
     finally:
         release_bucketed(spark)

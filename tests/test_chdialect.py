@@ -62,9 +62,11 @@ CASES = [
         "argMax(toInt64(a), sumIf(v, c))",
         "max_by(CAST((a) AS BIGINT), sum(CASE WHEN (c) THEN (v) END))",
     ),
-    # string literals and quoted identifiers pass through untouched
+    # string literals and backtick identifiers pass through untouched;
+    # a DOUBLE-quoted token is a CH identifier and becomes a Spark
+    # backtick identifier (to Spark it would be a string literal — r12)
     ("'countIf(x)'", "'countIf(x)'"),
-    ('"uniq"(x)', '"uniq"(x)'),
+    ('"uniq"(x)', "`uniq`(x)"),
     ("`argMax`", "`argMax`"),
     # identifier that merely CONTAINS a CH name is not a call
     ("colcountIf + countIfcol", "colcountIf + countIfcol"),

@@ -465,8 +465,12 @@ def test_malformed_csv_quarantine_counts(spark):
 
 
 def test_parts_catalog_invariants(spark):
-    """a28: per-part stats cover the table exactly; ranges are ordered
-    and (after a range-partitioned sorted write) pairwise disjoint."""
+    """a28: per-part stats cover the table exactly; ranges are ordered,
+    pairwise disjoint (month parts can't overlap), and every part's
+    span lies inside the calendar month its directory claims — the
+    physical read-back agrees with the partition key."""
+    import datetime
+
     from mysql_to_clickhouse_spark.registry import all_queries
     from mysql_to_clickhouse_spark.tables import load
     from tests.conftest import TEST_SF_DIR
@@ -477,7 +481,13 @@ def test_parts_catalog_invariants(spark):
     assert all(p.min_ts_us <= p.max_ts_us for p in parts)
     spans = sorted((p.min_ts_us, p.max_ts_us) for p in parts)
     for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
-        assert hi1 <= lo2  # disjoint after range partitioning
+        assert hi1 <= lo2  # calendar-month parts are disjoint
+    for p in parts:
+        for us in (p.min_ts_us, p.max_ts_us):
+            got = datetime.datetime.fromtimestamp(
+                us / 1e6, tz=datetime.timezone.utc
+            ).strftime("%Y-%m")
+            assert got == p.part_key, (p.part_key, us)
 
 
 def test_a33_bloom_filters_written_and_predicate_pushed(spark, tmp_path):
