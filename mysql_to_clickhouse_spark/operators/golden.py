@@ -855,12 +855,15 @@ def x14_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         # another-supplier test needs NO aggregate over the non-late
         # lines — the pipeline keeps ONLY late lines of F orders
         # (~half the joined fact at the 1e8 tier) before any agg.
+        # The lateness test reads the MV's l_lag_us decoration (exact
+        # micros from order to shipment, tables.ensure_flat_lineitem):
+        # one long-vs-literal predicate instead of decoding BOTH
+        # timestamp columns and adding an interval per row — at the
+        # 1e8 tier the scan decodes 4 columns, not 5, and the
+        # comparison is parquet-pushable.
         late = flat.filter(
             (F.col("o_orderstatus") == "F")
-            & (
-                F.col("l_shipdate")
-                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-            )
+            & (F.col("l_lag_us") > F.lit(60 * 86400 * 1_000_000))
         ).select("l_orderkey", "l_suppkey", "o_n_supp")
         per_supp = late.groupBy("l_orderkey", "l_suppkey").agg(
             F.count(F.lit(1)).alias("_c"),
