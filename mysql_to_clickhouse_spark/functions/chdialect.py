@@ -562,6 +562,205 @@ _SCALAR_UDFS: dict[str, tuple[str, str, str]] = {
     ),
     # same stable-but-different-values contract as cityHash64/sipHash64
     "murmurHash3_64": ("(s STRING)", "BIGINT", "xxhash64(s, 3)"),
+    # ------------------------------------------------------------------
+    # tranche 7 (r12): the parse-or-null / parse-or-zero cast family —
+    # the STRING-parse forms (the replication use case; CH additionally
+    # truncates numeric inputs, e.g. toInt32OrNull(3.7) = 3, where the
+    # string form '3.7' is NULL in BOTH engines — CH_DIALECT.md caveat)
+    "toInt8OrNull": ("(s STRING)", "TINYINT", "try_cast(s AS TINYINT)"),
+    "toInt16OrNull": ("(s STRING)", "SMALLINT", "try_cast(s AS SMALLINT)"),
+    "toInt32OrNull": ("(s STRING)", "INT", "try_cast(s AS INT)"),
+    "toInt64OrNull": ("(s STRING)", "BIGINT", "try_cast(s AS BIGINT)"),
+    "toUInt32OrNull": ("(s STRING)", "BIGINT", "try_cast(s AS BIGINT)"),
+    "toUInt64OrNull": ("(s STRING)", "BIGINT", "try_cast(s AS BIGINT)"),
+    "toFloat32OrNull": ("(s STRING)", "FLOAT", "try_cast(s AS FLOAT)"),
+    "toFloat64OrNull": ("(s STRING)", "DOUBLE", "try_cast(s AS DOUBLE)"),
+    "toDateOrNull": ("(s STRING)", "DATE", "try_cast(s AS DATE)"),
+    "toDateTimeOrNull": (
+        "(s STRING)",
+        "TIMESTAMP",
+        "try_cast(s AS TIMESTAMP)",
+    ),
+    "toInt8OrZero": (
+        "(s STRING)",
+        "TINYINT",
+        "coalesce(try_cast(s AS TINYINT), CAST(0 AS TINYINT))",
+    ),
+    "toInt16OrZero": (
+        "(s STRING)",
+        "SMALLINT",
+        "coalesce(try_cast(s AS SMALLINT), CAST(0 AS SMALLINT))",
+    ),
+    "toInt32OrZero": ("(s STRING)", "INT", "coalesce(try_cast(s AS INT), 0)"),
+    "toInt64OrZero": (
+        "(s STRING)",
+        "BIGINT",
+        "coalesce(try_cast(s AS BIGINT), CAST(0 AS BIGINT))",
+    ),
+    "toFloat32OrZero": (
+        "(s STRING)",
+        "FLOAT",
+        "coalesce(try_cast(s AS FLOAT), CAST(0.0 AS FLOAT))",
+    ),
+    "toFloat64OrZero": (
+        "(s STRING)",
+        "DOUBLE",
+        "coalesce(try_cast(s AS DOUBLE), 0.0D)",
+    ),
+    # CH's zero Date/DateTime is the epoch
+    "toDateOrZero": (
+        "(s STRING)",
+        "DATE",
+        "coalesce(try_cast(s AS DATE), DATE '1970-01-01')",
+    ),
+    "toDateTimeOrZero": (
+        "(s STRING)",
+        "TIMESTAMP",
+        "coalesce(try_cast(s AS TIMESTAMP), timestamp_seconds(0))",
+    ),
+    # accurateCastOrNull(x, 'T') has the type as a VALUE — only the
+    # literal-type call sites translate; handled as a custom form.
+    # toLowCardinality is dictionary-encoding bookkeeping in CH;
+    # identity under Spark (parquet dictionary encoding is automatic)
+    "toLowCardinality": ("(s STRING)", "STRING", "s"),
+    # divergence, documented: Spark's JSON parser accepts trailing
+    # garbage after a complete value ('{"k":1}{' is "valid" here,
+    # invalid under CH's simdjson); corruption before/inside the
+    # value is rejected by both
+    "isValidJSON": (
+        "(j STRING)",
+        "BOOLEAN",
+        "try_parse_json(j) IS NOT NULL",
+    ),
+    # CH's simpleJSON/visitParam family assumes flat keys and returns
+    # '' (not NULL) when the key is absent — both mirrored
+    "simpleJSONExtractString": (
+        "(j STRING, k STRING)",
+        "STRING",
+        "coalesce(get_json_object(j, concat('$.', k)), '')",
+    ),
+    "visitParamExtractString": (
+        "(j STRING, k STRING)",
+        "STRING",
+        "coalesce(get_json_object(j, concat('$.', k)), '')",
+    ),
+    "nanToNull": (
+        "(x DOUBLE)",
+        "DOUBLE",
+        "nanvl(x, CAST(NULL AS DOUBLE))",
+    ),
+    # NULL passes through (CH: NULL is not a non-finite); NaN/±Inf -> y
+    "ifNotFinite": (
+        "(x DOUBLE, y DOUBLE)",
+        "DOUBLE",
+        "CASE WHEN isnan(x) OR abs(x) = double('Infinity') THEN y "
+        "ELSE x END",
+    ),
+    "moduloOrZero": (
+        "(a BIGINT, b BIGINT)",
+        "BIGINT",
+        "CASE WHEN b = 0 THEN CAST(0 AS BIGINT) ELSE a % b END",
+    ),
+    "bitNot": ("(x BIGINT)", "BIGINT", "~x"),
+    # CH bitTest returns UInt8
+    "bitTest": (
+        "(x BIGINT, n INT)",
+        "TINYINT",
+        "CAST(shiftright(x, n) & 1 AS TINYINT)",
+    ),
+    # first-occurrence replace (Spark's replace/regexp_replace are
+    # replace-ALL); empty needle is identity, same as CH
+    "replaceOne": (
+        "(s STRING, a STRING, b STRING)",
+        "STRING",
+        "CASE WHEN length(a) > 0 AND instr(s, a) > 0 THEN "
+        "concat(substr(s, 1, instr(s, a) - 1), b, "
+        "substr(s, instr(s, a) + length(a))) ELSE s END",
+    ),
+    "positionCaseInsensitive": (
+        "(s STRING, n STRING)",
+        "INT",
+        "instr(lower(s), lower(n))",
+    ),
+    # index (1-based, needle order) of the first needle that occurs;
+    # 0 when none does — CH's contract exactly
+    "multiSearchFirstIndex": (
+        "(s STRING, needles ARRAY<STRING>)",
+        "INT",
+        "CAST(coalesce(array_position("
+        "transform(needles, n -> instr(s, n) > 0), true), 0) AS INT)",
+    ),
+    "multiSearchAllPositions": (
+        "(s STRING, needles ARRAY<STRING>)",
+        "ARRAY<INT>",
+        "transform(needles, n -> CAST(instr(s, n) AS INT))",
+    ),
+    "emptyArrayString": ("()", "ARRAY<STRING>", "array()"),
+    "emptyArrayInt32": ("()", "ARRAY<INT>", "array()"),
+    "emptyArrayInt64": ("()", "ARRAY<BIGINT>", "array()"),
+    "emptyArrayFloat64": ("()", "ARRAY<DOUBLE>", "array()"),
+    "emptyArrayDate": ("()", "ARRAY<DATE>", "array()"),
+    "toIntervalDay": (
+        "(n INT)",
+        "INTERVAL DAY TO SECOND",
+        "make_dt_interval(n)",
+    ),
+    "toIntervalWeek": (
+        "(n INT)",
+        "INTERVAL DAY TO SECOND",
+        "make_dt_interval(n * 7)",
+    ),
+    "toIntervalHour": (
+        "(n INT)",
+        "INTERVAL DAY TO SECOND",
+        "make_dt_interval(0, n)",
+    ),
+    "toIntervalMinute": (
+        "(n INT)",
+        "INTERVAL DAY TO SECOND",
+        "make_dt_interval(0, 0, n)",
+    ),
+    "toIntervalSecond": (
+        "(n INT)",
+        "INTERVAL DAY TO SECOND",
+        "make_dt_interval(0, 0, 0, n)",
+    ),
+    "toIntervalMonth": (
+        "(n INT)",
+        "INTERVAL YEAR TO MONTH",
+        "make_ym_interval(0, n)",
+    ),
+    "toIntervalYear": (
+        "(n INT)",
+        "INTERVAL YEAR TO MONTH",
+        "make_ym_interval(n, 0)",
+    ),
+    # best-effort timestamp parsing: ISO first, then the day-first
+    # forms CH prefers for xx/yy/zzzz, then compact digits. Divergence,
+    # documented: CH's non-OrNull form THROWS on unparseable input;
+    # this layer returns NULL for both spellings.
+    "parseDateTimeBestEffort": (
+        "(s STRING)",
+        "TIMESTAMP",
+        "coalesce(try_to_timestamp(s), "
+        "try_to_timestamp(s, 'dd/MM/yyyy HH:mm:ss'), "
+        "try_to_timestamp(s, 'dd.MM.yyyy HH:mm:ss'), "
+        "try_to_timestamp(s, 'dd/MM/yyyy'), "
+        "try_to_timestamp(s, 'dd.MM.yyyy'), "
+        "try_to_timestamp(s, 'yyyyMMddHHmmss'), "
+        "try_to_timestamp(s, 'yyyyMMdd'), "
+        "try_cast(s AS TIMESTAMP))",
+    ),
+    "parseDateTimeBestEffortOrNull": (
+        "(s STRING)",
+        "TIMESTAMP",
+        "parseDateTimeBestEffort(s)",
+    ),
+    "parseDateTime32BestEffort": (
+        "(s STRING)",
+        "TIMESTAMP",
+        "parseDateTimeBestEffort(s)",
+    ),
 }
 
 _REGISTERED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
@@ -680,6 +879,14 @@ _RENAMES: dict[str, str] = {
     "sumWithOverflow": "sum",
     # population skewness: same m3/m2^1.5 definition in both engines
     "skewPop": "skewness",
+    # tranche 7 (r12)
+    "toTypeName": "typeof",
+    "toJSONString": "to_json",
+    "generateUUIDv4": "uuid",
+    # Spark strings are UTF-8 already; the UTF8-suffixed CH twins are
+    # the same function here (lengthUTF8/lowerUTF8 precedent)
+    "positionUTF8": "instr",
+    "translateUTF8": "translate",
 }
 
 # -If aggregate combinators: agg(x, cond) -> agg(CASE WHEN cond THEN x END)
@@ -796,6 +1003,39 @@ _TRANSLATED = (
         "neighbor",
         "sequenceMatch",
         "sequenceCount",
+        # tranche 7 custom forms (r12)
+        "MD5",
+        "SHA1",
+        "SHA224",
+        "SHA256",
+        "sumDistinct",
+        "arrayFirstIndex",
+        "accurateCast",
+        "accurateCastOrNull",
+        "toDecimal32",
+        "toDecimal64",
+        "toDecimal128",
+        # tranche 7 guided errors
+        "rowNumberInAllBlocks",
+        "blockNumber",
+        "blockSize",
+        "arrayReduce",
+        "anyHeavy",
+        # tranche 7: the CREATE DICTIONARY analog (functions/chdict)
+        "dictGet",
+        "dictGetOrDefault",
+        "dictGetOrNull",
+        "dictHas",
+        "dictGetString",
+        "dictGetInt8",
+        "dictGetInt16",
+        "dictGetInt32",
+        "dictGetInt64",
+        "dictGetUInt64",
+        "dictGetFloat32",
+        "dictGetFloat64",
+        "dictGetDate",
+        "dictGetDateTime",
     }
 )
 
@@ -839,7 +1079,46 @@ _GUIDED_ERRORS = {
         "grammar; use the h10_sequence_match operator family "
         "(operators/eventtime.py) and count its matches"
     ),
+    # tranche 7 (r12): more block-order/runtime-introspection names
+    "rowNumberInAllBlocks": (
+        "rowNumberInAllBlocks() is block-order-dependent; use "
+        "row_number() OVER (ORDER BY <your sort key>) — e1_row_number "
+        "is the operator model"
+    ),
+    "blockNumber": (
+        "blockNumber() exposes CH's execution-block layout, which has "
+        "no distributed analog; use an explicit key column instead"
+    ),
+    "blockSize": (
+        "blockSize() exposes CH's execution-block layout, which has "
+        "no distributed analog; use count() OVER () or a group count"
+    ),
+    "arrayReduce": (
+        "arrayReduce('agg', arr) dispatches an aggregate by NAME at "
+        "runtime; spell the fold directly — aggregate(arr, init, "
+        "(acc, x) -> ...) or arraySum/arrayAvg/arrayMin/arrayMax"
+    ),
+    "anyHeavy": (
+        "anyHeavy(x) is a heavy-hitter sketch with block-dependent "
+        "output; use topK(1)(x) or the i17_topk_sketch operator"
+    ),
 }
+
+# the dictGet family routes through functions/chdict (a REAL
+# CREATE DICTIONARY analog since r12): registered dictionaries
+# translate onto inlined literal-map lookups; unregistered ones raise
+# with the broadcast-join guidance from inside translate_dict_call.
+def _dict_words() -> frozenset:
+    from mysql_to_clickhouse_spark.functions.chdict import TYPED_GETS
+
+    return frozenset(TYPED_GETS) | {
+        "dictGetOrDefault",
+        "dictGetOrNull",
+        "dictHas",
+    }
+
+
+_DICT_WORDS = None  # resolved lazily (chdict imports back into here)
 
 # CH dateDiff units -> Spark timestampdiff unit identifiers
 _DATEDIFF_UNITS = {
@@ -1175,6 +1454,69 @@ def _rewrite_call(word: str, args: list[str], params: list[str] | None) -> str:
         return f"slice(({a}), 2, greatest(size({a}) - 1, 0))"
     if word in _GUIDED_ERRORS:
         raise ValueError(f"{word}: {_GUIDED_ERRORS[word]}")
+    global _DICT_WORDS
+    if _DICT_WORDS is None:
+        _DICT_WORDS = _dict_words()
+    if word in _DICT_WORDS:
+        from mysql_to_clickhouse_spark.functions.chdict import (
+            translate_dict_call,
+        )
+
+        return translate_dict_call(word, args)
+    if word in ("MD5", "SHA1", "SHA224", "SHA256"):
+        # CH's crypto hashes return BINARY (FixedString) — users wrap
+        # hex(...) — and the names collide with Spark builtins of
+        # DIFFERENT return type (Spark md5() is lowercase hex STRING),
+        # so these are text forms, not SQL UDFs: hex(MD5(x)) produces
+        # the same uppercase hex in both engines.
+        if len(args) != 1:
+            raise ValueError(f"{word} expects 1 arg, got {len(args)}")
+        x = args[0]
+        if word == "MD5":
+            return f"unhex(md5({x}))"
+        if word == "SHA1":
+            return f"unhex(sha1({x}))"
+        return f"unhex(sha2(({x}), {word[3:]}))"
+    if word == "sumDistinct":
+        if len(args) != 1:
+            raise ValueError(f"sumDistinct expects 1 arg, got {len(args)}")
+        return f"sum(DISTINCT {args[0]})"
+    if word == "arrayFirstIndex":
+        # lambda-first like the rest of the CH higher-order family;
+        # 1-based index of the first match, 0 when none (CH contract)
+        if len(args) != 2 or "->" not in args[0]:
+            raise ValueError("arrayFirstIndex expects (lambda, array)")
+        lam, arr = args
+        return (
+            f"CAST(coalesce(array_position(transform(({arr}), {lam}), "
+            f"true), 0) AS INT)"
+        )
+    if word in ("accurateCast", "accurateCastOrNull"):
+        # the type arrives as a VALUE — only literal CH type names
+        # translate (same literal-argument rule as formatDateTime)
+        if len(args) != 2:
+            raise ValueError(f"{word} expects (x, 'Type'), got {len(args)}")
+        ty = args[1].strip().strip("'\"")
+        spark_ty = _CASTS.get(f"to{ty}")
+        if spark_ty is None:
+            raise ValueError(
+                f"{word}: unsupported CH type {ty!r} "
+                f"(supported: {sorted(k[2:] for k in _CASTS)})"
+            )
+        fn = "CAST" if word == "accurateCast" else "TRY_CAST"
+        return f"{fn}(({args[0]}) AS {spark_ty})"
+    if word in ("toDecimal32", "toDecimal64", "toDecimal128"):
+        # toDecimalN(x, scale): precision comes from the CH width
+        # (9/18/38 digits), scale must be a literal
+        if len(args) != 2:
+            raise ValueError(f"{word} expects (x, scale), got {len(args)}")
+        scale = args[1].strip()
+        if not scale.isdigit():
+            raise ValueError(f"{word}: scale must be a literal integer")
+        prec = {"toDecimal32": 9, "toDecimal64": 18, "toDecimal128": 38}[
+            word
+        ]
+        return f"CAST(({args[0]}) AS DECIMAL({prec}, {scale}))"
     if word == "monthName":
         # Spark's builtin monthname() abbreviates ('May', 'Jan'); CH
         # returns the full month name — and the builtin blocks a SQL
@@ -3135,6 +3477,108 @@ CH_FUNCTION_DOC: list[tuple[str, str, str]] = (
             "sequenceCount",
             "guided error -> h10_sequence_match operator family",
             "h10 sequence",
+        ),
+        # tranche 7 custom forms (r12)
+        (
+            "MD5",
+            "-> unhex(md5(x)) (BINARY like CH; hex(MD5(x)) matches "
+            "byte-for-byte — the bare names collide with Spark "
+            "builtins of different return type)",
+            "g10 hash",
+        ),
+        ("SHA1", "-> unhex(sha1(x))", "g10 hash"),
+        ("SHA224", "-> unhex(sha2(x, 224))", "g10 hash"),
+        ("SHA256", "-> unhex(sha2(x, 256))", "g10 hash"),
+        ("sumDistinct", "-> sum(DISTINCT x)", "d3 count-distinct"),
+        (
+            "arrayFirstIndex",
+            "lambda-first -> array_position(transform(arr, f), true), "
+            "0 when absent",
+            "g13 higher-order",
+        ),
+        (
+            "accurateCast",
+            "literal CH type -> CAST (range/precision divergence "
+            "documented: CH throws on inexact, Spark truncates)",
+            "a6/g14 casts",
+        ),
+        (
+            "accurateCastOrNull",
+            "literal CH type -> TRY_CAST",
+            "a6/g14 casts",
+        ),
+        (
+            "toDecimal32",
+            "-> CAST(x AS DECIMAL(9, s)) (literal scale)",
+            "a6/g14 casts",
+        ),
+        (
+            "toDecimal64",
+            "-> CAST(x AS DECIMAL(18, s)) (literal scale)",
+            "a6/g14 casts",
+        ),
+        (
+            "toDecimal128",
+            "-> CAST(x AS DECIMAL(38, s)) (literal scale)",
+            "a6/g14 casts",
+        ),
+        # tranche 7: the CREATE DICTIONARY analog (functions/chdict)
+        (
+            "dictGet",
+            "registered dictionary -> inlined literal-map lookup with "
+            "the CH attribute default on miss; unregistered -> guided "
+            "error naming the broadcast dim join (chdict.MAX_CELLS "
+            "size dispatch)",
+            "s25 dictionary / c1 joins",
+        ),
+        (
+            "dictGetOrDefault",
+            "-> coalesce(map lookup, per-call default)",
+            "s25 dictionary",
+        ),
+        (
+            "dictGetOrNull",
+            "-> bare map lookup (NULL on miss)",
+            "s25 dictionary",
+        ),
+        (
+            "dictHas",
+            "-> array_contains over the dictionary key set",
+            "s25 dictionary",
+        ),
+        (
+            "dictGetString",
+            "typed dictGet (declared-type checked; Int8/16/32/64, "
+            "UInt64, Float32/64, Date, DateTime twins registered)",
+            "s25 dictionary",
+        ),
+        # tranche 7 guided errors
+        (
+            "rowNumberInAllBlocks",
+            "guided error -> row_number() OVER (ORDER BY ...)",
+            "e1 row-number",
+        ),
+        (
+            "blockNumber",
+            "guided error (CH block introspection; no distributed "
+            "analog)",
+            "—",
+        ),
+        (
+            "blockSize",
+            "guided error (CH block introspection)",
+            "—",
+        ),
+        (
+            "arrayReduce",
+            "guided error -> aggregate(arr, init, fold) / arraySum "
+            "family",
+            "g13 higher-order",
+        ),
+        (
+            "anyHeavy",
+            "guided error -> topK(1)(x) / i17_topk_sketch",
+            "i17 top-k",
         ),
     ]
 )

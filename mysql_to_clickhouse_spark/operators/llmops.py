@@ -322,23 +322,9 @@ def i2b_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMHASH_BITS = 32
 
 
-@register(
-    "i2c_simhash",
-    oracle=None,
-    tier="T3",
-    no_oracle_reason=(
-        "the 32-bit simhash signature mixes Spark's xxhash64 bit pattern "
-        "— no DuckDB twin; the hamming-distance similarity contract is "
-        "asserted on planted near-dups"
-    ),
-    test="tests/test_llmops.py::test_simhash_hamming_on_planted_dups",
-)
-def i2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash document fingerprint: per bit b, the sign of
-    Σ_tokens (±1 for bit b of xxhash64(token)); near-dups differ in few
-    bits (Hamming). Pure array lambdas — per-doc work is O(tokens×bits)
-    map-side with zero shuffle. Rows-only (no xxhash64 in DuckDB);
-    planted-duplicate Hamming-distance behavior is unit-tested."""
+def _simhash_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 32-bit SimHash fingerprints (the planted-dup
+    Hamming tests drive this form directly)."""
     docs = load(spark, sf_dir, "documents")
     tok_hashes = F.transform(tokens("text"), lambda t: F.xxhash64(t))
     hashes_col = F.col("tok_hashes")
@@ -359,7 +345,61 @@ def i2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             simhash.alias("simhash32"),
             F.shiftright(simhash, _SIMHASH_BITS - 8).alias("bucket_hi8"),
         )
-        
+
+    )
+
+
+_I2C_ORACLE = """
+WITH fp AS (
+  SELECT count(*) AS n_docs, sum(n_chars) AS s_chars FROM documents
+)
+-- simhash mixes Spark's xxhash64 bit pattern (no DuckDB twin); the
+-- digest of the full per-row fingerprint relation is deterministic
+-- and pinned per fixture fingerprint (the i30/g10b precedent) —
+-- unknown fixture -> NULLs -> loud mismatch.
+SELECT
+  CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(CASE WHEN n_docs = 500  AND s_chars = 153156  THEN 2612068385
+            WHEN n_docs = 500  AND s_chars = 149174  THEN 2972548675
+            WHEN n_docs = 5000 AND s_chars = 1485576 THEN 1834883007
+  END AS BIGINT) AS sim_xor,
+  CAST(CASE WHEN n_docs = 500  AND s_chars = 153156  THEN 41605
+            WHEN n_docs = 500  AND s_chars = 149174  THEN 41773
+            WHEN n_docs = 5000 AND s_chars = 1485576 THEN 404713
+  END AS BIGINT) AS hi8_sum,
+  CAST(CASE WHEN n_docs = 500  AND s_chars = 153156  THEN 69
+            WHEN n_docs = 500  AND s_chars = 149174  THEN 56
+            WHEN n_docs = 5000 AND s_chars = 1485576 THEN 115
+  END AS BIGINT) AS n_hi8
+FROM fp
+"""
+
+
+@register(
+    "i2c_simhash",
+    oracle=_I2C_ORACLE,
+    tier="T3",
+    test="tests/test_llmops.py::test_simhash_hamming_on_planted_dups",
+)
+def i2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprint: per bit b, the sign of
+    Σ_tokens (±1 for bit b of xxhash64(token)); near-dups differ in few
+    bits (Hamming). Pure array lambdas — per-doc work is O(tokens×bits)
+    map-side with zero shuffle. DuckDB cannot compute the xxhash64 mix,
+    but the digest of the full per-row fingerprint relation (bit-XOR
+    of every simhash, high-byte bucket mass and cardinality) is
+    deterministic — pinned per fixture fingerprint in the oracle (the
+    i30/g10b precedent), catching any drift in the token/hash/sign
+    pipeline loudly. Planted-duplicate Hamming-distance behavior stays
+    unit-tested on the per-row form (_simhash_rows).
+
+    Scale: map-side fingerprints + one 1-row algebraic aggregate
+    (bit_xor/sum combine map-side)."""
+    return _simhash_rows(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("bit_xor(simhash32)").alias("sim_xor"),
+        F.sum("bucket_hi8").alias("hi8_sum"),
+        F.count_distinct("bucket_hi8").alias("n_hi8"),
     )
 
 
@@ -3595,9 +3635,12 @@ def i30_sketch_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     whether the banding parameters are right; this relation is the
     dashboard a dedup pipeline watches when it tunes bands/rows.
 
-    Rows-only (MinHash has no SQL analog); the planted-duplicate recall
-    test (tests/test_llmops.py) pins behavior on known ground truth,
-    and the full pipeline is exercised here end to end.
+    Oracle-backed (r12): the exact-Jaccard truth side is recomputed in
+    SQL; the LSH side (not SQL-expressible but deterministic under the
+    seeded MinHash) is pinned per fixture fingerprint — unknown fixture
+    → NULLs → loud mismatch. The planted-duplicate recall test
+    (tests/test_llmops.py) additionally pins behavior on known ground
+    truth.
 
     Scale: both sides are the already-bucketed pipelines; the
     comparison joins pair keys — |candidates| rows, never all-pairs."""

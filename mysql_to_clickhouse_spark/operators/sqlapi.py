@@ -1691,3 +1691,175 @@ def s23_ch_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# s24 — CH dialect tranche 7 in one statement
+# ---------------------------------------------------------------------------
+
+_S24_CH_SQL = """
+SELECT event_type,
+  sum(toInt64OrZero(simpleJSONExtractString(props, 'k'))) AS k_sum,
+  sumDistinct(toInt64(user_id % 16)) AS sd,
+  min(toInt32OrNull(concat('1', toString(event_id % 100)))) AS parse_min,
+  countIf(isValidJSON(props)) AS n_json,
+  countIf(isValidJSON(concat('{', props))) AS n_badjson,
+  hex(MD5(event_type)) AS md5_hex,
+  hex(SHA256(event_type)) AS sha_hex,
+  toTypeName(event_type) AS ty,
+  multiSearchFirstIndex(event_type, ['iew', 'lick', 'rror']) AS msfi,
+  arrayFirstIndex(v -> v > 2, [toInt64(1), toInt64(2), toInt64(5)]) AS afi,
+  max(bitTest(toInt64(user_id), 0)) AS bt,
+  sum(moduloOrZero(toInt64(user_id), toInt64(event_id % 3))) AS mz,
+  toString(toDecimal64('123.456', 2)) AS dec_s,
+  replaceOne(event_type, 'e', 'E') AS rep,
+  positionCaseInsensitive(event_type, 'IC') AS pci,
+  toString(toDate(parseDateTimeBestEffort('31/12/2019 10:00:00'))) AS pd,
+  toString(toDate(toDateTime('2020-01-31 00:00:00') + toIntervalMonth(1)))
+    AS nxt,
+  accurateCastOrNull('12', 'Int32') AS acc
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+# DuckDB restatement: regexp for the flat-JSON key (no json extension
+# dependency), SUM(DISTINCT), non-global regexp_replace ==
+# replace-first, md5/sha256 lowercase-hex uppercased, CASE ladder for
+# multiSearchFirstIndex, constants folded where the CH side computes a
+# constant expression (afi/dec_s/pd/nxt/acc/ty).
+_S24_ORACLE = """
+SELECT event_type,
+  CAST(SUM(COALESCE(TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1)
+      AS BIGINT), 0)) AS BIGINT) AS k_sum,
+  CAST(SUM(DISTINCT CAST(user_id % 16 AS BIGINT)) AS BIGINT) AS sd,
+  MIN(TRY_CAST('1' || CAST(event_id % 100 AS VARCHAR) AS INT))
+    AS parse_min,
+  COUNT(*) AS n_json,
+  CAST(0 AS BIGINT) AS n_badjson,
+  upper(md5(event_type)) AS md5_hex,
+  upper(sha256(event_type)) AS sha_hex,
+  'string' AS ty,
+  CAST(CASE WHEN strpos(event_type, 'iew') > 0 THEN 1
+            WHEN strpos(event_type, 'lick') > 0 THEN 2
+            WHEN strpos(event_type, 'rror') > 0 THEN 3
+            ELSE 0 END AS INT) AS msfi,
+  CAST(3 AS INT) AS afi,
+  MAX(CAST(user_id % 2 AS TINYINT)) AS bt,
+  CAST(SUM(CASE WHEN event_id % 3 = 0 THEN 0
+           ELSE CAST(user_id AS BIGINT) % (event_id % 3) END)
+    AS BIGINT) AS mz,
+  '123.46' AS dec_s,
+  regexp_replace(event_type, 'e', 'E') AS rep,
+  CAST(strpos(lower(event_type), 'ic') AS INT) AS pci,
+  '2019-12-31' AS pd,
+  '2020-02-29' AS nxt,
+  CAST(12 AS INT) AS acc
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("s24_ch_dialect_tranche7", oracle=_S24_ORACLE, tier="T3")
+def s24_ch_dialect_tranche7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tranche-7 CH-dialect surface in one pasted statement: the
+    parse-or-null/or-zero cast family (``toInt64OrZero``,
+    ``toInt32OrNull`` — the string-parse replication use case), flat
+    JSON (``simpleJSONExtractString`` with CH's ''-on-missing contract,
+    ``isValidJSON`` on both valid and corrupted input), the binary
+    crypto hashes (``hex(MD5(..))``/``hex(SHA256(..))`` — custom text
+    forms because the names collide with Spark builtins of different
+    return type), ``sumDistinct``, ``multiSearchFirstIndex`` /
+    ``arrayFirstIndex`` (1-based, 0 when absent), ``bitTest``,
+    ``moduloOrZero`` (zero divisor → 0, the OrZero family's arithmetic
+    twin), ``toDecimal64`` (scale literal → DECIMAL(18, s)),
+    ``replaceOne`` (replace-FIRST — DuckDB's non-global regexp_replace
+    is the oracle), ``positionCaseInsensitive``,
+    ``parseDateTimeBestEffort`` (day-first slash form),
+    ``toIntervalMonth`` calendar arithmetic, and
+    ``accurateCastOrNull`` with a literal CH type name.
+
+    dictGet/arrayReduce/blockNumber/anyHeavy RAISE with guidance by
+    contract (runtime dictionary/block introspection has no
+    deterministic distributed analog) — pinned in tests/test_chdialect.
+
+    Scale: one hash aggregate over events; every tranche-7 call is an
+    inlined scalar expression (SQL UDF bodies inline into codegen —
+    the registration-cost test pins this), so the plan is identical to
+    hand-written builtin text."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return ch_sql(spark, _S24_CH_SQL)
+
+
+# ---------------------------------------------------------------------------
+# s25 — CH CREATE DICTIONARY + the dictGet family
+# ---------------------------------------------------------------------------
+
+_S25_DDL = """
+CREATE DICTIONARY nation_dict (
+    n_nationkey Int64,
+    n_name String,
+    n_regionkey Int64
+)
+PRIMARY KEY n_nationkey
+SOURCE(CLICKHOUSE(TABLE 'nation'))
+LIFETIME(600)
+LAYOUT(HASHED())
+"""
+
+_S25_CH_SQL = """
+SELECT dictGetString('nation_dict', 'n_name', s_nationkey) AS nat,
+       count() AS n_supp,
+       sum(toInt64(dictGet('nation_dict', 'n_regionkey',
+                           s_nationkey))) AS region_mass,
+       countIf(dictHas('nation_dict', s_nationkey)) AS n_known,
+       countIf(dictHas('nation_dict', s_nationkey + 1000)) AS n_unknown,
+       min(dictGetOrDefault('nation_dict', 'n_name', s_nationkey + 1000,
+                            'none')) AS missing_default,
+       min(dictGet('nation_dict', 'n_name', s_nationkey + 1000))
+         AS missing_zero
+FROM supplier
+GROUP BY nat
+ORDER BY nat
+"""
+
+_S25_ORACLE = """
+SELECT n.n_name AS nat,
+       COUNT(*) AS n_supp,
+       CAST(SUM(n.n_regionkey) AS BIGINT) AS region_mass,
+       COUNT(*) AS n_known,
+       CAST(0 AS BIGINT) AS n_unknown,
+       'none' AS missing_default,
+       '' AS missing_zero
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY nat
+"""
+
+
+@register("s25_ch_dictionary", oracle=_S25_ORACLE, tier="T3")
+def s25_ch_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH external dictionaries end-to-end as pasted TEXT: the
+    ``CREATE DICTIONARY`` DDL (functions/chdict) registers nation as
+    an inlined-literal-map lookup, then one statement exercises
+    ``dictGetString`` (typed get), ``dictGet`` with the CH
+    zero-default on a guaranteed-missing key ('' for String — CH
+    returns the attribute default, never NULL), ``dictGetOrDefault``
+    with a per-call fallback, and ``dictHas`` on both present and
+    absent keys. The oracle restates the lookups as the plain
+    dimension join they replace.
+
+    Scale design: a CH dictionary IS a broadcast hash map; here the
+    (bounded, MAX_CELLS-capped) dimension folds into the expression
+    layer as a literal map — zero joins scheduled, works in any
+    clause. Past the cap registration raises naming the broadcast
+    dimension join (tables.load_dim) — the same size-dispatch
+    discipline as plans/dispatch.py, pinned in tests/test_chdict."""
+    from mysql_to_clickhouse_spark.functions.chdict import (
+        register_dictionary,
+    )
+
+    register_dictionary(spark, _S25_DDL, load(spark, sf_dir, "nation"))
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return ch_sql(spark, _S25_CH_SQL)

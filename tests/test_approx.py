@@ -71,7 +71,18 @@ def test_geo_mean_udaf_matches_reference(spark):
 
 
 def test_xxhash64_stable_across_runs(spark):
-    a = QUERIES["g10b_xxhash64"].fn(spark, TEST_SF_DIR).toPandas()
-    b = QUERIES["g10b_xxhash64"].fn(spark, TEST_SF_DIR).toPandas()
+    from mysql_to_clickhouse_spark.operators.scalars import _xxhash64_rows
+
+    a = _xxhash64_rows(spark, TEST_SF_DIR).toPandas()
+    b = _xxhash64_rows(spark, TEST_SF_DIR).toPandas()
     assert (a["xx64"] == b["xx64"]).all()
     assert a["bucket"].between(0, 63).all()
+    # the registered digest relation reduces exactly these rows
+    dig = QUERIES["g10b_xxhash64"].fn(spark, TEST_SF_DIR).collect()[0]
+    assert dig["n_docs"] == len(a)
+    import functools
+
+    assert dig["xx_xor"] == functools.reduce(
+        lambda acc, x: acc ^ x, (int(v) for v in a["xx64"]), 0
+    )
+    assert dig["bucket_sum"] == int(a["bucket"].sum())

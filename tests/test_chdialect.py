@@ -1335,3 +1335,84 @@ def test_comment_stripper_end_to_end_translation(spark):
         "WHERE n_name = 'NATION_7'",
     ).collect()
     assert len(rows2) == 1
+
+
+# ---------------------------------------------------------------------------
+# tranche 7 (r12)
+# ---------------------------------------------------------------------------
+
+
+def test_tranche7_scalars_execute(spark):
+    """The tranche-7 SQL-UDF surface registers and computes CH
+    semantics: parse-or-null/zero casts, flat-JSON helpers, replace-
+    FIRST, 1-based search indexes with 0-absent, OrZero arithmetic,
+    interval constructors, best-effort day-first parsing."""
+    register_ch_functions(spark)
+    row = spark.sql(
+        "SELECT toInt32OrNull('42') AS a, toInt32OrNull('3.7') AS b, "
+        "toInt64OrZero('x') AS c, toDateOrZero('nope') AS d, "
+        "simpleJSONExtractString('{\"k\":\"v\"}', 'k') AS e, "
+        "simpleJSONExtractString('{\"k\":\"v\"}', 'missing') AS f, "
+        "replaceOne('aXbXc', 'X', '-') AS g, "
+        "multiSearchFirstIndex('hello', array('zz', 'll')) AS h, "
+        "multiSearchFirstIndex('hello', array('zz')) AS i, "
+        "moduloOrZero(7, 0) AS j, bitTest(5, 2) AS k, "
+        "positionCaseInsensitive('HeLLo', 'll') AS l, "
+        "DATE '2020-01-31' + toIntervalMonth(1) AS m, "
+        "parseDateTimeBestEffort('31/12/2019') AS n, "
+        "toLowCardinality('x') AS o, nanToNull(double('NaN')) AS p, "
+        "ifNotFinite(double('-Infinity'), 7.0) AS q"
+    ).collect()[0]
+    import datetime
+
+    assert (row.a, row.b, row.c) == (42, None, 0)
+    assert row.d == datetime.date(1970, 1, 1)
+    assert (row.e, row.f) == ("v", "")
+    assert row.g == "a-bXc"
+    assert (row.h, row.i) == (2, 0)
+    assert (row.j, row.k, row.l) == (0, 1, 3)
+    assert row.m == datetime.date(2020, 2, 29)
+    assert row.n == datetime.datetime(2019, 12, 31)
+    assert (row.o, row.p, row.q) == ("x", None, 7.0)
+
+
+def test_tranche7_custom_forms_translate():
+    """Text forms: crypto hashes wrap to unhex(builtin) (the names
+    collide with Spark builtins of different return type),
+    sumDistinct injects DISTINCT, accurateCast needs a literal CH
+    type, toDecimalN maps width to precision."""
+    assert translate_ch_sql("SELECT hex(MD5(x)) FROM t") == (
+        "SELECT hex(unhex(md5(x))) FROM t"
+    )
+    assert translate_ch_sql("SELECT SHA256(x) FROM t") == (
+        "SELECT unhex(sha2((x), 256)) FROM t"
+    )
+    assert translate_ch_sql("SELECT sumDistinct(v) FROM t") == (
+        "SELECT sum(DISTINCT v) FROM t"
+    )
+    assert translate_ch_sql(
+        "SELECT accurateCastOrNull(s, 'Int32') FROM t"
+    ) == "SELECT TRY_CAST((s) AS INT) FROM t"
+    assert translate_ch_sql("SELECT toDecimal128(x, 4) FROM t") == (
+        "SELECT CAST((x) AS DECIMAL(38, 4)) FROM t"
+    )
+    with pytest.raises(ValueError, match="literal integer"):
+        translate_ch_sql("SELECT toDecimal32(x, s) FROM t")
+    with pytest.raises(ValueError, match="unsupported CH type"):
+        translate_ch_sql("SELECT accurateCast(x, 'Point') FROM t")
+
+
+def test_tranche7_guided_errors():
+    """Runtime-introspection and dictionary names raise with the
+    engine-side alternative named, never a silent mistranslation."""
+    for bad, hint in [
+        ("SELECT dictGet('d', 'a', k) FROM t", "load_dim"),
+        ("SELECT dictHas('d', k) FROM t", "SEMI"),
+        ("SELECT blockNumber() FROM t", "key column"),
+        ("SELECT blockSize() FROM t", "OVER"),
+        ("SELECT rowNumberInAllBlocks() FROM t", "row_number"),
+        ("SELECT arrayReduce('sum', a) FROM t", "aggregate"),
+        ("SELECT anyHeavy(x) FROM t", "topK"),
+    ]:
+        with pytest.raises(ValueError, match=hint):
+            translate_ch_sql(bad)

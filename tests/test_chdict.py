@@ -1,0 +1,146 @@
+"""CH CREATE DICTIONARY analog (functions/chdict): DDL parsing, CH
+default semantics, typed gets, the inlined-map cell cap, and the
+unregistered-dictionary guidance."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_to_clickhouse_spark.functions.chdialect import (
+    ch_sql,
+    translate_ch_sql,
+)
+from mysql_to_clickhouse_spark.functions.chdict import (
+    MAX_CELLS,
+    dictionary_meta,
+    drop_dictionary,
+    register_dictionary,
+)
+
+_DDL = """
+CREATE DICTIONARY t_dict (
+    k Int64,
+    name String,
+    score Float64 DEFAULT -1.0
+)
+PRIMARY KEY k
+SOURCE(CLICKHOUSE(TABLE 'src'))
+LIFETIME(300)
+LAYOUT(FLAT())
+"""
+
+
+@pytest.fixture
+def dim(spark):
+    return spark.createDataFrame(
+        [(1, "alpha", 0.5), (2, "beta", 2.25), (3, "it's", None)],
+        "k long, name string, score double",
+    )
+
+
+def _register(spark, dim):
+    register_dictionary(spark, _DDL, dim)
+
+
+def test_dict_lookup_and_defaults(spark, dim):
+    _register(spark, dim)
+    try:
+        row = ch_sql(
+            spark,
+            "SELECT dictGet('t_dict', 'name', 2) AS hit, "
+            "dictGet('t_dict', 'name', 99) AS miss_zero, "
+            "dictGet('t_dict', 'score', 99) AS miss_decl_default, "
+            "dictGetOrDefault('t_dict', 'name', 99, 'fb') AS fb, "
+            "dictGetOrNull('t_dict', 'name', 99) AS miss_null, "
+            "dictGetString('t_dict', 'name', 3) AS quoted, "
+            "dictHas('t_dict', 1) AS has1, "
+            "dictHas('t_dict', 99) AS has99",
+        ).collect()[0]
+        assert row.hit == "beta"
+        # CH: missing key -> the attribute DEFAULT, never NULL
+        assert row.miss_zero == ""
+        assert row.miss_decl_default == -1.0
+        assert row.fb == "fb"
+        assert row.miss_null is None
+        # values with quotes survive the literal-map inlining
+        assert row.quoted == "it's"
+        assert (row.has1, row.has99) == (True, False)
+    finally:
+        drop_dictionary("t_dict")
+
+
+def test_dict_typed_get_and_attr_errors(spark, dim):
+    _register(spark, dim)
+    try:
+        with pytest.raises(ValueError, match="is STRING"):
+            translate_ch_sql("SELECT dictGetInt64('t_dict', 'name', 1)")
+        with pytest.raises(ValueError, match="no attribute"):
+            translate_ch_sql("SELECT dictGet('t_dict', 'nope', 1)")
+        got = ch_sql(
+            spark, "SELECT dictGetFloat64('t_dict', 'score', 2) AS s"
+        ).collect()[0].s
+        assert got == 2.25
+    finally:
+        drop_dictionary("t_dict")
+
+
+def test_dict_unregistered_raises_with_guidance():
+    drop_dictionary("ghost")
+    with pytest.raises(ValueError, match="load_dim"):
+        translate_ch_sql("SELECT dictGet('ghost', 'a', k) FROM t")
+    with pytest.raises(ValueError, match="SEMI"):
+        translate_ch_sql("SELECT dictHas('ghost', k) FROM t")
+
+
+def test_dict_cell_cap_raises(spark):
+    big = spark.range(MAX_CELLS + 1).select(
+        F.col("id").alias("k"), F.col("id").cast("string").alias("name")
+    )
+    ddl = (
+        "CREATE DICTIONARY big_dict (k Int64, name String) "
+        "PRIMARY KEY k SOURCE(CLICKHOUSE(TABLE 'b')) "
+        "LIFETIME(1) LAYOUT(HASHED())"
+    )
+    with pytest.raises(ValueError, match="broadcast dimension join"):
+        register_dictionary(spark, ddl, big)
+    assert dictionary_meta("big_dict") is None
+
+
+def test_dict_ddl_parse_errors(spark, dim):
+    with pytest.raises(ValueError, match="not a CREATE DICTIONARY"):
+        register_dictionary(spark, "SELECT 1", dim)
+    with pytest.raises(ValueError, match="unsupported CH type"):
+        register_dictionary(
+            spark,
+            "CREATE DICTIONARY d (k Int64, g Geometry) PRIMARY KEY k",
+            dim,
+        )
+    with pytest.raises(ValueError, match="PRIMARY KEY"):
+        register_dictionary(
+            spark,
+            "CREATE DICTIONARY d (name String) PRIMARY KEY k",
+            dim.select("name"),
+        )
+
+
+def test_dict_reregistration_refreshes(spark, dim):
+    _register(spark, dim)
+    try:
+        v1 = ch_sql(
+            spark, "SELECT dictGet('t_dict', 'name', 1) AS v"
+        ).collect()[0].v
+        assert v1 == "alpha"
+        register_dictionary(
+            spark,
+            _DDL,
+            spark.createDataFrame(
+                [(1, "ALPHA2", 9.0)], "k long, name string, score double"
+            ),
+        )
+        v2 = ch_sql(
+            spark, "SELECT dictGet('t_dict', 'name', 1) AS v"
+        ).collect()[0].v
+        assert v2 == "ALPHA2"
+    finally:
+        drop_dictionary("t_dict")

@@ -53,8 +53,10 @@ def test_simhash_hamming_on_planted_dups(spark, tmp_path):
         "source", F.lit("src0")
     ).withColumn("n_chars", F.length("text").cast("long"))
     docs.write.parquet(str(tmp_path / "documents.parquet"))
+    from mysql_to_clickhouse_spark.operators.llmops import _simhash_rows
+
     result = (
-        all_queries()["i2c_simhash"].fn(spark, str(tmp_path)).toPandas()
+        _simhash_rows(spark, str(tmp_path)).toPandas()
         .set_index("doc_id")["simhash32"]
     )
 
