@@ -761,6 +761,20 @@ _SCALAR_UDFS: dict[str, tuple[str, str, str]] = {
         "TIMESTAMP",
         "parseDateTimeBestEffort(s)",
     ),
+    # CH's human-readable byte formatter: %.2f + binary-prefix unit
+    "formatReadableSize": (
+        "(x DOUBLE)",
+        "STRING",
+        "CASE WHEN x < 1024 THEN format_string('%.2f B', x) "
+        "WHEN x < 1048576 THEN format_string('%.2f KiB', x / 1024) "
+        "WHEN x < 1073741824 THEN "
+        "format_string('%.2f MiB', x / 1048576) "
+        "WHEN x < 1099511627776 THEN "
+        "format_string('%.2f GiB', x / 1073741824) "
+        "WHEN x < 1125899906842624 THEN "
+        "format_string('%.2f TiB', x / 1099511627776) "
+        "ELSE format_string('%.2f PiB', x / 1125899906842624) END",
+    ),
 }
 
 _REGISTERED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
@@ -880,6 +894,9 @@ _RENAMES: dict[str, str] = {
     # population skewness: same m3/m2^1.5 definition in both engines
     "skewPop": "skewness",
     # tranche 7 (r12)
+    # Spark weekofyear IS the ISO week number (toWeek's mode-0
+    # Sunday-start twin stays untranslated — different numbering)
+    "toISOWeek": "weekofyear",
     "toTypeName": "typeof",
     "toJSONString": "to_json",
     "generateUUIDv4": "uuid",
@@ -1004,6 +1021,8 @@ _TRANSLATED = (
         "sequenceMatch",
         "sequenceCount",
         # tranche 7 custom forms (r12)
+        "arrayEnumerate",
+        "hasSubstr",
         "MD5",
         "SHA1",
         "SHA224",
@@ -1481,6 +1500,27 @@ def _rewrite_call(word: str, args: list[str], params: list[str] | None) -> str:
         if len(args) != 1:
             raise ValueError(f"sumDistinct expects 1 arg, got {len(args)}")
         return f"sum(DISTINCT {args[0]})"
+    if word == "arrayEnumerate":
+        # [1..size] — slice-guards the empty array (sequence(1, 0)
+        # would count DOWN, the `range` lesson)
+        if len(args) != 1:
+            raise ValueError(f"arrayEnumerate expects 1 array, got {len(args)}")
+        a = args[0]
+        return (
+            f"slice(sequence(1, greatest(size({a}), 1)), 1, size({a}))"
+        )
+    if word == "hasSubstr":
+        # contiguous-subsequence test (CH hasSubstr, order-sensitive —
+        # distinct from hasAll's set containment)
+        if len(args) != 2:
+            raise ValueError(f"hasSubstr expects (arr, subarr), got {len(args)}")
+        a, b = args
+        return (
+            f"CASE WHEN size(({b})) = 0 THEN true "
+            f"WHEN size(({a})) < size(({b})) THEN false "
+            f"ELSE exists(sequence(1, size(({a})) - size(({b})) + 1), "
+            f"i -> slice(({a}), i, size(({b}))) = ({b})) END"
+        )
     if word == "arrayFirstIndex":
         # lambda-first like the rest of the CH higher-order family;
         # 1-based index of the first match, 0 when none (CH contract)
@@ -3479,6 +3519,17 @@ CH_FUNCTION_DOC: list[tuple[str, str, str]] = (
             "h10 sequence",
         ),
         # tranche 7 custom forms (r12)
+        (
+            "arrayEnumerate",
+            "-> sequence(1, size(arr)) (empty-array guarded)",
+            "g11 array-core",
+        ),
+        (
+            "hasSubstr",
+            "-> exists over offsets: slice(a, i, |b|) = b "
+            "(order-sensitive, unlike hasAll)",
+            "g11 array-core",
+        ),
         (
             "MD5",
             "-> unhex(md5(x)) (BINARY like CH; hex(MD5(x)) matches "

@@ -1065,6 +1065,11 @@ def x16_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the join-order freedom Q9 exists to exercise. Group-by
     cardinality is |nations|×|years| — trivially small final agg.
 
+    Under the flat MV (r12) even that shuffle disappears: o_year is
+    the o_quarter PARTITION value div 10 (never decoded from data),
+    so the plan is one path-read scan of six columns + three broadcast
+    joins + a tiny aggregate.
+
     Probe-gate wiring (the expensive-build shape): the reduced side
     here is ITSELF fact-derived (part-filtered lineitem), so a
     declined probe would cost a full lineitem pass. The gate is
@@ -1084,11 +1089,32 @@ def x16_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         0.01
     ) * F.col("p_retailprice") * F.col("l_quantity")
 
-    # Deliberately NOT the flat MV: Q9 scans every order year (no date
-    # window -> no partition pruning), and the MV's partitioned file
-    # layout measured SLOWER than this co-bucketed join for full scans
-    # at the 1e8 tier (2.67 -> 4.27 s at month granularity). The MV
-    # pays off only for pruned shapes (x6/x7/c10).
+    # r12: the MV path WINS for this full scan after all — not via
+    # pruning (Q9 has no date window) but because o_year is derivable
+    # from the o_quarter PARTITION value (o_quarter div 10): the scan
+    # decodes only the four profit columns + l_partkey/l_suppkey, the
+    # orders join disappears, and o_orderdate is never read. The r10
+    # boundary ("full scans stay on the base join") was measured when
+    # the MV could not answer the query without decoding o_orderdate —
+    # see docs/SCALING.md boundary 1.
+    flat = load_flat_lineitem(spark, sf_dir, bucketed=False)
+    if flat is not None:
+        return (
+            flat.join(
+                F.broadcast(part_sel),
+                F.col("p_partkey") == F.col("l_partkey"),
+            )
+            .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+            .join(
+                F.broadcast(nation),
+                F.col("s_nationkey") == F.col("n_nationkey"),
+            )
+            .groupBy(
+                F.col("n_name").alias("nation"),
+                F.expr("o_quarter div 10").cast("int").alias("o_year"),
+            )
+            .agg(dsum(profit).alias("sum_profit"))
+        )
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     li = load(spark, sf_dir, "lineitem")
 

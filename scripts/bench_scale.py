@@ -533,11 +533,13 @@ def main() -> None:
             f"user_id windows/distincts are then exchange-free on the "
             f"fact side), plus the flat lineitem(x)orders MV "
             f"(PARTITION BY o_quarter — the CH insert-time "
-            f"materialized-view analog): x6/x7/q5 run with zero "
-            f"fact-side joins, date windows prune whole quarter "
-            f"directories; full-scan shapes (x14/x16) deliberately "
-            f"stay on the co-bucketed base join (measured faster — "
-            f"docs/SCALING.md round 10). "
+            f"materialized-view analog, carrying the o_n_supp and "
+            f"l_lag_us ingest-time decorations): x6/x7/q5/x14/x16 run "
+            f"with zero fact-side joins — date windows prune whole "
+            f"quarter directories, x14's lateness test is one pushable "
+            f"long-vs-literal predicate on l_lag_us, and x16's o_year "
+            f"derives from the o_quarter partition value without "
+            f"decoding o_orderdate (r12; docs/SCALING.md boundary 1). "
             + ""
             if layout_s
             else "Plain-parquet plans (--no-layout). "

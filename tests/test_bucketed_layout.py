@@ -227,11 +227,14 @@ FLAT_QIDS = [
     # the zero-join flat scan beats the co-bucketed base join at 1e8
     # (the r10 month-granularity measurement said otherwise)
     "x14_tpch_q21",
+    # r12: o_year derives from the o_quarter PARTITION value, so the
+    # full scan decodes only the profit columns and the orders join
+    # disappears (see the x16 docstring + SCALING.md boundary 1)
+    "x16_tpch_q9",
 ]
-# full-scan shape that deliberately STAYS on the co-bucketed base join
-# (no date window -> no partition pruning -> the MV's partitioned file
-# layout measured slower at 1e8; see the x16 docstring)
-FLAT_NON_QIDS = ["x16_tpch_q9"]
+# shapes that deliberately STAY off the MV (none since r12 — kept so
+# the parity loop structure survives the next boundary case)
+FLAT_NON_QIDS: list[str] = []
 
 
 def test_flat_lineitem_mv_parity_and_plan(spark, tmp_path):

@@ -247,6 +247,16 @@ def _views(spark):
         load(spark, TEST_SF_DIR, t).createOrReplaceTempView(t)
     # keep-one rule for x_any_join_subquery's aliased right side
     register_any_order("r", "mv DESC, user_id DESC")
+    # s25's dictionary: register so the dictGet family is fuzzed under
+    # the same lexical permutations as every other statement text
+    from mysql_to_clickhouse_spark.functions.chdict import (
+        register_dictionary,
+    )
+    from mysql_to_clickhouse_spark.operators.sqlapi import _S25_DDL
+
+    register_dictionary(
+        spark, _S25_DDL, load(spark, TEST_SF_DIR, "nation")
+    )
 
 
 def _baseline(spark, name: str, text: str):

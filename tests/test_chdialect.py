@@ -1416,3 +1416,23 @@ def test_tranche7_guided_errors():
     ]:
         with pytest.raises(ValueError, match=hint):
             translate_ch_sql(bad)
+
+
+def test_tranche7_array_and_readable(spark):
+    register_ch_functions(spark)
+    row = spark.sql(
+        translate_ch_sql(
+            "SELECT arrayEnumerate([10, 20]) AS e, "
+            "arrayEnumerate(array()) AS e0, "
+            "hasSubstr([1, 2, 3, 4], [2, 3]) AS sub_yes, "
+            "hasSubstr([1, 2, 3], [3, 2]) AS sub_no, "
+            "hasSubstr([1, 2], array()) AS sub_empty, "
+            "formatReadableSize(1536) AS kib, "
+            "formatReadableSize(1073741824) AS gib, "
+            "toISOWeek(toDateTime('2020-01-01 00:00:00')) AS w"
+        )
+    ).collect()[0]
+    assert (row.e, row.e0) == ([1, 2], [])
+    assert (row.sub_yes, row.sub_no, row.sub_empty) == (True, False, True)
+    assert (row.kib, row.gib) == ("1.50 KiB", "1.00 GiB")
+    assert row.w == 1
