@@ -1898,6 +1898,71 @@ def a34_numbers_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _A35_N = 4000
 
+
+def _a35_ops(spark: SparkSession, sf_dir: str):
+    """The deterministic a35 change stream: the first 4000 events (by
+    event_id) become insert/update/delete ops by the event_id % 10
+    rule — shared by the batch decode (a35) and the streaming tail
+    (a35c) so both check against the same SQL oracle."""
+    from mysql_to_clickhouse_spark.sources.binlog import (
+        MYSQL_TYPE_DOUBLE,
+        MYSQL_TYPE_LONGLONG,
+        MYSQL_TYPE_VARCHAR,
+        TableSchema,
+    )
+
+    rows = (
+        load(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(_A35_N)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_type",
+            "value",
+        )
+        .collect()
+    )
+    tschema = TableSchema(
+        "app", "events_cdc",
+        [
+            ("user_id", MYSQL_TYPE_LONGLONG, 0),
+            ("event_id", MYSQL_TYPE_LONGLONG, 0),
+            ("ts_us", MYSQL_TYPE_LONGLONG, 0),
+            ("event_type", MYSQL_TYPE_VARCHAR, 255),
+            ("value", MYSQL_TYPE_DOUBLE, 8),
+        ],
+    )
+    ops = []
+    for r in rows:
+        img = (r["user_id"], r["event_id"], r["ts_us"],
+               r["event_type"], r["value"])
+        m = r["event_id"] % 10
+        if m <= 6:
+            ops.append(("insert", img))
+        elif m <= 8:
+            after = (img[0], img[1], img[2], img[3] + "+u", img[4] * 2)
+            ops.append(("update", (img, after)))
+        else:
+            ops.append(("delete", img))
+    return tschema, ops
+
+
+def _a35_write_rotations(log_dir: str, tschema, ops, file_idx) -> None:
+    """Write the selected quarter-chunks of the op stream as rotated
+    binlog files binlog.000001..4."""
+    from mysql_to_clickhouse_spark.sources.binlog import write_binlog
+
+    per_file = (len(ops) + 3) // 4
+    for i in file_idx:
+        chunk = ops[i * per_file:(i + 1) * per_file]
+        if chunk:
+            write_binlog(
+                os.path.join(log_dir, f"binlog.{i + 1:06d}"), tschema, chunk
+            )
+
+
 _A35_ORACLE = f"""
 WITH src AS (
   SELECT event_id, user_id,
@@ -1952,59 +2017,11 @@ def a35_binlog_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     per rotation file (a deployment rotates at ~1 GiB, so a day's
     backlog is hundreds of independent decode tasks); the apply is one
     PK exchange, identical to a4."""
-    from mysql_to_clickhouse_spark.sources.binlog import (
-        MYSQL_TYPE_DOUBLE,
-        MYSQL_TYPE_LONGLONG,
-        MYSQL_TYPE_VARCHAR,
-        TableSchema,
-        read_binlog,
-        write_binlog,
-    )
+    from mysql_to_clickhouse_spark.sources.binlog import read_binlog
 
-    rows = (
-        load(spark, sf_dir, "events")
-        .orderBy("event_id")
-        .limit(_A35_N)
-        .select(
-            "user_id",
-            "event_id",
-            F.unix_micros("ts").alias("ts_us"),
-            "event_type",
-            "value",
-        )
-        .collect()
-    )
-    tschema = TableSchema(
-        "app", "events_cdc",
-        [
-            ("user_id", MYSQL_TYPE_LONGLONG, 0),
-            ("event_id", MYSQL_TYPE_LONGLONG, 0),
-            ("ts_us", MYSQL_TYPE_LONGLONG, 0),
-            ("event_type", MYSQL_TYPE_VARCHAR, 255),
-            ("value", MYSQL_TYPE_DOUBLE, 8),
-        ],
-    )
-    ops = []
-    for r in rows:
-        img = (r["user_id"], r["event_id"], r["ts_us"],
-               r["event_type"], r["value"])
-        m = r["event_id"] % 10
-        if m <= 6:
-            ops.append(("insert", img))
-        elif m <= 8:
-            after = (img[0], img[1], img[2], img[3] + "+u", img[4] * 2)
-            ops.append(("update", (img, after)))
-        else:
-            ops.append(("delete", img))
-
+    tschema, ops = _a35_ops(spark, sf_dir)
     log_dir = scratch_dir("binlog_a35_")
-    per_file = (len(ops) + 3) // 4
-    for i in range(4):
-        chunk = ops[i * per_file:(i + 1) * per_file]
-        if chunk:
-            write_binlog(
-                os.path.join(log_dir, f"binlog.{i + 1:06d}"), tschema, chunk
-            )
+    _a35_write_rotations(log_dir, tschema, ops, range(4))
 
     decoded = read_binlog(
         spark,
@@ -2169,3 +2186,65 @@ def a35b_binlog_wide_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("d", "yyyy-MM-dd").alias("d"),
         "note", "payload",
     ).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# a35c_binlog_stream — the binlog tail as a LIVE Structured Streaming job
+# ---------------------------------------------------------------------------
+
+
+@register("a35c_binlog_stream", oracle=_A35_ORACLE)
+def a35c_binlog_stream(
+    spark: SparkSession, sf_dir: str, state_root: str | None = None
+) -> DataFrame:
+    """The reference category's actual runtime loop — TAIL the binlog
+    directory, decode new rotations as they appear, merge latest-wins
+    into replica state — as a real Structured Streaming job, not a
+    batch simulation.
+
+    Protocol (incremental discovery proven, not assumed): rotations
+    1-2 are written, a ``readStream(binaryFile) → mapInPandas(decode)
+    → foreachBatch(merge)`` query drains them (availableNow) and
+    stops; rotations 3-4 are written ONLY THEN, and a second query on
+    the SAME checkpoint resumes from the file-source WAL — the
+    binlog-position bookmark — decoding only the new files into the
+    next state version. The final state must hash-equal the one-shot
+    batch decode's oracle (a35's SQL restatement): any defect in the
+    offset log, the shared decoder, or the versioned merge diverges
+    the driver hash. Deletes ride as tombstones in state and drop on
+    the FINAL read (streaming/cdc.py read_binlog_state).
+
+    Scale: this IS the deployment shape — rotations land in object
+    storage, each micro-batch decodes only new files (per-file
+    parallelism), state merges by PK exchange, and the checkpoint WAL
+    gives exactly-once across restarts (proven for the same state
+    protocol in tests/test_streaming.py kill-and-resume)."""
+    from mysql_to_clickhouse_spark.sources.binlog import read_binlog_stream
+    from mysql_to_clickhouse_spark.streaming.cdc import (
+        make_binlog_apply,
+        read_binlog_state,
+    )
+
+    tschema, ops = _a35_ops(spark, sf_dir)
+    log_dir = scratch_dir("binlog_a35c_log_")
+    ckpt = scratch_dir("binlog_a35c_ckpt_")
+    if state_root is None:
+        state_root = scratch_dir("binlog_a35c_state_")
+    cols = ["user_id", "event_id", "ts_us", "event_type", "value"]
+    types = ["long", "long", "long", "string", "double"]
+
+    def drain() -> None:
+        q = (
+            read_binlog_stream(spark, log_dir, cols, types)
+            .writeStream.foreachBatch(make_binlog_apply(state_root))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _a35_write_rotations(log_dir, tschema, ops, range(2))
+    drain()
+    _a35_write_rotations(log_dir, tschema, ops, range(2, 4))
+    drain()
+    return read_binlog_state(spark, state_root)

@@ -671,31 +671,11 @@ def _decode_row(table: TableSchema, body: bytes,
     return tuple(vals), p
 
 
-def read_binlog(spark: SparkSession, path: str,
-                col_names: list[str], col_types: list[str], *,
-                start_file: str | None = None,
-                start_pos: int = 0) -> DataFrame:
-    """Distributed binlog decode: ``binaryFile`` scan of the rotation
-    directory, one Python decode per FILE inside mapInPandas (Arrow
-    out). Emits (log_file, log_pos, seq, op, gtid, <after-image
-    columns>) rows, where seq is the 0-based decoded-row ordinal
-    within its file — rows batched into one statement's event share a
-    log_pos, so (log_file, log_pos, seq) is the total apply order, and
-    gtid carries the framing transaction's ``sid:gno`` (null for a
-    GTID-less log). DELETE rows surface the before-image under the
-    same columns with op='delete' — exactly the (pk, version, op,
-    image) frame the a4 apply path consumes. Column NAMES are
-    caller-supplied (a table map carries types, not names — same
-    contract as the MySQL wire); a BLOB/TEXT column declared as
-    ``string`` is utf-8 decoded at this boundary (the wire carries
-    bytes; charset intent lives with the caller, as in a replica's
-    column mapping).
-
-    Checkpoint resume: ``(start_file, start_pos)`` is the last APPLIED
-    position — files named < start_file are pruned at the SCAN (never
-    read, the partition-pruning shape), the start file itself skips
-    rows events whose end-position is <= start_pos, and later
-    rotations decode in full."""
+def _decoder(col_names: list[str], col_types: list[str],
+             start_file: str | None, start_pos: int):
+    """The per-file decode closure + its output schema — shared by the
+    batch scan (read_binlog) and the streaming tail
+    (read_binlog_stream) so the two paths cannot drift."""
     fields = ", ".join(
         f"{n} {t}" for n, t in zip(col_names, col_types)
     )
@@ -734,6 +714,36 @@ def read_binlog(spark: SparkSession, path: str,
                                  "gtid", *col_names],
                     )
 
+    return decode, out_schema
+
+
+def read_binlog(spark: SparkSession, path: str,
+                col_names: list[str], col_types: list[str], *,
+                start_file: str | None = None,
+                start_pos: int = 0) -> DataFrame:
+    """Distributed binlog decode: ``binaryFile`` scan of the rotation
+    directory, one Python decode per FILE inside mapInPandas (Arrow
+    out). Emits (log_file, log_pos, seq, op, gtid, <after-image
+    columns>) rows, where seq is the 0-based decoded-row ordinal
+    within its file — rows batched into one statement's event share a
+    log_pos, so (log_file, log_pos, seq) is the total apply order, and
+    gtid carries the framing transaction's ``sid:gno`` (null for a
+    GTID-less log). DELETE rows surface the before-image under the
+    same columns with op='delete' — exactly the (pk, version, op,
+    image) frame the a4 apply path consumes. Column NAMES are
+    caller-supplied (a table map carries types, not names — same
+    contract as the MySQL wire); a BLOB/TEXT column declared as
+    ``string`` is utf-8 decoded at this boundary (the wire carries
+    bytes; charset intent lives with the caller, as in a replica's
+    column mapping).
+
+    Checkpoint resume: ``(start_file, start_pos)`` is the last APPLIED
+    position — files named < start_file are pruned at the SCAN (never
+    read, the partition-pruning shape), the start file itself skips
+    rows events whose end-position is <= start_pos, and later
+    rotations decode in full."""
+    decode, out_schema = _decoder(col_names, col_types,
+                                  start_file, start_pos)
     files = spark.read.format("binaryFile").load(path)
     if start_file is not None:
         from pyspark.sql import functions as F
@@ -741,6 +751,40 @@ def read_binlog(spark: SparkSession, path: str,
         files = files.filter(
             F.element_at(F.split(F.col("path"), "/"), -1) >= start_file
         )
+    return files.select("path", "content").mapInPandas(
+        decode, schema=out_schema
+    )
+
+
+_BINARYFILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, "
+    "content binary"
+)
+
+
+def read_binlog_stream(spark: SparkSession, path: str,
+                       col_names: list[str],
+                       col_types: list[str]) -> DataFrame:
+    """Streaming twin of ``read_binlog``: the rotation directory TAILED
+    as a Structured Streaming file source — new binlog rotations are
+    discovered per micro-batch, decoded with the SAME per-file closure
+    as the batch path (shared ``_decoder``, so the two cannot drift),
+    and the streaming checkpoint WAL remembers which files were
+    consumed (the binlog-position bookmark a replicator keeps,
+    SURVEY §3.1 step 5 — here it is Spark's own file-source offset
+    log, exactly-once by construction).
+
+    ``binaryFile`` is a FileFormat, so it streams like text/parquet;
+    its fixed schema must be passed explicitly (streaming sources
+    cannot infer). Downstream, pair with a foreachBatch latest-wins
+    merge ordered by (log_file, log_pos, seq) — a35c_binlog_stream is
+    the end-to-end operator, streaming/cdc.py the state discipline."""
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARYFILE_SCHEMA)
+        .load(path)
+    )
+    decode, out_schema = _decoder(col_names, col_types, None, 0)
     return files.select("path", "content").mapInPandas(
         decode, schema=out_schema
     )

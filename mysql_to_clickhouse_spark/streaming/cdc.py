@@ -149,3 +149,61 @@ def run_cdc_stream(
     if q.isActive:  # pragma: no cover
         q.stop()
     return read_cdc_state(spark, state_root)
+
+
+# ---------------------------------------------------------------------------
+# Binlog-ordered apply (a35c): same versioned-state discipline, but the
+# version axis is the LOG position (log_file, log_pos, seq) — what a
+# real binlog tail orders by — and deletes ride as tombstoned ops.
+# ---------------------------------------------------------------------------
+
+_BINLOG_COLS = [
+    "log_file", "log_pos", "seq", "op",
+    "user_id", "event_id", "ts_us", "event_type", "value",
+]
+
+
+def _latest_per_key_binlog(df: DataFrame) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("log_file"), F.desc("log_pos"), F.desc("seq")
+    )
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def make_binlog_apply(state_root: str):
+    """foreachBatch merge for a decoded binlog stream: latest row per
+    PK in LOG order, deletes kept as tombstones in state (filtered on
+    read — ReplacingMergeTree + FINAL). Same idempotent v{batch_id}
+    commit protocol as make_cdc_apply."""
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.select(*_BINLOG_COLS)
+        prior = [v for v in _committed_versions(state_root) if v < batch_id]
+        if prior:
+            prev = batch.sparkSession.read.parquet(
+                os.path.join(state_root, f"v{max(prior)}")
+            )
+            merged = _latest_per_key_binlog(prev.unionByName(batch))
+        else:
+            merged = _latest_per_key_binlog(batch)
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_root, f"v{batch_id}")
+        )
+
+    return apply_batch
+
+
+def read_binlog_state(spark: SparkSession, state_root: str) -> DataFrame:
+    """FINAL read over the binlog-apply state: latest committed
+    version, tombstones dropped."""
+    versions = _committed_versions(state_root)
+    if not versions:
+        raise FileNotFoundError(f"no committed state under {state_root}")
+    final = spark.read.parquet(os.path.join(state_root, f"v{versions[-1]}"))
+    return final.filter(F.col("op") != "delete").select(
+        "user_id", "event_id", "ts_us", "event_type", "value"
+    )

@@ -236,3 +236,37 @@ def test_checkpoint_resume_skips_applied_events(spark, tmp_path):
     assert {(r["log_file"], r["log_pos"]) for r in full[:6]}.isdisjoint(
         {(r["log_file"], r["log_pos"]) for r in resumed}
     )
+
+
+def test_streaming_tail_equals_batch_decode(spark, tmp_path):
+    """a35c (streaming tail: two availableNow drains over one
+    checkpoint, rotations 3-4 written only after the first drain)
+    must produce exactly the batch decode+apply's relation — the
+    stream==batch differential for the binlog path — and must have
+    committed MORE THAN ONE state version (proving the second drain
+    actually resumed from the file-source WAL instead of rescanning)."""
+    from mysql_to_clickhouse_spark.operators.scans import (
+        a35_binlog_cdc,
+        a35c_binlog_stream,
+    )
+    from mysql_to_clickhouse_spark.streaming.cdc import _committed_versions
+    from tests.conftest import SMOKE_SF_DIR
+
+    state_root = str(tmp_path / "state")
+    import os
+
+    os.makedirs(state_root)
+    batch = sorted(map(tuple, a35_binlog_cdc(spark, SMOKE_SF_DIR).collect()))
+    streamed = sorted(
+        map(
+            tuple,
+            a35c_binlog_stream(
+                spark, SMOKE_SF_DIR, state_root=state_root
+            ).collect(),
+        )
+    )
+    assert streamed == batch
+    # two drains over one checkpoint -> at least two committed state
+    # versions: the second query resumed from the file-source WAL and
+    # merged only the new rotations, it did not rebuild from scratch
+    assert len(_committed_versions(state_root)) >= 2
