@@ -3120,6 +3120,12 @@ _NON_SELECT_ROUTES = [
     (r"CREATE\s+TABLE\b",
      "tables here are parquet paths — write one with the a5 sink; "
      "only CREATE MATERIALIZED VIEW has a statement front door"),
+    (r"CREATE\s+DICTIONARY\b",
+     "use functions.chdict.register_dictionary(spark, ddl, source_df) "
+     "— the dictGet family then translates (s25)"),
+    (r"SYSTEM\s+RELOAD\s+DICTION",
+     "re-run functions.chdict.register_dictionary — registration is "
+     "the refresh (CREATE OR REPLACE per attribute)"),
 ]
 
 
@@ -3273,11 +3279,105 @@ def ch_mutation(sql: str, df: "DataFrame") -> "DataFrame":
     return df.withColumns(new_cols)
 
 
-def ch_sql(spark: SparkSession, text: str) -> DataFrame:
-    """Run ClickHouse-dialect SQL text: register the scalar CH names,
-    translate the unregistrable forms, hand the result to spark.sql
-    (same Catalyst path as every other query)."""
+# CH query-parameter placeholders: {name:Type}. Scalar types map onto
+# the cast table; String/Date/DateTime render as typed literals;
+# Identifier becomes a backtick identifier; Array(T) takes a Python
+# list. The client-side substitution CH's own clients perform
+# (param_<name>= on the HTTP interface) — typed, literal-safe, never
+# textual splicing of the raw value.
+_PARAM_RE = _RE.compile(
+    r"\{([A-Za-z_][\w]*)\s*:\s*([A-Za-z]+[0-9]*(?:\([^)]*\))?)\}"
+)
+
+_PARAM_SCALARS = {
+    "String": "STRING",
+    "Bool": "BOOLEAN",
+    "Date": "DATE",
+    "Date32": "DATE",
+    "DateTime": "TIMESTAMP",
+    "DateTime64": "TIMESTAMP",
+    "Float32": "FLOAT",
+    "Float64": "DOUBLE",
+}
+
+_IDENT_RE = _RE.compile(r"^[A-Za-z_][\w]*(\.[A-Za-z_][\w]*)*$")
+
+
+def _param_literal(name: str, ch_ty: str, v) -> str:
+    if v is None:
+        raise ValueError(f"query parameter {{{name}}}: value is None")
+    if ch_ty == "Identifier":
+        s = str(v)
+        if not _IDENT_RE.match(s):
+            raise ValueError(
+                f"query parameter {{{name}:Identifier}}: {s!r} is not a "
+                f"valid identifier"
+            )
+        return ".".join(f"`{part}`" for part in s.split("."))
+    if ch_ty.startswith("Array(") and ch_ty.endswith(")"):
+        inner = ch_ty[6:-1].strip()
+        items = ", ".join(_param_literal(name, inner, x) for x in v)
+        return f"array({items})"
+    spark_ty = _PARAM_SCALARS.get(ch_ty) or _CASTS.get(f"to{ch_ty}")
+    if spark_ty is None:
+        raise ValueError(
+            f"query parameter {{{name}:{ch_ty}}}: unsupported type "
+            f"(scalars: {sorted(_PARAM_SCALARS) + sorted(k[2:] for k in _CASTS)}, "
+            f"plus Identifier and Array(T))"
+        )
+    if spark_ty == "STRING":
+        return "'" + str(v).replace("'", "''") + "'"
+    if spark_ty == "BOOLEAN":
+        return "true" if v else "false"
+    if spark_ty == "DATE":
+        return f"DATE '{v}'"
+    if spark_ty == "TIMESTAMP":
+        return f"TIMESTAMP '{v}'"
+    return f"CAST({v!r} AS {spark_ty})"
+
+
+def bind_params(sql: str, params: dict) -> str:
+    """Substitute CH ``{name:Type}`` placeholders with typed SQL
+    literals (string-literal-aware — a brace inside a quoted literal
+    is data, not a placeholder). Missing parameters raise with the
+    placeholder named; extra entries in ``params`` are ignored (CH's
+    own param_* behavior), so one dict can serve many statements."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in "'\"`":
+            end = _scan_string(sql, i, c)
+            out.append(sql[i:end])
+            i = end
+            continue
+        if c == "{":
+            m = _PARAM_RE.match(sql, i)
+            if m is not None:
+                name, ch_ty = m.group(1), m.group(2).strip()
+                if name not in params:
+                    raise ValueError(
+                        f"query parameter {{{name}:{ch_ty}}} has no "
+                        f"bound value (params has: {sorted(params)})"
+                    )
+                out.append(_param_literal(name, ch_ty, params[name]))
+                i = m.end()
+                continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def ch_sql(
+    spark: SparkSession, text: str, params: dict | None = None
+) -> DataFrame:
+    """Run ClickHouse-dialect SQL text: bind ``{name:Type}`` query
+    parameters (if any), register the scalar CH names, translate the
+    unregistrable forms, hand the result to spark.sql (same Catalyst
+    path as every other query)."""
     register_ch_functions(spark)
+    if params is not None:
+        text = bind_params(_strip_sql_comments(text), params)
     return spark.sql(translate_ch_sql(text))
 
 
@@ -3407,6 +3507,22 @@ CH_FUNCTION_DOC: list[tuple[str, str, str]] = (
             "(uniqState/uniqMerge analog); joins and other aggregates "
             "raise with the supported set named",
             "k1-k7 IVM / s22",
+        ),
+        (
+            "{param:Type}",
+            "statement: CH query parameters bound client-side to typed "
+            "literals (ch_sql(..., params={...}) / bind_params) — "
+            "scalars, Date/DateTime, Array(T), Identifier (validated, "
+            "backtick-emitted); missing binding raises, extras ignored",
+            "s26 query-params",
+        ),
+        (
+            "CREATE DICTIONARY",
+            "DDL: functions/chdict.register_dictionary — attributes "
+            "become inlined literal-map lookups for the dictGet "
+            "family; MAX_CELLS size dispatch raises naming the "
+            "broadcast dim join; SYSTEM RELOAD = re-registration",
+            "s25 dictionary",
         ),
         (
             "ANY",

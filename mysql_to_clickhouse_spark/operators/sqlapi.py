@@ -1863,3 +1863,66 @@ def s25_ch_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_dictionary(spark, _S25_DDL, load(spark, sf_dir, "nation"))
     load(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
     return ch_sql(spark, _S25_CH_SQL)
+
+
+# ---------------------------------------------------------------------------
+# s26 — CH query parameters {name:Type}
+# ---------------------------------------------------------------------------
+
+_S26_CH_SQL = """
+SELECT o_orderpriority,
+       count() AS n,
+       sum(toInt64(o_totalprice > {cutoff:Float64})) AS n_big,
+       min({col:Identifier}) AS first_status
+FROM orders
+WHERE has({statuses:Array(String)}, o_orderstatus)
+  AND o_orderdate >= {since:DateTime}
+  AND o_custkey % {buckets:UInt32} = {pick:UInt32}
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+_S26_PARAMS = {
+    "cutoff": 150000.0,
+    "col": "o_orderstatus",
+    "statuses": ["F", "O"],
+    "since": "1996-01-01 00:00:00",
+    "buckets": 7,
+    "pick": 3,
+    # deliberately unused: one dict may serve many statements (the CH
+    # param_* contract — extras are ignored, absences raise)
+    "extra_unused": "ignored",
+}
+
+_S26_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice > 150000.0 AS BIGINT)) AS BIGINT)
+         AS n_big,
+       MIN(o_orderstatus) AS first_status
+FROM orders
+WHERE o_orderstatus IN ('F', 'O')
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_custkey % 7 = 3
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("s26_ch_query_params", oracle=_S26_ORACLE, tier="T3")
+def s26_ch_query_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH query parameters as pasted TEXT: ``{name:Type}`` placeholders
+    bound client-side to TYPED literals (chdialect.bind_params — the
+    substitution CH clients perform via param_<name>), covering
+    Float64/UInt32 scalars, DateTime, Array(String) consumed through
+    ``has``, and an ``{col:Identifier}`` column reference (validated,
+    emitted as a backtick identifier — never raw splicing). Extra dict
+    entries are ignored (one dict, many statements); a missing binding
+    or a non-identifier value raises with the placeholder named —
+    pinned in tests/test_chdialect.
+
+    Scale: binding is pure text; the bound plan is byte-identical to
+    hand-written literals, so pruning/pushdown see constants, exactly
+    like CH's server-side substitution."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return ch_sql(spark, _S26_CH_SQL, params=_S26_PARAMS)

@@ -221,8 +221,20 @@ GROUP BY l.event_type ORDER BY l.event_type
 def _corpus() -> list[tuple[str, str]]:
     from mysql_to_clickhouse_spark.operators import sqlapi
 
+    from mysql_to_clickhouse_spark.functions.chdialect import (
+        _strip_sql_comments,
+        bind_params,
+    )
+
     texts = [
-        (name, val)
+        # s26's placeholders need their bindings before any permuted
+        # replay — fuzz the BOUND text, the form spark.sql receives
+        (
+            name,
+            bind_params(_strip_sql_comments(val), sqlapi._S26_PARAMS)
+            if name == "_S26_CH_SQL"
+            else val,
+        )
         for name, val in vars(sqlapi).items()
         if name.endswith("_CH_SQL") and isinstance(val, str)
     ]

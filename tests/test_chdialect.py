@@ -1436,3 +1436,45 @@ def test_tranche7_array_and_readable(spark):
     assert (row.sub_yes, row.sub_no, row.sub_empty) == (True, False, True)
     assert (row.kib, row.gib) == ("1.50 KiB", "1.00 GiB")
     assert row.w == 1
+
+
+def test_query_params_binding(spark):
+    """CH {name:Type} placeholders: typed literals, identifier
+    validation, string-literal awareness, loud missing-binding."""
+    from mysql_to_clickhouse_spark.functions.chdialect import bind_params
+
+    assert bind_params(
+        "SELECT * FROM t WHERE a = {x:Int64} AND b = {s:String}",
+        {"x": 5, "s": "it's"},
+    ) == (
+        "SELECT * FROM t WHERE a = CAST(5 AS BIGINT) AND b = 'it''s'"
+    )
+    # a brace inside a string literal is data, not a placeholder
+    assert bind_params(
+        "SELECT '{x:Int64}' AS lit, {x:Int64} AS v FROM t", {"x": 1}
+    ) == "SELECT '{x:Int64}' AS lit, CAST(1 AS BIGINT) AS v FROM t"
+    assert bind_params(
+        "SELECT {c:Identifier} FROM {t:Identifier}",
+        {"c": "col1", "t": "db.tbl"},
+    ) == "SELECT `col1` FROM `db`.`tbl`"
+    assert bind_params(
+        "WHERE has({a:Array(UInt16)}, x)", {"a": [1, 2]}
+    ) == "WHERE has(array(CAST(1 AS INT), CAST(2 AS INT)), x)"
+    with pytest.raises(ValueError, match="no bound value"):
+        bind_params("SELECT {missing:Int32}", {})
+    with pytest.raises(ValueError, match="not a valid identifier"):
+        bind_params("SELECT {c:Identifier}", {"c": "x; DROP"})
+    with pytest.raises(ValueError, match="unsupported type"):
+        bind_params("SELECT {x:Point}", {"x": 1})
+    # extras are ignored (one dict serves many statements)
+    assert bind_params("SELECT 1", {"unused": 9}) == "SELECT 1"
+
+
+def test_query_params_end_to_end(spark):
+    rows = ch_sql(
+        spark,
+        "SELECT {v:UInt8} + 1 AS n, toDate({d:Date}) AS d, "
+        "{flag:Bool} AS f",
+        params={"v": 41, "d": "2020-02-29", "flag": True},
+    ).collect()
+    assert tuple(rows[0]) == (42, __import__("datetime").date(2020, 2, 29), True)

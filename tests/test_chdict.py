@@ -144,3 +144,12 @@ def test_dict_reregistration_refreshes(spark, dim):
         assert v2 == "ALPHA2"
     finally:
         drop_dictionary("t_dict")
+
+
+def test_dict_ddl_routed_from_sql_surface():
+    """Pasted CREATE DICTIONARY / SYSTEM RELOAD statements get the
+    pointed front-door error, not a Spark parse error."""
+    with pytest.raises(ValueError, match="register_dictionary"):
+        translate_ch_sql(_DDL)
+    with pytest.raises(ValueError, match="registration is the refresh"):
+        translate_ch_sql("SYSTEM RELOAD DICTIONARIES")
