@@ -151,15 +151,25 @@ def _read_packed_int(buf: bytes, off: int) -> tuple[int, int]:
 
 class TableSchema:
     """Column layout of one replicated table: (name, mysql_type,
-    max_varchar_len) triples, in column order. The PK is positional
-    (MySQL ROW events carry no key metadata — replicators resolve the
-    PK from the table map + their own config, as this does)."""
+    metadata[, unsigned]) tuples in column order (3-tuples normalize
+    to signed). The PK is positional (MySQL ROW events carry no key
+    metadata — replicators resolve the PK from the table map + their
+    own config, as this does). UNSIGNEDNESS is likewise absent from
+    the wire — the raw two's-complement bytes are all the binlog
+    carries, and a replica that decodes an unsigned column as signed
+    silently corrupts every value above the sign bit; the flag rides
+    here (from the table DDL, sources/ddl.to_binlog_schema) exactly as
+    python-mysql-replication takes it from
+    information_schema.COLUMNS."""
 
     def __init__(self, schema: str, table: str,
-                 cols: list[tuple[str, int, int]]):
+                 cols: list[tuple]):
         self.schema = schema
         self.table = table
-        self.cols = cols
+        self.cols = [
+            (c[0], c[1], c[2], bool(c[3]) if len(c) > 3 else False)
+            for c in cols
+        ]
 
 
 def _dec_layout(precision: int, scale: int) -> tuple[int, int, int, int, int]:
@@ -284,10 +294,11 @@ def _decode_datetime2(fsp: int, buf: bytes, off: int):
     ), off
 
 
-def _encode_value(mysql_type: int, meta: int, v) -> bytes:
+def _encode_value(mysql_type: int, meta: int, v,
+                  unsigned: bool = False) -> bytes:
     if mysql_type in _FIXED_INTS:
         return int(v).to_bytes(_FIXED_INTS[mysql_type], "little",
-                               signed=True)
+                               signed=not unsigned)
     if mysql_type == MYSQL_TYPE_DOUBLE:
         return struct.pack("<d", float(v))
     if mysql_type == MYSQL_TYPE_FLOAT:
@@ -323,11 +334,11 @@ def _encode_value(mysql_type: int, meta: int, v) -> bytes:
 
 
 def _decode_value(mysql_type: int, meta: int, buf: bytes,
-                  off: int) -> tuple[object, int]:
+                  off: int, unsigned: bool = False) -> tuple[object, int]:
     if mysql_type in _FIXED_INTS:
         w = _FIXED_INTS[mysql_type]
         return int.from_bytes(buf[off:off + w], "little",
-                              signed=True), off + w
+                              signed=not unsigned), off + w
     if mysql_type == MYSQL_TYPE_DOUBLE:
         return struct.unpack_from("<d", buf, off)[0], off + 8
     if mysql_type == MYSQL_TYPE_FLOAT:
@@ -382,11 +393,11 @@ def _null_bitmap(row: tuple, n: int) -> bytes:
     return bytes(bits)
 
 
-def _encode_row(ts_cols: list[tuple[str, int, int]], row: tuple) -> bytes:
+def _encode_row(ts_cols: list[tuple], row: tuple) -> bytes:
     out = [_null_bitmap(row, len(ts_cols))]
-    for (name, typ, mlen), v in zip(ts_cols, row):
+    for (name, typ, mlen, unsigned), v in zip(ts_cols, row):
         if v is not None:
-            out.append(_encode_value(typ, mlen, v))
+            out.append(_encode_value(typ, mlen, v, unsigned))
     return b"".join(out)
 
 
@@ -461,8 +472,8 @@ def _table_map_body(table_id: int, ts: TableSchema) -> bytes:
     body.append(bytes([len(sch)]) + sch + b"\x00")
     body.append(bytes([len(tbl)]) + tbl + b"\x00")
     body.append(_packed_int(len(ts.cols)))
-    body.append(bytes(t for _, t, _ in ts.cols))
-    meta = b"".join(_meta_bytes(t, m) for _, t, m in ts.cols)
+    body.append(bytes(c[1] for c in ts.cols))
+    meta = b"".join(_meta_bytes(c[1], c[2]) for c in ts.cols)
     body.append(_packed_int(len(meta)) + meta)
     body.append(b"\xff" * ((len(ts.cols) + 7) // 8))  # all nullable
     return b"".join(body)
@@ -554,7 +565,9 @@ def write_binlog(path: str, ts: TableSchema, ops: list, *,
     return gno
 
 
-def decode_binlog_bytes(buf: bytes, *, start_pos: int = 0) -> Iterator[dict]:
+def decode_binlog_bytes(buf: bytes, *, start_pos: int = 0,
+                        unsigned_cols: list[bool] | None = None,
+                        ) -> Iterator[dict]:
     """Decode one binlog file's bytes into row-change dicts:
     ``{"log_pos", "op", "before", "after", "gtid"}`` where before/after
     are column-value tuples (None where absent) and gtid is the last
@@ -566,7 +579,13 @@ def decode_binlog_bytes(buf: bytes, *, start_pos: int = 0) -> Iterator[dict]:
     a replicator checkpoint records) is <= start_pos were already
     applied and are skipped. Format/rotate/gtid bookkeeping events are
     always processed — resume still needs the schema from TABLE_MAP
-    and the FDE's checksum declaration, which precede the cursor."""
+    and the FDE's checksum declaration, which precede the cursor.
+
+    ``unsigned_cols`` injects per-column signedness (the wire carries
+    only the raw two's-complement bytes — MySQL keeps UNSIGNED in the
+    table DDL, not the binlog, so a replicator must supply it from
+    information_schema or a parsed CREATE TABLE;
+    sources/ddl.unsigned_flags builds the list from the a22 map)."""
     if buf[:4] != MAGIC:
         raise ValueError("not a binlog file (bad magic)")
     off = 4
@@ -625,6 +644,16 @@ def decode_binlog_bytes(buf: bytes, *, start_pos: int = 0) -> Iterator[dict]:
             if p != meta_end:
                 raise ValueError("type-metadata block length mismatch")
             table = TableSchema(schema, tname, cols)
+            if unsigned_cols is not None:
+                if len(unsigned_cols) != len(table.cols):
+                    raise ValueError(
+                        f"unsigned_cols has {len(unsigned_cols)} flags "
+                        f"for a {len(table.cols)}-column table map"
+                    )
+                table.cols = [
+                    (n, t, m, bool(u))
+                    for (n, t, m, _), u in zip(table.cols, unsigned_cols)
+                ]
             continue
         if code in (WRITE_ROWS_EVENT_V2, UPDATE_ROWS_EVENT_V2,
                     DELETE_ROWS_EVENT_V2):
@@ -662,17 +691,18 @@ def _decode_row(table: TableSchema, body: bytes,
     nulls = body[p:p + (n + 7) // 8]
     p += (n + 7) // 8
     vals = []
-    for i, (_nm, t, m) in enumerate(table.cols):
+    for i, (_nm, t, m, unsigned) in enumerate(table.cols):
         if nulls[i // 8] >> (i % 8) & 1:
             vals.append(None)
         else:
-            v, p = _decode_value(t, m, body, p)
+            v, p = _decode_value(t, m, body, p, unsigned)
             vals.append(v)
     return tuple(vals), p
 
 
 def _decoder(col_names: list[str], col_types: list[str],
-             start_file: str | None, start_pos: int):
+             start_file: str | None, start_pos: int,
+             unsigned_cols: list[bool] | None = None):
     """The per-file decode closure + its output schema — shared by the
     batch scan (read_binlog) and the streaming tail
     (read_binlog_stream) so the two paths cannot drift."""
@@ -694,7 +724,8 @@ def _decoder(col_names: list[str], col_types: list[str],
                           and fname == start_file else 0)
                 for seq, ev in enumerate(
                     decode_binlog_bytes(bytes(file_row["content"]),
-                                        start_pos=cursor)
+                                        start_pos=cursor,
+                                        unsigned_cols=unsigned_cols)
                 ):
                     img = ev["after"] if ev["after"] is not None \
                         else ev["before"]
@@ -720,7 +751,8 @@ def _decoder(col_names: list[str], col_types: list[str],
 def read_binlog(spark: SparkSession, path: str,
                 col_names: list[str], col_types: list[str], *,
                 start_file: str | None = None,
-                start_pos: int = 0) -> DataFrame:
+                start_pos: int = 0,
+                unsigned_cols: list[bool] | None = None) -> DataFrame:
     """Distributed binlog decode: ``binaryFile`` scan of the rotation
     directory, one Python decode per FILE inside mapInPandas (Arrow
     out). Emits (log_file, log_pos, seq, op, gtid, <after-image
@@ -743,7 +775,7 @@ def read_binlog(spark: SparkSession, path: str,
     rows events whose end-position is <= start_pos, and later
     rotations decode in full."""
     decode, out_schema = _decoder(col_names, col_types,
-                                  start_file, start_pos)
+                                  start_file, start_pos, unsigned_cols)
     files = spark.read.format("binaryFile").load(path)
     if start_file is not None:
         from pyspark.sql import functions as F

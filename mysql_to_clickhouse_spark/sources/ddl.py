@@ -175,3 +175,90 @@ def to_clickhouse_ddl(
 
 def to_spark_schema(cols: list[MappedColumn]) -> T.StructType:
     return T.StructType([c.spark_field() for c in cols])
+
+
+# ---------------------------------------------------------------------------
+# DDL -> binlog wire schema (r12): one parsed CREATE TABLE configures
+# BOTH halves of the replica — the type map (a22) and the ROW-event
+# codec (sources/binlog.py) — instead of hand-maintaining a second
+# column list. Signedness lives HERE because the binlog wire does not
+# carry it (raw two's-complement bytes only); this is the
+# information_schema lookup a real replicator performs.
+# ---------------------------------------------------------------------------
+
+_BINLOG_TYPE_RE = re.compile(
+    r"^(?P<base>[a-z]+)"
+    r"(?:\s*\(\s*(?P<p>\d+)\s*(?:,\s*(?P<s>\d+))?\s*\))?"
+    r"(?P<unsigned>\s+unsigned)?$"
+)
+
+
+def _binlog_col(mysql_type: str) -> tuple[int, int, bool]:
+    """(binlog type code, type metadata, unsigned) for one parsed
+    MySQL column type string. Raises for types the wire codec does not
+    implement — a replicator that guesses corrupts silently."""
+    from mysql_to_clickhouse_spark.sources import binlog as B
+
+    m = _BINLOG_TYPE_RE.match(mysql_type.strip().lower())
+    if m is None:
+        raise ValueError(f"unparseable MySQL type {mysql_type!r}")
+    base = m.group("base")
+    p = int(m.group("p")) if m.group("p") else None
+    s = int(m.group("s")) if m.group("s") else None
+    unsigned = m.group("unsigned") is not None
+    if base in ("tinyint", "bool", "boolean"):
+        return B.MYSQL_TYPE_TINY, 0, unsigned
+    if base in ("smallint", "year"):
+        return B.MYSQL_TYPE_SHORT, 0, unsigned
+    if base == "mediumint":
+        return B.MYSQL_TYPE_INT24, 0, unsigned
+    if base in ("int", "integer"):
+        return B.MYSQL_TYPE_LONG, 0, unsigned
+    if base == "bigint":
+        return B.MYSQL_TYPE_LONGLONG, 0, unsigned
+    if base == "float":
+        return B.MYSQL_TYPE_FLOAT, 4, False
+    if base in ("double", "real"):
+        return B.MYSQL_TYPE_DOUBLE, 8, False
+    if base in ("decimal", "numeric"):
+        if p is None:
+            p, s = 10, 0  # MySQL's DECIMAL default
+        return B.MYSQL_TYPE_NEWDECIMAL, (p << 8) | (s or 0), False
+    if base == "datetime":
+        return B.MYSQL_TYPE_DATETIME2, p or 0, False
+    if base == "timestamp":
+        return B.MYSQL_TYPE_TIMESTAMP2, p or 0, False
+    if base == "date":
+        return B.MYSQL_TYPE_DATE, 0, False
+    if base in ("char", "varchar"):
+        # table-map metadata is the max length in BYTES (charset
+        # ceiling — utf8mb4 = 4 bytes/char), which also decides the
+        # 1- vs 2-byte value length prefix
+        return B.MYSQL_TYPE_VARCHAR, (p or 255) * 4, False
+    if base in ("text", "tinytext", "mediumtext", "longtext", "json",
+                "blob", "tinyblob", "mediumblob", "longblob",
+                "binary", "varbinary", "set"):
+        return B.MYSQL_TYPE_BLOB, 2, False
+    raise ValueError(
+        f"MySQL type {mysql_type!r} has no binlog codec here "
+        f"(sources/binlog.py implements the a22 surface; enum/bit/time "
+        f"raise rather than guess)"
+    )
+
+
+def to_binlog_schema(cols: list[MappedColumn], schema: str, table: str):
+    """Binlog ``TableSchema`` for a parsed CREATE TABLE — feed to
+    ``write_binlog`` / compare against decoded table maps."""
+    from mysql_to_clickhouse_spark.sources.binlog import TableSchema
+
+    return TableSchema(
+        schema, table,
+        [(c.name, *_binlog_col(c.mysql_type)) for c in cols],
+    )
+
+
+def unsigned_flags(cols: list[MappedColumn]) -> list[bool]:
+    """Per-column signedness for ``decode_binlog_bytes(unsigned_cols=)``
+    — the information_schema half a replicator must supply because the
+    wire does not carry it."""
+    return [_binlog_col(c.mysql_type)[2] for c in cols]

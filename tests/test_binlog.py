@@ -270,3 +270,59 @@ def test_streaming_tail_equals_batch_decode(spark, tmp_path):
     # versions: the second query resumed from the file-source WAL and
     # merged only the new rotations, it did not rebuild from scratch
     assert len(_committed_versions(state_root)) >= 2
+
+
+def test_ddl_bridge_unsigned_round_trip(tmp_path):
+    """ONE parsed CREATE TABLE configures both replica halves (a22
+    type map + ROW-event codec), and UNSIGNED columns — whose
+    signedness the binlog wire does NOT carry — round-trip values
+    above the sign bit once the DDL-derived flags are injected at
+    decode. The same bytes decoded WITHOUT the flags show the classic
+    corruption (negative values), proving the flags are load-bearing."""
+    from mysql_to_clickhouse_spark.sources.ddl import (
+        parse_mysql_ddl,
+        to_binlog_schema,
+        unsigned_flags,
+    )
+
+    ddl = """CREATE TABLE counters (
+      `id` BIGINT UNSIGNED NOT NULL,
+      `hits` INT UNSIGNED NOT NULL,
+      `small` TINYINT UNSIGNED,
+      `delta` INT NOT NULL,
+      `label` VARCHAR(16),
+      PRIMARY KEY (`id`)
+    )"""
+    cols = parse_mysql_ddl(ddl)
+    ts = to_binlog_schema(cols, "app", "counters")
+    flags = unsigned_flags(cols)
+    assert flags == [True, True, True, False, False]
+    row = ((1 << 63) + 5, (1 << 31) + 7, 200, -42, "x")
+    p = os.path.join(str(tmp_path), "binlog.000001")
+    write_binlog(p, ts, [("insert", row)])
+    buf = open(p, "rb").read()
+    evs = list(decode_binlog_bytes(buf, unsigned_cols=flags))
+    assert evs[0]["after"] == row
+    # without the DDL flags the sign bit corrupts every wide value
+    bad = list(decode_binlog_bytes(buf))[0]["after"]
+    assert bad[0] < 0 and bad[1] < 0 and bad[2] == 200 - 256
+    # flag-count mismatch raises rather than mis-zipping
+    with pytest.raises(ValueError, match="flags"):
+        list(decode_binlog_bytes(buf, unsigned_cols=[True]))
+
+
+def test_ddl_bridge_rejects_unsupported_wire_types():
+    from mysql_to_clickhouse_spark.sources.ddl import (
+        parse_mysql_ddl,
+        to_binlog_schema,
+    )
+
+    cols = parse_mysql_ddl(
+        "CREATE TABLE t (\n"
+        "  `id` BIGINT NOT NULL,\n"
+        "  `s` ENUM('a','b') NOT NULL\n"
+        ")"
+    )
+    assert [c.mysql_type for c in cols] == ["bigint", "enum"]
+    with pytest.raises(ValueError, match="binlog codec"):
+        to_binlog_schema(cols, "app", "t")
