@@ -3326,7 +3326,11 @@ def _param_literal(name: str, ch_ty: str, v) -> str:
             f"plus Identifier and Array(T))"
         )
     if spark_ty == "STRING":
-        return "'" + str(v).replace("'", "''") + "'"
+        # Spark's default parser interprets backslash escapes inside
+        # string literals ('a\nb' is a newline) — escape the backslash
+        # itself or a value containing one corrupts silently
+        s = str(v).replace("\\", "\\\\").replace("'", "''")
+        return f"'{s}'"
     if spark_ty == "BOOLEAN":
         return "true" if v else "false"
     if spark_ty == "DATE":

@@ -107,7 +107,12 @@ def _sql_literal(v, spark_ty: str) -> str:
     if v is None:
         return f"CAST(NULL AS {spark_ty})"
     if spark_ty == "STRING":
-        return "'" + str(v).replace("'", "''") + "'"
+        # Spark's default parser interprets backslash escapes inside
+        # string literals — escape the backslash itself (same rule as
+        # chdialect._param_literal) or dictionary values containing
+        # one corrupt silently
+        s = str(v).replace("\\", "\\\\").replace("'", "''")
+        return f"'{s}'"
     if spark_ty == "DATE":
         return f"DATE '{v}'"
     if spark_ty == "TIMESTAMP":

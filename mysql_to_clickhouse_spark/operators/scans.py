@@ -2248,3 +2248,100 @@ def a35c_binlog_stream(
     _a35_write_rotations(log_dir, tschema, ops, range(2, 4))
     drain()
     return read_binlog_state(spark, state_root)
+
+
+# ---------------------------------------------------------------------------
+# a35d_binlog_ddl_bridge — CREATE TABLE -> wire codec -> unsigned decode
+# ---------------------------------------------------------------------------
+
+_A35D_N = 2000
+
+_A35D_DDL = """CREATE TABLE counters (
+  `id` BIGINT NOT NULL,
+  `hits` INT UNSIGNED NOT NULL,
+  `small` TINYINT UNSIGNED NOT NULL,
+  `delta` INT NOT NULL,
+  `label` VARCHAR(16),
+  PRIMARY KEY (`id`)
+)"""
+
+_A35D_ORACLE = f"""
+WITH src AS (
+  SELECT event_id, user_id, event_type
+  FROM events ORDER BY event_id LIMIT {_A35D_N}
+)
+SELECT event_id AS id,
+       CAST(2147483648 + user_id % 1000 AS BIGINT) AS hits,
+       CAST(128 + event_id % 128 AS INT) AS small,
+       CAST(-(event_id % 100) AS INT) AS delta,
+       event_type AS label
+FROM src
+ORDER BY id
+"""
+
+
+@register("a35d_binlog_ddl_bridge", oracle=_A35D_ORACLE)
+def a35d_binlog_ddl_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DDL→wire bridge under the driver hash: ONE pasted MySQL
+    CREATE TABLE (sources/ddl.parse_mysql_ddl) derives BOTH the binlog
+    TableSchema the writer serializes with (to_binlog_schema) and the
+    per-column signedness the decoder needs (unsigned_flags — the
+    binlog wire carries only two's-complement bytes; MySQL keeps
+    UNSIGNED in the DDL, so a replicator must inject it exactly like
+    this). Every fixture row carries UNSIGNED values ABOVE the sign
+    bit (UInt32 > 2^31, UInt8 > 127) next to genuinely negative
+    signed ints: decoding with the wrong signedness flips the wide
+    values negative and the hash diverges — the corruption mode the
+    r12 unit test demonstrates is here checked end to end through the
+    distributed read path.
+
+    Scale: same shape as a35 — per-rotation-file decode parallelism,
+    map-only; the DDL parse is driver-side metadata."""
+    from mysql_to_clickhouse_spark.sources.binlog import (
+        read_binlog,
+        write_binlog,
+    )
+    from mysql_to_clickhouse_spark.sources.ddl import (
+        parse_mysql_ddl,
+        to_binlog_schema,
+        unsigned_flags,
+    )
+
+    cols = parse_mysql_ddl(_A35D_DDL)
+    tschema = to_binlog_schema(cols, "app", "counters")
+    flags = unsigned_flags(cols)
+    rows = (
+        load(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(_A35D_N)
+        .select("event_id", "user_id", "event_type")
+        .collect()
+    )
+    ops = [
+        (
+            "insert",
+            (
+                r["event_id"],
+                (1 << 31) + r["user_id"] % 1000,
+                128 + r["event_id"] % 128,
+                -(r["event_id"] % 100),
+                r["event_type"],
+            ),
+        )
+        for r in rows
+    ]
+    log_dir = scratch_dir("binlog_a35d_")
+    per_file = (len(ops) + 1) // 2
+    for i in range(2):
+        chunk = ops[i * per_file:(i + 1) * per_file]
+        if chunk:
+            write_binlog(
+                os.path.join(log_dir, f"binlog.{i + 1:06d}"), tschema, chunk
+            )
+    return read_binlog(
+        spark,
+        log_dir,
+        ["id", "hits", "small", "delta", "label"],
+        ["long", "long", "int", "int", "string"],
+        unsigned_cols=flags,
+    ).select("id", "hits", "small", "delta", "label")

@@ -1478,3 +1478,44 @@ def test_query_params_end_to_end(spark):
         params={"v": 41, "d": "2020-02-29", "flag": True},
     ).collect()
     assert tuple(rows[0]) == (42, __import__("datetime").date(2020, 2, 29), True)
+
+
+def test_query_params_string_roundtrip_property(spark):
+    """Any string value — quotes, backslashes, newlines, unicode —
+    binds to a literal that evaluates back to EXACTLY the value
+    (found the backslash-escape corruption: Spark's default parser
+    interprets '\\n' inside literals)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mysql_to_clickhouse_spark.functions.chdialect import bind_params
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",), max_codepoint=0x2FFF
+            ),
+            max_size=40,
+        )
+    )
+    def check(s):
+        sql = bind_params("SELECT {v:String} AS v", {"v": s})
+        assert spark.sql(sql).collect()[0].v == s
+
+    check()
+
+
+def test_query_params_int_roundtrip_property(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mysql_to_clickhouse_spark.functions.chdialect import bind_params
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.integers(min_value=-(2 ** 63), max_value=2 ** 63 - 1))
+    def check(n):
+        sql = bind_params("SELECT {v:Int64} AS v", {"v": n})
+        assert spark.sql(sql).collect()[0].v == n
+
+    check()

@@ -153,3 +153,29 @@ def test_dict_ddl_routed_from_sql_surface():
         translate_ch_sql(_DDL)
     with pytest.raises(ValueError, match="registration is the refresh"):
         translate_ch_sql("SYSTEM RELOAD DICTIONARIES")
+
+
+def test_dict_backslash_values_roundtrip(spark):
+    """Dictionary values containing backslashes/newlines survive the
+    literal-map inlining (the bind_params backslash-escape rule)."""
+    ddl = (
+        "CREATE DICTIONARY esc_dict (k Int64, name String) "
+        "PRIMARY KEY k SOURCE(CLICKHOUSE(TABLE 's')) "
+        "LIFETIME(1) LAYOUT(HASHED())"
+    )
+    register_dictionary(
+        spark,
+        ddl,
+        spark.createDataFrame(
+            [(1, "a\\nb"), (2, "c\\'d")], "k long, name string"
+        ),
+    )
+    try:
+        row = ch_sql(
+            spark,
+            "SELECT dictGet('esc_dict', 'name', 1) AS a, "
+            "dictGet('esc_dict', 'name', 2) AS b",
+        ).collect()[0]
+        assert row.a == "a\\nb" and row.b == "c\\'d"
+    finally:
+        drop_dictionary("esc_dict")
