@@ -649,13 +649,6 @@ _SCALAR_UDFS: dict[str, tuple[str, str, str]] = {
         "DOUBLE",
         "nanvl(x, CAST(NULL AS DOUBLE))",
     ),
-    # NULL passes through (CH: NULL is not a non-finite); NaN/±Inf -> y
-    "ifNotFinite": (
-        "(x DOUBLE, y DOUBLE)",
-        "DOUBLE",
-        "CASE WHEN isnan(x) OR abs(x) = double('Infinity') THEN y "
-        "ELSE x END",
-    ),
     "moduloOrZero": (
         "(a BIGINT, b BIGINT)",
         "BIGINT",
@@ -676,11 +669,6 @@ _SCALAR_UDFS: dict[str, tuple[str, str, str]] = {
         "CASE WHEN length(a) > 0 AND instr(s, a) > 0 THEN "
         "concat(substr(s, 1, instr(s, a) - 1), b, "
         "substr(s, instr(s, a) + length(a))) ELSE s END",
-    ),
-    "positionCaseInsensitive": (
-        "(s STRING, n STRING)",
-        "INT",
-        "instr(lower(s), lower(n))",
     ),
     # index (1-based, needle order) of the first needle that occurs;
     # 0 when none does — CH's contract exactly
@@ -897,6 +885,10 @@ _RENAMES: dict[str, str] = {
     # Spark weekofyear IS the ISO week number (toWeek's mode-0
     # Sunday-start twin stays untranslated — different numbering)
     "toISOWeek": "weekofyear",
+    # tranche 8 (r12): the microsecond epoch pair (the Milli twins are
+    # SQL UDFs above, registered in an earlier round)
+    "toUnixTimestamp64Micro": "unix_micros",
+    "fromUnixTimestamp64Micro": "timestamp_micros",
     "toTypeName": "typeof",
     "toJSONString": "to_json",
     "generateUUIDv4": "uuid",
@@ -1022,6 +1014,7 @@ _TRANSLATED = (
         "sequenceCount",
         # tranche 7 custom forms (r12)
         "arrayEnumerate",
+        "arrayEnumerateDense",
         "hasSubstr",
         "MD5",
         "SHA1",
@@ -1508,6 +1501,18 @@ def _rewrite_call(word: str, args: list[str], params: list[str] | None) -> str:
         a = args[0]
         return (
             f"slice(sequence(1, greatest(size({a}), 1)), 1, size({a}))"
+        )
+    if word == "arrayEnumerateDense":
+        # dense rank by FIRST APPEARANCE (array_distinct preserves
+        # first-occurrence order in Spark — the property this leans on)
+        if len(args) != 1:
+            raise ValueError(
+                f"arrayEnumerateDense expects 1 array, got {len(args)}"
+            )
+        a = args[0]
+        return (
+            f"transform(({a}), x -> CAST(array_position("
+            f"array_distinct(({a})), x) AS INT))"
         )
     if word == "hasSubstr":
         # contiguous-subsequence test (CH hasSubstr, order-sensitive —
@@ -3642,6 +3647,12 @@ CH_FUNCTION_DOC: list[tuple[str, str, str]] = (
         (
             "arrayEnumerate",
             "-> sequence(1, size(arr)) (empty-array guarded)",
+            "g11 array-core",
+        ),
+        (
+            "arrayEnumerateDense",
+            "-> dense rank by first appearance via "
+            "array_position(array_distinct(arr), x)",
             "g11 array-core",
         ),
         (

@@ -1519,3 +1519,54 @@ def test_query_params_int_roundtrip_property(spark):
         assert spark.sql(sql).collect()[0].v == n
 
     check()
+
+
+def test_tranche8_time_buckets_and_arrays(spark):
+    register_ch_functions(spark)
+    import datetime
+
+    row = spark.sql(
+        translate_ch_sql(
+            "SELECT toStartOfFiveMinutes(toDateTime('2020-01-01 "
+            "00:07:30')) AS m5, "
+            "timeSlot(toDateTime('2020-01-01 00:42:00')) AS slot, "
+            "toRelativeDayNum(toDateTime('1970-01-03 12:00:00')) AS d, "
+            "toRelativeHourNum(toDateTime('1970-01-01 05:30:00')) AS h, "
+            "intExp2(10) AS e2, "
+            "splitByWhitespace('  a  b\tc ') AS toks, "
+            "arrayEnumerateDense([10, 20, 10, 30]) AS dense, "
+            "toUnixTimestamp64Micro(toDateTime('1970-01-01 00:00:01')) "
+            "AS us"
+        )
+    ).collect()[0]
+    assert row.m5 == datetime.datetime(2020, 1, 1, 0, 5)
+    assert row.slot == datetime.datetime(2020, 1, 1, 0, 30)
+    assert (row.d, row.h, row.e2) == (2, 5, 1024)
+    assert row.toks == ["a", "b", "c"]
+    assert row.dense == [1, 2, 1, 3]
+    assert row.us == 1_000_000
+
+
+def test_no_duplicate_dict_keys_in_dialect_module():
+    """A duplicate key in a dict literal silently clobbers the earlier
+    entry (this round nearly shipped floor-division regressions in the
+    toRelative* family that way) — scan every dict literal in the
+    dialect modules for repeated string keys."""
+    import ast
+
+    from mysql_to_clickhouse_spark.functions import chdialect, chdict
+
+    for mod in (chdialect, chdict):
+        tree = ast.parse(open(mod.__file__).read())
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Dict):
+                keys = [
+                    k.value
+                    for k in node.keys
+                    if isinstance(k, ast.Constant)
+                    and isinstance(k.value, str)
+                ]
+                dupes = sorted({k for k in keys if keys.count(k) > 1})
+                assert not dupes, (
+                    f"duplicate dict keys in {mod.__name__}: {dupes}"
+                )
