@@ -3131,6 +3131,10 @@ _NON_SELECT_ROUTES = [
     (r"SYSTEM\s+RELOAD\s+DICTION",
      "re-run functions.chdict.register_dictionary — registration is "
      "the refresh (CREATE OR REPLACE per attribute)"),
+    (r"EXPLAIN\b",
+     "use DataFrame.explain('formatted') on the translated query "
+     "(ch_sql(spark, text).explain()) — Spark's plan text, not CH's; "
+     "plans/explain.py holds the assertion helpers"),
 ]
 
 

@@ -1570,3 +1570,8 @@ def test_no_duplicate_dict_keys_in_dialect_module():
                 assert not dupes, (
                     f"duplicate dict keys in {mod.__name__}: {dupes}"
                 )
+
+
+def test_explain_statement_routed():
+    with pytest.raises(ValueError, match="explain"):
+        translate_ch_sql("EXPLAIN SELECT 1")
