@@ -67,7 +67,8 @@ MAX_CELLS = 100_000
 _DDL_RE = re.compile(
     r"^\s*CREATE\s+DICTIONARY\s+(?:IF\s+NOT\s+EXISTS\s+)?"
     r"(?P<name>[A-Za-z_][\w]*)\s*\((?P<cols>.*?)\)\s*"
-    r"PRIMARY\s+KEY\s+(?P<key>[A-Za-z_][\w]*)\b",
+    r"PRIMARY\s+KEY\s+"
+    r"(?P<key>[A-Za-z_][\w]*(?:\s*,\s*[A-Za-z_][\w]*)*)",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -145,9 +146,10 @@ def register_dictionary(
             "DICTIONARY <name> (col Type [DEFAULT v], ...) PRIMARY "
             "KEY <col> ...)"
         )
-    name, key = m.group("name"), m.group("key")
+    name = m.group("name")
+    key_names = [k.strip() for k in m.group("key").split(",")]
     attrs: dict[str, tuple[str, str]] = {}
-    key_ty = None
+    key_tys: dict[str, str] = {}
     for col_txt in _split_cols(m.group("cols")):
         am = _ATTR_RE.match(col_txt)
         if am is None:
@@ -159,21 +161,24 @@ def register_dictionary(
                 f"{ch_ty!r} (supported: {sorted(_CH_TYPES)})"
             )
         spark_ty, zero = _CH_TYPES[ch_ty]
-        if col == key:
-            key_ty = spark_ty
+        if col in key_names:
+            key_tys[col] = spark_ty
             continue
         default_sql = am.group("default")
         if default_sql is None:
             default_sql = zero
         attrs[col] = (spark_ty, default_sql.strip())
-    if key_ty is None:
+    missing_keys = [k for k in key_names if k not in key_tys]
+    if missing_keys:
         raise ValueError(
-            f"PRIMARY KEY {key} is not among the declared columns"
+            f"PRIMARY KEY column(s) {missing_keys} not among the "
+            f"declared columns"
         )
     if not attrs:
         raise ValueError("dictionary declares no attribute columns")
+    key_types = [key_tys[k] for k in key_names]
 
-    cols = [key, *attrs]
+    cols = [*key_names, *attrs]
     rows = source.select(*cols).limit(MAX_CELLS + 1).collect()
     if len(rows) * len(attrs) > MAX_CELLS:
         raise ValueError(
@@ -184,38 +189,59 @@ def register_dictionary(
             f"the operator model)"
         )
 
+    # key rendering: single key -> plain scalar map; composite key ->
+    # named_struct map (identical field names on literal and probe
+    # sides — struct equality in Spark is name-sensitive)
+    params = ", ".join(
+        f"k{i} {ty}" for i, ty in enumerate(key_types)
+    )
+
+    def _key_literal(r) -> str:
+        if len(key_names) == 1:
+            return _sql_literal(r[key_names[0]], key_types[0])
+        parts = ", ".join(
+            f"'f{i}', {_sql_literal(r[k], key_types[i])}"
+            for i, k in enumerate(key_names)
+        )
+        return f"named_struct({parts})"
+
+    if len(key_names) == 1:
+        probe = f"CAST(k0 AS {key_types[0]})"
+    else:
+        probe = "named_struct(" + ", ".join(
+            f"'f{i}', CAST(k{i} AS {key_types[i]})"
+            for i in range(len(key_names))
+        ) + ")"
+
+    keyed_rows = [
+        r for r in rows if all(r[k] is not None for k in key_names)
+    ]
     for attr, (spark_ty, _default) in attrs.items():
         entries = [
-            f"{_sql_literal(r[key], key_ty)}, "
-            f"{_sql_literal(r[attr], spark_ty)}"
-            for r in rows
-            if r[key] is not None
+            f"{_key_literal(r)}, {_sql_literal(r[attr], spark_ty)}"
+            for r in keyed_rows
         ]
         body = (
-            f"element_at(map({', '.join(entries)}), CAST(k AS {key_ty}))"
+            f"element_at(map({', '.join(entries)}), {probe})"
             if entries
             else f"CAST(NULL AS {spark_ty})"
         )
         spark.sql(
             f"CREATE OR REPLACE TEMPORARY FUNCTION "
-            f"`__dict_{name}_{attr}`(k {key_ty}) RETURNS {spark_ty} "
+            f"`__dict_{name}_{attr}`({params}) RETURNS {spark_ty} "
             f"RETURN {body}"
         )
-    keys = ", ".join(
-        _sql_literal(r[key], key_ty) for r in rows if r[key] is not None
-    )
+    keys = ", ".join(_key_literal(r) for r in keyed_rows)
     has_body = (
-        f"array_contains(array({keys}), CAST(k AS {key_ty}))"
-        if keys
-        else "false"
+        f"array_contains(array({keys}), {probe})" if keys else "false"
     )
     spark.sql(
         f"CREATE OR REPLACE TEMPORARY FUNCTION `__dict_{name}_has`"
-        f"(k {key_ty}) RETURNS BOOLEAN RETURN coalesce({has_body}, false)"
+        f"({params}) RETURNS BOOLEAN RETURN coalesce({has_body}, false)"
     )
     _DICTIONARIES[name] = {
-        "key": key,
-        "key_type": key_ty,
+        "key": key_names,
+        "key_type": key_types,
         "attrs": attrs,
     }
     return name
@@ -247,6 +273,34 @@ TYPED_GETS: dict[str, tuple[str, ...] | None] = {
 }
 
 
+def _key_call_args(word: str, name: str, meta: dict, key_arg: str) -> str:
+    """Render the lookup function's argument list from the CH key
+    expression: scalar for single-key dictionaries, a ``(k1, k2)``
+    tuple (or ``tuple(..)``/``struct(..)`` call — the recursive
+    function pass already renamed tuple→struct) for composite keys."""
+    n = len(meta["key"])
+    if n == 1:
+        return f"(({key_arg}))"
+    t = key_arg.strip()
+    low = t.lower()
+    if low.startswith("struct(") and t.endswith(")"):
+        inner = t[7:-1]
+    elif t.startswith("(") and t.endswith(")"):
+        inner = t[1:-1]
+    else:
+        raise ValueError(
+            f"{word}: dictionary {name!r} has a {n}-part key — pass a "
+            f"tuple: {word}('{name}', ..., (k1, k2))"
+        )
+    parts = _split_cols(inner)
+    if len(parts) != n:
+        raise ValueError(
+            f"{word}: dictionary {name!r} key needs {n} parts, the "
+            f"tuple has {len(parts)}"
+        )
+    return "(" + ", ".join(f"({p})" for p in parts) + ")"
+
+
 def translate_dict_call(word: str, args: list[str]) -> str:
     """Rewrite a dictGet-family CALL (literal dictionary/attribute
     names) onto the registered lookup functions. Raises ValueError
@@ -256,14 +310,16 @@ def translate_dict_call(word: str, args: list[str]) -> str:
         if len(args) != 2:
             raise ValueError("dictHas expects ('dict', key)")
         name = args[0].strip().strip("'\"")
-        if name not in _DICTIONARIES:
+        meta = _DICTIONARIES.get(name)
+        if meta is None:
             raise ValueError(
                 f"dictHas: no dictionary {name!r} registered "
                 f"(functions/chdict.register_dictionary); at dimension "
                 f"scale use a LEFT SEMI join (c4_semi) against "
                 f"tables.load_dim"
             )
-        return f"`__dict_{name}_has`(({args[1]}))"
+        call = _key_call_args(word, name, meta, args[1])
+        return f"`__dict_{name}_has`{call}"
     want_default = word == "dictGetOrDefault"
     want_null = word == "dictGetOrNull"
     base = "dictGet" if (want_default or want_null) else word
@@ -295,7 +351,10 @@ def translate_dict_call(word: str, args: list[str]) -> str:
             f"{word}: attribute {attr!r} is {spark_ty}, not "
             f"{'/'.join(expected)}"
         )
-    lookup = f"`__dict_{name}_{attr}`(({args[2]}))"
+    lookup = (
+        f"`__dict_{name}_{attr}`"
+        f"{_key_call_args(word, name, meta, args[2])}"
+    )
     if want_null:
         return lookup
     if want_default:

@@ -179,3 +179,48 @@ def test_dict_backslash_values_roundtrip(spark):
         assert row.a == "a\\nb" and row.b == "c\\'d"
     finally:
         drop_dictionary("esc_dict")
+
+
+def test_dict_composite_key(spark):
+    """COMPLEX_KEY dictionaries: PRIMARY KEY (region, code) — lookups
+    take CH tuple syntax, missing composite keys hit defaults, dictHas
+    probes the full key."""
+    ddl = (
+        "CREATE DICTIONARY rates (region String, code Int64, "
+        "rate Float64 DEFAULT 0.0, label String) "
+        "PRIMARY KEY region, code "
+        "SOURCE(CLICKHOUSE(TABLE 'r')) LIFETIME(60) "
+        "LAYOUT(COMPLEX_KEY_HASHED())"
+    )
+    register_dictionary(
+        spark,
+        ddl,
+        spark.createDataFrame(
+            [("eu", 1, 0.2, "low"), ("us", 1, 0.35, "high"),
+             ("eu", 2, 0.05, "zero-ish")],
+            "region string, code long, rate double, label string",
+        ),
+    )
+    try:
+        row = ch_sql(
+            spark,
+            "SELECT dictGet('rates', 'rate', ('us', 1)) AS us1, "
+            "dictGet('rates', 'label', tuple('eu', 2)) AS eu2, "
+            "dictGet('rates', 'rate', ('eu', 99)) AS miss, "
+            "dictGetOrDefault('rates', 'label', ('xx', 9), '?') AS fb, "
+            "dictHas('rates', ('eu', 1)) AS has_eu1, "
+            "dictHas('rates', ('eu', 99)) AS has_miss",
+        ).collect()[0]
+        assert row.us1 == 0.35
+        assert row.eu2 == "zero-ish"
+        assert row.miss == 0.0
+        assert row.fb == "?"
+        assert (row.has_eu1, row.has_miss) == (True, False)
+        with pytest.raises(ValueError, match="pass a tuple"):
+            translate_ch_sql("SELECT dictGet('rates', 'rate', k)")
+        with pytest.raises(ValueError, match="2 parts"):
+            translate_ch_sql(
+                "SELECT dictGet('rates', 'rate', (a, b, c))"
+            )
+    finally:
+        drop_dictionary("rates")
