@@ -22,3 +22,20 @@ Layout
 """
 
 __version__ = "0.1.0"
+
+# Inside a Python WORKER (this package is imported there while a task
+# deserializes one of the engine's UDFs — the driver never has
+# pyspark.worker loaded), install the per-task import-cache memo fix:
+# stock setup_spark_files pays ~0.1-0.15 s/task re-reading zip archive
+# directories on this deployment layout. See functions/pyworker_patch.
+import sys as _sys
+
+if "pyspark.worker" in _sys.modules:  # worker-only; no-op on the driver
+    try:
+        from mysql_to_clickhouse_spark.functions.pyworker_patch import (
+            install_if_worker as _m2c_install_worker_patch,
+        )
+
+        _m2c_install_worker_patch()
+    except Exception:  # noqa: BLE001 — a perf patch must never fail a task
+        pass
