@@ -812,10 +812,19 @@ def c17_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type") == "purchase", F.unix_micros("ts")
         ).alias("p_us"),
     )
+    # "first purchase strictly after me" via a REVERSED-order running
+    # frame: the natural [1, unboundedFollowing] frame makes Spark
+    # re-scan the suffix per row (unbounded-following frames are not
+    # maintained incrementally — O(rows²) per user on purchase-sparse
+    # tails). Over (ts_us, d, event_id) DESC the same strictly-after
+    # row set is [unboundedPreceding, -1], a growing frame Spark
+    # updates incrementally, and the LAST non-null scanning desc is
+    # exactly the FIRST non-null scanning asc — value-identical
+    # (oracle re-proven), one exchange either way.
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts_us", "d", "event_id")
-        .rowsBetween(1, Window.unboundedFollowing)
+        .orderBy(F.desc("ts_us"), F.desc("d"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
         tagged.select(
@@ -823,8 +832,8 @@ def c17_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "ts_us",
             "d",
-            F.first("p_id", ignorenulls=True).over(w).alias("next_purchase_id"),
-            F.first("p_us", ignorenulls=True).over(w).alias("purchase_us"),
+            F.last("p_id", ignorenulls=True).over(w).alias("next_purchase_id"),
+            F.last("p_us", ignorenulls=True).over(w).alias("purchase_us"),
         )
         .filter((F.col("d") == 1) & F.col("next_purchase_id").isNotNull())
         .select(

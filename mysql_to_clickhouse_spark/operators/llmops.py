@@ -96,6 +96,21 @@ _SIGS_CACHE: "_weakref.WeakKeyDictionary[SparkSession, dict]" = (
     _weakref.WeakKeyDictionary()
 )
 
+# per-(session, sf_dir) persisted (source, word) count frames (i21):
+# same keyed-reuse + immutable-input contract as _SIGS_CACHE (r13 —
+# previously an anonymous .cache() that nothing ever released)
+_WC_CACHE: "_weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    _weakref.WeakKeyDictionary()
+)
+
+# JVM RDD handles of the FINAL connected-components label checkpoints
+# still alive for this session (r13): intermediate rounds unpersist
+# inside the loop; the returned frame's checkpoint is released here so
+# a long-lived session does not pin |V|-row blocks per invocation.
+_CKPT_CACHE: "_weakref.WeakKeyDictionary[SparkSession, list]" = (
+    _weakref.WeakKeyDictionary()
+)
+
 
 def _minhash_sigs(spark: SparkSession, exploded: DataFrame, sf_dir: str) -> DataFrame:
     """Per-(session, sf_dir) persisted signature frame.
@@ -119,13 +134,26 @@ def _minhash_sigs(spark: SparkSession, exploded: DataFrame, sf_dir: str) -> Data
 
 def release_caches(spark: SparkSession) -> None:
     """Release every session-lifetime cache this module holds for
-    ``spark``: unpersist MinHash signature frames and destroy broadcast
-    embedding matrices. Long-lived shared sessions call this between
-    workloads so executor memory is not pinned indefinitely."""
+    ``spark``: unpersist MinHash signature frames, destroy broadcast
+    embedding matrices, unpersist the per-(session, sf_dir) word-count
+    frames (i21) and the final connected-components label checkpoints.
+    Long-lived shared sessions call this between workloads so executor
+    memory is not pinned indefinitely. Frames produced by
+    ``connected_components`` are INVALID after this call (their
+    localCheckpoint data is dropped); re-invoke the operator for a
+    fresh frame — the same workload-boundary contract as the sigs
+    cache."""
     for sigs in _SIGS_CACHE.pop(spark, {}).values():
         sigs.unpersist(blocking=True)
     for bc in _MATRIX_CACHE.pop(spark, {}).values():
         bc.destroy()
+    for wc in _WC_CACHE.pop(spark, {}).values():
+        wc.unpersist(blocking=True)
+    for handle in _CKPT_CACHE.pop(spark, []):
+        try:
+            handle.unpersist(True)
+        except Exception:  # noqa: BLE001 — the JVM RDD may already be gone
+            pass
 
 
 @register(
@@ -1994,6 +2022,16 @@ ORDER BY vec_id
 """
 
 
+def _local_ckpt_rdd(df: DataFrame):
+    """JVM RDD handle behind a localCheckpoint-ed frame (its analyzed
+    plan is a LogicalRDD), for explicit block release. None when the
+    plan shape is unexpected — callers then simply skip the release."""
+    try:
+        return df._jdf.queryExecution().analyzed().rdd()  # noqa: SLF001
+    except Exception:  # noqa: BLE001
+        return None
+
+
 def connected_components(
     nodes: DataFrame, edges: DataFrame, max_rounds: int = 64
 ) -> tuple[DataFrame, int]:
@@ -2022,6 +2060,16 @@ def connected_components(
     labels = (
         nodes.select(F.col("id"), F.col("id").alias("lbl")).localCheckpoint()
     )
+    # r13 storage hygiene: each round's eager localCheckpoint makes the
+    # PREVIOUS round's checkpointed blocks garbage, but nothing dropped
+    # them — a components call pinned rounds × |V| rows of block store
+    # for the session's lifetime (and the plan-hygiene suite, which
+    # builds every registered query, tripped the zero-persisted-RDD
+    # assertion on exactly this). Unpersist the superseded round's RDD
+    # right after the new checkpoint materializes; the FINAL round's
+    # handle (backing the returned frame) is registered in _CKPT_CACHE
+    # and drained by release_caches.
+    prev_handle = _local_ckpt_rdd(labels)
     prev_sum = None
     rounds = 0
     for rounds in range(1, max_rounds + 1):
@@ -2045,10 +2093,16 @@ def connected_components(
             .localCheckpoint()
         )
         cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        new_handle = _local_ckpt_rdd(labels)
+        if prev_handle is not None:
+            prev_handle.unpersist(False)
+        prev_handle = new_handle
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
     bidir.unpersist()
+    if prev_handle is not None:
+        _CKPT_CACHE.setdefault(nodes.sparkSession, []).append(prev_handle)
     return labels, rounds
 
 
@@ -2271,9 +2325,19 @@ def i18_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions (no explode — a 3-gram posexplode would multiply the
     shuffle by ~n_tokens); the output is one row per doc, so the
     operator is shuffle-free at any corpus size. The int/int → double
-    division is a single IEEE op, bit-identical on both engines."""
+    division is a single IEEE op, bit-identical on both engines.
+
+    r13: the token array and the trigram array are each MATERIALIZED
+    as a projected column before anything indexes into them. Inlining
+    ``split(text)`` at every ``element_at`` site re-split the document
+    per trigram element (O(tokens²) per row), and the trigram
+    expression was itself evaluated twice (size + array_distinct):
+    0.44 s → 0.11 s warm on the sf0.01 fixture, identical values
+    (hash-checked). Catalyst's CollapseProject keeps the split because
+    the materialized column is multiply-referenced."""
     docs = load(spark, sf_dir, "documents")
-    toks = tokens("text")
+    with_toks = docs.select("doc_id", tokens("text").alias("toks"))
+    toks = F.col("toks")
     n = F.size(toks)
     # sequence(1, n-2) DESCENDS when n-2 < 1 — gate short docs to empty
     idx = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
@@ -2288,14 +2352,19 @@ def i18_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(toks, i + 2),
         ),
     )
-    n_tri = F.size(trigrams).cast("long")
-    n_uniq = F.size(F.array_distinct(trigrams)).cast("long")
+    with_tri = with_toks.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        trigrams.alias("trigrams"),
+    )
+    n_tri = F.size("trigrams").cast("long")
+    n_uniq = F.size(F.array_distinct("trigrams")).cast("long")
     frac = F.when(
         n_tri > 0, (n_tri - n_uniq).cast("double") / n_tri.cast("double")
     ).otherwise(F.lit(0.0))
-    return docs.select(
+    return with_tri.select(
         "doc_id",
-        n.cast("long").alias("n_tokens"),
+        "n_tokens",
         n_tri.alias("n_trigrams"),
         n_uniq.alias("n_distinct_trigrams"),
         frac.alias("dup_trigram_frac"),
@@ -2516,12 +2585,18 @@ def i21_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins of the per-source and global totals (|sources| + |vocab|
     rows); no row-level Python anywhere."""
     docs = load(spark, sf_dir, "documents")
-    sc = (
-        docs.select("source", F.explode(tokens("text")).alias("word"))
-        .groupBy("source", "word")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    sc.cache()
+    # r13: keyed, RELEASABLE persist (the plan references the counts
+    # 4×; an anonymous .cache() here was never unpersisted — every i21
+    # invocation pinned another copy for the session's lifetime)
+    per_session = _WC_CACHE.setdefault(spark, {})
+    sc = per_session.get(sf_dir)
+    if sc is None:
+        sc = (
+            docs.select("source", F.explode(tokens("text")).alias("word"))
+            .groupBy("source", "word")
+            .agg(F.count(F.lit(1)).alias("c"))
+        ).persist()
+        per_session[sf_dir] = sc
     stot = sc.groupBy("source").agg(F.sum("c").alias("st"))
     gc = sc.groupBy("word").agg(F.sum("c").alias("g"))
     gtot = sc.agg(F.sum("c").alias("gt"))
@@ -2590,25 +2665,33 @@ def i22_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", distinct_shingles("text").alias("shingles")
     )
     a, b = sh.alias("a"), sh.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
-    na = F.size(F.col("a.shingles"))
-    containment = inter.cast("double") / na.cast("double")
-    return (
-        a.join(
-            b,
-            [
-                F.col("a.source") == F.col("b.source"),
-                F.col("a.doc_id") != F.col("b.doc_id"),
-            ],
-        )
-        .filter(containment >= F.lit(_I22_THETA))
-        .select(
-            F.col("a.doc_id").alias("contained_doc"),
-            F.col("b.doc_id").alias("container_doc"),
-            inter.cast("long").alias("n_common"),
-            na.cast("long").alias("n_contained"),
-            containment.alias("containment"),
-        )
+    # r13: project the intersection size ONCE per candidate pair before
+    # filtering — referencing it in both the filter and the output
+    # columns re-ran array_intersect (the O(|A|+|B|) hash probe) three
+    # times per pair (0.39 s → ~0.15 s warm at sf0.01, same hash).
+    paired = a.join(
+        b,
+        [
+            F.col("a.source") == F.col("b.source"),
+            F.col("a.doc_id") != F.col("b.doc_id"),
+        ],
+    ).select(
+        F.col("a.doc_id").alias("contained_doc"),
+        F.col("b.doc_id").alias("container_doc"),
+        F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+        .cast("long")
+        .alias("n_common"),
+        F.size(F.col("a.shingles")).cast("long").alias("n_contained"),
+    )
+    containment = F.col("n_common").cast("double") / F.col(
+        "n_contained"
+    ).cast("double")
+    return paired.filter(containment >= F.lit(_I22_THETA)).select(
+        "contained_doc",
+        "container_doc",
+        "n_common",
+        "n_contained",
+        containment.alias("containment"),
     )
 
 
@@ -3743,7 +3826,13 @@ def i31_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     free — it's the same flags the filters already compute, kept
     instead of discarded."""
     docs = load(spark, sf_dir, "documents")
-    toks = tokens("text")
+    # r13: materialize the token array once per row — the inlined form
+    # re-split the text at every element_at site of the trigram builder
+    # (O(tokens²) per doc; 0.36 s → ~0.1 s warm at sf0.01, same hash).
+    with_toks = docs.select(
+        "doc_id", "n_chars", "text", tokens("text").alias("toks")
+    )
+    toks = F.col("toks")
     n_words = F.size(toks).cast("long")
     n_word_chars = F.aggregate(
         F.transform(toks, lambda w: F.length(w).cast("long")),
@@ -3761,7 +3850,7 @@ def i31_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(toks, i + 2),
         ),
     )
-    s = docs.select(
+    s = with_toks.select(
         "doc_id",
         "n_chars",
         F.md5("text").alias("h"),

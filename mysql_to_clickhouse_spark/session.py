@@ -140,9 +140,13 @@ def release_all(spark: SparkSession) -> dict[str, int]:
     counts["prepared_plans"] = _prepared.invalidate(spark)
     n_sigs = len(getattr(_llmops, "_SIGS_CACHE", {}).get(spark, {}))
     n_mat = len(getattr(_llmops, "_MATRIX_CACHE", {}).get(spark, {}))
+    n_wc = len(getattr(_llmops, "_WC_CACHE", {}).get(spark, {}))
+    n_ckpt = len(getattr(_llmops, "_CKPT_CACHE", {}).get(spark, []))
     _llmops.release_caches(spark)
     counts["llmops_sigs"] = n_sigs
     counts["llmops_matrices"] = n_mat
+    counts["llmops_wordcounts"] = n_wc
+    counts["llmops_ckpts"] = n_ckpt
     n_probe = len(getattr(_dispatch, "_PROBE_MEMO", {}).get(spark, {}))
     _dispatch.release_probe_state(spark)
     counts["dispatch_probes"] = n_probe
