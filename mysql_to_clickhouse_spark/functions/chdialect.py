@@ -3343,9 +3343,28 @@ def _param_literal(name: str, ch_ty: str, v) -> str:
     if spark_ty == "BOOLEAN":
         return "true" if v else "false"
     if spark_ty == "DATE":
-        return f"DATE '{v}'"
+        # typed means VALIDATED: parse before splicing so a string like
+        # "1996-01-01' OR '1'='1" can never escape the literal (r12
+        # advisory). datetime.date values pass through via isoformat.
+        import datetime
+
+        if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+            return f"DATE '{v.isoformat()}'"
+        parsed = datetime.date.fromisoformat(str(v))
+        return f"DATE '{parsed.isoformat()}'"
     if spark_ty == "TIMESTAMP":
-        return f"TIMESTAMP '{v}'"
+        import datetime
+
+        if isinstance(v, datetime.datetime):
+            return f"TIMESTAMP '{v.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+        parsed = datetime.datetime.fromisoformat(str(v))
+        return f"TIMESTAMP '{parsed.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+    # Numeric scalar: coerce through int()/float() so only a genuine
+    # numeric literal reaches the SQL text — Python repr of a stray
+    # string would otherwise splice as a double-quoted identifier under
+    # ANSI configs (r12 advisory).
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        v = float(v) if ("." in str(v) or "e" in str(v).lower()) else int(str(v))
     return f"CAST({v!r} AS {spark_ty})"
 
 
