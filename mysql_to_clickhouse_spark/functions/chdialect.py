@@ -670,13 +670,18 @@ _SCALAR_UDFS: dict[str, tuple[str, str, str]] = {
         "concat(substr(s, 1, instr(s, a) - 1), b, "
         "substr(s, instr(s, a) + length(a))) ELSE s END",
     ),
-    # index (1-based, needle order) of the first needle that occurs;
-    # 0 when none does — CH's contract exactly
+    # index (1-based) of the needle whose match is LEFTMOST in the
+    # haystack (ties -> lowest needle index); 0 when none occurs —
+    # CH's contract exactly (r12 ADVICE: the previous form returned the
+    # first needle in ARRAY order that occurs anywhere, which differs
+    # whenever a later needle matches earlier in the haystack)
     "multiSearchFirstIndex": (
         "(s STRING, needles ARRAY<STRING>)",
         "INT",
         "CAST(coalesce(array_position("
-        "transform(needles, n -> instr(s, n) > 0), true), 0) AS INT)",
+        "transform(needles, n -> instr(s, n)), "
+        "array_min(filter(transform(needles, n -> instr(s, n)),"
+        " p -> p > 0))), 0) AS INT)",
     ),
     "multiSearchAllPositions": (
         "(s STRING, needles ARRAY<STRING>)",
@@ -3348,17 +3353,24 @@ def _param_literal(name: str, ch_ty: str, v) -> str:
         # advisory). datetime.date values pass through via isoformat.
         import datetime
 
-        if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+        if isinstance(v, datetime.datetime):
+            # a datetime bound to a Date param takes its calendar date
+            # (r13 ADVICE: the r12 guard rejected datetime subclasses)
+            return f"DATE '{v.date().isoformat()}'"
+        if isinstance(v, datetime.date):
             return f"DATE '{v.isoformat()}'"
         parsed = datetime.date.fromisoformat(str(v))
         return f"DATE '{parsed.isoformat()}'"
     if spark_ty == "TIMESTAMP":
         import datetime
 
+        # isoformat(sep=' ') keeps any UTC offset in the literal (Spark
+        # honors '+05:30' in TIMESTAMP literals) — strftime dropped
+        # tzinfo and silently shifted aware instants (r13 ADVICE).
         if isinstance(v, datetime.datetime):
-            return f"TIMESTAMP '{v.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+            return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
         parsed = datetime.datetime.fromisoformat(str(v))
-        return f"TIMESTAMP '{parsed.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+        return f"TIMESTAMP '{parsed.isoformat(sep=' ')}'"
     # Numeric scalar: coerce through int()/float() so only a genuine
     # numeric literal reaches the SQL text — Python repr of a stray
     # string would otherwise splice as a double-quoted identifier under

@@ -216,6 +216,12 @@ def register_dictionary(
     keyed_rows = [
         r for r in rows if all(r[k] is not None for k in key_names)
     ]
+    # Spark's map() literal THROWS on duplicate keys at runtime
+    # (spark.sql.mapKeyDedupPolicy=EXCEPTION by default) — dedupe here,
+    # last occurrence wins (the upsert reading of a repeated source
+    # key; r12 ADVICE carried item). Deterministic: source order.
+    by_key = {tuple(r[k] for k in key_names): r for r in keyed_rows}
+    keyed_rows = list(by_key.values())
     for attr, (spark_ty, _default) in attrs.items():
         entries = [
             f"{_key_literal(r)}, {_sql_literal(r[attr], spark_ty)}"

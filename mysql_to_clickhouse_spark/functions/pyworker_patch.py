@@ -59,7 +59,12 @@ def _memo_invalidate_factory(orig_invalidate):
             from pyspark.core.files import SparkFiles
 
             root = SparkFiles.getRootDirectory()
-            key = (root, os.stat(root).st_mtime_ns)
+            # entry count as a second signal (r13 ADVICE): an overwrite
+            # landing inside one mtime tick, or content added within an
+            # already-extracted archive subdir, can miss the root-mtime
+            # bump — the listdir length catches add/remove at the root
+            # for one cheap extra syscall.
+            key = (root, os.stat(root).st_mtime_ns, len(os.listdir(root)))
         except Exception:  # noqa: BLE001 — unknown state: never skip
             key = None
         if key is None or key != state["key"]:
@@ -83,6 +88,17 @@ def install_if_worker() -> bool:
         return False
     orig_setup = getattr(worker_mod, "setup_spark_files", None)
     if orig_setup is None:
+        # pyspark drift guard (r13 verdict): a release that renames or
+        # inlines setup_spark_files silently de-installs the patch —
+        # make that LOUD in the worker log instead of silent.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "pyworker_patch INACTIVE: pyspark.worker.setup_spark_files "
+            "not found (pyspark %s) — per-task importlib cache "
+            "invalidation is unmemoized",
+            getattr(sys.modules.get("pyspark"), "__version__", "?"),
+        )
         return False
     if getattr(orig_setup, "_m2c_fast_setup", False):
         _INSTALLED = True
@@ -111,4 +127,11 @@ def install_if_worker() -> bool:
     ) is orig_setup:
         worker_util.setup_spark_files = fast_setup_spark_files
     _INSTALLED = True
+    import logging
+
+    logging.getLogger(__name__).info(
+        "pyworker_patch ACTIVE (pyspark %s): importlib cache "
+        "invalidation memoized on the SparkFiles root",
+        getattr(sys.modules.get("pyspark"), "__version__", "?"),
+    )
     return True

@@ -1532,52 +1532,68 @@ def x21_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fixture tiers stay on the single declarative DAG (hash-identical;
     the boundary only moves WHERE stages materialize)."""
     docs = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    n_words = F.size(toks).cast("long")
-    flags = docs.select(
-        "doc_id",
-        "n_chars",
-        # 16-byte binary key: same dedup groups as the hex string at
-        # half the shuffle-key bytes and memcmp compares (r12)
-        F.unhex(F.md5("text")).alias("h"),
-        n_words.alias("n_words"),
-        # identity: for a 1-char separator, sum(length(token)) ==
-        # length(text) - (n_words - 1) — split keeps empty tokens, so
-        # separators are exactly n_words - 1. Replaces the
-        # aggregate(transform(...)) pair, the two interpreted-lambda
-        # HOFs that dominated the flag scan (r12: 10.7 s of the 1e8
-        # stage); the oracle keeps the list_sum form, so the hash
-        # checks the identity every drive.
-        (F.length("text").cast("long") - n_words + 1).alias("n_word_chars"),
-        F.size(F.filter(toks, lambda w: F.length(w) <= 2))
-        .cast("long")
-        .alias("n_tiny"),
-        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
-    )
+
     # Gate BEFORE dedup (r12): every gate input (n_words, n_word_chars,
     # n_tiny, n_distinct, and n_chars == length(text) by the FIXTURES.md
     # contract, asserted in tests/test_pipeline_ops.py) is a function of
     # the text, so all duplicates of a hash pass or fail together and
     # keeper-then-gate == gate-then-keeper. Filtering first drops gated
-    # rows BEFORE the exchange and shrinks the keeper struct to its two
-    # surviving fields — 90 B -> ~32 B shuffle rows. With the binary
-    # key this took the 1e8 flags+gate+dedup stage 138.7 s -> 59 s.
-    mean_wl = F.col("n_word_chars").cast("double") / F.col("n_words")
-    gated = flags.filter(
-        F.col("n_words").between(5, 100000)
-        & mean_wl.between(3.0, 12.0)
-        & (F.col("n_tiny").cast("double") / F.col("n_words") <= 0.4)
-        & (F.col("n_distinct").cast("double") / F.col("n_words") >= 0.2)
-        & F.col("n_chars").between(50, 5000)
-    ).select("h", "doc_id", "n_chars")
-    # Keeper = min-doc_id row per hash, ONE min(struct) map-side-
-    # combinable aggregate (r11; the groupBy+self-join it replaced
-    # shuffled both 1e8-row sides: 152 s -> ~40 s then, ~30 s now on
-    # the smaller gated rows).
-    kept = (
-        gated.groupBy("h")
-        .agg(F.min(F.struct("doc_id", "n_chars")).alias("kr"))
-        .select("kr.*")
+    # rows BEFORE the exchange and shrinks the keeper row to its two
+    # surviving fields.
+    #
+    # r14: the WHOLE gate is one exists(array(split(text)), λt. …)
+    # expression — the token array binds to the lambda variable ONCE
+    # per row, so every gate term reads the bound array instead of
+    # re-evaluating split. The previous Project-then-Filter form looked
+    # materialized in code, but PushDownPredicate re-inlined split(text)
+    # at all 7 column references when it pushed the gate below the
+    # Project (optimized-plan dump in plans/r14/). Conjuncts run
+    # cheapest-first (And short-circuits per row: n_chars band →
+    # n_words band → mean word length → tiny-token walk → distinct
+    # walk); md5 moves AFTER the filter so only survivors pay it.
+    # n_word_chars identity (r12): for a 1-char separator,
+    # sum(length(token)) == length(text) - (n_words - 1) — split keeps
+    # empty tokens, so separators are exactly n_words - 1. The oracle
+    # keeps the list_sum/list_filter forms, so every term of this
+    # rewrite is hash-checked on every drive.
+    def _gate(t):
+        nw = F.size(t).cast("long")
+        mean_wl = (F.length("text").cast("long") - nw + 1).cast(
+            "double"
+        ) / nw
+        return (
+            F.col("n_chars").between(50, 5000)
+            & nw.between(5, 100000)
+            & mean_wl.between(3.0, 12.0)
+            & (
+                F.size(F.filter(t, lambda w: F.length(w) <= 2)).cast(
+                    "double"
+                ) / nw
+                <= 0.4
+            )
+            & (F.size(F.array_distinct(t)).cast("double") / nw >= 0.2)
+        )
+
+    gated = docs.filter(
+        F.exists(F.array(F.split("text", " ")), _gate)
+    ).select(
+        # 16-byte binary key: same dedup groups as the hex string at
+        # half the shuffle-key bytes and memcmp compares (r12)
+        F.unhex(F.md5("text")).alias("h"),
+        "doc_id",
+        "n_chars",
+    )
+    # Keeper = min-doc_id row per hash. min(doc_id) + min_by(n_chars,
+    # doc_id) instead of min(struct(doc_id, n_chars)) (r14): identical
+    # values (doc_id is globally unique, so the struct min IS the
+    # min-doc_id row and min_by has no tie to break), but the struct
+    # buffer forced ObjectHashAggregate while the two primitive-buffer
+    # aggregates run in codegen'd HashAggregate — the 1e8 gate+dedup
+    # stage measured 36.8 s -> 30.9 s first-run, and the struct form's
+    # GC swing (median 70 s under block pressure) disappears.
+    kept = gated.groupBy("h").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("n_chars", "doc_id").alias("n_chars"),
     )
     boundary_bytes = int(
         spark.conf.get("spark.mysql2ch.corpus.boundaryBytes", str(2 << 30))

@@ -1412,7 +1412,10 @@ def a26_malformed_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .csv(path)
     )
-    parsed = parsed.cache()  # one parse feeds clean + quarantine branches
+    # No .cache(): only the clean branch is returned, so the persist fed
+    # a single consumer and was never released — the exact long-session
+    # block-store pinning class drained from i21 in r13 (§5 hygiene).
+    # Re-parsing on a (hypothetical) second action is the cheaper deal.
     clean = parsed.filter(F.col("_corrupt_record").isNull()).select(
         "n_nationkey", "n_name", "n_regionkey"
     )

@@ -257,7 +257,13 @@ def running_sums_keyed(
     for name in names:
         staged = staged.withColumn(f"__ps_src_{name}", sums[name])
     qs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = sorted(set(staged.stat.approxQuantile(key, qs, 0.001)))
+    # Boundaries only set bucket BALANCE — the running-sum values are
+    # bucketing-invariant (offsets are folded from the actual per-bucket
+    # totals) — so a loose sketch is enough. relativeError 0.01 keeps
+    # ~all 63 distinct boundaries at the 1e8 tier but runs the
+    # QuantileSummaries pass 3.4x faster (5.9 s -> 1.7 s measured r14);
+    # 0.02 started collapsing boundaries (48/63).
+    bounds = sorted(set(staged.stat.approxQuantile(key, qs, 0.01)))
     bucket = (
         _bucket_of(F.col(key), bounds) if bounds else F.lit(0).cast("int")
     )

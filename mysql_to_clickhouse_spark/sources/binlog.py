@@ -796,7 +796,9 @@ _BINARYFILE_SCHEMA = (
 
 def read_binlog_stream(spark: SparkSession, path: str,
                        col_names: list[str],
-                       col_types: list[str]) -> DataFrame:
+                       col_types: list[str],
+                       unsigned_cols: list[bool] | None = None,
+                       ) -> DataFrame:
     """Streaming twin of ``read_binlog``: the rotation directory TAILED
     as a Structured Streaming file source — new binlog rotations are
     discovered per micro-batch, decoded with the SAME per-file closure
@@ -816,7 +818,10 @@ def read_binlog_stream(spark: SparkSession, path: str,
         .schema(_BINARYFILE_SCHEMA)
         .load(path)
     )
-    decode, out_schema = _decoder(col_names, col_types, None, 0)
+    # unsigned_cols rides through exactly as in the batch path (r12
+    # ADVICE: the streaming twin silently decoded unsigned as signed)
+    decode, out_schema = _decoder(col_names, col_types, None, 0,
+                                  unsigned_cols)
     return files.select("path", "content").mapInPandas(
         decode, schema=out_schema
     )

@@ -326,3 +326,49 @@ def test_ddl_bridge_rejects_unsupported_wire_types():
     assert [c.mysql_type for c in cols] == ["bigint", "enum"]
     with pytest.raises(ValueError, match="binlog codec"):
         to_binlog_schema(cols, "app", "t")
+
+
+def test_streaming_tail_honors_unsigned_flags(spark, tmp_path):
+    """read_binlog_stream must ride unsigned_cols through to the shared
+    decoder exactly as read_binlog does (r12 ADVICE: the streaming twin
+    silently decoded UNSIGNED columns as signed — values above the sign
+    bit came back negative)."""
+    from mysql_to_clickhouse_spark.sources.binlog import read_binlog_stream
+    from mysql_to_clickhouse_spark.sources.ddl import (
+        parse_mysql_ddl,
+        to_binlog_schema,
+        unsigned_flags,
+    )
+
+    ddl = """CREATE TABLE counters (
+      `id` BIGINT UNSIGNED NOT NULL,
+      `label` VARCHAR(16),
+      PRIMARY KEY (`id`)
+    )"""
+    cols = parse_mysql_ddl(ddl)
+    ts = to_binlog_schema(cols, "app", "counters")
+    flags = unsigned_flags(cols)
+    big = (1 << 63) + 5  # above the sign bit: corrupts without flags
+    d = str(tmp_path / "log")
+    os.makedirs(d)
+    write_binlog(os.path.join(d, "binlog.000001"), ts,
+                 [("insert", (big, "x"))])
+
+    def drain(unsigned):
+        q = (
+            read_binlog_stream(spark, d, ["id", "label"],
+                               ["decimal(20,0)", "string"],
+                               unsigned_cols=unsigned)
+            .writeStream.format("memory")
+            .queryName("u_stream")
+            .option("checkpointLocation", str(tmp_path / f"ck{unsigned}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.sql("SELECT id FROM u_stream").collect()
+        spark.catalog.dropTempView("u_stream")
+        return [int(r["id"]) for r in rows]
+
+    assert drain(flags) == [big]
+    assert drain(None) == [big - (1 << 64)]  # signed misread, the bug

@@ -1356,6 +1356,8 @@ def test_tranche7_scalars_execute(spark):
         "replaceOne('aXbXc', 'X', '-') AS g, "
         "multiSearchFirstIndex('hello', array('zz', 'll')) AS h, "
         "multiSearchFirstIndex('hello', array('zz')) AS i, "
+        "multiSearchFirstIndex('hello', array('lo', 'he')) AS h2, "
+        "multiSearchFirstIndex('hello', array('lo', 'ell')) AS h3, "
         "moduloOrZero(7, 0) AS j, bitTest(5, 2) AS k, "
         "positionCaseInsensitive('HeLLo', 'll') AS l, "
         "DATE '2020-01-31' + toIntervalMonth(1) AS m, "
@@ -1370,6 +1372,9 @@ def test_tranche7_scalars_execute(spark):
     assert (row.e, row.f) == ("v", "")
     assert row.g == "a-bXc"
     assert (row.h, row.i) == (2, 0)
+    # LEFTMOST-in-haystack wins, not first-in-needle-order (r12 ADVICE):
+    # 'he' matches at 1 < 'lo' at 4; 'ell' at 2 < 'lo' at 4
+    assert (row.h2, row.h3) == (2, 2)
     assert (row.j, row.k, row.l) == (0, 1, 3)
     assert row.m == datetime.date(2020, 2, 29)
     assert row.n == datetime.datetime(2019, 12, 31)
@@ -1478,6 +1483,38 @@ def test_query_params_end_to_end(spark):
         params={"v": 41, "d": "2020-02-29", "flag": True},
     ).collect()
     assert tuple(rows[0]) == (42, __import__("datetime").date(2020, 2, 29), True)
+
+
+def test_query_params_temporal_edges(spark):
+    """r13 ADVICE: tz-aware timestamps keep their instant (the offset
+    rides into the literal instead of being strftime'd away), and a
+    datetime bound to a Date param takes its calendar date."""
+    import datetime
+
+    from mysql_to_clickhouse_spark.functions.chdialect import bind_params
+
+    aware = datetime.datetime(
+        2024, 1, 1, 0, 0, 0,
+        tzinfo=datetime.timezone(datetime.timedelta(hours=5, minutes=30)),
+    )
+    sql = bind_params("SELECT {t:DateTime} AS t", {"t": aware})
+    assert "+05:30" in sql
+    # session tz is UTC: the aware instant is 2023-12-31 18:30 UTC
+    got = spark.sql(sql).collect()[0].t
+    assert got == datetime.datetime(2023, 12, 31, 18, 30)
+    # the same ISO string with offset binds identically
+    sql2 = bind_params(
+        "SELECT {t:DateTime} AS t", {"t": "2024-01-01 00:00:00+05:30"}
+    )
+    assert spark.sql(sql2).collect()[0].t == got
+    # naive datetimes and plain strings stay naive literals
+    naive = datetime.datetime(2024, 1, 1, 12, 30, 15, 250000)
+    sql3 = bind_params("SELECT {t:DateTime} AS t", {"t": naive})
+    assert spark.sql(sql3).collect()[0].t == naive
+    # datetime bound to a Date param: calendar date, not a ValueError
+    assert bind_params(
+        "SELECT {d:Date} AS d", {"d": datetime.datetime(2024, 3, 1, 23, 59)}
+    ) == "SELECT DATE '2024-03-01' AS d"
 
 
 def test_query_params_string_roundtrip_property(spark):

@@ -224,3 +224,24 @@ def test_dict_composite_key(spark):
             )
     finally:
         drop_dictionary("rates")
+
+
+def test_dict_duplicate_source_keys_last_wins(spark):
+    """A source with repeated keys must register (Spark's map() literal
+    throws on duplicate keys at runtime) and resolve to the LAST
+    occurrence — the upsert reading (r12 ADVICE)."""
+    dup = spark.createDataFrame(
+        [(1, "old", 1.0), (2, "beta", 2.0), (1, "new", 9.0)],
+        "k long, name string, score double",
+    )
+    register_dictionary(spark, _DDL, dup)
+    try:
+        row = ch_sql(
+            spark,
+            "SELECT dictGet('t_dict', 'name', 1) AS n, "
+            "dictGet('t_dict', 'score', 1) AS s, "
+            "dictHas('t_dict', 1) AS h",
+        ).collect()[0]
+        assert (row.n, row.s, row.h) == ("new", 9.0, True)
+    finally:
+        drop_dictionary("t_dict")

@@ -53,14 +53,41 @@ def test_memo_invalidate_unit(tmp_path, monkeypatch):
 
 def test_install_noop_on_driver():
     # the driver process must never be patched: pyspark.worker is only
-    # imported inside workers (and by tests that opt in)
+    # imported inside workers (and by tests that opt in). r13 ADVICE:
+    # the old `is False or _INSTALLED` form was tautological — assert
+    # the specific invariant instead.
     from mysql_to_clickhouse_spark.functions import pyworker_patch
 
     if "pyspark.worker" in sys.modules:
         import pytest
 
         pytest.skip("pyspark.worker already imported in this process")
-    assert pyworker_patch.install_if_worker() is False or pyworker_patch._INSTALLED
+    assert pyworker_patch.install_if_worker() is False
+    assert pyworker_patch._INSTALLED is False
+    assert "pyspark.worker" not in sys.modules  # install didn't import it
+
+
+def test_pyspark_still_exposes_patched_symbol():
+    """Drift guard (r13 verdict): the installed pyspark must still
+    define ``setup_spark_files`` on both pyspark.worker_util (the
+    source) and pyspark.worker (the import site the patch rebinds) —
+    a rename/inline in a future release must fail THIS test loudly
+    rather than silently de-installing the patch in workers. Imported
+    in a subprocess so the driver process stays worker-module-free."""
+    import subprocess
+
+    code = (
+        "import pyspark.worker_util as wu, pyspark.worker as w;"
+        "assert callable(getattr(wu, 'setup_spark_files', None)), 'worker_util';"
+        "assert callable(getattr(w, 'setup_spark_files', None)), 'worker';"
+        "import importlib, inspect;"
+        "src = inspect.getsource(wu.setup_spark_files);"
+        "assert 'invalidate_caches' in src, 'memo target gone'"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
 
 
 def test_patch_lands_in_workers_and_late_addpyfile_imports(spark, tmp_path):
