@@ -81,6 +81,14 @@ def install_if_worker() -> bool:
     (``pyspark.worker`` already imported, which the driver never does).
     Idempotent; returns True when the patch is (already) in place."""
     global _INSTALLED
+    import os
+
+    if os.environ.get("SPARK_GRAFT_NO_PYWORKER_PATCH"):
+        # A/B kill switch (r14): lets the worker-patch benefit be
+        # measured against stock behavior on the same build (workers
+        # inherit the driver's environment in local mode; on a cluster
+        # ship it via spark.executorEnv).
+        return False
     if _INSTALLED:
         return True
     worker_mod = sys.modules.get("pyspark.worker")
