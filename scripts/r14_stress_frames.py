@@ -81,10 +81,15 @@ def main() -> None:
             nxt_us.alias("purchase_us"))
             .filter((F.col("d") == 1)
                     & F.col("next_purchase_id").isNotNull()))
+        # modular digest: sum(purchase_us) over µs timestamps overflows
+        # int64 at the 1e6+ tiers; mod-p per row keeps the sum exact
+        # and bounded while remaining order-insensitive
         return out.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("next_purchase_id").cast("long").alias("s_id"),
-            F.sum("purchase_us").cast("long").alias("s_us"))
+            F.sum(F.col("next_purchase_id") % 1000000007)
+            .cast("long").alias("s_id"),
+            F.sum(F.col("purchase_us") % 1000000007)
+            .cast("long").alias("s_us"))
 
     # ---- e11_interpolate walls: old fwd frames vs new reversed ----
     def e11(df, old: bool):
