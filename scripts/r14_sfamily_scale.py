@@ -61,8 +61,7 @@ def main() -> None:
         # LIMIT 3 BY event_type ordered by fp value desc, event_id —
         # the e1 ranked-window shape (twin of _S14_CH_SQL)
         w = Window.partitionBy("event_type").orderBy(
-            F.expr("CAST(FLOOR(value * 10000.0) AS BIGINT)").desc(),
-            F.col("event_id"),
+            F.col("value_fp").desc(), F.col("event_id"),
         )
         return (
             ev.select(
@@ -164,12 +163,12 @@ def main() -> None:
         "",
         "FINAL/PREWHERE (s13e), SAMPLE (s15) and LIMIT BY (s14)"
         " statement rewrites vs hand-built native DataFrame twins on"
-        " the SAME 1e8-row synthetic events table: the normalized"
+        " the SAME 1e8-row synthetic events table: normalized"
         " physical-plan skeletons (operator sequence, expr-ids"
-        " stripped) are asserted IDENTICAL in"
-        " scripts/r14_sfamily_scale.py, digests are equal, and warm"
-        " noop-sink medians are side by side — the dialect layer adds"
-        " no plan node and no measurable cost at scale. Key plan pins:"
+        " stripped) compared in scripts/r14_sfamily_scale.py, digests"
+        " asserted equal, warm noop-sink medians side by side —"
+        " the dialect layer adds no exchange, no extra pass, and no"
+        " measurable cost at scale. Key plan pins:"
         " s14 prunes per-key map-side via WindowGroupLimit before its"
         " one exchange; s15's hash-band predicate evaluates in the"
         " scan stage (7/8 of rows drop before the group-by exchange);"
