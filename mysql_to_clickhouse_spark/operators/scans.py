@@ -1412,12 +1412,21 @@ def a26_malformed_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .csv(path)
     )
-    # No .cache(): only the clean branch is returned, so the persist fed
-    # a single consumer and was never released — the exact long-session
-    # block-store pinning class drained from i21 in r13 (§5 hygiene).
-    # Re-parsing on a (hypothetical) second action is the cheaper deal.
-    clean = parsed.filter(F.col("_corrupt_record").isNull()).select(
-        "n_nationkey", "n_name", "n_regionkey"
+    # Materialize the parse to scratch parquet and serve from the
+    # read-back (the documented workaround for
+    # UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN): a pruned
+    # action on the returned frame — e.g. count(), whose only surviving
+    # reference is the _corrupt_record filter — is disallowed straight
+    # off a raw CSV scan. The r13-era `.cache()` satisfied the same
+    # rule but pinned never-released block-store memory (the i21 leak
+    # class); the scratch write is freed with the dir at exit and adds
+    # one tiny map-only job on a feed this size.
+    quarantined = scratch_dir("a26_parsed_") + "/parsed.parquet"
+    parsed.write.mode("overwrite").parquet(quarantined)
+    clean = (
+        spark.read.parquet(quarantined)
+        .filter(F.col("_corrupt_record").isNull())
+        .select("n_nationkey", "n_name", "n_regionkey")
     )
     return clean
 
