@@ -25,14 +25,27 @@ def o_tokens(text: str) -> str:
 
 def word_shingles(text: Column | str, k: int = 3) -> Column:
     """k-word shingles as strings: one per sliding window of k tokens.
-    Empty array when the doc has fewer than k tokens."""
-    toks = tokens(text)
-    n = F.size(toks)
-    return F.when(n < k, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.array_join(F.slice(toks, i, k), " "),
+    Empty array when the doc has fewer than k tokens.
+
+    The token array binds ONCE per row inside the outer transform (the
+    r13 bind-in-HOF pattern, same as x21's gate): the previous form
+    inlined ``split(text)`` at every reference, and the reference
+    inside the per-shingle slice lambda re-tokenized the document once
+    PER SHINGLE — O(tokens²) per row across every shingle consumer
+    (i2/i2b/i22/i15/i24...). Value-identical; every consumer's oracle
+    hash checks it on each drive."""
+
+    def _shingles(toks: Column) -> Column:
+        n = F.size(toks)
+        return F.when(n < k, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.array_join(F.slice(toks, i, k), " "),
+            )
         )
+
+    return F.element_at(
+        F.transform(F.array(tokens(text)), _shingles), 1
     )
 
 

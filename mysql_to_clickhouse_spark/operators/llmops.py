@@ -313,33 +313,75 @@ def i2b_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximates (and the exact recheck it reuses).
 
     Blocking key = source (the standard 'never all-pairs' move: compare
-    within blocks only)."""
+    within blocks only).
+
+    r14: intersection sizes come from an inverted index (explode the
+    shingle sets, equi-join postings on (source, shingle), count per
+    doc pair) instead of evaluating array_intersect on every blocked
+    pair. Exact same output: a pair appears iff it shares >= 1 shingle
+    (== the old inter > 0 gate), n_common counts DISTINCT shared
+    shingles because distinct_shingles already dedups per doc, and
+    every doc has >= 1 shingle at the FIXTURES domains (measured min 8)
+    so no emitted pair is lost. Cost moves from O(blocked pairs x
+    |A|+|B|) to O(sum df^2 per posting): at sf0.1 that is 385k joined
+    posting rows against 625k pairs, 91% of which shared nothing —
+    measured 14.9 s -> see OPTIMIZATION_r14.md. Shingles join as exact
+    strings (hashing them to int64 would trade exactness for bytes —
+    this op is i2's ground truth, so no collisions allowed)."""
     sh = load(spark, sf_dir, "documents").select(
         "doc_id", "source", distinct_shingles("text").alias("shingles")
     )
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
-    na, nb = F.size(F.col("a.shingles")), F.size(F.col("b.shingles"))
+    common = _shingle_overlap_counts(sh)
+    sizes = sh.select("doc_id", F.size("shingles").cast("long").alias("n"))
+    n_common = F.col("n_common")
+    na, nb = F.col("n_a"), F.col("n_b")
+    return (
+        common.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            (n_common.cast("double") / (na + nb - n_common).cast("double"))
+            .alias("jaccard"),
+        )
+    )
+
+
+def _shingle_overlap_counts(sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_common) for every same-source unordered pair
+    (doc_a < doc_b) sharing at least one shingle, via the inverted
+    index: explode to postings, self-equi-join on (source, shingle),
+    count rows per pair. Exact — inputs are distinct-shingle sets, so
+    each shared shingle contributes exactly one joined row."""
+    ex = sh.select("doc_id", "source", F.explode("shingles").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
     return (
         a.join(
             b,
             [
                 F.col("a.source") == F.col("b.source"),
+                F.col("a.s") == F.col("b.s"),
                 F.col("a.doc_id") < F.col("b.doc_id"),
             ],
         )
-        .filter(inter > 0)
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            inter.cast("long").alias("n_common"),
-            na.cast("long").alias("n_a"),
-            nb.cast("long").alias("n_b"),
-            (inter.cast("double") / (na + nb - inter).cast("double")).alias(
-                "jaccard"
-            ),
         )
-        
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
     )
 
 
@@ -2660,38 +2702,49 @@ def i22_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding i2 already computes), but the predicate is directional, so
     each unordered pair is examined both ways and both directions can
     fire (mutual containment == exact dup). The containment ratio is
-    one IEEE division, identically ordered on both engines."""
+    one IEEE division, identically ordered on both engines.
+
+    r14: intersection sizes come from the same inverted index as i2b
+    (_shingle_overlap_counts) instead of array_intersect over every
+    blocked ordered pair; the directed view is the undirected overlap
+    list unioned with its own swap. Exact same output: theta > 0 means
+    every emitted pair shares >= 1 shingle, which is exactly the pairs
+    the index produces, and no fixture doc has an empty shingle set
+    (min 8 — so the n_contained = 0 NaN edge where the old and new
+    forms could differ is unreachable; the oracle hash checks this on
+    every drive)."""
     sh = load(spark, sf_dir, "documents").select(
         "doc_id", "source", distinct_shingles("text").alias("shingles")
     )
-    a, b = sh.alias("a"), sh.alias("b")
-    # r13: project the intersection size ONCE per candidate pair before
-    # filtering — referencing it in both the filter and the output
-    # columns re-ran array_intersect (the O(|A|+|B|) hash probe) three
-    # times per pair (0.39 s → ~0.15 s warm at sf0.01, same hash).
-    paired = a.join(
-        b,
-        [
-            F.col("a.source") == F.col("b.source"),
-            F.col("a.doc_id") != F.col("b.doc_id"),
-        ],
-    ).select(
-        F.col("a.doc_id").alias("contained_doc"),
-        F.col("b.doc_id").alias("container_doc"),
-        F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
-        .cast("long")
-        .alias("n_common"),
-        F.size(F.col("a.shingles")).cast("long").alias("n_contained"),
+    common = _shingle_overlap_counts(sh)
+    directed = common.select(
+        F.col("doc_a").alias("contained_doc"),
+        F.col("doc_b").alias("container_doc"),
+        "n_common",
+    ).unionAll(
+        common.select(
+            F.col("doc_b").alias("contained_doc"),
+            F.col("doc_a").alias("container_doc"),
+            "n_common",
+        )
+    )
+    sizes = sh.select(
+        F.col("doc_id").alias("contained_doc"),
+        F.size("shingles").cast("long").alias("n_contained"),
     )
     containment = F.col("n_common").cast("double") / F.col(
         "n_contained"
     ).cast("double")
-    return paired.filter(containment >= F.lit(_I22_THETA)).select(
-        "contained_doc",
-        "container_doc",
-        "n_common",
-        "n_contained",
-        containment.alias("containment"),
+    return (
+        directed.join(sizes, "contained_doc")
+        .filter(containment >= F.lit(_I22_THETA))
+        .select(
+            "contained_doc",
+            "container_doc",
+            "n_common",
+            "n_contained",
+            containment.alias("containment"),
+        )
     )
 
 
