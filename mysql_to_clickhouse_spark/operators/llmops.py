@@ -4315,17 +4315,45 @@ def i38_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("b.doc_id").alias("doc_id"))
         .agg(F.min(F.col("c.doc_id")).alias("exact_of"))
     )
-    inter = F.size(F.array_intersect(F.col("b.sh"), F.col("c.sh")))
-    nb, nc = F.size(F.col("b.sh")), F.size(F.col("c.sh"))
+    # r14: bipartite inverted index (the §5b i2b/i22 pattern) instead of
+    # the source-blocked batch x corpus join with array_intersect per
+    # pair — that WAS all-pairs within each block, the exact quadratic
+    # the docstring promises to avoid (docs/STRESS_SHINGLES_r14.md is
+    # the measured law; this bipartite form measured old 27.8 s -> new
+    # 8.5 s at a 50k-doc single-source block and diverging, vs a ~0.4 s
+    # postings-machinery floor paid at sf0.1's 250-doc blocks).
+    # Postings equi-join on (source, shingle) and a count per
+    # (batch, corpus) pair produce exactly the pairs with n_common >= 1
+    # — exactly the old inter > 0 candidate set. Shingle-set sizes ride
+    # the postings (constant per doc, recovered with max()) so the
+    # jaccard gate needs no join back to the arrays; int arithmetic and
+    # the IEEE division are unchanged.
+    ex_b = batch.select(
+        F.col("doc_id").alias("b_id"), "source",
+        F.size("sh").alias("nb"), F.explode("sh").alias("s"),
+    )
+    ex_c = corpus.select(
+        F.col("doc_id").alias("c_id"), "source",
+        F.size("sh").alias("nc"), F.explode("sh").alias("s"),
+    )
+    counts = (
+        ex_b.join(ex_c, ["source", "s"])
+        .groupBy("b_id", "c_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_common"),
+            F.max("nb").alias("nb"),
+            F.max("nc").alias("nc"),
+        )
+    )
+    inter = F.col("n_common")
     near = (
-        b.join(c, F.col("b.source") == F.col("c.source"))
-        .filter(inter > 0)
-        .filter(
-            inter.cast("double") / (nb + nc - inter).cast("double")
+        counts.filter(
+            inter.cast("double")
+            / (F.col("nb") + F.col("nc") - inter).cast("double")
             >= _I38_THETA
         )
-        .groupBy(F.col("b.doc_id").alias("doc_id"))
-        .agg(F.min(F.col("c.doc_id")).alias("near_of"))
+        .groupBy(F.col("b_id").alias("doc_id"))
+        .agg(F.min(F.col("c_id")).alias("near_of"))
     )
     return (
         batch.select("doc_id")
